@@ -1,0 +1,163 @@
+"""Explicit schemas + loaders for the engine's tables.
+
+The reference's schema system is fully fixed/migrated (Atlas migrations,
+Go structs — SURVEY.md §1.2): no `inferSchema` in production paths. We
+mirror that: every table has a pinned StructType, and loads go through
+`load_table` so reads always carry the declared schema (column pruning
+still applies — Spark prunes to the columns the plan selects).
+
+Test tables are the driver's TPC-H-ish parquet set (TESTDATA.md); the
+log-domain schemas (logs/http_logs/sli_metrics) mirror the reference's
+ClickHouse tables (clickhouse/migrations/001,003,009) for the streaming
+layer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+__all__ = ["SCHEMAS", "LOG_SCHEMAS", "TABLES", "load_table", "load_all", "sf_dir"]
+
+_S = T.StructType
+_F = T.StructField
+
+
+def _f(name: str, dtype: T.DataType, nullable: bool = True) -> T.StructField:
+    return _F(name, dtype, nullable)
+
+
+SCHEMAS: dict[str, T.StructType] = {
+    "region": _S([_f("r_regionkey", T.IntegerType()), _f("r_name", T.StringType())]),
+    "nation": _S([
+        _f("n_nationkey", T.IntegerType()),
+        _f("n_name", T.StringType()),
+        _f("n_regionkey", T.IntegerType()),
+    ]),
+    "customer": _S([
+        _f("c_custkey", T.LongType()),
+        _f("c_name", T.StringType()),
+        _f("c_nationkey", T.IntegerType()),
+        _f("c_acctbal", T.DoubleType()),
+        _f("c_mktsegment", T.StringType()),
+    ]),
+    "supplier": _S([
+        _f("s_suppkey", T.LongType()),
+        _f("s_name", T.StringType()),
+        _f("s_nationkey", T.IntegerType()),
+        _f("s_acctbal", T.DoubleType()),
+    ]),
+    "part": _S([
+        _f("p_partkey", T.LongType()),
+        _f("p_name", T.StringType()),
+        _f("p_brand", T.StringType()),
+        _f("p_type", T.StringType()),
+        _f("p_size", T.IntegerType()),
+        _f("p_retailprice", T.DoubleType()),
+    ]),
+    "orders": _S([
+        _f("o_orderkey", T.LongType()),
+        _f("o_custkey", T.LongType()),
+        _f("o_orderstatus", T.StringType()),
+        _f("o_totalprice", T.DoubleType()),
+        _f("o_orderdate", T.TimestampType()),
+        _f("o_orderpriority", T.StringType()),
+    ]),
+    "lineitem": _S([
+        _f("l_orderkey", T.LongType()),
+        _f("l_partkey", T.LongType()),
+        _f("l_suppkey", T.LongType()),
+        _f("l_linenumber", T.IntegerType()),
+        _f("l_quantity", T.DoubleType()),
+        _f("l_extendedprice", T.DoubleType()),
+        _f("l_discount", T.DoubleType()),
+        _f("l_tax", T.DoubleType()),
+        _f("l_returnflag", T.StringType()),
+        _f("l_linestatus", T.StringType()),
+        _f("l_shipdate", T.TimestampType()),
+    ]),
+    "events": _S([
+        _f("event_id", T.LongType()),
+        # Physically TIMESTAMP(NANOS) int64; read as long, converted to
+        # µs TimestampType in load_table (floor division, like DuckDB).
+        _f("ts", T.LongType()),
+        _f("user_id", T.LongType()),
+        _f("event_type", T.StringType()),
+        _f("value", T.DoubleType()),
+        _f("props", T.StringType()),
+    ]),
+    "documents": _S([
+        _f("doc_id", T.LongType()),
+        _f("text", T.StringType()),
+        _f("lang", T.StringType()),
+        _f("source", T.StringType()),
+        _f("n_chars", T.LongType()),
+    ]),
+    "embeddings": _S([
+        _f("vec_id", T.LongType()),
+        _f("embedding", T.ArrayType(T.FloatType())),
+        _f("label", T.IntegerType()),
+    ]),
+}
+
+# Log-domain schemas, mirroring the reference's ClickHouse DDL
+# (clickhouse/migrations/001_create_logs_table.sql:1-16 for `logs`,
+# 003_create_http_logs_mv.sql for `http_logs`, 009_create_sli_metrics.sql
+# for `sli_metrics`). Used by alt_spark.sources and alt_spark.streaming.
+LOG_SCHEMAS: dict[str, T.StructType] = {
+    "logs": _S([
+        _f("service_name", T.StringType()),
+        _f("service_group", T.StringType()),
+        _f("level", T.StringType()),
+        _f("message", T.StringType()),
+        _f("timestamp", T.TimestampType()),
+        _f("container_id", T.StringType()),
+        _f("fields", T.MapType(T.StringType(), T.StringType())),
+    ]),
+    "http_logs": _S([
+        _f("timestamp", T.TimestampType()),
+        _f("service_name", T.StringType()),
+        _f("method", T.StringType()),
+        _f("path", T.StringType()),
+        _f("status_code", T.IntegerType()),
+        _f("response_size", T.LongType()),
+        _f("response_time_ms", T.DoubleType()),
+    ]),
+    "sli_metrics": _S([
+        _f("bucket", T.TimestampType()),
+        _f("service_name", T.StringType()),
+        _f("metric_name", T.StringType()),
+        _f("value", T.DoubleType()),
+        _f("labels", T.MapType(T.StringType(), T.StringType())),
+    ]),
+}
+
+TABLES = tuple(SCHEMAS)
+
+
+def sf_dir(default: str = "/root/testdata/sf0.01") -> str:
+    """Scale-factor directory; the bench driver overrides via env."""
+    return os.environ.get("SPARK_GRAFT_SF_DIR", default)
+
+
+def load_table(spark: SparkSession, sf: str, name: str) -> DataFrame:
+    """Read one test table with its pinned schema (no inference)."""
+    if name not in SCHEMAS:
+        raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
+    # The driver may hand us a session built without the engine profile;
+    # date_trunc/bucket parity with the DuckDB oracle requires UTC, and
+    # it's a runtime-settable conf, so pin it at the load boundary.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf}/{name}.parquet")
+    if name == "events":
+        # ns → µs truncation (integer div keeps full int64 precision).
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_all(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf, name) for name in SCHEMAS}
