@@ -15,10 +15,13 @@ from alt_spark.queries import all_oracles, all_queries
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the reference's 1-minute
-    SLI error-rate MV (clickhouse/migrations/009_create_sli_metrics.sql),
-    re-expressed as a Spark aggregation (SURVEY.md §2.Q Q02)."""
-    return all_queries()["q02_sli_error_rate"](spark, "/root/testdata/sf0.001")
+    """Flagship query: the reference's 1-minute SLI error-rate MV
+    (clickhouse/migrations/009_create_sli_metrics.sql), re-expressed as a
+    Spark aggregation (SURVEY.md §2.Q Q02). Runs at the driver's scale
+    directory ($SPARK_GRAFT_SF_DIR, default sf0.001 for the smoke check)."""
+    from alt_spark.catalog import sf_dir
+
+    return all_queries()["q02_sli_error_rate"](spark, sf_dir("/root/testdata/sf0.001"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Per-round benchmark: run every registered query at the driver's scale
+factor and print ONE parseable JSON line.
+
+Contract (driver-side): run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print a
+single JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": s, ...},
+     "sf": ...}
+
+Each query is executed to completion with a `noop` write (full plan runs,
+nothing is collected to the driver — measures engine throughput, not
+result transfer). Spark's own logging goes to stderr; the JSON line is the
+last stdout line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)/?$", sf_dir)
+    return float(m.group(1)) if m else -1.0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from alt_spark.queries import all_queries
+    from alt_spark.session import get_session
+
+    spark = get_session("alt_spark-bench")
+    queries = all_queries()
+
+    # Warm the JVM + parquet footer caches so q01 isn't charged for
+    # session startup; cheap count over the smallest table. Failures fall
+    # through to the per-query loop so a JSON line is always printed.
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    failed: dict[str, str] = {}
+    for name in sorted(queries):
+        t0 = time.perf_counter()
+        try:
+            df = queries[name](spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # keep benching; report the failure
+            failed[name] = f"{type(exc).__name__}: {exc}"[:200]
+    total = round(sum(timings.values()), 3)
+
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if failed:
+        out["failed"] = failed
+    print(json.dumps(out), flush=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
