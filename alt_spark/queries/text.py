@@ -1,1 +1,269 @@
-"""placeholder — populated in later milestones."""
+"""Q17/Q18/Q23/Q24: text pipeline (SURVEY.md §2.I/J1-J2, Phase 3).
+
+Tokenization contract shared by Q18/Q23/Q24 and the DuckDB oracles:
+``lower(text)`` split on ``\\W+`` with empty tokens dropped — ASCII
+semantics are identical in Java regex and RE2, so both engines produce
+the same token stream (documents testdata is ASCII).
+
+Scale notes: Q17/Q18/Q23 are hash-partitioned groupBy/window plans that
+shuffle token- or hash-cardinality rows, not full documents — they hold
+at 100 TB as-is. Q24 is the *exact* all-pairs shingle join, deliberately
+restricted to a 50-doc pane; the unbounded-scale path is the MinHash-LSH
+banded join in alt_spark.operators.dedup (SURVEY §2 I10/I12).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from alt_spark.catalog import load_table
+from alt_spark.queries import query
+
+_DDB_TOKENS = "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
+
+
+def _token_col():
+    """Shared tokenizer (Spark side). DuckDB twin: _DDB_TOKENS.
+
+    Built lazily — Column construction needs an active SparkContext.
+    """
+    return F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+
+
+def _tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """One row per (doc_id, token) occurrence."""
+    docs = load_table(spark, sf, "documents")
+    return docs.select("doc_id", F.explode(_token_col()).alias("token"))
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q17_exact_dedup",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, lang, md5(text) AS h FROM documents
+), ranked AS (
+  SELECT lang, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+  FROM hashed
+)
+SELECT lang, count(*) AS survivors
+FROM ranked WHERE rn = 1
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: content-hash first-wins keep, survivors per language.
+
+    Reference: recap-worker/recap-worker/src/pipeline/dedup.rs:113-143 (I8) —
+    XXH3-64 of the body, first occurrence kept. Declared with md5 for
+    engine-portable oracle parity (Spark xxhash64 and DuckDB have no shared
+    xxh3 seed contract); the hash choice doesn't change the operator shape.
+    At scale this is one hash-partitioned window over the hash key — no
+    skew (hashes are uniform), no all-pairs comparison.
+    """
+    docs = load_table(spark, sf, "documents")
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("doc_id"))
+    return (
+        docs.select("doc_id", "lang", F.md5(F.col("text")).alias("h"))
+        .withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .groupBy("lang")
+        .agg(F.count("*").alias("survivors"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q18_tfidf_doc0",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DDB_TOKENS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents
+)
+SELECT tf.token AS token,
+       tf.tf AS tf,
+       df.df AS df,
+       round(tf.tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf
+FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+WHERE tf.doc_id = 0
+ORDER BY tfidf DESC, token
+LIMIT 20
+""",
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 TF-IDF tokens of doc 0 over the whole-corpus df/idf.
+
+    Reference: recap-worker tokenize src/pipeline/preprocess.rs:316-344 (I6)
+    + TF-IDF build src/classification/features.rs:166-234,309-326 (J1).
+    idf = ln(N/df), tfidf = tf*idf. The corpus-wide df aggregation is the
+    only wide stage (token-cardinality rows); N is a 1-row broadcast.
+    """
+    tok = _tokens(spark, sf)
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = load_table(spark, sf, "documents").agg(F.count("*").alias("n"))
+    return (
+        tf.filter(F.col("doc_id") == 0)
+        .join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), "token")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q23_bm25",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DDB_TOKENS}) AS token FROM documents
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen
+), tf AS (
+  SELECT doc_id, count(*) AS tf FROM tok WHERE token = 'dup' GROUP BY 1
+), idf AS (
+  SELECT ln(1.0 + (stats.n - count(*) + 0.5) / (count(*) + 0.5)) AS idf
+  FROM tf, stats GROUP BY stats.n
+)
+SELECT tf.doc_id AS doc_id,
+       tf.tf AS tf,
+       round(idf.idf * tf.tf * 2.2 /
+             (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / stats.avgdl)), 6) AS score
+FROM tf
+JOIN doclen ON tf.doc_id = doclen.doc_id
+CROSS JOIN stats CROSS JOIN idf
+ORDER BY score DESC, doc_id
+LIMIT 10
+""",
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25(k1=1.2, b=0.75) of the fixed query term 'dup', top-10 docs.
+
+    Reference: recap-worker/recap-worker/src/classification/features.rs:327-344
+    (J2), params model.rs:171-181. Okapi idf with the Lucene +1 floor:
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)); score = idf·tf·(k1+1) /
+    (tf + k1·(1 − b + b·dl/avgdl)). doclen/avgdl come from one token-level
+    aggregation; the matching-docs side is df-sized (tiny), joined to
+    per-doc lengths by key.
+    """
+    k1, b = 1.2, 0.75
+    tok = _tokens(spark, sf)
+    doclen = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = tok.filter(F.col("token") == "dup").groupBy("doc_id").agg(F.count("*").alias("tf"))
+    matched = tf.crossJoin(F.broadcast(stats))
+    idf = F.log(
+        1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    df_cnt = tf.agg(F.count("*").alias("df"))
+    return (
+        matched.crossJoin(F.broadcast(df_cnt))
+        .join(doclen, "doc_id")
+        .select(
+            "doc_id",
+            "tf",
+            F.round(
+                idf
+                * F.col("tf")
+                * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))),
+                6,
+            ).alias("score"),
+        )
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q24_shingle_jaccard",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DDB_TOKENS} AS t FROM documents WHERE doc_id < 50
+), sh AS (
+  SELECT DISTINCT doc_id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS shingle
+  FROM toks, unnest(range(len(t)-2)) AS u(i)
+  WHERE len(t) >= 3
+), sz AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, common,
+       round(CAST(common AS DOUBLE) / (s1.n + s2.n - common), 6) AS jaccard
+FROM inter
+JOIN sz s1 ON s1.doc_id = d1
+JOIN sz s2 ON s2.doc_id = d2
+ORDER BY jaccard DESC, d1, d2
+LIMIT 20
+""",
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard over doc pairs (first 50 docs), top-20.
+
+    Reference: recap-worker/recap-worker/src/pipeline/minhash.rs:52-64 (I10) —
+    the exact Jaccard that MinHash estimates; dedup.rs:144-190 (I9) shingle
+    candidate generation. Declared exact per SURVEY §2.Q: MinHash is the
+    scale optimization (alt_spark.operators.dedup), validated ±ε in tests,
+    not hash-matched. Candidate pairs come from an equi-join on the shingle
+    key (inverted index), never a cross join — pairs sharing no shingle are
+    never materialized.
+    """
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 50)
+    sh = (
+        docs.select("doc_id", _token_col().alias("t"))
+        .filter(F.size("t") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        "transform(sequence(0, size(t)-3),"
+                        " i -> concat_ws(' ', t[i], t[i+1], t[i+2]))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2"))
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        inter.join(F.broadcast(sz.withColumnRenamed("doc_id", "d1").withColumnRenamed("n", "n1")), "d1")
+        .join(F.broadcast(sz.withColumnRenamed("doc_id", "d2").withColumnRenamed("n", "n2")), "d2")
+        .select(
+            "d1",
+            "d2",
+            "common",
+            F.round(F.col("common").cast("double") / (F.col("n1") + F.col("n2") - F.col("common")), 6).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), "d1", "d2")
+        .limit(20)
+    )
