@@ -1,1 +1,154 @@
-"""placeholder — populated in later milestones."""
+"""Q20/Q21/Q22: event-fold / projection queries (SURVEY.md §2.K/E8, Phase 4).
+
+Batch forms of the reference's CQRS projector folds. The streaming forms
+(checkpointed replay, foreachBatch MERGE) live in alt_spark.streaming;
+tests assert batch/stream parity (SURVEY §5 item 5). The declared batch
+contract restricts the fold to its commutative subset (max / sum /
+last-by-seq), so fold ≡ groupBy-agg and order of arrival is irrelevant —
+exactly why it scales: one hash shuffle on user_id, partial aggregation
+map-side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from alt_spark.catalog import load_table
+from alt_spark.queries import query
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q20_event_fold",
+    oracle="""
+SELECT user_id,
+       max_by(ts, event_id) AS last_ts,
+       max(value) AS max_value,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       count(*) AS n_events
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Event-log fold into a per-user projection (batch form).
+
+    Reference: knowledge-sovereign/app/usecase/knowledge_home_projector/
+    projector.go:446-509 (K2) with merge-safe ops per sql_fragments.go:13-20
+    (D12): `last_ts` is last-by-sequence (max_by over event_id — the
+    BIGSERIAL analog), `max_value` is the GREATEST-merge, counters are
+    additive. All ops are commutative monoids, so the fold equals one
+    groupBy — the streaming projector (alt_spark.streaming.projector)
+    applies the same ops incrementally per micro-batch.
+    """
+    ev = load_table(spark, sf, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")
+
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.max_by("ts", "event_id").alias("last_ts"),
+            F.max("value").alias("max_value"),
+            cnt("click").alias("clicks"),
+            cnt("view").alias("views"),
+            cnt("error").alias("errors"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q21_digest_counters",
+    oracle="""
+SELECT user_id,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signups,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+       count(*) AS n_events
+FROM events
+GROUP BY 1, 2
+ORDER BY user_id, day
+""",
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user per-day digest counters (upsert-add semantics, batch form).
+
+    Reference: projector.go:498-509 (D11) — today_digest counters folded
+    additively per (user, day). Additive counters mean the streaming form
+    is an idempotent MERGE-add; batch form is a plain two-key groupBy.
+    """
+    ev = load_table(spark, sf, "events")
+
+    def cnt(t: str) -> F.Column:
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).cast("long")
+
+    return (
+        ev.groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(
+            cnt("signup").alias("signups"),
+            cnt("purchase").alias("purchases"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q22_sessionization",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+), flagged AS (
+  SELECT user_id,
+         CASE WHEN tus - lag(tus) OVER w > 1800000000 OR lag(tus) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+)
+SELECT user_id,
+       CAST(sum(new_session) AS BIGINT) AS n_sessions,
+       count(*) AS n_events
+FROM flagged
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) — sessions per user.
+
+    Reference shape: SURVEY §2 E8 (⊕ north-star op over `events`; the
+    reference's analog is the projector's per-user activity stream).
+    lag() over (user, ts) marks session starts; microsecond epoch on both
+    engines so the 30-min threshold compares identically. The window is
+    partitioned by user_id — per-user data is bounded, no global sort.
+    The streaming twin is session_window(ts, '30 minutes') in
+    alt_spark.streaming (K8).
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("tus") - F.lag("tus").over(w) > 1_800_000_000, 1
+        ).when(F.lag("tus").over(w).isNull(), 1).otherwise(0),
+    )
+    return (
+        flagged.groupBy("user_id")
+        .agg(
+            F.sum("new_session").cast("long").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
