@@ -1,1 +1,256 @@
-"""placeholder — populated in later milestones."""
+"""Q19 + vector search queries (SURVEY.md §2.J, Phase 5).
+
+The embeddings table is `(vec_id, embedding array<float>, label)`. All
+three queries use the same relational decomposition of vector math on
+both engines — posexplode to (idx, val) rows, dot/norms as grouped sums —
+so Spark and DuckDB run numerically identical plans (double arithmetic,
+same rounding before any threshold compare or rank).
+
+Scale shape: centroids are label-cardinality (broadcast); per-member
+work is a hash join + groupBy on (label, idx) / (vec_id) keys. The
+exact kNN here is the correctness baseline (J8); the sub-linear path is
+the LSH-bucketed variant in alt_spark.operators.ann (J11).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alt_spark.catalog import load_table
+from alt_spark.queries import query
+
+# DuckDB twin of posexplode over the embedding array.
+_DDB_EXPLODE = (
+    "SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS val,"
+    " generate_subscripts(embedding, 1) AS idx FROM embeddings"
+)
+
+
+def _exploded(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("idx", "fval"),
+    ).select("vec_id", "label", "idx", F.col("fval").cast("double").alias("val"))
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q19_embedding_outlier_filter",
+    oracle=f"""
+WITH ex AS (
+  {_DDB_EXPLODE}
+), cent AS (
+  SELECT label, idx, avg(val) AS c FROM ex GROUP BY 1, 2
+), d AS (
+  SELECT ex.vec_id, ex.label,
+         1 - sum(val * c) / (sqrt(sum(val * val)) * sqrt(sum(c * c))) AS dist
+  FROM ex JOIN cent ON ex.label = cent.label AND ex.idx = cent.idx
+  GROUP BY 1, 2
+), p AS (
+  SELECT label, percentile_cont(0.8) WITHIN GROUP (ORDER BY dist) AS p80
+  FROM d GROUP BY 1
+)
+SELECT d.label AS label,
+       count(*) AS n_total,
+       CAST(sum(CASE WHEN round(dist, 9) <= round(p80, 9) THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       round(max(p80), 6) AS p80
+FROM d JOIN p ON d.label = p.label
+GROUP BY d.label
+ORDER BY label
+""",
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid-distance outlier filter, keep <= 80th percentile.
+
+    Reference: recap-worker/recap-worker/src/select/filtering.rs:84-134 (J7)
+    — per-genre centroid, cosine distance, p80 cut. Exact percentile_cont
+    for the oracle; at 100 TB swap percentile_approx (same contract as Q04).
+    Centroids are label-cardinality and broadcast; distances are one
+    (label, idx) hash join + per-vector groupBy. Threshold compare uses
+    round(·, 9) on both engines so interpolated-percentile boundary values
+    can't flip on last-ulp differences.
+    """
+    ex = _exploded(spark, sf)
+    cent = ex.groupBy("label", "idx").agg(F.avg("val").alias("c"))
+    d = (
+        ex.join(F.broadcast(cent), ["label", "idx"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                1
+                - F.sum(F.col("val") * F.col("c"))
+                / (F.sqrt(F.sum(F.col("val") * F.col("val"))) * F.sqrt(F.sum(F.col("c") * F.col("c"))))
+            ).alias("dist")
+        )
+    )
+    p = d.groupBy("label").agg(F.percentile("dist", 0.8).alias("p80"))
+    return (
+        d.join(F.broadcast(p), "label")
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(
+                F.when(F.round("dist", 9) <= F.round("p80", 9), 1).otherwise(0)
+            ).cast("long").alias("n_kept"),
+            F.round(F.max("p80"), 6).alias("p80"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q25_vector_knn",
+    oracle=f"""
+WITH ex AS (
+  {_DDB_EXPLODE}
+), q AS (
+  SELECT idx, val AS qval FROM ex WHERE vec_id = 0
+), sim AS (
+  SELECT ex.vec_id,
+         sum(val * qval) / (sqrt(sum(val * val)) * sqrt(sum(qval * qval))) AS cos_sim
+  FROM ex JOIN q ON ex.idx = q.idx
+  WHERE ex.vec_id != 0
+  GROUP BY 1
+)
+SELECT vec_id, round(cos_sim, 6) AS cos_sim
+FROM sim
+ORDER BY round(cos_sim, 6) DESC, vec_id
+LIMIT 10
+""",
+)
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact cosine top-10 nearest neighbors of vector 0 (brute force).
+
+    Reference: rag-orchestrator/internal/adapter/repository/
+    hybrid_search_repo.go:72-76 (J8, pgvector `embedding <=> $1` order-limit)
+    and recap-subworker FAISS kNN (clusterer.py:20-51). This is the
+    correctness baseline: a broadcast of the 64-float query vector against
+    every member, one groupBy per vec — O(n·dim) scan, no shuffle of the
+    corpus beyond the per-vector aggregation. The sub-linear ANN variant
+    (LSH buckets) is alt_spark.operators.ann.
+    """
+    ex = _exploded(spark, sf)
+    q = ex.filter(F.col("vec_id") == 0).select("idx", F.col("val").alias("qval"))
+    sim = (
+        ex.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "idx")
+        .groupBy("vec_id")
+        .agg(
+            (
+                F.sum(F.col("val") * F.col("qval"))
+                / (F.sqrt(F.sum(F.col("val") * F.col("val"))) * F.sqrt(F.sum(F.col("qval") * F.col("qval"))))
+            ).alias("cos_sim")
+        )
+    )
+    return (
+        sim.select("vec_id", F.round("cos_sim", 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q26_hybrid_rrf",
+    oracle=f"""
+WITH ex AS (
+  {_DDB_EXPLODE}
+), q AS (
+  SELECT idx, val AS qval FROM ex WHERE vec_id = 0
+), vrank AS (
+  SELECT vec_id AS id,
+         rank() OVER (ORDER BY round(sum(val*qval) / (sqrt(sum(val*val)) * sqrt(sum(qval*qval))), 6) DESC, vec_id) AS r
+  FROM ex JOIN q ON ex.idx = q.idx
+  WHERE ex.vec_id != 0
+  GROUP BY vec_id
+), tok AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')) AS token
+  FROM documents
+), trank AS (
+  SELECT doc_id AS id,
+         rank() OVER (ORDER BY count(*) DESC, doc_id) AS r
+  FROM tok WHERE token = 'dup' AND doc_id != 0
+  GROUP BY doc_id
+), unioned AS (
+  SELECT id, r FROM vrank WHERE r <= 50
+  UNION ALL
+  SELECT id, r FROM trank WHERE r <= 50
+)
+SELECT id, round(sum(1.0 / (r + 60)), 6) AS rrf_score, count(*) AS n_lists
+FROM unioned
+GROUP BY id
+ORDER BY rrf_score DESC, id
+LIMIT 10
+""",
+)
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid search: RRF fusion of a vector ranking and a term ranking.
+
+    Reference: hybrid_search_repo.go:71-110 (J9, k=60 at :46-49) — vector
+    rank (pgvector cosine) UNION ALL text rank (ts_rank_cd), fused with
+    sum(1/(rank+60)). Here the vector list ranks embeddings by cosine to
+    vector 0 and the text list ranks documents by term frequency of 'dup'
+    (doc_id aligns with vec_id in the testdata). Both rankings are rounded
+    before ranking so rank boundaries agree across engines; each list is
+    cut to its top-50 before the union, as the reference LIMITs each arm.
+    """
+    ex = _exploded(spark, sf)
+    q = ex.filter(F.col("vec_id") == 0).select("idx", F.col("val").alias("qval"))
+    from pyspark.sql.window import Window
+
+    vscore = (
+        ex.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q), "idx")
+        .groupBy("vec_id")
+        .agg(
+            F.round(
+                F.sum(F.col("val") * F.col("qval"))
+                / (F.sqrt(F.sum(F.col("val") * F.col("val"))) * F.sqrt(F.sum(F.col("qval") * F.col("qval")))),
+                6,
+            ).alias("score")
+        )
+    )
+    # Scale-safe ranking: cut each arm to its top-50 with a distributed
+    # TakeOrderedAndProject *first*; the rank window then runs over 50
+    # rows, never the full corpus. The (score desc, id) ordering is total,
+    # so rank == row_number and matches the oracle's full-set rank <= 50.
+    vrank = (
+        vscore.orderBy(F.desc("score"), "vec_id")
+        .limit(50)
+        .select(
+            F.col("vec_id").alias("id"),
+            F.rank().over(Window.orderBy(F.desc("score"), "vec_id")).alias("r"),
+        )
+    )
+    docs = load_table(spark, sf, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")).alias("token"),
+    )
+    tscore = (
+        tok.filter((F.col("token") == "dup") & (F.col("doc_id") != 0))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    trank = (
+        tscore.orderBy(F.desc("tf"), "doc_id")
+        .limit(50)
+        .select(
+            F.col("doc_id").alias("id"),
+            F.rank().over(Window.orderBy(F.desc("tf"), "doc_id")).alias("r"),
+        )
+    )
+    unioned = vrank.unionByName(trank)
+    return (
+        unioned.groupBy("id")
+        .agg(
+            F.round(F.sum(1.0 / (F.col("r") + 60)), 6).alias("rrf_score"),
+            F.count("*").alias("n_lists"),
+        )
+        .orderBy(F.desc("rrf_score"), "id")
+        .limit(10)
+    )
