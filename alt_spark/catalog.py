@@ -148,11 +148,20 @@ def load_table(spark: SparkSession, sf: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     # The driver may hand us a session built without the engine profile;
     # date_trunc/bucket parity with the DuckDB oracle requires UTC, and
-    # it's a runtime-settable conf, so pin it at the load boundary.
+    # reading events.parquet's TIMESTAMP(NANOS) column as LongType needs
+    # the nanosAsLong legacy flag. Both are runtime-settable, so pin them
+    # at the load boundary.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # static-conf on some builds; the engine profile sets it too
     df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf}/{name}.parquet")
     if name == "events":
-        # ns → µs truncation (integer div keeps full int64 precision).
+        # ns → µs truncation. `div` truncates toward zero, which equals
+        # floor only for ts >= 0 — the testdata (and any real log/event
+        # time) is post-epoch, so the assumption holds; pre-epoch rows
+        # would diverge from DuckDB's floor by 1µs.
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -171,6 +171,7 @@ SELECT e1.event_type AS type_a, e2.event_type AS type_b, count(*) AS pair_cnt
 FROM events e1
 JOIN events e2
   ON e1.user_id = e2.user_id
+ AND date_trunc('day', e1.ts) = date_trunc('day', e2.ts)
  AND e1.event_id < e2.event_id
  AND e1.event_type <> e2.event_type
 GROUP BY 1, 2
@@ -182,16 +183,23 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
     """Self-join dependency-graph shape (parent/child span pairs).
 
     Reference: metrics/src/alt_metrics/collectors/traces.py:207-222 (C5).
-    Equi-key on user_id keeps the join a hash join on one shuffle key;
-    the inequality predicates are residual filters.
+    The reference joins within a *trace* (naturally bounded); the declared
+    analog joins within (user, day), so per-key fanout is bounded by one
+    user's daily activity instead of their lifetime history — a Zipfian
+    power user cannot produce a quadratic straggler task at 100×. The
+    composite (user_id, day) equi-key is the shuffle key; the inequality
+    predicates are residual filters.
     """
-    ev = load_table(spark, sf, "events").select("user_id", "event_id", "event_type")
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.to_date("ts").alias("day")
+    )
     e1 = ev.alias("e1")
     e2 = ev.alias("e2")
     return (
         e1.join(
             e2,
             (F.col("e1.user_id") == F.col("e2.user_id"))
+            & (F.col("e1.day") == F.col("e2.day"))
             & (F.col("e1.event_id") < F.col("e2.event_id"))
             & (F.col("e1.event_type") != F.col("e2.event_type")),
         )

@@ -51,7 +51,9 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.enableVectorizedReader": "true",
     # Shuffle compression default (lz4) is fine; keep output small.
     "spark.sql.shuffle.partitions": "32",
-    # In-memory (local) shuffle tuning; harmless on a cluster.
+    # JVM-launch option: only takes effect when this builder launches a
+    # fresh in-process local JVM; ignored on getOrCreate reuse and under
+    # spark-submit (set it in the launch config there).
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
 }
