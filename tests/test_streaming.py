@@ -1,0 +1,147 @@
+"""Streaming parity tests (SURVEY.md §5 item 5).
+
+The replay harness chunks events.parquet into ts-ordered files (the
+append-only event log analog) and streams them one file per micro-batch.
+Assertions: the streaming MV equals the batch query, the checkpointed
+projector fold equals the batch fold (Q20), duplicates within the
+watermark are dropped (K3), and poison rows land in the DLQ, not the
+projection (K5).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from datetime import date
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from alt_spark.queries import all_queries
+from alt_spark.streaming import retention
+from alt_spark.streaming.mv import read_events_stream, run_mv
+from alt_spark.streaming.projector import read_projection, run_projector
+
+SF = "/root/testdata/sf0.001"
+SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scratch")
+
+
+def _chunk_events(dest: str, n_chunks: int = 4) -> list[pa.Table]:
+    """Split the raw events table into ts-ordered chunk files (the ordered
+    event-log replay: event time advances across chunks, like a tailed
+    append-only log)."""
+    t = pq.read_table(f"{SF}/events.parquet")
+    order = pa.compute.sort_indices(
+        t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+    )
+    t = t.take(order)
+    os.makedirs(dest, exist_ok=True)
+    n = t.num_rows
+    chunks = []
+    for i in range(n_chunks):
+        lo, hi = i * n // n_chunks, (i + 1) * n // n_chunks
+        chunk = t.slice(lo, hi - lo)
+        pq.write_table(chunk, os.path.join(dest, f"chunk_{i:03d}.parquet"))
+        chunks.append(chunk)
+    return chunks
+
+
+def _fresh(name: str) -> str:
+    d = os.path.join(SCRATCH, name)
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _drain(query):
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(30)
+
+
+def test_mv_parity_with_batch(spark):
+    """Streaming sli_error_rate MV == batch Q02 after full replay (D9/K8)."""
+    root = _fresh("mv_parity")
+    landing = os.path.join(root, "landing")
+    _chunk_events(landing)
+    src = read_events_stream(spark, landing)
+    q = run_mv(spark, "sli_error_rate", src, os.path.join(root, "ckpt"))
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM sli_error_rate").collect()}
+    batch = {tuple(r) for r in all_queries()["q02_sli_error_rate"](spark, SF).collect()}
+    assert streamed == batch
+
+
+def test_projector_parity_dedup_dlq(spark):
+    """Checkpointed fold == batch Q20; dups dropped; poison rows → DLQ."""
+    root = _fresh("projector")
+    landing = os.path.join(root, "landing")
+    chunks = _chunk_events(landing)
+
+    # At-least-once delivery: redeliver the last 5 rows of chunk 1 inside
+    # chunk 2's file (same event_ids, within the 2h watermark) — the
+    # stateful dedupe must drop them (K3).
+    dup_rows = chunks[1].slice(chunks[1].num_rows - 5, 5)
+    # Poison row: valid schema, invalid payload (negative value) → DLQ (K5).
+    poison = pa.table(
+        {
+            "event_id": pa.array([10**12], pa.int64()),
+            "ts": dup_rows["ts"].slice(0, 1),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([-5.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    ).cast(chunks[0].schema)
+    tainted = pa.concat_tables([dup_rows, poison, chunks[2]]).cast(chunks[0].schema)
+    pq.write_table(tainted, os.path.join(landing, "chunk_002.parquet"))
+
+    state_dir = os.path.join(root, "state")
+    src = read_events_stream(spark, landing)
+    q = run_projector(spark, src, state_dir, os.path.join(root, "ckpt"))
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    proj = read_projection(spark, state_dir)
+    assert proj is not None
+    got = {
+        tuple(r)
+        for r in proj.select(
+            "user_id", "last_ts", "max_value", "clicks", "views", "errors", "n_events"
+        ).collect()
+    }
+    want = {tuple(r) for r in all_queries()["q20_event_fold"](spark, SF).collect()}
+    assert got == want, "stream fold must equal batch fold despite dups/poison"
+
+    dlq = spark.read.parquet(os.path.join(state_dir, "dlq"))
+    dlq_rows = dlq.collect()
+    assert len(dlq_rows) == 1 and dlq_rows[0]["event_id"] == 10**12
+
+
+def test_retention_drops_only_expired_partitions(spark, tmp_path_factory):
+    """K6: partition-aligned TTL removes old date dirs, keeps the rest."""
+    root = _fresh("retention")
+    table = os.path.join(root, "events_by_day")
+    from alt_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, SF, "events").withColumn("p_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("p_date").parquet(table)
+    before = {d for d in os.listdir(table) if d.startswith("p_date=")}
+    dropped = retention.drop_expired_partitions(
+        table, keep_days=10, as_of=date(2024, 1, 31)
+    )
+    after = {d for d in os.listdir(table) if d.startswith("p_date=")}
+    assert dropped and all(v < "2024-01-21" for v in dropped)
+    assert before - after == {f"p_date={v}" for v in dropped}
+    remaining = spark.read.parquet(table)
+    assert remaining.count() > 0
+    assert remaining.agg(F.min("p_date")).first()[0] >= date(2024, 1, 21)
