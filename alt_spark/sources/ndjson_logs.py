@@ -1,0 +1,178 @@
+"""Docker-tail NDJSON → `logs` → `http_logs` (SURVEY.md §2.A2/A3, §2.B3-B5).
+
+Reference behavior being reproduced:
+
+- rask-log-forwarder tails container stdout as NDJSON envelopes and
+  parses per-service formats (collector src/collector/mod.rs; nginx
+  access/error regexes src/parser/services/nginx.rs:27-110; structured
+  JSON services get their fields lifted into a map).
+- The ClickHouse MV then projects `http_logs` rows out of the `fields`
+  map with per-producer key vocabularies and guarded extraction
+  (clickhouse/migrations/003_create_http_logs_mv.sql:45-82): nginx uses
+  `http_*` keys, plecto-proxy bare keys; `toUInt*OrZero` casts; rows
+  qualify only when the producer's keys exist and are non-empty.
+
+Engine shape: the whole parse is declarative Catalyst — `from_json` for
+the envelope and structured payloads, `regexp_extract` for nginx, one
+`when()` branch per service — so it runs in whole-stage codegen, columns
+prune, and the same plan serves batch reads and `readStream` (A2's tail
+semantics). No Python executes per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+__all__ = ["parse_logs", "read_ndjson_logs", "stream_ndjson_logs", "http_logs"]
+
+# Docker json-file envelope: {"time": ..., "stream": ..., "container_name": ..., "log": ...}
+_ENVELOPE = T.StructType(
+    [
+        T.StructField("time", T.StringType()),
+        T.StructField("stream", T.StringType()),
+        T.StructField("container_name", T.StringType()),
+        T.StructField("log", T.StringType()),
+    ]
+)
+
+# nginx combined access log. Group numbering mirrors the reference's
+# capture order (ip, ts, method, path, status, size, referer, ua).
+_NGINX_ACCESS = (
+    r'^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+)[^"]*" (\d{3}) (\d+|-) "([^"]*)" "([^"]*)"'
+)
+# nginx error log: `2024/01/01 00:00:00 [error] 123#0: message`
+_NGINX_ERROR = r"^\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2} \[(\w+)\] (.*)$"
+
+_SERVICE_GROUPS = {
+    "nginx": "edge",
+    "plecto-proxy": "edge",
+}
+
+
+def _nginx_access_fields(log: Column) -> Column:
+    """fields map for an access line, using the MV's `http_*` vocabulary."""
+    return F.create_map(
+        F.lit("http_ip"), F.regexp_extract(log, _NGINX_ACCESS, 1),
+        F.lit("http_method"), F.regexp_extract(log, _NGINX_ACCESS, 3),
+        F.lit("http_path"), F.regexp_extract(log, _NGINX_ACCESS, 4),
+        F.lit("http_status"), F.regexp_extract(log, _NGINX_ACCESS, 5),
+        F.lit("http_size"), F.regexp_extract(log, _NGINX_ACCESS, 6),
+        F.lit("http_ua"), F.regexp_extract(log, _NGINX_ACCESS, 8),
+    )
+
+
+def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
+    """Parse raw NDJSON envelope lines into the `logs` table shape.
+
+    Works identically on a batch or streaming DataFrame of text lines.
+    Per-service branches (A3): nginx access (regex), nginx error (regex),
+    structured-JSON services (fields lifted verbatim into the map),
+    free-text fallback (bracket level detection, like the reference's
+    last-resort parser).
+    """
+    env = lines.select(
+        F.from_json(F.col(line_col), _ENVELOPE).alias("e")
+    ).select("e.*")
+
+    service = F.regexp_replace(F.col("container_name"), r"^/", "")
+    log = F.col("log")
+    is_json_payload = log.startswith("{")
+    json_fields = F.from_json(log, T.MapType(T.StringType(), T.StringType()))
+    is_nginx_access = (service == "nginx") & log.rlike(_NGINX_ACCESS)
+    is_nginx_error = (service == "nginx") & log.rlike(_NGINX_ERROR)
+
+    group_map = F.create_map(
+        *[F.lit(x) for kv in _SERVICE_GROUPS.items() for x in kv]
+    )
+
+    fields = (
+        F.when(is_nginx_access, _nginx_access_fields(log))
+        .when(is_json_payload, json_fields)
+        .otherwise(F.create_map().cast("map<string,string>"))
+    )
+    level = (
+        F.when(is_nginx_access, F.lit("info"))
+        .when(is_nginx_error, F.lower(F.regexp_extract(log, _NGINX_ERROR, 1)))
+        .when(
+            is_json_payload,
+            F.coalesce(F.lower(json_fields.getItem("level")), F.lit("info")),
+        )
+        # Fallback: bracket scan, like the reference's simple parser.
+        .when(log.contains("[error]"), F.lit("error"))
+        .when(log.contains("[warn]"), F.lit("warn"))
+        .otherwise(F.lit("info"))
+    )
+
+    return env.select(
+        service.alias("service_name"),
+        F.coalesce(group_map[service], F.lit("apps")).alias("service_group"),
+        level.alias("level"),
+        log.alias("message"),
+        F.to_timestamp(F.col("time")).alias("timestamp"),
+        F.sha1(F.concat_ws("|", "container_name", "time")).alias("container_id"),
+        fields.alias("fields"),
+    )
+
+
+def read_ndjson_logs(spark: SparkSession, path: str) -> DataFrame:
+    """Batch read of an NDJSON log directory/file into `logs`."""
+    return parse_logs(spark.read.text(path))
+
+
+def stream_ndjson_logs(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Streaming tail of an NDJSON landing dir (A2): same parse plan."""
+    lines = (
+        spark.readStream.format("text")
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+    )
+    return parse_logs(lines)
+
+
+def http_logs(logs: DataFrame) -> DataFrame:
+    """The `http_logs` MV port (003_create_http_logs_mv.sql:45-82).
+
+    B3 map-key guards, B4 per-producer conditional mapping, B5 OrZero
+    casts (`coalesce(cast(...), 0)` — zero, not null, for parity with
+    `toUInt16OrZero`). The WHERE guarantees exactly one branch's keys are
+    populated for every row that reaches the projection.
+    """
+    f = F.col("fields")
+    is_nginx = F.col("service_name") == "nginx"
+
+    def or_zero(col: Column, dtype: str) -> Column:
+        return F.coalesce(col.cast(dtype), F.lit(0).cast(dtype))
+
+    nginx_ok = (
+        is_nginx
+        & F.map_contains_key(f, "http_method")
+        & F.map_contains_key(f, "http_path")
+        & F.map_contains_key(f, "http_status")
+        & (f.getItem("http_method") != "")
+    )
+    proxy_ok = (
+        (F.col("service_name") == "plecto-proxy")
+        & F.map_contains_key(f, "method")
+        & F.map_contains_key(f, "path")
+        & F.map_contains_key(f, "status")
+        & (f.getItem("method") != "")
+    )
+    return logs.filter(nginx_ok | proxy_ok).select(
+        F.col("timestamp"),
+        F.col("service_name"),
+        F.when(is_nginx, f.getItem("http_method")).otherwise(f.getItem("method")).alias("method"),
+        F.when(is_nginx, f.getItem("http_path")).otherwise(f.getItem("path")).alias("path"),
+        F.when(
+            is_nginx, or_zero(f.getItem("http_status"), "int")
+        ).otherwise(or_zero(f.getItem("status"), "int")).alias("status_code"),
+        F.when(is_nginx, or_zero(f.getItem("http_size"), "long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("response_size"),
+        F.when(is_nginx, F.lit(0.0))
+        .otherwise(or_zero(f.getItem("duration_ms"), "double"))
+        .alias("response_time_ms"),
+    )
