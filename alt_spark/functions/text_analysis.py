@@ -1,0 +1,144 @@
+"""Text-analysis columns for the LLM-data pipeline (north star; SURVEY
+§2 I3/I6/I7/I13 analogs).
+
+Reference shapes: language gates with min-chars/min-confidence
+(recap-worker/recap-worker/src/language_detection.rs:5-65), validity
+filters (preprocess.rs:406-457), token stats (preprocess.rs:286-344).
+Everything here is a Column expression over built-ins — the hot path of
+a 100 TB text scan must stay inside whole-stage codegen, so there is no
+Python in any of these.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = [
+    "whitespace_token_count",
+    "word_token_count",
+    "avg_token_len",
+    "stopword_ratio",
+    "alpha_ratio",
+    "quality_score",
+    "lang_id",
+    "winnowing_fingerprints",
+]
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic
+# (lingua-style voting, radically simplified — the pandas-UDF slot for a
+# real model is §2.L; this is the built-in fallback the reference's
+# min-confidence gate would call first).
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "dans", "que", "une"),
+    "es": ("el", "la", "los", "que", "es", "en", "una", "por"),
+}
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.lower(text), r"\W+"), lambda x: x != "")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Token count by whitespace runs (the cheap pre-tokenizer count)."""
+    return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != ""))
+
+
+def word_token_count(text: Column) -> Column:
+    """Token count under the engine tokenizer contract (\\W+ split) — a
+    BPE-ish upper bound since punctuation splits words apart."""
+    return F.size(_tokens(text))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = _tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are language stopwords (quality signal:
+    natural prose has a stable stopword rate; keyword spam does not)."""
+    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    toks = _tokens(text)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are alphanumeric or spaces."""
+    clean = F.regexp_replace(text, r"[^A-Za-z0-9 ]", "")
+    return F.length(clean).cast("double") / F.greatest(F.length(text), F.lit(1))
+
+
+def quality_score(text: Column, lang: str = "en") -> Column:
+    """Composite quality in [0,1]: length, token-shape, stopword and
+    alphanumeric signals, weighted like the reference's selection score
+    (select/scoring.rs:8-42 composes weighted bounded components)."""
+    len_component = F.least(F.length(text).cast("double") / 500.0, F.lit(1.0))
+    tok_component = F.least(word_token_count(text).cast("double") / 100.0, F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text, lang) * 4.0, F.lit(1.0))
+    alpha_component = alpha_ratio(text)
+    return (
+        0.3 * len_component + 0.2 * tok_component + 0.2 * stop_component + 0.3 * alpha_component
+    )
+
+
+def lang_id(text: Column, min_tokens: int = 3) -> Column:
+    """Marker-vote language ID with an abstain gate (language_detection.rs
+    min-chars/min-confidence analog): null when too short or no votes."""
+    toks = _tokens(text)
+
+    def _votes(lang: str) -> Column:
+        # Two-arg lambdas are interpreted as (element, index) by
+        # F.filter, so bind the marker array first and keep the lambda
+        # unary.
+        markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+
+    votes = [_votes(lang) for lang in _LANG_MARKERS]
+    # argmax with deterministic tiebreak on language code order.
+    best = None
+    best_votes = None
+    for lang, v in zip(_LANG_MARKERS, votes):
+        if best is None:
+            best, best_votes = F.lit(lang), v
+        else:
+            take = v > best_votes
+            best = F.when(take, F.lit(lang)).otherwise(best)
+            best_votes = F.when(take, v).otherwise(best_votes)
+    return F.when(
+        (F.size(toks) >= min_tokens) & (best_votes > 0), best
+    ).otherwise(F.lit(None).cast("string"))
+
+
+def winnowing_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+    """Winnowing document fingerprints (Schleimer et al. 2003): hash all
+    k-gram character shingles, keep the min hash of every sliding window.
+
+    Guarantees any shared substring of length >= k+window-1 yields at
+    least one shared fingerprint — the rolling-hash dedup/provenance
+    primitive. Pure array ops; output is array<long> per row (distinct,
+    sorted for set semantics).
+    """
+    n = F.length(text)
+    empty = F.array().cast("array<bigint>")
+    # sequence(1, 0) counts down in Spark, so short rows are guarded to
+    # empty arrays at each stage.
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.xxhash64(text.substr(i.cast("int"), F.lit(k))),
+        ),
+    ).otherwise(empty)
+    mins = F.when(
+        F.size(grams) >= window,
+        F.transform(
+            F.sequence(F.lit(1), F.size(grams) - (window - 1)),
+            lambda w: F.array_min(F.slice(grams, w.cast("int"), window)),
+        ),
+    ).otherwise(empty)
+    return F.array_sort(F.array_distinct(mins))

@@ -1,0 +1,125 @@
+"""Vector similarity search (SURVEY.md §2 J8/J11).
+
+Exact brute-force cosine top-k is the correctness baseline (pgvector
+`embedding <=> $1 ORDER BY .. LIMIT k`, hybrid_search_repo.go:72-76);
+the scale path is random-hyperplane LSH: vectors land in sign-pattern
+buckets, queries probe only their own bucket (optionally multi-probe
+neighbors at Hamming distance 1), so the scan is |bucket| not |corpus|.
+
+All vector math is `zip_with` + `aggregate` over array<float> columns —
+JVM columnar, no UDFs. Hyperplanes are derived deterministically from
+xxhash64 so plans are reproducible without driver-side randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["cosine_sim", "brute_force_topk", "hyperplane_buckets", "lsh_topk"]
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_sim(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<numeric> columns, in-row (no shuffle)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: one scan, per-row similarity, distributed
+    TakeOrderedAndProject — O(n·dim), zero shuffle of the corpus."""
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_sim(F.col(vec_col), q)
+    return (
+        corpus.select(F.col(id_col).alias("id"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "id")
+        .limit(k)
+    )
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: unit-free ±1 components
+    derived from a counter hash (reproducible across sessions)."""
+    import hashlib
+
+    comps = []
+    for d in range(dim):
+        digest = hashlib.md5(f"{plane_idx}:{d}".encode()).digest()
+        comps.append(1.0 if digest[0] % 2 == 0 else -1.0)
+    return comps
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 16,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add a `bucket` column: sign pattern of `num_planes` random
+    hyperplane projections packed into a long (SRP-LSH)."""
+    bucket = None
+    for p in range(num_planes):
+        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
+        bit = (_dot(F.col(vec_col), plane) > 0).cast("long") * F.lit(1 << p).cast("long")
+        bucket = bit if bucket is None else bucket + bit
+    return df.withColumn("bucket", bucket)
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    num_planes: int = 8,
+    multi_probe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only the query's SRP bucket (plus, with
+    multi_probe, all buckets at Hamming distance 1 — recovers most
+    near-boundary misses for ~(num_planes+1)× bucket cost).
+
+    At 100 TB the bucketed table is written partitioned by `bucket`, so
+    this probe is partition pruning — the scan touches only probed
+    buckets' files.
+    """
+    bucketed = hyperplane_buckets(corpus, dim, num_planes, vec_col)
+    qbucket = 0
+    for p in range(num_planes):
+        plane = _hyperplane(dim, p)
+        proj = sum(a * b for a, b in zip(query_vec, plane))
+        qbucket += (1 << p) if proj > 0 else 0
+    probes = [qbucket]
+    if multi_probe:
+        probes += [qbucket ^ (1 << p) for p in range(num_planes)]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_sim(F.col(vec_col), q)
+    return (
+        bucketed.filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col).alias("id"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "id")
+        .limit(k)
+    )

@@ -1,0 +1,281 @@
+"""Deduplication operators (SURVEY.md §2 I8-I12, north-star 100 TB dedup).
+
+Reference semantics being generalized:
+- exact first-wins hash dedup: recap-worker/recap-worker/src/pipeline/
+  dedup.rs:113-143 (XXH3 of body, keep first, merge source ids).
+- MinHash + LSH banding tuned for a Jaccard threshold:
+  src/pipeline/minhash.rs:9-64 (signatures), :83-180 (band buckets).
+- rolling shingle candidate index: dedup.rs:144-190,346-417.
+
+Spark-first design: every stage is built-in columnar functions —
+shingling is `transform(sequence(...))`, the 128-perm MinHash signature
+is one `transform` over `xxhash64(shingle, seed_i)` reduced by
+`array_min` per permutation, banding is an `explode` of signature
+slices, and candidate pairs come from an equi-join on (band_id,
+band_hash). Nothing leaves the JVM; nothing is all-pairs.
+
+100 TB shape: the only wide ops are (a) the groupBy assembling
+signatures (keyed by doc, uniform) and (b) the band-bucket self-join
+(keyed by band hash — near-uniform because hash values are uniform; a
+degenerate hot bucket, e.g. billions of empty docs, is pre-filtered by
+the validity filter). Band count b and rows-per-band r tune the
+threshold t ≈ (1/b)^(1/r); 16 bands × 8 rows ≈ 0.5, matching the
+reference's tuning for threshold 0.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = [
+    "tokens_col",
+    "shingles",
+    "exact_dedup",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_near_dup",
+    "simhash_bits",
+    "simhash_near_dup",
+]
+
+
+def tokens_col(text: str | Column = "text") -> Column:
+    """lower + \\W+ split, empties dropped (the engine tokenizer contract)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\W+"), lambda x: x != "")
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """Distinct k-gram word shingles of a token array (I9).
+
+    Guarded for short rows: Spark's sequence(0, negative) would count
+    *down*, so rows with fewer than k tokens yield an empty array.
+    """
+    return F.when(
+        F.size(tokens) >= k,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(tokens) - k),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(k)]
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """First-wins exact dedup (I8): one row per content hash, lowest id kept.
+
+    Adds `n_dups` (how many rows shared the hash — the reference's
+    merged-source-count analog). Hash-partitioned window; no comparisons
+    beyond the hash key.
+    """
+    h = F.xxhash64(F.col(text_col))
+    w = Window.partitionBy("__h").orderBy(id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_dups", F.count("*").over(Window.partitionBy("__h")))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<long>[num_perm]) via min-over-shingles of
+    seeded xxhash64 — the classic permutation-free MinHash (minhash.rs:9-64).
+
+    Shape: explode to (id, shingle) rows, then ONE groupBy(id) carrying
+    `num_perm` min-aggregates (partial aggregation combines map-side, so
+    the shuffle moves signatures, not shingles). A pure-array formulation
+    (transform over transform, no explode) looks cheaper but is ~100×
+    slower: Catalyst's projection collapse inlines the shingle expression
+    into every one of the 128 branches, re-tokenizing each row 128 times.
+    """
+    toks = tokens_col(text_col)
+    sh_rows = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(toks, shingle_k)).alias("sh")
+    )
+    mins = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(i))).alias(f"m{i}") for i in range(num_perm)
+    ]
+    return (
+        sh_rows.groupBy("id")
+        .agg(*mins)
+        .select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("signature"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 8
+) -> DataFrame:
+    """Banded LSH candidate generation (minhash.rs:83-180): docs agreeing
+    on all rows of any band become a candidate pair.
+
+    Band key = xxhash64 of the band's signature slice; the self-join is
+    an equi-join on (band, key) — bucket sizes are hash-uniform, so the
+    shuffle is balanced; a salt column can be added for pathological
+    buckets (I12). Pairs are deduped across bands.
+    """
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.slice(
+                            F.col("signature"),
+                            (b * rows_per_band + 1).cast("int"),
+                            rows_per_band,
+                        ).cast("array<string>"),
+                    )
+                ),
+            )
+        ).alias("band", "key"),
+    )
+    a, b_ = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Near-duplicate pairs: LSH candidates verified by the signature
+    Jaccard estimate (fraction of agreeing MinHash positions) >= threshold.
+
+    Returns (id1, id2, est_jaccard). The verify step re-joins the two
+    signatures and compares them with zip_with — still no raw-text
+    comparison, so verification cost is O(candidates · num_perm).
+    """
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k)
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("sig1"))
+    s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("sig2"))
+    est = (
+        F.aggregate(
+            F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, v: acc + v,
+        ).cast("double")
+        / num_perm
+    )
+    return (
+        cand.join(s1, "id1")
+        .join(s2, "id2")
+        .select("id1", "id2", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_bits(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+) -> DataFrame:
+    """(id, simhash bigint): sign of per-bit weighted sums of token hashes.
+
+    Charikar SimHash over the tokenizer contract: each distinct token
+    contributes +tf / -tf per bit of xxhash64(token). Built as one
+    groupBy with `bits` aggregate columns — stays in whole-stage codegen,
+    one shuffle keyed by doc id.
+    """
+    toks = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
+        .groupBy("id", "tok")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    summed = toks.groupBy("id").agg(*bit_sums)
+    # OR-fold of disjoint shifted bits (shiftleft keeps everything in
+    # long domain — a 1<<63 Python literal would overflow the py4j long).
+    fingerprint = None
+    for i in range(bits):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fingerprint = term if fingerprint is None else fingerprint.bitwiseOR(term)
+    return summed.select("id", fingerprint.alias("simhash"))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) <= max_hamming.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into `bands`
+    16-bit blocks; any pair within Hamming distance bands-1 agrees on at
+    least one block, so candidates come from equi-joins on (block_idx,
+    block_value) — never an all-pairs scan. Verification is a popcount
+    on XOR (bit_count), O(candidates).
+    """
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = simhash_bits(df, text_col, id_col)
+    blocks = sh.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("block", "bval"),
+    )
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
+    return cand.select("id1", "id2", ham.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

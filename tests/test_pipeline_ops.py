@@ -1,0 +1,193 @@
+"""Property tests for the LLM-pipeline operator library (SURVEY §5 item 3).
+
+Ground truth for the probabilistic operators is computed exactly (true
+shingle Jaccard via set ops; brute-force cosine) and the sketches are
+asserted against it: MinHash finds every strongly-duplicated pair and
+estimates within ±0.15; SimHash gives Hamming 0 for identical text;
+winnowing guarantees shared fingerprints for shared substrings; dedup is
+idempotent. The multimodal plumbing is exercised end-to-end with the
+deterministic stub kernel.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from alt_spark.catalog import load_table
+from alt_spark.functions import text_analysis as ta
+from alt_spark.operators import ann, dedup, multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+def _exact_jaccard_pairs(spark, docs, min_j):
+    """True 3-gram shingle Jaccard >= min_j via set ops (the q24 shape)."""
+    sh = docs.select(
+        "doc_id", F.explode(dedup.shingles(dedup.tokens_col("text"))).alias("s")
+    )
+    sz = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id1"), F.col("b.doc_id").alias("id2"))
+        .agg(F.count("*").alias("i"))
+    )
+    j = (
+        inter.join(sz.select(F.col("doc_id").alias("id1"), F.col("n").alias("n1")), "id1")
+        .join(sz.select(F.col("doc_id").alias("id2"), F.col("n").alias("n2")), "id2")
+        .select(
+            "id1",
+            "id2",
+            (F.col("i") / (F.col("n1") + F.col("n2") - F.col("i"))).alias("jaccard"),
+        )
+    )
+    return {(r.id1, r.id2): r.jaccard for r in j.filter(F.col("jaccard") >= min_j).collect()}
+
+
+def test_minhash_finds_all_strong_pairs_with_accurate_estimates(spark, docs):
+    truth = _exact_jaccard_pairs(spark, docs, 0.9)
+    assert truth, "testdata should contain planted near-duplicates"
+    found = {
+        (r.id1, r.id2): r.est_jaccard
+        for r in dedup.minhash_near_dup(docs, threshold=0.7).collect()
+    }
+    missing = set(truth) - set(found)
+    assert not missing, f"strong pairs missed by LSH: {missing}"
+    for pair, exact in truth.items():
+        assert abs(found[pair] - exact) <= 0.15, (pair, found[pair], exact)
+
+
+def test_minhash_no_wild_false_positives(spark, docs):
+    truth = _exact_jaccard_pairs(spark, docs, 0.4)
+    found = dedup.minhash_near_dup(docs, threshold=0.7).collect()
+    for r in found:
+        assert (r.id1, r.id2) in truth, (
+            f"pair ({r.id1},{r.id2}) est={r.est_jaccard} but true Jaccard < 0.4"
+        )
+
+
+def test_exact_dedup_idempotent_and_first_wins(spark, docs):
+    once = dedup.exact_dedup(docs)
+    twice = dedup.exact_dedup(once.drop("n_dups"))
+    assert once.count() == twice.count()
+    # Plant duplicates: re-id copies must lose to the lower original id.
+    copies = docs.withColumn("doc_id", F.col("doc_id") + 10_000)
+    planted = docs.unionByName(copies)
+    kept = dedup.exact_dedup(planted)
+    assert kept.count() == docs.count()
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+    assert kept.agg(F.min("n_dups")).first()[0] >= 2
+
+
+def test_simhash_identical_text_hamming_zero(spark, docs):
+    base = docs.limit(20)
+    copies = base.withColumn("doc_id", F.col("doc_id") + 10_000)
+    pairs = dedup.simhash_near_dup(base.unionByName(copies), max_hamming=0)
+    got = {(r.id1, r.id2) for r in pairs.collect()}
+    expect = {(r.doc_id, r.doc_id + 10_000) for r in base.collect()}
+    assert expect <= got
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF}/embeddings.parquet")
+    E = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    ids = np.array(t["vec_id"].to_pylist())
+    q = E[0]
+    sims = (E @ q) / (np.linalg.norm(E, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-sims, ids))[:10]
+    want = [int(i) for _, i in order]
+
+    emb = load_table(spark, SF, "embeddings")
+    got = [r.id for r in ann.brute_force_topk(emb, [float(x) for x in q], k=10).collect()]
+    assert got == want
+
+
+def test_lsh_topk_is_subset_with_reasonable_recall(spark):
+    emb = load_table(spark, SF, "embeddings").cache()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r.id for r in ann.brute_force_topk(emb, qvec, k=10).collect()]
+    approx = ann.lsh_topk(emb, qvec, dim=64, k=10, num_planes=4).collect()
+    assert approx, "probed buckets must not be empty"
+    # Every returned similarity must be genuine (verify against exact scan).
+    exact_all = {
+        r.id: r.cos_sim for r in ann.brute_force_topk(emb, qvec, k=10_000).collect()
+    }
+    for r in approx:
+        assert abs(exact_all[r.id] - r.cos_sim) < 1e-9
+    recall = len({r.id for r in approx} & set(exact)) / 10
+    # Deterministic given fixed hyperplanes/data; random 64-dim gaussians
+    # are a worst case for SRP, so the bound is intentionally modest.
+    assert recall >= 0.2, f"recall collapsed: {recall}"
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        Row(doc_id=1, text=f"PREFIX AAA {shared} SUFFIX BBB"),
+        Row(doc_id=2, text=f"other words entirely {shared} zzz"),
+        Row(doc_id=3, text="completely disjoint content qqq uuu vvv"),
+        Row(doc_id=4, text="xy"),  # shorter than one k-gram: empty fingerprint set
+    ]
+    df = spark.createDataFrame(rows)
+    fp = df.select("doc_id", ta.winnowing_fingerprints(F.col("text")).alias("fp"))
+    got = {r.doc_id: set(r.fp) for r in fp.collect()}
+    assert got[1] & got[2], "docs sharing a long substring must share fingerprints"
+    assert not (got[1] & got[3])
+    assert got[4] == set()
+
+
+def test_lang_id_markers_and_abstain(spark):
+    rows = [
+        Row(id=1, text="the cat and the dog of the house is in that garden with joy"),
+        Row(id=2, text="der hund und die katze ist nicht mit dem mann"),
+        Row(id=3, text="le chat est dans la maison et les jardins"),
+        Row(id=4, text="el perro es una mascota que vive en los parques por aqui"),
+        Row(id=5, text="xyzzy plugh"),  # too short → abstain
+        Row(id=6, text="zz qq ww ee rr tt"),  # no votes → abstain
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.id: r.lang for r in df.select("id", ta.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: None, 6: None}
+
+
+def test_multimodal_stub_pipeline_shapes(spark):
+    rows = [
+        Row(
+            media_id=i,
+            payload=bytes([i % 251] * (50 + i)),
+            meta=Row(mime="image/png", width=1000 + i, height=400, duration_ms=None),
+        )
+        for i in range(5)
+    ] + [
+        Row(
+            media_id=100,
+            payload=b"\x00\x01",
+            meta=Row(mime="video/mp4", width=400, height=300, duration_ms=3500),
+        )
+    ]
+    media = multimodal.media_table(spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA))
+
+    feats = multimodal.decode_features(media, dim=8)
+    got = {r.media_id: r for r in feats.collect()}
+    assert len(got) == 6
+    assert len(got[0].feature) == 8 and got[0].n_bytes == 50
+    # Deterministic stub: same payload → same feature, twice.
+    again = {r.media_id: r.feature for r in multimodal.decode_features(media, dim=8).collect()}
+    assert all(got[k].feature == again[k] for k in got)
+
+    plan = {r.media_id: r for r in multimodal.resize_plan(media, max_px=512).collect()}
+    assert plan[0].needs_resize and plan[0].target_w == 512
+    assert not plan[100].needs_resize and plan[100].scale == 1.0
+
+    frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert {r.frame_ts_ms for r in frames} == {0, 1000, 2000, 3000}
