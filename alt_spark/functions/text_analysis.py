@@ -114,31 +114,51 @@ def lang_id(text: Column, min_tokens: int = 3) -> Column:
     ).otherwise(F.lit(None).cast("string"))
 
 
-def winnowing_fingerprints(text: Column, k: int = 5, window: int = 4) -> Column:
+def winnowing_fingerprints(
+    df, text_col: str = "text", id_col: str = "doc_id", k: int = 5, window: int = 4
+):
     """Winnowing document fingerprints (Schleimer et al. 2003): hash all
     k-gram character shingles, keep the min hash of every sliding window.
 
     Guarantees any shared substring of length >= k+window-1 yields at
     least one shared fingerprint — the rolling-hash dedup/provenance
-    primitive. Pure array ops; output is array<long> per row (distinct,
-    sorted for set semantics).
+    primitive. Returns (id, fingerprints array<long> sorted distinct);
+    rows too short for one full window get an empty set.
+
+    DataFrame-shaped on purpose: a pure-expression form (transform of
+    array_min over slices) re-computes the gram array per window after
+    Catalyst's projection collapse — ~100× slower. Here grams explode
+    once and the sliding min is a rowsBetween window over per-doc
+    partitions (bounded by document length, so no skew at scale).
     """
+    from pyspark.sql.window import Window
+
+    text = F.col(text_col)
     n = F.length(text)
-    empty = F.array().cast("array<bigint>")
-    # sequence(1, 0) counts down in Spark, so short rows are guarded to
-    # empty arrays at each stage.
     grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: F.xxhash64(text.substr(i.cast("int"), F.lit(k))),
         ),
-    ).otherwise(empty)
-    mins = F.when(
-        F.size(grams) >= window,
-        F.transform(
-            F.sequence(F.lit(1), F.size(grams) - (window - 1)),
-            lambda w: F.array_min(F.slice(grams, w.cast("int"), window)),
-        ),
-    ).otherwise(empty)
-    return F.array_sort(F.array_distinct(mins))
+    ).otherwise(F.array().cast("array<bigint>"))
+    g = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h"))
+    sliding = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    per_doc = Window.partitionBy("id")
+    fps = (
+        g.withColumn("n_grams", F.count("*").over(per_doc))
+        .withColumn("wmin", F.min("h").over(sliding))
+        .filter(F.col("pos") <= F.col("n_grams") - window)
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_set("wmin")).alias("fingerprints"))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(fps, "id", "left")
+        .select(
+            "id",
+            F.coalesce("fingerprints", F.array().cast("array<bigint>")).alias(
+                "fingerprints"
+            ),
+        )
+    )

@@ -266,11 +266,14 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     fingerprinting): k=5 char-grams, window 4 — shared substrings of
     length >= 8 guarantee shared fingerprints (property-tested)."""
     docs = load_table(spark, sf, "documents")
-    fp = docs.select(
-        "source", F.size(ta.winnowing_fingerprints(F.col("text"))).alias("n_fp")
+    fp = ta.winnowing_fingerprints(docs).join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
     )
     return (
         fp.groupBy("source")
-        .agg(F.count("*").alias("n_docs"), F.sum("n_fp").cast("long").alias("fingerprints"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.size("fingerprints")).cast("long").alias("fingerprints"),
+        )
         .orderBy("source")
     )

@@ -139,8 +139,8 @@ def test_winnowing_shared_substring_guarantee(spark):
         Row(doc_id=4, text="xy"),  # shorter than one k-gram: empty fingerprint set
     ]
     df = spark.createDataFrame(rows)
-    fp = df.select("doc_id", ta.winnowing_fingerprints(F.col("text")).alias("fp"))
-    got = {r.doc_id: set(r.fp) for r in fp.collect()}
+    fp = ta.winnowing_fingerprints(df)
+    got = {r.id: set(r.fingerprints) for r in fp.collect()}
     assert got[1] & got[2], "docs sharing a long substring must share fingerprints"
     assert not (got[1] & got[3])
     assert got[4] == set()
