@@ -43,6 +43,7 @@ def _load_all_modules() -> None:
     from alt_spark.queries import events_q  # noqa: F401
     from alt_spark.queries import pipeline_ops  # noqa: F401
     from alt_spark.queries import relational  # noqa: F401
+    from alt_spark.queries import relational_ext  # noqa: F401
     from alt_spark.queries import text  # noqa: F401
     from alt_spark.queries import vectors  # noqa: F401
 
