@@ -1,0 +1,86 @@
+"""Plan audits: the engine's scale conventions, test-enforced (SURVEY §4).
+
+Every declared query's physical plan is checked for the global
+invariants (no cartesian products, no unpruned full-width event scans),
+and headline queries are pinned to the specific plan features they were
+designed around (scan-level pushdown, broadcast dims, pre-aggregated
+join inputs). A regression here means Catalyst stopped producing the
+plan the query was written to get — the 100 TB contract, caught at
+test scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from alt_spark.plans import audit
+from alt_spark.queries import all_queries
+
+SF = "/root/testdata/sf0.01"
+
+# Queries allowed to contain a broadcast nested-loop (1-row cursor /
+# corpus-stat cross joins — bounded by construction).
+_NESTED_LOOP_OK = {
+    "q13_keyset_pagination",
+    "q14_paged_window_count",
+    "q18_tfidf_doc0",
+    "q23_bm25",
+}
+
+
+@pytest.fixture(scope="module")
+def dfs(spark):
+    return {name: fn(spark, SF) for name, fn in all_queries().items()}
+
+
+def test_no_cartesian_products_anywhere(dfs):
+    offenders = [n for n, df in dfs.items() if audit.has_cartesian_product(df)]
+    assert not offenders, f"cartesian products in: {offenders}"
+
+
+def test_fact_scans_are_column_pruned(dfs):
+    """Queries touching events/lineitem must never read full-width rows."""
+    wide = []
+    for name, df in dfs.items():
+        for schema in audit.read_schemas(df):
+            if "props" in schema and name not in (
+                "q16_conditional_extraction",
+                "q38_map_guarded_extraction",
+            ):
+                wide.append((name, schema))
+    assert not wide, f"props column read but unused: {wide}"
+
+
+def test_filter_pushdown_reaches_scans(dfs):
+    """Dim filters must appear as PushedFilters at the parquet scan."""
+    assert any(
+        "c_mktsegment" in f for f in audit.pushed_filters(dfs["q09_building_orders_per_day"])
+    )
+    # q08's literal date range must reach the orders scan. (q13's cursor
+    # is computed in a subquery — nothing literal exists to push there.)
+    assert any(
+        "o_orderdate" in f for f in audit.pushed_filters(dfs["q08_customers_without_orders"])
+    )
+
+
+def test_dim_joins_broadcast(dfs):
+    """Semi/inner dim joins ride broadcasts, not shuffles (C11)."""
+    for q in ("q09_building_orders_per_day", "q15_brand_order_counts", "q26_hybrid_rrf"):
+        assert audit.broadcast_join_count(dfs[q]) >= 1, q
+
+
+def test_preaggregated_outer_join_stays_small(dfs):
+    """q03's full-outer join must join two aggregated sides: its shuffle
+    count stays at 2 groupBys + join exchanges, never raw-fact width."""
+    assert audit.shuffle_count(dfs["q03_trend_buckets_full_outer"]) <= 5
+
+
+def test_no_unexpected_nested_loop_joins(dfs):
+    offenders = []
+    for name, df in dfs.items():
+        if name in _NESTED_LOOP_OK:
+            continue
+        plan = audit.physical_plan(df)
+        if "BroadcastNestedLoopJoin" in plan and "Cross" in plan:
+            offenders.append(name)
+    assert not offenders, f"unexpected cross-shaped nested loops: {offenders}"
