@@ -5,13 +5,20 @@ data-processing capabilities of Kaikei-e/Alt (reference surveyed in
 Layout:
     session.py    SparkSession builder with the engine's tuned config profile
     catalog.py    explicit StructType schemas + loaders for the test tables
-    queries/      declared query inventory (SURVEY.md §2.Q) — registry of
-                  (name -> Spark callable, name -> DuckDB oracle SQL)
-    operators/    reusable operator library (dedup, similarity, text, keyset,
-                  RRF, sessionization, fold)
-    functions/    scalar expression helpers (decay score, BM25, cosine)
-    streaming/    Structured Streaming ports of the reference's MVs and the
-                  event-fold projector
+    queries/      declared query inventory (SURVEY.md §2.Q): relational core
+                  Q01-Q16 (+ coverage Q34-Q38), text Q17/Q18/Q23/Q24, vectors
+                  Q19/Q25/Q26, events Q20-Q22, LLM-pipeline Q27-Q33 — each a
+                  (name -> Spark callable) plus, where SQL-expressible, a
+                  (name -> DuckDB oracle SQL) entry
+    operators/    dedup family (exact / MinHash-LSH / SimHash), ANN search,
+                  multimodal binary-column plumbing
+    functions/    text-analysis expressions (quality, lang-ID, token stats,
+                  winnowing fingerprints)
+    plans/        physical-plan audit helpers (pushdown/broadcast/shuffle
+                  assertions used by tests/test_plans.py)
+    sources/      NDJSON log ETL (per-service parsers -> logs -> http_logs)
+    streaming/    incremental MVs, checkpointed event-fold projector with
+                  dedup + DLQ, partition-aligned retention
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

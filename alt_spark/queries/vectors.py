@@ -254,3 +254,52 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "id")
         .limit(10)
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q39_centroid_classify",
+    oracle=f"""
+WITH ex AS (
+  {_DDB_EXPLODE}
+), cent AS (
+  SELECT label AS clabel, idx, avg(val) AS c FROM ex GROUP BY 1, 2
+), scored AS (
+  SELECT ex.vec_id, ex.label AS true_label, cent.clabel,
+         round(sum(val * c) / (sqrt(sum(val * val)) * sqrt(sum(c * c))), 9) AS sim
+  FROM ex JOIN cent ON ex.idx = cent.idx
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT vec_id, true_label, clabel AS predicted,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, clabel) AS rn
+  FROM scored
+)
+SELECT true_label, predicted, count(*) AS n
+FROM best WHERE rn = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    """Centroid-classifier confusion matrix over the embeddings table (J3).
+
+    Reference: recap-worker classifier/workflow.rs:227-360 (multi-centroid
+    cosine classify), model.rs:133-160. Self-classification against
+    per-label mean vectors via alt_spark.operators.classify — centroids
+    broadcast, argmax rounded to 9 places before ranking so the
+    cross-engine tiebreak is stable. The synthetic embeddings are
+    near-isotropic, so the confusion matrix is dense — the declared
+    contract is the operator shape, not classifier quality.
+    """
+    from alt_spark.operators import classify as _cls
+
+    emb = load_table(spark, sf, "embeddings")
+    cents = _cls.train_centroids(emb)
+    pred = _cls.classify(emb, cents)
+    truth = emb.select(F.col("vec_id").alias("id"), F.col("label").alias("true_label"))
+    return (
+        pred.join(truth, "id")
+        .groupBy("true_label", F.col("predicted"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("true_label", "predicted")
+    )

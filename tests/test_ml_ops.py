@@ -1,0 +1,117 @@
+"""ML operator tests: ROUGE, centroid classify, KMeans, grouped-map
+islands, graph propagation (SURVEY §2 I15/J3/J4/J5/J6)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from alt_spark.catalog import load_table
+from alt_spark.functions import rouge
+from alt_spark.operators import classify, clustering, graph
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_rouge_1_known_values(spark):
+    rows = [
+        Row(id=1, cand=["the", "cat", "sat"], ref=["the", "cat", "ate"]),
+        Row(id=2, cand=["a", "a", "b"], ref=["a", "b", "b"]),
+        Row(id=3, cand=[], ref=["x"]),
+        Row(id=4, cand=["same"], ref=["same"]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.id: (round(r.s.precision, 6), round(r.s.recall, 6), round(r.s.f1, 6))
+        for r in df.select("id", rouge.rouge_1(F.col("cand"), F.col("ref")).alias("s")).collect()
+    }
+    assert got[1] == (round(2 / 3, 6),) * 3
+    # clipped multiset: min counts — overlap(a)=1? cand has 2 a's, ref 1 → 1; b: 1 vs 2 → 1 → total 2/3
+    assert got[2] == (round(2 / 3, 6),) * 3
+    assert got[3] == (0.0, 0.0, 0.0)
+    assert got[4] == (1.0, 1.0, 1.0)
+
+
+def test_rouge_l_known_values(spark):
+    rows = [
+        # LCS("the cat sat on", "the cat on") = 3; p=3/4, r=1 → f1=6/7
+        Row(id=1, cand=["the", "cat", "sat", "on"], ref=["the", "cat", "on"]),
+        Row(id=2, cand=["x"], ref=["y"]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.id: round(r.f, 6)
+        for r in df.select("id", rouge.rouge_l_f1(F.col("cand"), F.col("ref")).alias("f")).collect()
+    }
+    assert got[1] == round(6 / 7, 6)
+    assert got[2] == 0.0
+
+
+def test_centroid_classify_recovers_separable_labels(spark):
+    # Synthetic, clearly-separable clusters around axis-aligned corners.
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for label, center in ((0, (5, 0, 0)), (1, (0, 5, 0)), (2, (0, 0, 5))):
+        for i in range(30):
+            v = rng.normal(0, 0.3, 3) + np.array(center)
+            rows.append(Row(vec_id=label * 100 + i, embedding=[float(x) for x in v], label=label))
+    df = spark.createDataFrame(rows)
+    cents = classify.train_centroids(df)
+    pred = classify.classify(df, cents)
+    joined = pred.join(df.select(F.col("vec_id").alias("id"), "label"), "id")
+    acc = joined.filter(F.col("predicted") == F.col("label")).count() / joined.count()
+    assert acc == 1.0
+
+
+def test_kmeans_assign_deterministic_and_complete(spark):
+    emb = load_table(spark, SF, "embeddings")
+    a1 = {r.id: r.cluster for r in clustering.kmeans_assign(emb, k=5).collect()}
+    a2 = {r.id: r.cluster for r in clustering.kmeans_assign(emb, k=5).collect()}
+    assert a1 == a2, "seeded KMeans must be deterministic"
+    assert len(a1) == emb.count()
+    assert len(set(a1.values())) == 5
+
+
+def test_cluster_islands_grouped_map(spark):
+    emb = load_table(spark, SF, "embeddings")
+    out = clustering.cluster_islands(emb, k=2)
+    rows = out.collect()
+    assert len(rows) == emb.count()
+    per_label = {}
+    for r in rows:
+        per_label.setdefault(r.label, set()).add(r.sub_cluster)
+    # every label-island got split into exactly the k requested sub-clusters
+    assert all(s == {0, 1} for s in per_label.values())
+    # deterministic kernel
+    again = {(r.label, r.vec_id): r.sub_cluster for r in clustering.cluster_islands(emb, k=2).collect()}
+    assert all(again[(r.label, r.vec_id)] == r.sub_cluster for r in rows)
+
+
+def test_random_walk_with_restart_concentrates_near_seed(spark):
+    # line graph 1-2-3-4 with restart at node 1
+    edges = spark.createDataFrame(
+        [Row(src=a, dst=b, weight=1.0) for a, b in ((1, 2), (2, 1), (2, 3), (3, 2), (3, 4), (4, 3))]
+    )
+    restart = spark.createDataFrame(
+        [Row(id=i, e=1.0 if i == 1 else 0.0) for i in (1, 2, 3, 4)]
+    )
+    scores = {r.id: r.score for r in graph.random_walk_with_restart(edges, restart, iters=12).collect()}
+    assert scores[1] > scores[2] > scores[3] > scores[4] >= 0.0
+
+
+def test_propagate_labels_fills_unlabeled(spark):
+    # two triangles bridged weakly; seeds on opposite sides
+    e = [
+        (1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0),
+        (4, 5, 1.0), (5, 6, 1.0), (4, 6, 1.0),
+        (3, 4, 0.1),
+    ]
+    edges = spark.createDataFrame([Row(src=a, dst=b, weight=w) for a, b, w in e])
+    seeds = spark.createDataFrame([Row(id=1, label=7), Row(id=6, label=9)])
+    got = {r.id: r.label for r in graph.propagate_labels(edges, seeds, iters=4).collect()}
+    assert got[1] == 7 and got[6] == 9, "seeds authoritative"
+    assert got[2] == 7 and got[3] == 7
+    assert got[4] == 9 and got[5] == 9
