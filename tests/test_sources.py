@@ -1,0 +1,89 @@
+"""RSS/Atom and OTLP source tests (SURVEY §2 A1/A4)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+RSS_DOC = """<?xml version="1.0"?>
+<rss version="2.0"><channel><title>Feed One</title>
+<item><title>First</title><link>https://a.example/1</link>
+<pubDate>Mon, 01 Jan 2024 00:00:00 GMT</pubDate><description>d1</description></item>
+<item><title>Second</title><link>https://a.example/2</link>
+<pubDate>Tue, 02 Jan 2024 00:00:00 GMT</pubDate><description>d2</description></item>
+<item><title>Evil</title><link>javascript:alert(1)</link>
+<pubDate>Tue, 02 Jan 2024 00:00:00 GMT</pubDate><description>x</description></item>
+</channel></rss>"""
+
+ATOM_DOC = """<?xml version="1.0"?>
+<feed xmlns="http://www.w3.org/2005/Atom"><title>Feed Two</title>
+<entry><title>Alpha</title><link href="https://b.example/a"/>
+<updated>2024-01-03T00:00:00Z</updated><summary>s1</summary></entry>
+</feed>"""
+
+
+def test_rss_and_atom_parse_with_url_guard(spark):
+    from alt_spark.sources.rss import parse_feeds
+
+    df = spark.createDataFrame(
+        [Row(feed_url="f1", xml=RSS_DOC), Row(feed_url="f2", xml=ATOM_DOC)]
+    )
+    rows = {(r.feed_url, r.title, r.link) for r in parse_feeds(df).collect()}
+    assert rows == {
+        ("f1", "First", "https://a.example/1"),
+        ("f1", "Second", "https://a.example/2"),
+        ("f2", "Alpha", "https://b.example/a"),
+    }, "items explode per feed; javascript: link dropped by the B9 guard"
+
+
+def test_otlp_spans_flatten(spark):
+    from alt_spark.sources.otlp import parse_otlp_traces
+
+    payload = {
+        "resourceSpans": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "alt-backend"}}
+                    ]
+                },
+                "scopeSpans": [
+                    {
+                        "spans": [
+                            {
+                                "traceId": "t1",
+                                "spanId": "s1",
+                                "parentSpanId": "",
+                                "name": "GET /v1/feeds",
+                                "kind": 2,
+                                "startTimeUnixNano": "1704067200000000000",
+                                "endTimeUnixNano": "1704067200250000000",
+                                "attributes": [
+                                    {"key": "http.status", "value": {"stringValue": "200"}}
+                                ],
+                            },
+                            {
+                                "traceId": "t1",
+                                "spanId": "s2",
+                                "parentSpanId": "s1",
+                                "name": "db.query",
+                                "kind": 3,
+                                "startTimeUnixNano": "1704067200010000000",
+                                "endTimeUnixNano": "1704067200110000000",
+                                "attributes": [],
+                            },
+                        ]
+                    }
+                ],
+            }
+        ]
+    }
+    df = spark.createDataFrame([Row(value=json.dumps(payload))])
+    got = {r.span_id: r for r in parse_otlp_traces(df).collect()}
+    assert set(got) == {"s1", "s2"}
+    assert got["s1"].service_name == "alt-backend"
+    assert got["s1"].duration_ms == 250.0
+    assert got["s2"].parent_span_id == "s1"
+    assert got["s1"].attributes == {"http.status": "200"}
+    assert str(got["s1"].start_ts).startswith("2024-01-01 00:00:00")
