@@ -1,0 +1,79 @@
+"""External-model UDF surface (SURVEY.md §2 I14 / §2.L).
+
+Reference: news-creator Ollama summarization and the quality judge
+(pre-processor/app/quality-checker/quality_judger.go:27,120-166 — a
+prompt scoring summaries 1-10, acceptance threshold 7).
+
+The engine surface is a *batched* pandas UDF whose endpoint is
+injected: production passes a callable that POSTs a batch of prompts to
+the model server; tests (and this container, which has no model) pass a
+deterministic fake. The Arrow batch is the unit of endpoint calls —
+maxRecordsPerBatch bounds request fan-in, exactly how a 100 TB scan
+must amortize per-request overhead. NO model ships here: the declared
+component is the batching/typing contract, never inference quality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pandas as pd
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+__all__ = ["make_llm_udf", "fake_summarizer", "fake_judge", "quality_gate"]
+
+Endpoint = Callable[[list[str]], list[str]]
+
+
+def fake_summarizer(prompts: list[str]) -> list[str]:
+    """Deterministic stand-in: first 8 whitespace tokens. REAL MODEL NOT
+    CALLED — swap with an HTTP-batch callable in production."""
+    return [" ".join((p or "").split()[:8]) for p in prompts]
+
+
+def fake_judge(prompts: list[str]) -> list[str]:
+    """Deterministic 1-10 score: longer, mixed-vocabulary summaries score
+    higher (a monotone proxy so threshold tests are meaningful)."""
+    out = []
+    for p in prompts:
+        toks = (p or "").split()
+        score = min(10, 1 + len(set(toks)) // 2)
+        out.append(str(score))
+    return out
+
+
+def make_llm_udf(endpoint: Endpoint, return_type: str = "string"):
+    """Wrap a batch endpoint as an Arrow-batched column function.
+
+    One endpoint call per Arrow batch (pandas Series) — the I14 surface.
+    """
+
+    def impl(s: pd.Series) -> pd.Series:
+        return pd.Series(endpoint(list(s.fillna(""))), index=s.index)
+
+    def apply(col: Column) -> Column:
+        return pandas_udf(impl, return_type)(col)
+
+    return apply
+
+
+def quality_gate(
+    df,
+    text_col: str = "summary",
+    judge: Endpoint = fake_judge,
+    threshold: int = 7,
+):
+    """quality_judger.go semantics: judge each row 1-10, keep >= threshold.
+
+    Returns the input with `quality` appended and rows below the gate
+    dropped; the score column survives for audit (the reference logs it).
+    """
+    judge_col = make_llm_udf(judge, "string")
+    scored = df.withColumn(
+        "quality",
+        F.coalesce(judge_col(F.col(text_col)).cast("int"), F.lit(0)),
+    )
+    return scored.filter(F.col("quality") >= threshold)
