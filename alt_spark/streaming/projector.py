@@ -35,7 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-__all__ = ["fold_batch", "merge_projection", "run_projector", "read_projection"]
+__all__ = [
+    "fold_batch",
+    "merge_projection",
+    "run_projector",
+    "read_projection",
+    "reproject",
+]
 
 # Projection state columns (mirrors Q20's output plus the merge key
 # `last_event_id` that makes last-by-seq mergeable across batches).
@@ -111,6 +117,24 @@ def read_projection(spark: SparkSession, state_dir: str) -> DataFrame | None:
     """Current projection = highest committed state version."""
     _, path = _latest_version(state_dir)
     return spark.read.parquet(path) if path else None
+
+
+def reproject(
+    spark: SparkSession, full_log: DataFrame, state_dir: str
+) -> DataFrame:
+    """K10 backfill: read models are disposable — rebuild the projection
+    from the complete event log as one batch fold and commit it as the
+    next state version (the reference's versioned reprojection with
+    shadow-version cutover, projector.go:60-69 +
+    knowledge_reproject_runs). The incremental stream can resume on top:
+    fold ≡ groupBy makes replay-over-rebuild convergent.
+    """
+    version, _ = _latest_version(state_dir)
+    rebuilt = fold_batch(full_log)
+    rebuilt.write.mode("overwrite").parquet(
+        os.path.join(state_dir, f"v{version + 1}")
+    )
+    return read_projection(spark, state_dir)
 
 
 def run_projector(

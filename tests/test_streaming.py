@@ -145,3 +145,72 @@ def test_retention_drops_only_expired_partitions(spark, tmp_path_factory):
     remaining = spark.read.parquet(table)
     assert remaining.count() > 0
     assert remaining.agg(F.min("p_date")).first()[0] >= date(2024, 1, 21)
+
+
+def test_reprojection_equals_incremental_state(spark):
+    """K10: a from-scratch rebuild equals the incrementally-folded state."""
+    from alt_spark.catalog import load_table
+    from alt_spark.streaming.projector import reproject
+
+    root = _fresh("reproject")
+    landing = os.path.join(root, "landing")
+    _chunk_events(landing)
+    state_dir = os.path.join(root, "state")
+    q = run_projector(
+        spark, read_events_stream(spark, landing), state_dir, os.path.join(root, "ckpt")
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+    incremental = {tuple(r) for r in read_projection(spark, state_dir).collect()}
+
+    rebuilt_df = reproject(spark, load_table(spark, SF, "events"), state_dir)
+    rebuilt = {tuple(r) for r in rebuilt_df.collect()}
+    assert rebuilt == incremental
+
+
+def test_index_sink_upserts_and_deletes(spark):
+    """A8: keyed upsert with delete propagation, versioned per batch."""
+    import pyarrow as pa
+
+    from alt_spark.streaming.index_sink import read_index, run_index_sink
+
+    root = _fresh("index_sink")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    schema = pa.schema(
+        [
+            ("op_seq", pa.int64()),
+            ("doc_key", pa.string()),
+            ("title", pa.string()),
+            ("is_delete", pa.bool_()),
+        ]
+    )
+    batches = [
+        [(1, "a", "A v1", False), (2, "b", "B v1", False), (3, "c", "C v1", False)],
+        [(4, "a", "A v2", False), (5, "b", None, True)],  # update a, delete b
+        [(6, "d", "D v1", False), (7, "d", "D v2", False)],  # same-key, last wins
+    ]
+    for i, rows in enumerate(batches):
+        t = pa.table(
+            {n: [r[j] for r in rows] for j, n in enumerate(schema.names)}, schema=schema
+        )
+        pq.write_table(t, os.path.join(landing, f"ops_{i:03d}.parquet"))
+
+    src = (
+        spark.readStream.schema(
+            "op_seq long, doc_key string, title string, is_delete boolean"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = run_index_sink(spark, src, os.path.join(root, "index"), os.path.join(root, "ckpt"))
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+    idx = {r.doc_key: r.title for r in read_index(spark, os.path.join(root, "index")).collect()}
+    assert idx == {"a": "A v2", "c": "C v1", "d": "D v2"}
