@@ -1,0 +1,93 @@
+"""Property-based tests (SURVEY.md §5 item 3, hypothesis).
+
+Spark jobs are slow per example, so examples are few but adversarial:
+hypothesis drives the *data shapes* (duplicate keys, ties on the sort
+key, ragged splits) that break pagination and fold-merge logic.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from alt_spark.streaming.projector import fold_batch, merge_projection
+
+# (user_id, event_id, day-offset, event_type, value)
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.integers(0, 10_000),
+        st.integers(0, 3),
+        st.sampled_from(["click", "view", "error", "signup"]),
+        st.floats(0, 100, allow_nan=False),
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+def _events_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (u, e, f"2024-01-0{d + 1} 00:00:00", t, v)
+            for u, e, d, t, v in rows
+        ],
+        "user_id long, event_id long, ts_s string, event_type string, value double",
+    ).select(
+        "user_id", "event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value"
+    )
+
+
+@settings(max_examples=8, deadline=None)
+@given(rows=_EVENTS, split=st.integers(0, 59))
+def test_fold_merge_associative(spark, rows, split):
+    """fold(all) == merge(fold(prefix), fold(suffix)) for ANY split — the
+    property that makes the streaming projector equal the batch query
+    regardless of micro-batch boundaries (K1/K2)."""
+    split = min(split, len(rows))
+    prefix, suffix = rows[:split], rows[split:]
+    whole = {tuple(r) for r in fold_batch(_events_df(spark, rows)).collect()}
+    if not prefix or not suffix:
+        merged_df = fold_batch(_events_df(spark, prefix or suffix))
+    else:
+        merged_df = merge_projection(
+            fold_batch(_events_df(spark, prefix)), fold_batch(_events_df(spark, suffix))
+        )
+    merged = {tuple(r) for r in merged_df.collect()}
+    assert merged == whole
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    keys=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 1000)),  # (date_bucket, id)
+        min_size=1,
+        max_size=50,
+        unique_by=lambda t: t[1],
+    ),
+    page_size=st.integers(1, 7),
+)
+def test_keyset_pagination_complete_no_overlap(spark, keys, page_size):
+    """E6: walking pages by tuple-compare cursor visits every row exactly
+    once in order — including ties on the leading sort column (the case
+    OFFSET pagination and naive `<` cursors get wrong)."""
+    df = spark.createDataFrame(keys, "d int, id long").cache()
+    expected = [
+        (d, i) for d, i in sorted(keys, key=lambda t: (-t[0], -t[1]))
+    ]
+    seen: list[tuple] = []
+    cursor = None
+    while True:
+        page_df = df
+        if cursor is not None:
+            cd, ci = cursor
+            page_df = page_df.filter(
+                (F.col("d") < cd) | ((F.col("d") == cd) & (F.col("id") < ci))
+            )
+        page = page_df.orderBy(F.desc("d"), F.desc("id")).limit(page_size).collect()
+        if not page:
+            break
+        seen.extend((r.d, r.id) for r in page)
+        cursor = (page[-1].d, page[-1].id)
+    assert seen == expected
