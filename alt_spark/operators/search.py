@@ -1,0 +1,110 @@
+"""Full-text search scoring (SURVEY.md §2 J2/J10/I13).
+
+Reference: BM25 features recap-worker/src/classification/features.rs:
+327-344 (k1=1.2, b=0.75 from model.rs:171-181); full-text relevance
+ranking rag-orchestrator hybrid_search_repo.go:21-35,78 (ts_rank_cd —
+declared here as multi-term BM25, the engine's tsvector-free semantic);
+keyword extraction tag-generator extract.py:23,207-274 (KeyBERT —
+declared proxy: top-k TF-IDF per document, per SURVEY §2 I13).
+
+Shapes: corpus statistics (doclen, avgdl, df) are token-level
+aggregations computed once and broadcast; multi-term scoring filters
+the token stream to query terms FIRST (df-bounded rows), then joins
+stats — the scan never widens. Keyword extraction is a per-doc
+row_number window over (doc, token) tf-idf rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from alt_spark.operators.dedup import tokens_col
+
+__all__ = ["bm25_rank", "tfidf_keywords"]
+
+
+def _token_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("token")
+    )
+
+
+def bm25_rank(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """Top-`limit` documents by summed Okapi BM25 over the query terms.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5)) per term; per-term scores sum
+    (bag-of-terms query, the ts_rank_cd-style multi-term semantic).
+    """
+    tok = _token_rows(df, text_col, id_col)
+    doclen = tok.groupBy("id").agg(F.count("*").alias("dl"))
+    stats = doclen.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl"))
+
+    matched = tok.filter(F.col("token").isin(query_terms))
+    tf = matched.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = F.log(1.0 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(stats))
+        .join(doclen, "id")
+        .select(
+            "id",
+            (
+                idf
+                * F.col("tf")
+                * (k1 + 1)
+                / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+            ).alias("term_score"),
+        )
+    )
+    return (
+        per_term.groupBy("id")
+        .agg(F.round(F.sum("term_score"), 6).alias("score"))
+        .orderBy(F.desc("score"), "id")
+        .limit(limit)
+    )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k TF-IDF tokens per document (I13 keyword-extraction proxy).
+
+    idf = ln(N/df) over the corpus; rank = row_number per doc over
+    (tfidf desc, token) — bounded window partitions (vocabulary-sized).
+    Returns (id, token, rank, tfidf).
+    """
+    tok = _token_rows(df, text_col, id_col)
+    tf = tok.groupBy("id", "token").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("id").alias("df"))
+    n = df.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "id",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "token", "rank", "tfidf")
+    )

@@ -158,13 +158,41 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     vocabulary for every `lang` label, so the histogram collapses to
     en/und — the operator contract, not the data, is what's declared.
     """
+    from alt_spark.functions.text_analysis import _LANG_MARKERS
+
     docs = load_table(spark, sf, "documents")
-    return (
-        docs.select(F.coalesce(ta.lang_id(F.col("text")), F.lit("und")).alias("predicted"))
-        .groupBy("predicted")
-        .agg(F.count("*").alias("n_docs"))
-        .orderBy("predicted")
+    # Aggregation shape rather than the per-row lang_id() expression: the
+    # Column form re-evaluates the tokenizer once per language vote after
+    # projection collapse; exploding once and voting with conditional
+    # sums tokenizes each document exactly once.
+    tok = docs.select(
+        "doc_id",
+        F.explode_outer(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != "")
+        ).alias("tok"),
     )
+    votes = [
+        F.sum(F.when(F.col("tok").isin(list(_LANG_MARKERS[lang])), 1).otherwise(0)).alias(
+            f"v_{lang}"
+        )
+        for lang in _LANG_MARKERS
+    ]
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count("tok").alias("n_tok"), *votes
+    )
+    best_votes = F.greatest(*[F.col(f"v_{lang}") for lang in _LANG_MARKERS])
+    predicted = F.lit("en")
+    running = F.col("v_en")
+    for lang in list(_LANG_MARKERS)[1:]:
+        take = F.col(f"v_{lang}") > running
+        predicted = F.when(take, F.lit(lang)).otherwise(predicted)
+        running = F.when(take, F.col(f"v_{lang}")).otherwise(running)
+    pred = per_doc.select(
+        F.when(
+            (F.col("n_tok") >= 3) & (best_votes > 0), predicted
+        ).otherwise(F.lit("und")).alias("predicted")
+    )
+    return pred.groupBy("predicted").agg(F.count("*").alias("n_docs")).orderBy("predicted")
 
 
 # ---------------------------------------------------------------------------
@@ -276,4 +304,89 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.size("fingerprints")).cast("long").alias("fingerprints"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q40_bm25_multiterm",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DDB_TOKENS}) AS token FROM documents
+), doclen AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n, avg(dl) AS avgdl FROM doclen
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok
+  WHERE token IN ('dup', 'vector', 'stream') GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), per_term AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * 2.2
+           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * doclen.dl / stats.avgdl)) AS term_score
+  FROM tf
+  JOIN dfreq ON tf.token = dfreq.token
+  JOIN doclen ON tf.doc_id = doclen.doc_id
+  CROSS JOIN stats
+)
+SELECT doc_id AS id, round(sum(term_score), 6) AS score
+FROM per_term
+GROUP BY 1
+ORDER BY score DESC, id
+LIMIT 10
+""",
+)
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-term BM25 ranking — the tsvector-free full-text relevance
+    semantic (J2 features.rs:327-344 + J10 hybrid_search_repo.go:78's
+    ts_rank_cd slot). Per-term Okapi scores sum over the bag-of-terms
+    query; matching rows are df-bounded before any join."""
+    from alt_spark.operators.search import bm25_rank
+
+    docs = load_table(spark, sf, "documents")
+    return bm25_rank(docs, ["dup", "vector", "stream"])
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q41_keyword_extraction",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_DDB_TOKENS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents
+), scored AS (
+  SELECT tf.doc_id AS id, tf.token,
+         round(tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df), 6) AS tfidf
+  FROM tf JOIN dfreq ON tf.token = dfreq.token CROSS JOIN n
+), ranked AS (
+  SELECT id, token, tfidf,
+         row_number() OVER (PARTITION BY id ORDER BY tfidf DESC, token) AS rank
+  FROM scored
+)
+SELECT id, token, rank, tfidf
+FROM ranked
+WHERE rank <= 3 AND id < 10
+ORDER BY id, rank
+""",
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document, first 10 docs (I13 —
+    tag-generator extract.py:207-274's KeyBERT extraction, declared as
+    the TF-IDF proxy per SURVEY §2). Per-doc row_number windows are
+    vocabulary-bounded."""
+    from alt_spark.operators.search import tfidf_keywords
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        tfidf_keywords(docs, k=3)
+        .filter(F.col("id") < 10)
+        .orderBy("id", "rank")
     )
