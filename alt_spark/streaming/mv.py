@@ -100,3 +100,26 @@ def run_mv(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def user_sessions(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session-window aggregation (K8 ⊕ — no session windows exist in the
+    reference; this is the north-star extension SURVEY §2 E8/K8 declares).
+
+    Works identically over a batch or streaming frame; the streaming form
+    additionally needs withWatermark so closed sessions finalize. Parity
+    with the lag+cumsum batch sessionization (Q22) is test-enforced —
+    the two formulations define the same sessions except on exact-gap
+    boundaries (lag's `> gap` keeps an exact-gap event in-session;
+    session_window closes it), which cannot occur in µs-resolution data.
+    """
+    return (
+        df.groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -214,3 +214,24 @@ def test_index_sink_upserts_and_deletes(spark):
             q.stop()
     idx = {r.doc_key: r.title for r in read_index(spark, os.path.join(root, "index")).collect()}
     assert idx == {"a": "A v2", "c": "C v1", "d": "D v2"}
+
+
+def test_session_window_parity_with_lag_sessionization(spark):
+    """K8: session_window(30m) defines the same per-user session counts
+    as Q22's lag+cumsum formulation."""
+    from alt_spark.catalog import load_table
+    from alt_spark.streaming.mv import user_sessions
+
+    ev = load_table(spark, SF, "events")
+    sw = (
+        user_sessions(ev)
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n_sessions")
+    )
+    got = {(r.user_id, r.n_sessions) for r in sw.collect()}
+    want = {
+        (r.user_id, r.n_sessions)
+        for r in all_queries()["q22_sessionization"](spark, SF).collect()
+    }
+    assert got == want
