@@ -235,3 +235,58 @@ def test_session_window_parity_with_lag_sessionization(spark):
         for r in all_queries()["q22_sessionization"](spark, SF).collect()
     }
     assert got == want
+
+
+def test_apply_in_pandas_with_state_running_fold(spark):
+    """§2.L stateful surface: per-key state persists across micro-batches
+    and the final emitted row per user equals the batch aggregation."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.streaming.stateful import running_user_stats
+
+    root = _fresh("stateful")
+    landing = os.path.join(root, "landing")
+    _chunk_events(landing)
+    src = read_events_stream(spark, landing)
+    q = (
+        running_user_stats(src)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_stats")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+    # update mode appends one row per key per batch; the last row per key
+    # is the final state.
+    emitted = spark.sql("SELECT * FROM running_stats")
+    assert emitted.count() > emitted.select("user_id").distinct().count(), (
+        "state must emit across multiple micro-batches"
+    )
+    final = {
+        (r.user_id, r.n_events, round(r.max_value, 6), r.last_event_id)
+        for r in emitted.groupBy("user_id")
+        .agg(
+            F.max_by("n_events", "last_event_id").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+            F.max("last_event_id").alias("last_event_id"),
+        )
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n, round(r.mx, 6), r.last)
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("value").alias("mx"),
+            F.max("event_id").alias("last"),
+        )
+        .collect()
+    }
+    assert final == want
