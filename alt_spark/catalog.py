@@ -147,11 +147,14 @@ def load_table(spark: SparkSession, sf: str, name: str) -> DataFrame:
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     # The driver may hand us a session built without the engine profile;
-    # date_trunc/bucket parity with the DuckDB oracle requires UTC, and
-    # reading events.parquet's TIMESTAMP(NANOS) column as LongType needs
-    # the nanosAsLong legacy flag. Both are runtime-settable, so pin them
-    # at the load boundary.
+    # pin the runtime-settable confs the declared semantics depend on at
+    # the load boundary: UTC (date_trunc/bucket parity with the oracle),
+    # nanosAsLong (events.parquet stores TIMESTAMP(NANOS)), and ANSI off
+    # (the engine's declared permissive-cast/wrapping-arithmetic
+    # semantics — B5 OrZero casts and the hash rings in operators.dedup
+    # rely on silent wrap, and Spark 4 defaults ANSI on).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     except Exception:
