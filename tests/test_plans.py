@@ -25,6 +25,8 @@ _NESTED_LOOP_OK = {
     "q14_paged_window_count",
     "q18_tfidf_doc0",
     "q23_bm25",
+    "q40_bm25_multiterm",
+    "q41_keyword_extraction",
 }
 
 
