@@ -108,12 +108,26 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
     only wide stage (token-cardinality rows); N is a 1-row broadcast.
     """
     tok = _tokens(spark, sf)
-    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    # tf of the query doc only: the doc_id==0 filter reaches the parquet
+    # scan (PushedFilters), so this branch tokenizes one document.
+    tf0 = (
+        tok.filter(F.col("doc_id") == 0)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    # df only for tokens that appear in the query doc: broadcast the tiny
+    # query-vocab and semi-join the corpus token stream BEFORE the distinct
+    # aggregation. At 100 TB the alternative (df over the full vocabulary,
+    # then broadcast) shuffles and collects a corpus-sized dictionary; this
+    # plan reduces the wide stage to query-vocab cardinality.
+    df = (
+        tok.join(F.broadcast(tf0.select("token")), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.countDistinct("doc_id").alias("df"))
+    )
     n = load_table(spark, sf, "documents").agg(F.count("*").alias("n"))
     return (
-        tf.filter(F.col("doc_id") == 0)
-        .join(F.broadcast(df), "token")
+        tf0.join(F.broadcast(df), "token")
         .crossJoin(F.broadcast(n))
         .select(
             "token",
