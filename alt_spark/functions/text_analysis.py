@@ -115,7 +115,12 @@ def lang_id(text: Column, min_tokens: int = 3) -> Column:
 
 
 def winnowing_fingerprints(
-    df, text_col: str = "text", id_col: str = "doc_id", k: int = 5, window: int = 4
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    window: int = 4,
+    portable: bool = False,
 ):
     """Winnowing document fingerprints (Schleimer et al. 2003): hash all
     k-gram character shingles, keep the min hash of every sliding window.
@@ -130,16 +135,24 @@ def winnowing_fingerprints(
     Catalyst's projection collapse — ~100× slower. Here grams explode
     once and the sliding min is a rowsBetween window over per-doc
     partitions (bounded by document length, so no skew at scale).
+
+    ``portable=True`` switches the gram hash from xxhash64 (production
+    default) to the md5-based portable_hash64 so the whole pipeline has
+    an exact DuckDB twin (see functions/hashing.py); the winnowing
+    guarantee is hash-agnostic.
     """
     from pyspark.sql.window import Window
 
+    from alt_spark.functions.hashing import portable_hash64
+
+    hash_fn = portable_hash64 if portable else F.xxhash64
     text = F.col(text_col)
     n = F.length(text)
     grams = F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.xxhash64(text.substr(i.cast("int"), F.lit(k))),
+            lambda i: hash_fn(text.substr(i.cast("int"), F.lit(k))),
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     g = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h"))

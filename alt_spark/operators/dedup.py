@@ -143,6 +143,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_perm: int = 128,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, signature array<long>[num_perm]) via min-over-shingles of
     seeded xxhash64 — the classic permutation-free MinHash (minhash.rs:9-64).
@@ -154,8 +155,11 @@ def minhash_signatures(
     slower: Catalyst's projection collapse inlines the shingle expression
     into every one of the 128 branches, re-tokenizing each row 128 times.
     """
+    from alt_spark.functions.hashing import portable_hash64
+
+    base_hash = portable_hash64 if portable else F.xxhash64
     sh_rows = shingle_rows(df, text_col, id_col, shingle_k).select(
-        "id", F.xxhash64("sh").alias("h")
+        "id", base_hash(F.col("sh")).alias("h")
     )
     # Affine permutation family over ONE base hash per shingle:
     # perm_i(h) = a_i·h + b_i in the wrapping 64-bit ring (2-universal in
@@ -174,7 +178,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 16, rows_per_band: int = 8
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded LSH candidate generation (minhash.rs:83-180): docs agreeing
     on all rows of any band become a candidate pair.
@@ -182,24 +189,24 @@ def lsh_candidate_pairs(
     Band key = xxhash64 of the band's signature slice; the self-join is
     an equi-join on (band, key) — bucket sizes are hash-uniform, so the
     shuffle is balanced; a salt column can be added for pathological
-    buckets (I12). Pairs are deduped across bands.
+    buckets (I12). Pairs are deduped across bands. ``portable=True``
+    keeps the raw comma-joined slice string as the key (identical
+    equality semantics, DuckDB-replayable; ~20× wider shuffle rows, so
+    the hashed key stays the production default).
     """
+    slice_str = lambda b: F.concat_ws(  # noqa: E731
+        ",",
+        F.slice(
+            F.col("signature"),
+            (b * rows_per_band + 1).cast("int"),
+            rows_per_band,
+        ).cast("array<string>"),
+    )
+    key_fn = slice_str if portable else (lambda b: F.xxhash64(slice_str(b)))
     banded = signatures.select(
         "id",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.slice(
-                            F.col("signature"),
-                            (b * rows_per_band + 1).cast("int"),
-                            rows_per_band,
-                        ).cast("array<string>"),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), key_fn)
         ).alias("band", "key"),
     )
     a, b_ = banded.alias("a"), banded.alias("b")
@@ -224,6 +231,7 @@ def minhash_near_dup(
     bands: int = 16,
     rows_per_band: int = 8,
     shingle_k: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs: LSH candidates verified by the signature
     Jaccard estimate (fraction of agreeing MinHash positions) >= threshold.
@@ -236,8 +244,10 @@ def minhash_near_dup(
     # of the verify join); persist it so shingling/hashing runs once. At
     # 100 TB this materialization is a written signature table, computed
     # once per corpus snapshot and reused across dedup runs.
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k).persist()
-    cand = lsh_candidate_pairs(sigs, bands, rows_per_band)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_k, portable=portable
+    ).persist()
+    cand = lsh_candidate_pairs(sigs, bands, rows_per_band, portable=portable)
     s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("sig1"))
     s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("sig2"))
     est = (
@@ -257,20 +267,30 @@ def minhash_near_dup(
 
 
 def simhash_bits(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 64
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, simhash bigint): sign of per-bit weighted sums of token hashes.
 
     Charikar SimHash over the tokenizer contract: each distinct token
     contributes +tf / -tf per bit of xxhash64(token). Built as one
     groupBy with `bits` aggregate columns — stays in whole-stage codegen,
-    one shuffle keyed by doc id.
+    one shuffle keyed by doc id. ``portable=True`` swaps the token hash
+    for the md5-based portable_hash64 (exact DuckDB twin; see
+    functions/hashing.py) — bit extraction via arithmetic shiftright + &1
+    reads identical bits either way.
     """
+    from alt_spark.functions.hashing import portable_hash64
+
+    hash_fn = portable_hash64 if portable else F.xxhash64
     toks = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens_col(text_col)).alias("tok"))
         .groupBy("id", "tok")
         .agg(F.count("*").alias("tf"))
-        .withColumn("h", F.xxhash64("tok"))
+        .withColumn("h", hash_fn(F.col("tok")))
     )
     bit_sums = [
         F.sum(
@@ -297,6 +317,7 @@ def simhash_near_dup(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     bands: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
@@ -308,7 +329,7 @@ def simhash_near_dup(
     """
     width = 64 // bands
     mask = (1 << width) - 1
-    sh = simhash_bits(df, text_col, id_col)
+    sh = simhash_bits(df, text_col, id_col, portable=portable)
     blocks = sh.select(
         "id",
         "simhash",

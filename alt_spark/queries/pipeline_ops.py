@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from alt_spark.catalog import load_table
 from alt_spark.functions import text_analysis as ta
+from alt_spark.functions.hashing import DDB_H64 as _h64
+from alt_spark.functions.hashing import DDB_U64 as _u64
 from alt_spark.operators import dedup
 from alt_spark.queries import query
 
@@ -196,7 +198,63 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@query("q30_minhash_neardup")  # no oracle: xxhash64 has no DuckDB twin (rows-only check)
+def _q30_oracle() -> str:
+    """The full MinHash+LSH pipeline replayed in DuckDB: md5-based base
+    hash, Spark's wrapping ``h*a_i + b_i`` affine permutations done
+    exactly in HUGEINT (functions/hashing.py:ddb_affine_signed), min per
+    permutation as SIGNED 64-bit (matching Spark long ordering), band
+    keys as comma-joined signature slices, candidate pairs from the
+    band equi-join, and the agreement-fraction Jaccard estimate."""
+    from alt_spark.functions.hashing import ddb_affine_signed
+    from alt_spark.operators.dedup import _PERM_A, _PERM_B
+
+    min_cols = ",\n         ".join(
+        f"min({ddb_affine_signed('h', _PERM_A[i], _PERM_B[i])}) AS m{i}"
+        for i in range(128)
+    )
+    sig_list = ", ".join(f"m{i}" for i in range(128))
+    band_keys = ", ".join(
+        f"array_to_string(sig[{b * 8 + 1}:{b * 8 + 8}], ',')" for b in range(16)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id AS id, {_DDB_TOKENS} AS t FROM documents
+), sh AS (
+  SELECT DISTINCT id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
+  FROM toks, unnest(range(len(t)-2)) u(i)
+  WHERE len(t) >= 3
+), hashed AS (
+  SELECT id, {_h64('sh')} AS h FROM sh
+), mins AS (
+  SELECT id,
+         {min_cols}
+  FROM hashed GROUP BY id
+), sig AS (
+  SELECT id, [{sig_list}] AS sig FROM mins
+), banded AS (
+  SELECT id, b AS band, ([{band_keys}])[b + 1] AS key
+  FROM sig, unnest(range(16)) r(b)
+), cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), est AS (
+  SELECT id1, id2,
+         list_sum(list_transform(range(1, 129),
+                  i -> CASE WHEN s1.sig[i] = s2.sig[i] THEN 1 ELSE 0 END))
+           / 128.0 AS est_jaccard
+  FROM cand
+  JOIN sig s1 ON s1.id = cand.id1
+  JOIN sig s2 ON s2.id = cand.id2
+)
+SELECT id1, id2, round(est_jaccard, 4) AS est_jaccard
+FROM est
+WHERE est_jaccard >= 0.7
+ORDER BY est_jaccard DESC, id1, id2
+"""
+
+
+@query("q30_minhash_neardup", oracle=_q30_oracle())
 def q30(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (I10/I12), est. Jaccard >= 0.7.
 
@@ -204,23 +262,81 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     reference's tuning, minhash.rs:83-124); pairs surface only through
     band-bucket equi-joins. Exactness is property-tested against the
     true shingle Jaccard (tests/test_pipeline_ops.py): every planted
-    >=0.9 pair is found, estimates within ±0.15.
+    >=0.9 pair is found, estimates within ±0.15. Declared with the
+    portable md5 base hash + plain-string band keys so every stage
+    hash-matches the DuckDB oracle; the xxhash64 production default
+    stays the scale path (narrower shuffle keys).
     """
     docs = load_table(spark, sf, "documents")
-    pairs = dedup.minhash_near_dup(docs, threshold=0.7)
+    pairs = dedup.minhash_near_dup(docs, threshold=0.7, portable=True)
     return pairs.select(
         "id1", "id2", F.round("est_jaccard", 4).alias("est_jaccard")
     ).orderBy(F.desc("est_jaccard"), "id1", "id2")
 
 
 # ---------------------------------------------------------------------------
-@query("q31_simhash_neardup")  # no oracle: xxhash64-based fingerprint (rows-only check)
+def _q31_oracle() -> str:
+    """SimHash replayed in DuckDB SQL. Bit i of the token hash comes off
+    the UNSIGNED md5 value with a logical shift (identical to Spark's
+    arithmetic shiftright + &1 on the signed twin); the fingerprint is
+    assembled from inlined 2^i literals (HUGEINT << overflows in DuckDB)
+    and re-signed for the XOR/bit_count Hamming check."""
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
+        for i in range(64)
+    )
+    bit_cols = ",\n         ".join(
+        f"sum(CASE WHEN (u >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS b{i}"
+        for i in range(64)
+    )
+    block_vals = ", ".join(f"(ufp >> {b * 16}) & 65535" for b in range(4))
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({_DDB_TOKENS}) AS tok FROM documents
+), tf AS (
+  SELECT id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
+), h AS (
+  SELECT id, tf, {_u64('tok')} AS u FROM tf
+), bitsums AS (
+  SELECT id,
+         {bit_cols}
+  FROM h GROUP BY id
+), fp AS (
+  SELECT id,
+         ({fp_terms}) AS hfp
+  FROM bitsums
+), signed_fp AS (
+  SELECT id,
+         hfp::UBIGINT AS ufp,
+         (CASE WHEN hfp >= 9223372036854775808::HUGEINT
+               THEN (hfp - 18446744073709551616::HUGEINT)::BIGINT
+               ELSE hfp::BIGINT END) AS sfp
+  FROM fp
+), blocks AS (
+  SELECT id, sfp, b AS block, ([{block_vals}])[b + 1] AS bval
+  FROM signed_fp, unnest(range(4)) r(b)
+), cand AS (
+  SELECT DISTINCT a.id AS id1, b.id AS id2, a.sfp AS h1, b.sfp AS h2
+  FROM blocks a JOIN blocks b
+    ON a.block = b.block AND a.bval = b.bval AND a.id < b.id
+)
+SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
+FROM cand
+WHERE bit_count(xor(h1, h2)) <= 3
+ORDER BY hamming, id1, id2
+"""
+
+
+@query("q31_simhash_neardup", oracle=_q31_oracle())
 def q31(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs (Hamming <= 3 of 64 bits) via pigeonhole
     block join — the token-weight fingerprint complement to MinHash
-    (north-star dedup family; I8/I9 generalization)."""
+    (north-star dedup family; I8/I9 generalization). Declared with the
+    portable md5 token hash so the full pipeline — weighted bit sums,
+    fingerprint assembly, block join, Hamming verify — hash-matches the
+    DuckDB oracle; production default stays xxhash64."""
     docs = load_table(spark, sf, "documents")
-    return dedup.simhash_near_dup(docs).orderBy("hamming", "id1", "id2")
+    return dedup.simhash_near_dup(docs, portable=True).orderBy("hamming", "id1", "id2")
 
 
 # ---------------------------------------------------------------------------
@@ -288,13 +404,43 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@query("q33_winnowing_fingerprints")  # no oracle: xxhash64 rolling hash (rows-only check)
+@query(
+    "q33_winnowing_fingerprints",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id AS id, i - 1 AS pos, {_h64("substr(text, i, 5)")} AS h
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) u(i)
+  WHERE length(text) >= 5
+), w AS (
+  SELECT id, pos,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+         count(*) OVER (PARTITION BY id) AS n_grams
+  FROM g
+), fp AS (
+  SELECT id, count(DISTINCT wm) AS n_fp
+  FROM w WHERE pos <= n_grams - 4
+  GROUP BY id
+)
+SELECT d.source AS source,
+       count(*) AS n_docs,
+       CAST(coalesce(sum(coalesce(fp.n_fp, 0)), 0) AS BIGINT) AS fingerprints
+FROM documents d LEFT JOIN fp ON fp.id = d.doc_id
+GROUP BY 1
+ORDER BY 1
+""",
+)
 def q33(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing fingerprint density per source (north-star document
     fingerprinting): k=5 char-grams, window 4 — shared substrings of
-    length >= 8 guarantee shared fingerprints (property-tested)."""
+    length >= 8 guarantee shared fingerprints (property-tested).
+
+    Declared with the portable md5 gram hash so DuckDB replays the exact
+    pipeline (hash → sliding min → distinct count); production default
+    stays xxhash64 (functions/hashing.py docstring has the trade-off).
+    """
     docs = load_table(spark, sf, "documents")
-    fp = ta.winnowing_fingerprints(docs).join(
+    fp = ta.winnowing_fingerprints(docs, portable=True).join(
         docs.select(F.col("doc_id").alias("id"), "source"), "id"
     )
     return (
