@@ -22,23 +22,18 @@ from pyspark.sql import functions as F
 
 __all__ = ["portable_hash64", "DDB_U64", "DDB_H64", "ddb_signed", "ddb_affine_signed"]
 
-_TWO63 = "CAST('9223372036854775808' AS DECIMAL(20,0))"
-_TWO64 = "CAST('18446744073709551616' AS DECIMAL(21,0))"
-
-
 def portable_hash64(c: Column) -> Column:
     """Signed 64-bit hash of a string column: first 16 md5 hex chars.
 
-    ``conv(hex, 16, 10)`` yields the unsigned value as a decimal string;
-    the two-range CASE maps it onto the signed 64-bit domain. All
-    arithmetic stays in DECIMAL until the final exact-fitting cast, so
-    ANSI-off overflow coercion never triggers.
+    Parsed as two 32-bit halves so everything stays in long arithmetic
+    (each ``conv`` result fits a long); ``shiftleft(hi,32) | lo`` IS the
+    signed two's-complement reinterpretation of the unsigned 64-bit
+    value — no DECIMAL hop, no overflow edge.
     """
-    u = F.conv(F.substring(F.md5(c), 1, 16), 16, 10).cast("decimal(20,0)")
-    return (
-        F.when(u >= F.expr(_TWO63), (u - F.expr(_TWO64)).cast("long"))
-        .otherwise(u.cast("long"))
-    )
+    md5 = F.md5(c)
+    hi = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(md5, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
 
 
 def DDB_U64(expr: str) -> str:
