@@ -16,7 +16,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["cosine_sim", "brute_force_topk", "hyperplane_buckets", "lsh_topk"]
+__all__ = [
+    "cosine_sim",
+    "brute_force_topk",
+    "hyperplane_buckets",
+    "lsh_topk",
+    "ivf_index",
+    "ivf_topk",
+]
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -119,6 +126,83 @@ def lsh_topk(
     sim = cosine_sim(F.col(vec_col), q)
     return (
         bucketed.filter(F.col("bucket").isin(probes))
+        .select(F.col(id_col).alias("id"), sim.alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), "id")
+        .limit(k)
+    )
+
+
+def ivf_index(
+    df: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: MLlib KMeans centroids + per-vector list
+    assignment (the FAISS IVF-flat layout, data-adaptive where SRP-LSH
+    is data-oblivious — fewer empty/hot buckets on clustered corpora).
+
+    Returns ``(assigned, centroids)``: ``assigned`` is the input plus a
+    ``list_id`` column; ``centroids`` is an nlist-sized Python list (the
+    quantizer is dim x nlist floats — driver-tiny by design, exactly
+    what FAISS holds in RAM while the inverted lists stay sharded).
+
+    At 100 TB: train on a sample, write ``assigned`` partitioned by
+    ``list_id``; probes then prune partitions the same way lsh_topk's
+    bucket filter does.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.withColumn("__features", array_to_vector(vec_col))
+    model = KMeans(k=nlist, seed=seed, maxIter=20, featuresCol="__features").fit(
+        feats.select("__features")
+    )
+    assigned = (
+        model.transform(feats)
+        .withColumnRenamed("prediction", "list_id")
+        .drop("__features")
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: tuple[DataFrame, list[list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: score the query against the nlist
+    centroids driver-side (tiny), then brute-force only the ``nprobe``
+    nearest inverted lists. Pass ``index`` (from :func:`ivf_index`) to
+    amortize the quantizer across queries — the production shape; built
+    ad hoc otherwise.
+    """
+    import math
+
+    assigned, centroids = index if index is not None else ivf_index(
+        corpus, nlist, vec_col, id_col
+    )
+
+    def cos(u: list[float], w: list[float]) -> float:
+        d = sum(a * b for a, b in zip(u, w))
+        nu = math.sqrt(sum(a * a for a in u)) or 1.0
+        nw = math.sqrt(sum(a * a for a in w)) or 1.0
+        return d / (nu * nw)
+
+    probes = sorted(
+        range(len(centroids)), key=lambda i: -cos(query_vec, centroids[i])
+    )[:nprobe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    sim = cosine_sim(F.col(vec_col), q)
+    return (
+        assigned.filter(F.col("list_id").isin(probes))
         .select(F.col(id_col).alias("id"), sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "id")
         .limit(k)

@@ -130,6 +130,28 @@ def test_lsh_topk_is_subset_with_reasonable_recall(spark):
     assert recall >= 0.2, f"recall collapsed: {recall}"
 
 
+def test_ivf_topk_beats_unprobed_and_scores_are_genuine(spark):
+    emb = load_table(spark, SF, "embeddings").cache()
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = [r.id for r in ann.brute_force_topk(emb, qvec, k=10).collect()]
+    index = ann.ivf_index(emb, nlist=8)
+    approx = ann.ivf_topk(emb, qvec, k=10, nlist=8, nprobe=4, index=index).collect()
+    assert approx, "probed lists must not be empty"
+    exact_all = {
+        r.id: r.cos_sim for r in ann.brute_force_topk(emb, qvec, k=10_000).collect()
+    }
+    for r in approx:
+        assert abs(exact_all[r.id] - r.cos_sim) < 1e-9
+    recall = len({r.id for r in approx} & set(exact)) / 10
+    # Data-adaptive lists (KMeans) on clustered testdata: the query's own
+    # list plus 3 neighbors should catch at least half the true top-10.
+    assert recall >= 0.5, f"IVF recall collapsed: {recall}"
+    # The index must actually prune: assigned lists partition the corpus.
+    assigned, _ = index
+    n_lists = assigned.select("list_id").distinct().count()
+    assert n_lists == 8
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     shared = "the quick brown fox jumps over the lazy dog"
     rows = [
