@@ -81,7 +81,8 @@ SCHEMAS: dict[str, T.StructType] = {
     "events": _S([
         _f("event_id", T.LongType()),
         # Physically TIMESTAMP(NANOS) int64; read as long, converted to
-        # µs TimestampType in load_table (floor division, like DuckDB).
+        # µs TimestampType in load_table (truncation; equals DuckDB's
+        # floor for the post-epoch timestamps this engine assumes).
         _f("ts", T.LongType()),
         _f("user_id", T.LongType()),
         _f("event_type", T.StringType()),
