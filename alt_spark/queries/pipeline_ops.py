@@ -375,14 +375,16 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
     # join on idx, re-group per pair) shuffles pairs x dims rows — 64x
     # more — for the same answer; the oracle keeps that decomposition
     # because DuckDB lacks a float-array fold with matching semantics.
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    # Norms are per-vector, so compute them once before the pair join —
+    # the join then does ONE fold per pair instead of three.
     vec = emb.select(
         "vec_id",
         "label",
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    dot = lambda u, w: F.aggregate(  # noqa: E731
-        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a, b = vec.alias("a"), vec.alias("b")
     pairs = a.join(
         b,
@@ -392,10 +394,9 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
         F.col("a.vec_id").alias("id1"),
         F.col("b.vec_id").alias("id2"),
         F.col("a.label").alias("label"),
-        (
-            dot(F.col("a.v"), F.col("b.v"))
-            / (F.sqrt(dot(F.col("a.v"), F.col("a.v"))) * F.sqrt(dot(F.col("b.v"), F.col("b.v"))))
-        ).alias("cos_sim"),
+        (dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))).alias(
+            "cos_sim"
+        ),
     )
     return (
         pairs.select("id1", "id2", "label", F.round("cos_sim", 6).alias("cos_sim"))
