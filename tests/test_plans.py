@@ -77,6 +77,41 @@ def test_preaggregated_outer_join_stays_small(dfs):
     assert audit.shuffle_count(dfs["q03_trend_buckets_full_outer"]) <= 5
 
 
+# Queries allowed a raw-data SinglePartition exchange: global rank over
+# dim-sized input (q10, documented there) and rankings over inputs
+# already cut to a bounded top-k (q26).
+_SINGLE_PARTITION_OK = {
+    "q10_rrf_suppliers",
+    "q26_hybrid_rrf",
+}
+
+
+def test_no_raw_data_single_partition_exchanges(dfs):
+    """No query may funnel non-aggregated rows into one partition (the
+    global-window collapse) unless its input is dim-sized by design.
+    The distributed form for large inputs is operators/rank.py."""
+    offenders = {
+        name: kinds
+        for name, df in dfs.items()
+        if name not in _SINGLE_PARTITION_OK
+        and (kinds := audit.single_partition_data_exchanges(df))
+    }
+    assert not offenders, f"raw-data SinglePartition exchanges: {offenders}"
+
+
+def test_single_partition_audit_catches_global_window(spark):
+    """Negative control: the audit must flag the very shape it polices."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.range(100).withColumn(
+        "r", F.rank().over(Window.orderBy(F.desc("id")))
+    )
+    assert audit.single_partition_data_exchanges(df), (
+        "audit failed to flag a global window's SinglePartition exchange"
+    )
+
+
 def test_no_unexpected_nested_loop_joins(dfs):
     offenders = []
     for name, df in dfs.items():
