@@ -77,6 +77,74 @@ def test_mv_parity_with_batch(spark):
     assert streamed == batch
 
 
+def test_producer_topic_roundtrip_and_consumer_groups(spark):
+    """A6: a stream published through the producer reaches the topic
+    exactly once (file-sink manifest), and two subscribers with separate
+    checkpoints each see the full log (independent consumer groups)."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import SCHEMAS
+    from alt_spark.streaming.producer import publish_stream, read_topic, subscribe
+
+    root = _fresh("producer")
+    landing = os.path.join(root, "landing")
+    chunks = _chunk_events(landing)
+    total = sum(c.num_rows for c in chunks)
+
+    src = (
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    topic = os.path.join(root, "topic")
+    pub = publish_stream(src, topic, os.path.join(root, "pub_ckpt"))
+    try:
+        _drain(pub)
+    finally:
+        if pub.isActive:
+            pub.stop()
+
+    # Batch read goes through the manifest: every row, no duplicates.
+    published = read_topic(spark, topic)
+    assert published.count() == total
+    assert published.select("event_id").distinct().count() == total
+
+    # Restarting the producer from its checkpoint with no new input must
+    # publish nothing new (exactly-once across restarts).
+    pub2 = publish_stream(
+        spark.readStream.schema(SCHEMAS["events"])
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing),
+        topic,
+        os.path.join(root, "pub_ckpt"),
+    )
+    try:
+        _drain(pub2)
+    finally:
+        if pub2.isActive:
+            pub2.stop()
+    assert read_topic(spark, topic).count() == total
+
+    # Two consumer groups: independent checkpoints, each sees the log.
+    for group in ("g1", "g2"):
+        tail = subscribe(spark, topic, SCHEMAS["events"], max_files_per_trigger=16)
+        q = (
+            tail.groupBy()
+            .agg(F.count("*").alias("n"))
+            .writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"consumer_{group}")
+            .option("checkpointLocation", os.path.join(root, f"ckpt_{group}"))
+            .start()
+        )
+        try:
+            _drain(q)
+        finally:
+            if q.isActive:
+                q.stop()
+        assert spark.sql(f"SELECT n FROM consumer_{group}").first()["n"] == total
+
+
 def test_projector_parity_dedup_dlq(spark):
     """Checkpointed fold == batch Q20; dups dropped; poison rows → DLQ."""
     root = _fresh("projector")
