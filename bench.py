@@ -37,13 +37,17 @@ def main() -> int:
     spark = get_session("alt_spark-bench")
     queries = all_queries()
 
-    # Warm the JVM + parquet footer caches so q01 isn't charged for
-    # session startup; cheap count over the smallest table. Failures fall
-    # through to the per-query loop so a JSON line is always printed.
-    try:
-        spark.read.parquet(f"{sf_dir}/region.parquet").count()
-    except Exception:
-        pass
+    # Warm the JVM + parquet footer caches so the first query touching
+    # each table isn't charged for session startup / file listing; cheap
+    # count per table. Failures fall through to the per-query loop so a
+    # JSON line is always printed.
+    from alt_spark.catalog import TABLES
+
+    for t in TABLES:
+        try:
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
@@ -55,6 +59,11 @@ def main() -> int:
             timings[name] = round(time.perf_counter() - t0, 3)
         except Exception as exc:  # keep benching; report the failure
             failed[name] = f"{type(exc).__name__}: {exc}"[:200]
+        finally:
+            # Queries that persist intermediates (e.g. MinHash signature
+            # tables) must not hold executor memory against later
+            # queries — each query is measured from a cold cache.
+            spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
 
     out = {
