@@ -91,3 +91,34 @@ def test_keyset_pagination_complete_no_overlap(spark, keys, page_size):
         seen.extend((r.d, r.id) for r in page)
         cursor = (page[-1].d, page[-1].id)
     assert seen == expected
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_portable_hash64_matches_duckdb(spark, words):
+    """The md5-based portable hash — the foundation every MinHash/SimHash/
+    winnowing oracle stands on — agrees with its DuckDB twin for
+    arbitrary unicode strings, including empty and control-char text."""
+    import duckdb
+
+    from alt_spark.functions.hashing import DDB_H64, portable_hash64
+
+    sdf = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {r["s"]: r["h"] for r in sdf.select("s", portable_hash64(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in words])
+    want = dict(con.execute(f"SELECT s, {DDB_H64('s')} FROM t").fetchall())
+    con.close()
+    assert got == want
