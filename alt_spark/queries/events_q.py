@@ -152,3 +152,60 @@ def q22(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q42_asof_prior_action",
+    oracle="""
+WITH prev AS (
+  SELECT user_id, ts, event_type FROM (
+    SELECT user_id, ts::TIMESTAMP AS ts, event_type,
+           row_number() OVER (PARTITION BY user_id, ts::TIMESTAMP
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type <> 'error'
+  ) WHERE rn = 1
+), err AS (
+  SELECT user_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'error'
+)
+SELECT p.event_type AS prior_type,
+       count(*) AS n,
+       round(avg((epoch_us(e.ts) - epoch_us(p.ts)) / 1e6), 3) AS avg_gap_s
+FROM err e ASOF JOIN prev p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: what was each user doing when an error hit?
+
+    Every error event is matched to the same user's most recent
+    at-or-before non-error event via operators/asof.py (⊕ north-star
+    time-series op; the distributed union+window formulation — one hash
+    shuffle on user_id, no pair materialization). DuckDB's native ASOF
+    JOIN is the oracle. The right side is deduplicated to one row per
+    (user, µs timestamp) — and both engines compare at µs — so the
+    match is deterministic.
+    """
+    from alt_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    err = ev.filter(F.col("event_type") == "error").select("user_id", "ts")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    prev = (
+        ev.filter(F.col("event_type") != "error")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_type")
+    )
+    j = asof_join(err, prev, on="user_id", how="inner")
+    gap_s = (F.unix_micros("ts") - F.unix_micros("asof_matched_ts")) / 1e6
+    return (
+        j.groupBy(F.col("asof_event_type").alias("prior_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg(gap_s), 3).alias("avg_gap_s"),
+        )
+        .orderBy("prior_type")
+    )

@@ -1,0 +1,73 @@
+"""asof_join semantics against a brute-force reference implementation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alt_spark.operators.asof import asof_join
+
+_LEFT = [
+    # (key, ts, tag)
+    (1, 10, "a"),
+    (1, 20, "b"),
+    (1, 5, "c"),   # before any right row for key 1
+    (2, 7, "d"),
+    (3, 50, "e"),  # key with no right rows at all
+]
+_RIGHT = [
+    # (key, ts, val)
+    (1, 10, "r10"),  # equal-ts with left (1,10): inclusive vs strict
+    (1, 15, "r15"),
+    (2, 3, "r3"),
+    (2, 7, "r7"),
+]
+
+
+def _brute(strict: bool) -> dict[tuple[int, int], str | None]:
+    out = {}
+    for key, lts, _tag in _LEFT:
+        cands = [
+            (rts, val)
+            for rkey, rts, val in _RIGHT
+            if rkey == key and (rts < lts if strict else rts <= lts)
+        ]
+        out[(key, lts)] = max(cands)[1] if cands else None
+    return out
+
+
+def _run(spark, strict: bool, how: str = "left"):
+    left = spark.createDataFrame(_LEFT, "key int, ts int, tag string")
+    right = spark.createDataFrame(_RIGHT, "key int, ts int, val string")
+    got = asof_join(left, right, on="key", strict=strict, how=how)
+    return {(r["key"], r["ts"]): r["asof_val"] for r in got.collect()}, got
+
+
+def test_asof_inclusive_matches_brute_force(spark):
+    got, _ = _run(spark, strict=False)
+    assert got == _brute(strict=False)
+    # the equal-ts row must match inclusively
+    assert got[(1, 10)] == "r10"
+
+
+def test_asof_strict_excludes_equal_ts(spark):
+    got, _ = _run(spark, strict=True)
+    assert got == _brute(strict=True)
+    assert got[(1, 10)] is None  # r10 is equal-ts, r15 is later: no match
+
+
+def test_asof_inner_drops_unmatched(spark):
+    got, df = _run(spark, strict=False, how="inner")
+    assert (3, 50) not in got and (1, 5) not in got
+    assert df.filter(F.col("asof_matched_ts").isNull()).count() == 0
+
+
+def test_asof_single_shuffle_no_pair_join(spark):
+    """The plan must be window-over-union: no join node at all."""
+    from alt_spark.plans.audit import physical_plan, shuffle_count
+
+    left = spark.createDataFrame(_LEFT, "key int, ts int, tag string")
+    right = spark.createDataFrame(_RIGHT, "key int, ts int, val string")
+    df = asof_join(left, right, on="key")
+    plan = physical_plan(df)
+    assert "Join" not in plan
+    assert shuffle_count(df) == 1
