@@ -209,3 +209,48 @@ def q42(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("prior_type")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q43_range_join_proximity",
+    oracle="""
+WITH err AS (
+  SELECT event_id, ts::TIMESTAMP AS ts FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT ts::TIMESTAMP AS ts FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id AS event_id,
+       count(*) AS n_clicks_60s,
+       round(avg(abs(epoch_us(e.ts) - epoch_us(c.ts)) / 1e6), 3) AS avg_abs_dt_s
+FROM err e JOIN clk c
+  ON abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 60000000
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-wide proximity range join: clicks within ±60 s of each
+    error event (no equi-key — the shape Spark alone would plan as a
+    nested loop).
+
+    operators/rangejoin.py buckets time into tolerance-width cells and
+    equi-joins on the cell id (right side exploded to its 3 candidate
+    cells), so the plan is hash-partitioned with a cheap post-filter;
+    the oracle is DuckDB's native inequality join. Errors with no
+    nearby click drop out (inner semantics) on both engines.
+    """
+    from alt_spark.operators.rangejoin import range_join
+
+    ev = load_table(spark, sf, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select("ts")
+    j = range_join(err, clk, tolerance_s=60.0)
+    return (
+        j.groupBy("event_id")
+        .agg(
+            F.count("*").alias("n_clicks_60s"),
+            F.round(F.avg(F.abs(F.col("dt_s"))), 3).alias("avg_abs_dt_s"),
+        )
+        .orderBy("event_id")
+    )

@@ -71,3 +71,38 @@ def test_asof_single_shuffle_no_pair_join(spark):
     plan = physical_plan(df)
     assert "Join" not in plan
     assert shuffle_count(df) == 1
+
+
+# ---------------------------------------------------------------------------
+# range_join (operators/rangejoin.py)
+
+def test_range_join_matches_brute_force_and_uses_equi_plan(spark):
+    """Bucketed range join == brute-force theta join, planned as an
+    equi-join on the bucket id (never a nested loop)."""
+    import itertools
+
+    from alt_spark.plans.audit import physical_plan
+    from alt_spark.operators.rangejoin import range_join
+
+    lrows = [(i, 1_000_000 * t) for i, t in enumerate([0, 59, 60, 61, 150, 500])]
+    rrows = [(100 + i, 1_000_000 * t) for i, t in enumerate([1, 58, 120, 121, 440])]
+    left = spark.createDataFrame(
+        [(i, t) for i, t in lrows], "lid long, us long"
+    ).select("lid", F.timestamp_micros("us").alias("ts"))
+    right = spark.createDataFrame(
+        [(i, t) for i, t in rrows], "rid long, us long"
+    ).select("rid", F.timestamp_micros("us").alias("ts"))
+
+    got = {
+        (r["lid"], r["rid_r"])
+        for r in range_join(left, right, tolerance_s=60.0).collect()
+    }
+    want = {
+        (li, ri)
+        for (li, lt), (ri, rt) in itertools.product(lrows, rrows)
+        if abs(lt - rt) <= 60_000_000
+    }
+    assert got == want
+
+    plan = physical_plan(range_join(left, right, tolerance_s=60.0))
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
