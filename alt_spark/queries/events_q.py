@@ -254,3 +254,45 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q44_rollup_cascade",
+    oracle="""
+SELECT date_trunc('day', ts) AS bucket,
+       event_type,
+       count(*) AS n,
+       round(sum(value), 4) AS sum_v,
+       round(min(value), 4) AS min_v,
+       round(max(value), 4) AS max_v,
+       round(round(sum(value), 4) / count(*), 4) AS avg_v
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable rollup cascade: the DAY level computed minute → hour →
+    day from mergeable partials (operators/rollup.py), never re-scanning
+    raw rows past the first level — the reference's SLI-MV + retention
+    ladder generalized (009_create_sli_metrics.sql:21-44).
+
+    The oracle aggregates raw rows directly: the cascade must be exact
+    (sum-of-sums algebra), so both hash-match. avg is derived at read
+    time from the ROUNDED sum (both engines), so the declared value is
+    deterministic wherever sum_v itself round-trips.
+    """
+    from alt_spark.operators.rollup import rollup_cascade
+
+    ev = load_table(spark, sf, "events")
+    day = rollup_cascade(ev, keys=["event_type"])["day"]
+    return day.select(
+        "bucket",
+        "event_type",
+        "n",
+        F.round("sum_v", 4).alias("sum_v"),
+        F.round("min_v", 4).alias("min_v"),
+        F.round("max_v", 4).alias("max_v"),
+        F.round(F.round(F.col("sum_v"), 4) / F.col("n"), 4).alias("avg_v"),
+    ).orderBy("bucket", "event_type")

@@ -106,3 +106,36 @@ def test_range_join_matches_brute_force_and_uses_equi_plan(spark):
 
     plan = physical_plan(range_join(left, right, tolerance_s=60.0))
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+# ---------------------------------------------------------------------------
+# rollup_cascade (operators/rollup.py)
+
+def test_rollup_cascade_levels_are_exact(spark):
+    """Every cascaded level equals direct aggregation from raw rows:
+    count/min/max exactly, sums to float tolerance (the mergeable-
+    partial algebra is lossless; only addition order differs)."""
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.rollup import rollup_cascade
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events")
+    cascade = rollup_cascade(ev, keys=["event_type"])
+    for level in ("minute", "hour", "day"):
+        direct = ev.groupBy(
+            F.date_trunc(level, "ts").alias("bucket"), "event_type"
+        ).agg(
+            F.count("*").alias("n"),
+            F.sum("value").alias("sum_v"),
+            F.min("value").alias("min_v"),
+            F.max("value").alias("max_v"),
+        )
+        got = {
+            (r["bucket"], r["event_type"]): r
+            for r in cascade[level].collect()
+        }
+        want = {(r["bucket"], r["event_type"]): r for r in direct.collect()}
+        assert got.keys() == want.keys(), level
+        for k, w in want.items():
+            g = got[k]
+            assert (g["n"], g["min_v"], g["max_v"]) == (w["n"], w["min_v"], w["max_v"]), (level, k)
+            assert abs(g["sum_v"] - w["sum_v"]) < 1e-6, (level, k)
