@@ -221,16 +221,16 @@ WITH err AS (
   SELECT ts::TIMESTAMP AS ts FROM events WHERE event_type = 'click'
 )
 SELECT e.event_id AS event_id,
-       count(*) AS n_clicks_60s,
+       count(*) AS n_clicks_1h,
        round(avg(abs(epoch_us(e.ts) - epoch_us(c.ts)) / 1e6), 3) AS avg_abs_dt_s
 FROM err e JOIN clk c
-  ON abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 60000000
+  ON abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 3600000000
 GROUP BY 1
 ORDER BY 1
 """,
 )
 def q43(spark: SparkSession, sf: str) -> DataFrame:
-    """Corpus-wide proximity range join: clicks within ±60 s of each
+    """Corpus-wide proximity range join: clicks within ±1 h of each
     error event (no equi-key — the shape Spark alone would plan as a
     nested loop).
 
@@ -245,11 +245,11 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events")
     err = ev.filter(F.col("event_type") == "error").select("event_id", "ts")
     clk = ev.filter(F.col("event_type") == "click").select("ts")
-    j = range_join(err, clk, tolerance_s=60.0)
+    j = range_join(err, clk, tolerance_s=3600.0)
     return (
         j.groupBy("event_id")
         .agg(
-            F.count("*").alias("n_clicks_60s"),
+            F.count("*").alias("n_clicks_1h"),
             F.round(F.avg(F.abs(F.col("dt_s"))), 3).alias("avg_abs_dt_s"),
         )
         .orderBy("event_id")
@@ -260,7 +260,7 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q44_rollup_cascade",
     oracle="""
-SELECT date_trunc('day', ts) AS bucket,
+SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
        event_type,
        count(*) AS n,
        round(sum(value), 4) AS sum_v,
