@@ -2,9 +2,16 @@
 (SURVEY.md §2.I/J + the north-star LLM-pipeline ops).
 
 - ``dedup``      — exact, MinHash+LSH banded, SimHash, n-gram Jaccard
-                   near-dup (I8-I12).
-- ``ann``        — vector similarity search: exact brute-force top-k and
-                   LSH-bucketed candidates (J8/J11).
+                   near-dup (I8-I12); portable-hash mode for DuckDB-
+                   replayable oracles.
+- ``ann``        — vector similarity search: exact brute-force top-k,
+                   SRP-LSH buckets, and IVF inverted lists (J8/J11).
+- ``rank``       — distributed global rank/row_number (E1 at scale: no
+                   single-partition sort).
+- ``asof``       — as-of join via union+window (no pair blowup).
+- ``rangejoin``  — proximity range join via tolerance-width cells.
+- ``rollup``     — hypertable-style rollup cascade from mergeable
+                   partials.
 - ``multimodal`` — binary media columns with typed metadata; Arrow-batched
                    decode/extract plumbing (J11 ⊕).
 
