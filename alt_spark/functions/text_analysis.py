@@ -156,12 +156,17 @@ def winnowing_fingerprints(
         ),
     ).otherwise(F.array().cast("array<bigint>"))
     g = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h"))
-    sliding = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
-    per_doc = Window.partitionBy("id")
+    ordered = Window.partitionBy("id").orderBy("pos")
+    sliding = ordered.rowsBetween(0, window - 1)
+    # "pos has a full window after it" == lead(h, window-1) non-null;
+    # expressed as a lead over the SAME (partition, order) spec as the
+    # sliding min, the two fuse into one WindowExec pass — the
+    # count(*)-over-partition guard has no order spec and forces a
+    # second full pass over the exploded grams.
     fps = (
-        g.withColumn("n_grams", F.count("*").over(per_doc))
-        .withColumn("wmin", F.min("h").over(sliding))
-        .filter(F.col("pos") <= F.col("n_grams") - window)
+        g.withColumn("wmin", F.min("h").over(sliding))
+        .withColumn("full_window", F.lead("h", window - 1).over(ordered).isNotNull())
+        .filter(F.col("full_window"))
         .groupBy("id")
         .agg(F.array_sort(F.collect_set("wmin")).alias("fingerprints"))
     )
