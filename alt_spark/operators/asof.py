@@ -46,10 +46,11 @@ def asof_join(
     (null when nothing precedes the left row; ``how="inner"`` drops
     those rows). If several right rows share a key and timestamp, the
     match among them is not deterministic — dedupe the right side first
-    (one row per (key, ts)) when exact hash parity matters. A right
-    column that is NULL in the matched row falls through to the nearest
-    earlier non-null value (``last(..., ignorenulls)`` semantics) —
-    dedupe/coalesce upstream if that distinction matters.
+    (one row per (key, ts)) when exact hash parity matters. The whole
+    matched right row is carried as ONE struct through a single
+    ``last(ignorenulls)``, so a NULL column in the matched row stays
+    NULL in the output (DuckDB ASOF JOIN semantics) instead of falling
+    through to an older row's value.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
@@ -71,17 +72,25 @@ def asof_join(
         .orderBy(F.col("__asof_ts").asc(), side_order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    only_right = lambda c: F.when(F.col("__side") == 0, c)  # noqa: E731
-    u = u.withColumn(
-        "asof_matched_ts", F.last(only_right(F.col("__asof_ts")), ignorenulls=True).over(w)
+    # One struct per right row, one last(ignorenulls) per output row: the
+    # struct is non-null exactly on right rows, so the window carries the
+    # WHOLE matched row forward — a NULL field inside the matched row is
+    # preserved (it never falls through to an older row), and the window
+    # evaluates once instead of once per right column.
+    right_struct = F.when(
+        F.col("__side") == 0,
+        F.struct(
+            F.col("__asof_ts").alias("ts"),
+            *[F.col(f"__r_{c}").alias(c) for c in right_cols],
+        ),
     )
+    u = u.withColumn("__asof_match", F.last(right_struct, ignorenulls=True).over(w))
+    u = u.withColumn("asof_matched_ts", F.col("__asof_match.ts"))
     for c in right_cols:
-        u = u.withColumn(
-            f"asof_{c}", F.last(only_right(F.col(f"__r_{c}")), ignorenulls=True).over(w)
-        )
+        u = u.withColumn(f"asof_{c}", F.col(f"__asof_match.{c}"))
 
     out = u.filter(F.col("__side") == 1).drop(
-        "__asof_ts", "__side", *[f"__r_{c}" for c in right_cols]
+        "__asof_ts", "__side", "__asof_match", *[f"__r_{c}" for c in right_cols]
     )
     if how == "inner":
         out = out.filter(F.col("asof_matched_ts").isNotNull())

@@ -241,12 +241,14 @@ def minhash_near_dup(
     comparison, so verification cost is O(candidates · num_perm).
     """
     # The signature table feeds three plan branches (banding + both sides
-    # of the verify join); persist it so shingling/hashing runs once. At
-    # 100 TB this materialization is a written signature table, computed
-    # once per corpus snapshot and reused across dedup runs.
+    # of the verify join); materialize it once (eager localCheckpoint) so
+    # shingling/hashing runs once, with blocks auto-released on GC rather
+    # than leaking a persist() for the session lifetime. At 100 TB this
+    # materialization is a written signature table, computed once per
+    # corpus snapshot and reused across dedup runs.
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k, portable=portable
-    ).persist()
+    ).localCheckpoint(eager=True)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, portable=portable)
     s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("sig1"))
     s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("sig2"))

@@ -33,19 +33,28 @@ _LOCAL = "__gr_local"
 _OFFSET = "__gr_offset"
 
 
-def _with_offsets(df: DataFrame, order_by: list[Column], rank_fn) -> DataFrame:
+def _range_partitioned(df: DataFrame, order_by: list[Column]) -> DataFrame:
+    """The pre-materialization stage: range-repartition on the sort keys
+    (equal keys co-located) and stamp each row's partition id. Split out
+    so tests can audit that the data-bearing exchange is a
+    rangepartitioning, which the checkpointed final plan no longer shows.
+    """
     parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200"))
+    return df.repartitionByRange(parts, *order_by).withColumn(
+        _PID, F.spark_partition_id()
+    )
+
+
+def _with_offsets(df: DataFrame, order_by: list[Column], rank_fn) -> DataFrame:
     # repartitionByRange SAMPLES its bounds per evaluation: the local-rank
     # branch and the counts branch below would otherwise each re-evaluate
     # the exchange and see DIFFERENT partitionings (offsets computed
     # against one layout, ranks against another — silently wrong ranks).
-    # Persisting pins one layout for both branches; at 100 TB this is the
-    # same materialization sortByKey/zipWithIndex-style ranking performs.
-    ranged = (
-        df.repartitionByRange(parts, *order_by)
-        .withColumn(_PID, F.spark_partition_id())
-        .persist()
-    )
+    # An eager localCheckpoint pins one layout for both branches (same
+    # materialization sortByKey/zipWithIndex-style ranking performs) and,
+    # unlike persist(), its blocks are released by the ContextCleaner when
+    # the result DataFrame is dropped — no session-lifetime cache leak.
+    ranged = _range_partitioned(df, order_by).localCheckpoint(eager=True)
     local = rank_fn().over(Window.partitionBy(_PID).orderBy(*order_by))
     with_local = ranged.withColumn(_LOCAL, local)
     # Cumulative row counts per range partition: #partitions rows, so the

@@ -260,14 +260,18 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q44_rollup_cascade",
     oracle="""
+WITH e AS (
+  SELECT ts, event_type, CAST(round(value * 1000000) AS BIGINT) AS v_u
+  FROM events
+)
 SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
        event_type,
        count(*) AS n,
-       round(sum(value), 4) AS sum_v,
-       round(min(value), 4) AS min_v,
-       round(max(value), 4) AS max_v,
-       round(round(sum(value), 4) / count(*), 4) AS avg_v
-FROM events
+       round(sum(v_u) / 1000000.0, 4) AS sum_v,
+       round(min(v_u) / 1000000.0, 4) AS min_v,
+       round(max(v_u) / 1000000.0, 4) AS max_v,
+       round((sum(v_u) / 1000000.0) / count(*), 4) AS avg_v
+FROM e
 GROUP BY 1, 2
 ORDER BY 1, 2
 """,
@@ -278,21 +282,25 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
     raw rows past the first level — the reference's SLI-MV + retention
     ladder generalized (009_create_sli_metrics.sql:21-44).
 
-    The oracle aggregates raw rows directly: the cascade must be exact
-    (sum-of-sums algebra), so both hash-match. avg is derived at read
-    time from the ROUNDED sum (both engines), so the declared value is
-    deterministic wherever sum_v itself round-trips.
+    The metric is declared over integer micro-units (round(value*1e6) as
+    bigint): integer addition is associative, so cascaded sum-of-sums is
+    EXACTLY the direct sum — no ordering-dependent double drift, no
+    knife-edge rounding flake. Both engines divide the same integers at
+    read time; min/max commute with the monotone scaling.
     """
     from alt_spark.operators.rollup import rollup_cascade
 
-    ev = load_table(spark, sf, "events")
-    day = rollup_cascade(ev, keys=["event_type"])["day"]
+    ev = load_table(spark, sf, "events").withColumn(
+        "v_u", F.round(F.col("value") * 1000000, 0).cast("long")
+    )
+    day = rollup_cascade(ev, keys=["event_type"], value_col="v_u")["day"]
+    u = lambda c: F.col(c) / F.lit(1000000.0)  # noqa: E731
     return day.select(
         "bucket",
         "event_type",
         "n",
-        F.round("sum_v", 4).alias("sum_v"),
-        F.round("min_v", 4).alias("min_v"),
-        F.round("max_v", 4).alias("max_v"),
-        F.round(F.round(F.col("sum_v"), 4) / F.col("n"), 4).alias("avg_v"),
+        F.round(u("sum_v"), 4).alias("sum_v"),
+        F.round(u("min_v"), 4).alias("min_v"),
+        F.round(u("max_v"), 4).alias("max_v"),
+        F.round(u("sum_v") / F.col("n"), 4).alias("avg_v"),
     ).orderBy("bucket", "event_type")

@@ -443,14 +443,20 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     stays xxhash64 (functions/hashing.py docstring has the trade-off).
     """
     docs = load_table(spark, sf, "documents")
-    fp = ta.winnowing_fingerprints(docs, portable=True).join(
-        docs.select(F.col("doc_id").alias("id"), "source"), "id"
-    )
+    # LEFT join from documents so docs too short to fingerprint (<5 chars,
+    # or <4 grams) still count toward n_docs with 0 fingerprints — the
+    # oracle's LEFT JOIN + coalesce(0) contract. An inner join here would
+    # silently drop short docs (and whole sources of short docs) the
+    # moment the data contains any.
+    fp = ta.winnowing_fingerprints(docs, portable=True)
+    joined = docs.select(F.col("doc_id").alias("id"), "source").join(fp, "id", "left")
     return (
-        fp.groupBy("source")
+        joined.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(F.size("fingerprints")).cast("long").alias("fingerprints"),
+            F.coalesce(F.sum(F.coalesce(F.size("fingerprints"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("fingerprints"),
         )
         .orderBy("source")
     )

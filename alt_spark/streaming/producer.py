@@ -61,10 +61,22 @@ def publish_stream(
 def publish_batch(df: DataFrame, topic_dir: str) -> None:
     """One-shot append of a batch frame to the topic (backfill path).
 
-    Batch appends bypass the streaming manifest; use for initial loads
-    before subscribers attach, or switch to ``publish_stream`` with
-    ``availableNow`` semantics when consumers are already tailing.
+    Batch appends bypass the streaming manifest. If ``publish_stream``
+    has already created ``_spark_metadata`` in this topic, manifest-aware
+    readers (``read_topic``/``subscribe``) IGNORE unmanifested files —
+    the batch rows would be silently invisible. This function refuses
+    that footgun: backfill before subscribers attach, or use
+    ``publish_stream`` with availableNow semantics instead.
     """
+    import os
+
+    if os.path.isdir(os.path.join(topic_dir, "_spark_metadata")):
+        raise ValueError(
+            f"topic {topic_dir!r} already has a streaming manifest "
+            "(_spark_metadata): batch-appended files would be invisible to "
+            "manifest-aware readers. Backfill before the first "
+            "publish_stream, or publish through the stream path."
+        )
     df.write.mode("append").parquet(topic_dir)
 
 

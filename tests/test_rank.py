@@ -57,12 +57,16 @@ def test_global_row_number_matches_window(spark):
 
 
 def test_global_rank_plan_has_no_data_collapse(spark):
-    """The only SinglePartition exchange may carry the partition-count
-    offsets (a #partitions-row aggregate), never the ranked data: the
-    data-side exchange must be rangepartitioning."""
+    """The data-bearing exchange must be a rangepartitioning (audited on
+    the pre-checkpoint stage, since the eager localCheckpoint truncates
+    it out of the final plan); the final plan's only SinglePartition
+    exchange may carry the partition-count offsets, never the data."""
+    from alt_spark.operators.rank import _range_partitioned
+
     df = _scores(spark)
+    staged = physical_plan(_range_partitioned(df, [F.desc("score")]))
+    assert "rangepartitioning" in staged
     plan = physical_plan(global_rank(df, [F.desc("score")]))
-    assert "rangepartitioning" in plan
     # Every SinglePartition exchange must sit above the tiny counts
     # aggregate, which the plan shows as a partial_count HashAggregate —
     # crude but effective: the plan's single-partition section must not
