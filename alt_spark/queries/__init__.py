@@ -40,6 +40,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _load_all_modules() -> None:
     # Import side-effect: modules register their queries.
+    from alt_spark.queries import coverage_q  # noqa: F401
     from alt_spark.queries import events_q  # noqa: F401
     from alt_spark.queries import pipeline_ops  # noqa: F401
     from alt_spark.queries import relational  # noqa: F401

@@ -1,0 +1,324 @@
+"""Q45-Q48: oracle rows for operators previously covered only by pytest.
+
+Each query drives a real operator module (graph label propagation,
+ROUGE-1, syndication canonical-URL dedup, nginx log parsing) end-to-end
+on the driver's tables, with a DuckDB oracle that replays the declared
+semantics — closing the "every §2 operator has a passing queries()
+entry" gap for J4, I15, I11 and A3.
+
+Where an input column the operator needs does not exist in the testdata
+(URLs for I11, raw log lines for A3), both engines derive it from the
+same deterministic formula over the table columns; the oracle then
+states the EXPECTED post-parse value directly, so the Spark side's
+regex/normalization chain is genuinely exercised against an independent
+statement of what it must produce.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from alt_spark.catalog import load_table
+from alt_spark.operators import dedup
+from alt_spark.queries import query
+
+_DDB_TOKENS = "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q45_label_propagation",
+    oracle="""
+WITH co AS (
+  SELECT l1.l_partkey AS src, l2.l_partkey AS dst,
+         CAST(count(*) AS DOUBLE) AS weight
+  FROM lineitem l1
+  JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  WHERE l1.l_partkey < 200 AND l2.l_partkey < 200
+  GROUP BY 1, 2
+), und AS (
+  SELECT src, dst, weight FROM co
+  UNION ALL
+  SELECT dst AS src, src AS dst, weight FROM co
+), seeds AS (
+  SELECT p_partkey AS id, p_brand AS label FROM part WHERE p_partkey < 50
+), l0 AS (
+  SELECT id, label, 1.0 AS confidence FROM seeds
+), v1 AS (
+  SELECT und.dst AS nid, l0.label, sum(und.weight * l0.confidence) AS vote
+  FROM und JOIN l0 ON und.src = l0.id
+  GROUP BY 1, 2
+), b1 AS (
+  SELECT nid AS id, label, least(vote, 1.0) AS confidence,
+         row_number() OVER (PARTITION BY nid ORDER BY vote DESC, label) AS rn
+  FROM v1
+), l1 AS (
+  SELECT id, label, 1.0 AS confidence FROM seeds
+  UNION ALL
+  SELECT id, label, confidence FROM b1
+  WHERE rn = 1 AND id NOT IN (SELECT id FROM seeds)
+), v2 AS (
+  SELECT und.dst AS nid, l1.label, sum(und.weight * l1.confidence) AS vote
+  FROM und JOIN l1 ON und.src = l1.id
+  GROUP BY 1, 2
+), b2 AS (
+  SELECT nid AS id, label, least(vote, 1.0) AS confidence,
+         row_number() OVER (PARTITION BY nid ORDER BY vote DESC, label) AS rn
+  FROM v2
+), l2 AS (
+  SELECT id, label, 1.0 AS confidence FROM seeds
+  UNION ALL
+  SELECT id, label, confidence FROM b2
+  WHERE rn = 1 AND id NOT IN (SELECT id FROM seeds)
+)
+SELECT id, label FROM l2 ORDER BY id
+""",
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """Graph label propagation (J4, operators/graph.py — the reference's
+    neighbor propagation, recap-worker classifier/graph.rs:180-211).
+
+    Graph: part co-occurrence edges from lineitem (partkeys < 200 so the
+    graph is dim-sized), weight = co-order count; seeds = p_brand for
+    partkeys < 50; two synchronous iterations, seeds authoritative.
+    Exactness: weights are integer counts and every confidence is capped
+    at 1.0, so votes stay integer-valued doubles — the argmax (tie-broken
+    by label) is order-independent and the oracle's unrolled two-round
+    CTE matches bit-for-bit.
+    """
+    from alt_spark.operators.graph import propagate_labels
+
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_partkey") < 200)
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .agg(F.count("*").cast("double").alias("weight"))
+    )
+    seeds = (
+        load_table(spark, sf, "part")
+        .filter(F.col("p_partkey") < 50)
+        .select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("label"))
+    )
+    out = propagate_labels(edges, seeds, iters=2)
+    return out.select("id", "label").orderBy("id")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q46_rouge1_pairs",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DDB_TOKENS} AS toks FROM documents WHERE doc_id < 31
+), pairs AS (
+  SELECT c.doc_id AS id, c.toks AS cand, r.toks AS ref
+  FROM tok c JOIN tok r ON r.doc_id = c.doc_id + 1
+  WHERE c.doc_id < 30
+), cf AS (
+  SELECT id, t AS tok, count(*) AS n
+  FROM (SELECT id, unnest(cand) AS t FROM pairs) GROUP BY 1, 2
+), rf AS (
+  SELECT id, t AS tok, count(*) AS n
+  FROM (SELECT id, unnest(ref) AS t FROM pairs) GROUP BY 1, 2
+), ov AS (
+  SELECT cf.id, sum(least(cf.n, rf.n)) AS overlap
+  FROM cf JOIN rf ON cf.id = rf.id AND cf.tok = rf.tok
+  GROUP BY 1
+), m AS (
+  SELECT p.id,
+         CAST(coalesce(ov.overlap, 0) AS DOUBLE) / greatest(len(p.cand), 1) AS pr,
+         CAST(coalesce(ov.overlap, 0) AS DOUBLE) / greatest(len(p.ref), 1) AS rc
+  FROM pairs p LEFT JOIN ov ON ov.id = p.id
+)
+SELECT id AS doc_id,
+       round(pr, 6) AS rouge_p,
+       round(rc, 6) AS rouge_r,
+       round(CASE WHEN pr + rc > 0 THEN 2 * pr * rc / (pr + rc) ELSE 0.0 END, 6)
+         AS rouge_f1
+FROM m
+ORDER BY doc_id
+""",
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """ROUGE-1 evaluation (I15, functions/rouge.py — the reference's
+    candidate-vs-reference scoring, recap-worker evaluation/rouge.rs:20-120).
+
+    Candidate = doc d, reference = doc d+1 (deterministic pairing over
+    the first 30 docs); precision/recall/F1 from the clipped unigram
+    overlap. Per-row arithmetic on integer overlap/lengths, so both
+    engines compute identical doubles.
+    """
+    from alt_spark.functions.rouge import rouge_1
+
+    docs = load_table(spark, sf, "documents")
+    tok = docs.filter(F.col("doc_id") < 31).select(
+        "doc_id", dedup.tokens_col("text").alias("toks")
+    )
+    c, r = tok.alias("c"), tok.alias("r")
+    pairs = (
+        c.join(r, F.col("r.doc_id") == F.col("c.doc_id") + 1)
+        .filter(F.col("c.doc_id") < 30)
+        .select(
+            F.col("c.doc_id").alias("doc_id"),
+            F.col("c.toks").alias("cand"),
+            F.col("r.toks").alias("ref"),
+        )
+    )
+    sc = pairs.select("doc_id", rouge_1(F.col("cand"), F.col("ref")).alias("r1"))
+    return sc.select(
+        "doc_id",
+        F.round(F.col("r1.precision"), 6).alias("rouge_p"),
+        F.round(F.col("r1.recall"), 6).alias("rouge_r"),
+        F.round(F.col("r1.f1"), 6).alias("rouge_f1"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q47_syndication_dedup",
+    oracle="""
+WITH arts AS (
+  SELECT doc_id, source,
+         'https://' || source || '.example.com/a/' || CAST(doc_id % 15 AS VARCHAR)
+           AS canonical
+  FROM documents
+), ranked AS (
+  SELECT source,
+         row_number() OVER (PARTITION BY canonical ORDER BY doc_id) AS rn
+  FROM arts
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+FROM ranked
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Syndication canonical-URL dedup (I11, operators/syndication.py —
+    the reference's normalize-before-compare collapse, recap-worker
+    pipeline/pulse/syndication.rs:185-326).
+
+    Both engines derive each doc's URL from the same formula — uppercase
+    scheme/host, www., :443, tracking params (utm/ref/fbclid) and a
+    fragment all present — but the ORACLE states the expected canonical
+    form directly, so the Spark regexp-normalization chain is checked
+    against an independent statement of its required output, not replayed.
+    """
+    from alt_spark.operators.syndication import remove_syndication
+
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("article_id"),
+        "source",
+        F.concat(
+            F.lit("HTTPS://WWW."),
+            F.col("source"),
+            F.lit(".Example.com:443/a/"),
+            (F.col("doc_id") % 15).cast("string"),
+            F.lit("?utm_source=rss&ref=reader&fbclid="),
+            F.col("doc_id").cast("string"),
+            F.lit("#frag"),
+        ).alias("link"),
+    )
+    kept = remove_syndication(
+        docs, url_col="link", id_col="article_id", collapse_titles=False
+    )
+    n_docs = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    n_kept = kept.groupBy("source").agg(F.count("*").cast("long").alias("n_kept"))
+    return (
+        n_docs.join(n_kept, "source")
+        .select("source", "n_docs", "n_kept")
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q48_nginx_log_parse",
+    oracle="""
+WITH src AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_type = 'error' THEN 500
+              WHEN event_type = 'view' THEN 404
+              ELSE 200 END AS status,
+         CASE WHEN event_type = 'click' THEN 0
+              ELSE event_id % 1000 END AS bytes,
+         '/' || event_type || '/' || CAST(event_id % 50 AS VARCHAR) AS path
+  FROM events
+)
+SELECT status AS status_code,
+       count(*) AS n,
+       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+       count(DISTINCT path) AS n_paths
+FROM src
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """nginx access-log parse → http_logs projection (A3/B3-B5,
+    sources/ndjson_logs.py — the reference's per-service regex parser,
+    rask-log-forwarder src/parser/services/nginx.rs:27-110, and the MV
+    projection 003_create_http_logs_mv.sql:45-82).
+
+    Each event renders a combined-log line inside a Docker NDJSON
+    envelope (clicks get size '-' to exercise the OrZero cast); the
+    Spark side runs the REAL parse_logs → http_logs chain, while the
+    oracle states the expected extracted values straight from the
+    generating formula — regex extraction, map-key guards, and casts are
+    all on trial.
+    """
+    from alt_spark.sources.ndjson_logs import http_logs, parse_logs
+
+    ev = load_table(spark, sf, "events")
+    status = (
+        F.when(F.col("event_type") == "error", 500)
+        .when(F.col("event_type") == "view", 404)
+        .otherwise(200)
+    )
+    size_str = F.when(F.col("event_type") == "click", F.lit("-")).otherwise(
+        (F.col("event_id") % 1000).cast("string")
+    )
+    line = F.concat(
+        F.lit("10.0.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(" - - ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"),
+        F.lit('] "GET /'),
+        F.col("event_type"),
+        F.lit("/"),
+        (F.col("event_id") % 50).cast("string"),
+        F.lit(' HTTP/1.1" '),
+        status.cast("string"),
+        F.lit(" "),
+        size_str,
+        F.lit(' "-" "alt-bench"'),
+    )
+    envelope = F.to_json(
+        F.struct(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
+            F.lit("stdout").alias("stream"),
+            F.lit("/nginx").alias("container_name"),
+            line.alias("log"),
+        )
+    )
+    logs = parse_logs(ev.select(envelope.alias("value")))
+    hl = http_logs(logs)
+    return (
+        hl.groupBy("status_code")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("response_size").alias("total_bytes"),
+            F.countDistinct("path").alias("n_paths"),
+        )
+        .orderBy("status_code")
+    )
