@@ -22,19 +22,18 @@ __all__ = [
     "alpha_ratio",
     "quality_score",
     "lang_id",
+    "script_char_count",
     "winnowing_fingerprints",
 ]
 
-# Tiny per-language marker lexicons for the n-gram/stopword heuristic
-# (lingua-style voting, radically simplified — the pandas-UDF slot for a
-# real model is §2.L; this is the built-in fallback the reference's
-# min-confidence gate would call first).
-_LANG_MARKERS: dict[str, tuple[str, ...]] = {
-    "en": ("the", "and", "of", "to", "is", "in", "that", "with"),
-    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
-    "fr": ("le", "la", "les", "et", "est", "dans", "que", "une"),
-    "es": ("el", "la", "los", "que", "es", "en", "una", "por"),
-}
+# Marker/script tables are DATA (functions/lang_data.py): adding a
+# language is an edit there, not here. _LANG_MARKERS kept as the
+# established alias for the token-vote table.
+from alt_spark.functions.lang_data import (  # noqa: E402
+    MARKERS as _LANG_MARKERS,
+    SCRIPTS as _LANG_SCRIPTS,
+    script_char_class,
+)
 
 
 def _tokens(text: Column) -> Column:
@@ -60,8 +59,13 @@ def avg_token_len(text: Column) -> Column:
 
 def stopword_ratio(text: Column, lang: str = "en") -> Column:
     """Fraction of tokens that are language stopwords (quality signal:
-    natural prose has a stable stopword rate; keyword spam does not)."""
-    markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
+    natural prose has a stable stopword rate; keyword spam does not).
+    A language with no marker table (unsegmented scripts) scores 0.0
+    rather than failing at plan-build time."""
+    marker_words = _LANG_MARKERS.get(lang, ())
+    if not marker_words:
+        return F.lit(0.0)
+    markers = F.array(*[F.lit(m) for m in marker_words])
     toks = _tokens(text)
     hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
     return hits.cast("double") / F.greatest(F.size(toks), F.lit(1))
@@ -86,32 +90,66 @@ def quality_score(text: Column, lang: str = "en") -> Column:
     )
 
 
+def script_char_count(text: Column, lang: str) -> Column:
+    """Characters of `lang`'s script ranges in the row (SCRIPTS table)."""
+    cls = script_char_class(lang)
+    return F.length(text) - F.length(F.regexp_replace(text, cls, ""))
+
+
 def lang_id(text: Column, min_tokens: int = 3) -> Column:
-    """Marker-vote language ID with an abstain gate (language_detection.rs
-    min-chars/min-confidence analog): null when too short or no votes."""
+    """Language ID with an abstain gate (language_detection.rs:5-65
+    min-chars/min-confidence analog): null when too short or no votes.
+
+    Two vote sources, combined in one sequential argmax (a later
+    language wins only on strictly more votes): token-level stopword
+    markers for space-delimited languages, and character-level script
+    votes for CJK — the \\W+ tokenizer produces NO tokens for
+    unsegmented text, so Japanese is recognized by its kana characters
+    (each kana char = one vote; han votes zh only when kana is absent,
+    per the SCRIPTS `unless` precedence). The abstain gate accepts
+    either enough tokens OR enough script characters.
+    """
     toks = _tokens(text)
 
-    def _votes(lang: str) -> Column:
+    def _marker_votes(lang: str) -> Column:
         # Two-arg lambdas are interpreted as (element, index) by
         # F.filter, so bind the marker array first and keep the lambda
         # unary.
         markers = F.array(*[F.lit(m) for m in _LANG_MARKERS[lang]])
         return F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
 
-    votes = [_votes(lang) for lang in _LANG_MARKERS]
-    # argmax with deterministic tiebreak on language code order.
+    raw_script = {lang: script_char_count(text, lang) for lang in _LANG_SCRIPTS}
+
+    def _script_votes(lang: str) -> Column:
+        v = raw_script[lang]
+        for other in _LANG_SCRIPTS[lang]["unless"]:
+            v = F.when(raw_script[other] == 0, v).otherwise(F.lit(0))
+        return v
+
+    ordered = [(lang, _marker_votes(lang)) for lang in _LANG_MARKERS] + [
+        (lang, _script_votes(lang)) for lang in _LANG_SCRIPTS
+    ]
+    # argmax with deterministic tiebreak on vote order (lang_data.VOTE_ORDER).
     best = None
     best_votes = None
-    for lang, v in zip(_LANG_MARKERS, votes):
+    for lang, v in ordered:
         if best is None:
             best, best_votes = F.lit(lang), v
         else:
             take = v > best_votes
             best = F.when(take, F.lit(lang)).otherwise(best)
             best_votes = F.when(take, v).otherwise(best_votes)
-    return F.when(
-        (F.size(toks) >= min_tokens) & (best_votes > 0), best
-    ).otherwise(F.lit(None).cast("string"))
+    script_total = None
+    for lang in _LANG_SCRIPTS:
+        script_total = (
+            raw_script[lang]
+            if script_total is None
+            else script_total + raw_script[lang]
+        )
+    enough = (F.size(toks) >= min_tokens) | (script_total >= min_tokens)
+    return F.when(enough & (best_votes > 0), best).otherwise(
+        F.lit(None).cast("string")
+    )
 
 
 def winnowing_fingerprints(

@@ -125,24 +125,74 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@query(
-    "q29_lang_id",
-    oracle=f"""
-WITH votes AS (
+# q29's JA/ZH probe rows: the synthetic corpus is ASCII-only, so CJK
+# script voting is exercised by a deterministic literal extension of the
+# corpus, identical in both engines (VALUES there, createDataFrame here).
+_Q29_EXTRA: tuple[tuple[int, str], ...] = (
+    (100001, "これはテストです。日本語の文章を書いています。とても楽しいです。"),
+    (100002, "スパークで大規模なデータを処理します。速い処理が必要です。"),
+    (100003, "这是一个测试文档只有汉字没有假名所以是中文。"),
+    (100004, "ok"),
+)
+
+
+def _q29_oracle() -> str:
+    """Generate the oracle from the SAME lang_data tables the engine
+    votes with — markers, script ranges and vote order have one source."""
+    from alt_spark.functions.lang_data import MARKERS, SCRIPTS
+
+    def marker_votes(lang: str) -> str:
+        lst = ",".join(f"'{m}'" for m in MARKERS[lang])
+        return f"len(list_filter({_DDB_TOKENS}, x -> x IN ({lst}))) AS v_{lang}"
+
+    def script_chars(lang: str) -> str:
+        cls = "".join(
+            f"\\x{{{a:04x}}}-\\x{{{b:04x}}}" for a, b in SCRIPTS[lang]["ranges"]
+        )
+        return (
+            f"length(text) - length(regexp_replace(text, '[{cls}]', '', 'g'))"
+            f" AS c_{lang}"
+        )
+
+    def effective(lang: str) -> str:
+        v = f"c_{lang}"
+        for other in SCRIPTS[lang]["unless"]:
+            v = f"(CASE WHEN c_{other} = 0 THEN {v} ELSE 0 END)"
+        return v
+
+    marker_cols = ",\n         ".join(marker_votes(x) for x in MARKERS)
+    script_cols = ",\n         ".join(script_chars(x) for x in SCRIPTS)
+    # Sequential argmax, unrolled back-to-front: a language wins only on
+    # strictly more votes than every earlier language (VOTE_ORDER).
+    order = [(f"v_{x}" if x in MARKERS else effective(x)) for x in (*MARKERS, *SCRIPTS)]
+    names = [*MARKERS, *SCRIPTS]
+    branches = []
+    for i in range(len(order) - 1, 0, -1):
+        earlier = ", ".join(order[:i])
+        branches.append(f"WHEN {order[i]} > greatest({earlier}) THEN '{names[i]}'")
+    branch_sql = "\n           ".join(branches)
+    all_votes = ", ".join(order)
+    script_total = " + ".join(f"c_{x}" for x in SCRIPTS)
+    values = ",\n    ".join(f"({i}, '{t}')" for i, t in _Q29_EXTRA)
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT * FROM (VALUES
+    {values}
+  ) t(doc_id, text)
+), votes AS (
   SELECT doc_id,
          len({_DDB_TOKENS}) AS n_tok,
-         len(list_filter({_DDB_TOKENS}, x -> x IN {_EN})) AS v_en,
-         len(list_filter({_DDB_TOKENS}, x -> x IN ('der','die','das','und','ist','nicht','mit','ein'))) AS v_de,
-         len(list_filter({_DDB_TOKENS}, x -> x IN ('le','la','les','et','est','dans','que','une'))) AS v_fr,
-         len(list_filter({_DDB_TOKENS}, x -> x IN ('el','la','los','que','es','en','una','por'))) AS v_es
-  FROM documents
+         {marker_cols},
+         {script_cols}
+  FROM corpus
 ), pred AS (
   SELECT CASE
-           WHEN n_tok < 3 OR greatest(v_en, v_de, v_fr, v_es) = 0 THEN NULL
-           WHEN v_es > greatest(v_en, v_de, v_fr) THEN 'es'
-           WHEN v_fr > greatest(v_en, v_de) THEN 'fr'
-           WHEN v_de > v_en THEN 'de'
-           ELSE 'en'
+           WHEN (n_tok < 3 AND {script_total} < 3)
+             OR greatest({all_votes}) = 0 THEN NULL
+           {branch_sql}
+           ELSE '{names[0]}'
          END AS predicted
   FROM votes
 )
@@ -150,49 +200,79 @@ SELECT coalesce(predicted, 'und') AS predicted, count(*) AS n_docs
 FROM pred
 GROUP BY 1
 ORDER BY 1
-""",
-)
-def q29(spark: SparkSession, sf: str) -> DataFrame:
-    """Marker-vote language ID histogram with abstain gate (I3 analog,
-    language_detection.rs:5-65 min-chars/min-confidence). The sequential
-    argmax (later language wins only on strictly more votes) is encoded
-    identically in both engines. Note the synthetic corpus is English-
-    vocabulary for every `lang` label, so the histogram collapses to
-    en/und — the operator contract, not the data, is what's declared.
-    """
-    from alt_spark.functions.text_analysis import _LANG_MARKERS
+"""
 
-    docs = load_table(spark, sf, "documents")
+
+@query("q29_lang_id", oracle=_q29_oracle())
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID histogram with abstain gate (I3,
+    language_detection.rs:5-65 min-chars/min-confidence): token-level
+    marker votes for space-delimited languages plus character-level
+    script votes for CJK — kana chars vote ja, han votes zh only without
+    kana, matching the reference's EN/JA-first gate. The sequential
+    argmax (later language wins only on strictly more votes) and the
+    vote tables themselves (functions/lang_data.py) feed both engines
+    from one source.
+    """
+    from alt_spark.functions.lang_data import MARKERS, SCRIPTS
+    from alt_spark.functions.text_analysis import script_char_count
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(list(_Q29_EXTRA), "doc_id long, text string")
+    corpus = docs.unionByName(extra)
     # Aggregation shape rather than the per-row lang_id() expression: the
     # Column form re-evaluates the tokenizer once per language vote after
     # projection collapse; exploding once and voting with conditional
-    # sums tokenizes each document exactly once.
-    tok = docs.select(
+    # sums tokenizes each document exactly once. Script counts are
+    # computed in the pre-explode projection (once per document, not per
+    # token row) and carried through the aggregate with first() — no
+    # second scan, no extra join shuffle.
+    tok = corpus.select(
         "doc_id",
+        *[
+            script_char_count(F.col("text"), lang).alias(f"c_{lang}")
+            for lang in SCRIPTS
+        ],
         F.explode_outer(
             F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != "")
         ).alias("tok"),
     )
     votes = [
-        F.sum(F.when(F.col("tok").isin(list(_LANG_MARKERS[lang])), 1).otherwise(0)).alias(
+        F.sum(F.when(F.col("tok").isin(list(MARKERS[lang])), 1).otherwise(0)).alias(
             f"v_{lang}"
         )
-        for lang in _LANG_MARKERS
+        for lang in MARKERS
     ]
     per_doc = tok.groupBy("doc_id").agg(
-        F.count("tok").alias("n_tok"), *votes
+        F.count("tok").alias("n_tok"),
+        *votes,
+        *[F.first(f"c_{lang}").alias(f"c_{lang}") for lang in SCRIPTS],
     )
-    best_votes = F.greatest(*[F.col(f"v_{lang}") for lang in _LANG_MARKERS])
-    predicted = F.lit("en")
-    running = F.col("v_en")
-    for lang in list(_LANG_MARKERS)[1:]:
-        take = F.col(f"v_{lang}") > running
+
+    def eff(lang: str) -> F.Column:
+        v = F.col(f"c_{lang}")
+        for other in SCRIPTS[lang]["unless"]:
+            v = F.when(F.col(f"c_{other}") == 0, v).otherwise(F.lit(0))
+        return v
+
+    ordered = [(lang, F.col(f"v_{lang}")) for lang in MARKERS] + [
+        (lang, eff(lang)) for lang in SCRIPTS
+    ]
+    predicted, running = F.lit(ordered[0][0]), ordered[0][1]
+    for lang, v in ordered[1:]:
+        take = v > running
         predicted = F.when(take, F.lit(lang)).otherwise(predicted)
-        running = F.when(take, F.col(f"v_{lang}")).otherwise(running)
+        running = F.when(take, v).otherwise(running)
+    best_votes = F.greatest(*[v for _, v in ordered])
+    script_total = None
+    for lang in SCRIPTS:
+        c = F.col(f"c_{lang}")
+        script_total = c if script_total is None else script_total + c
+    enough = (F.col("n_tok") >= 3) | (script_total >= 3)
     pred = per_doc.select(
-        F.when(
-            (F.col("n_tok") >= 3) & (best_votes > 0), predicted
-        ).otherwise(F.lit("und")).alias("predicted")
+        F.when(enough & (best_votes > 0), predicted)
+        .otherwise(F.lit("und"))
+        .alias("predicted")
     )
     return pred.groupBy("predicted").agg(F.count("*").alias("n_docs")).orderBy("predicted")
 

@@ -182,6 +182,31 @@ def test_lang_id_markers_and_abstain(spark):
     assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: None, 6: None}
 
 
+def test_lang_id_cjk_script_votes(spark):
+    """Kana chars vote ja (the \\W+ tokenizer yields ZERO tokens for
+    unsegmented CJK text); han without kana votes zh; a couple of kana
+    in otherwise-English prose must not outvote the en markers; short
+    CJK abstains like short Latin (language_detection.rs EN/JA gate)."""
+    rows = [
+        Row(id=1, text="これはテストです。日本語の文章を書いています。"),
+        Row(id=2, text="スパークで大規模なデータを処理します。"),  # katakana+han
+        Row(id=3, text="这是一个测试文档只有汉字没有假名。"),  # han only → zh
+        Row(id=4, text="the cat is in the house with の and that dog"),  # en wins
+        Row(id=5, text="あ"),  # 1 script char < gate → abstain
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.id: r.lang for r in df.select("id", ta.lang_id(F.col("text")).alias("lang")).collect()}
+    assert got == {1: "ja", 2: "ja", 3: "zh", 4: "en", 5: None}
+
+
+def test_stopword_ratio_unknown_lang_is_zero(spark):
+    """A language with no marker table (e.g. ja — unsegmented script)
+    scores 0.0 instead of raising KeyError at plan-build time."""
+    df = spark.createDataFrame([Row(id=1, text="の の の")])
+    out = df.select(ta.stopword_ratio(F.col("text"), "ja").alias("r")).collect()
+    assert out[0].r == 0.0
+
+
 def test_multimodal_stub_pipeline_shapes(spark):
     rows = [
         Row(
