@@ -10,14 +10,14 @@ no Python). Unicode normalization and JA tokenization genuinely need
 Python (no JVM builtin) — they run as Arrow-batched pandas UDFs, the
 §2.L scalar surface. The JA tokenizer prefers a real morphological
 tokenizer when importable (fugashi/sudachi); this container has none,
-so the documented fallback — CJK character bigrams + latin word tokens,
-the classic search-engine degradation — is the active path, matching
-SURVEY §7 hard-part (1)'s "pinned tokenizer behind a pandas UDF".
+so the pinned fallback is the dictionary-less word segmenter in
+functions/ja_segment.py (char-class transitions + longest-match
+function words), matching SURVEY §7 hard-part (1)'s "pinned tokenizer
+behind a pandas UDF".
 """
 
 from __future__ import annotations
 
-import re
 import unicodedata
 
 import pandas as pd
@@ -81,9 +81,6 @@ def normalize_text(text: Column) -> Column:
     return pandas_udf(_normalize_impl, "string")(text)
 
 
-_CJK = re.compile(r"[぀-ヿ㐀-鿿豈-﫿]+")
-_LATIN = re.compile(r"[A-Za-z0-9_]+")
-
 _HAVE_MORPH = False
 try:  # pragma: no cover - not present in this container
     import fugashi  # type: ignore  # noqa: F401
@@ -101,28 +98,16 @@ def _ja_tokenize_impl(s: pd.Series) -> pd.Series:
             return [] if x is None else [w.surface for w in tagger(x)]
 
     else:
-
-        def tok(x):
-            if x is None:
-                return []
-            out = []
-            pos = 0
-            for m in _CJK.finditer(x):
-                out.extend(_LATIN.findall(x[pos : m.start()].lower()))
-                run = m.group(0)
-                if len(run) == 1:
-                    out.append(run)
-                else:
-                    out.extend(run[i : i + 2] for i in range(len(run) - 1))
-                pos = m.end()
-            out.extend(_LATIN.findall(x[pos:].lower()))
-            return out
+        from alt_spark.functions.ja_segment import segment as tok
 
     return s.map(tok)
 
 
 def ja_tokenize(text: Column) -> Column:
     """JA-aware tokenization (I5): morphological when a tokenizer package
-    is importable, else deterministic CJK character bigrams + latin
-    words. Arrow-batched pandas UDF returning array<string>."""
+    is importable (fugashi), else the pinned dictionary-less word
+    segmenter (functions/ja_segment.py — script-run merging +
+    longest-match function-word splitting, TinySegmenter-class).
+    Arrow-batched pandas UDF returning array<string>; goldens in
+    tests/test_cleaning_llm.py freeze the fallback contract."""
     return pandas_udf(_ja_tokenize_impl, "array<string>")(text)

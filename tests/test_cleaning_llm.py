@@ -43,12 +43,49 @@ def test_normalize_text_nfkc_and_zero_width(spark):
     assert got[3] is None
 
 
-def test_ja_tokenize_fallback_bigrams(spark):
-    df = spark.createDataFrame([Row(id=1, t="Spark入門ガイド2024 edition")])
-    toks = df.select(cleaning.ja_tokenize(F.col("t")).alias("t")).first()["t"]
-    assert "spark" in toks and "edition" in toks and "2024" in toks
-    # CJK run 入門ガイド → character bigrams
-    assert "入門" in toks and "門ガ" in toks and "ガイ" in toks and "イド" in toks
+def test_ja_tokenize_segmenter_goldens(spark):
+    """Golden contract of the dictionary-less JA word segmenter behind
+    ja_tokenize (functions/ja_segment.py): real sentences produce
+    word-level tokens — stems split from particles/auxiliaries, script
+    runs kept whole — not character bigrams. Frozen like the reference's
+    golden_dataset_ja_sample.json pins kagome/Lindera behavior."""
+    rows = [
+        Row(id=1, t="Spark入門ガイド2024 edition"),
+        Row(id=2, t="これはテストです。日本語の文章を書いています。"),
+        Row(id=3, t="スパークで大規模なデータを処理します"),
+        Row(id=4, t="関西国際空港から東京まで"),
+        Row(id=5, t=None),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.id: r.t
+        for r in df.select("id", cleaning.ja_tokenize(F.col("t")).alias("t")).collect()
+    }
+    assert got[1] == ["spark", "入門", "ガイド", "2024", "edition"]
+    assert got[2] == [
+        "これ", "は", "テスト", "です",
+        "日本語", "の", "文章", "を", "書い", "て", "います",
+    ]
+    assert got[3] == [
+        "スパーク", "で", "大規模", "な", "データ", "を", "処理", "します",
+    ]
+    # No dictionary → compounds stay whole (IPADIC would split 関西/国際/空港).
+    assert got[4] == ["関西国際空港", "から", "東京", "まで"]
+    assert got[5] == []
+
+
+def test_ja_segment_pure_function_properties():
+    """Segmenter invariants, tokenizer-contract style: concatenating the
+    CJK tokens loses no CJK character, and output is deterministic."""
+    from alt_spark.functions.ja_segment import segment
+
+    s = "日本語の文章を書いています。これはテストです。"
+    toks = segment(s)
+    assert toks == segment(s)
+    joined = "".join(toks)
+    for ch in s:
+        if "぀" <= ch <= "ヿ" or "一" <= ch <= "鿿":
+            assert ch in joined
 
 
 def test_llm_udf_batching_and_quality_gate(spark):
