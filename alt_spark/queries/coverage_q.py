@@ -1,10 +1,14 @@
-"""Q45-Q48: oracle rows for operators previously covered only by pytest.
+"""Q45-Q52: oracle rows for operators previously covered only by pytest.
 
-Each query drives a real operator module (graph label propagation,
-ROUGE-1, syndication canonical-URL dedup, nginx log parsing) end-to-end
-on the driver's tables, with a DuckDB oracle that replays the declared
-semantics — closing the "every §2 operator has a passing queries()
-entry" gap for J4, I15, I11 and A3.
+Each query drives a real operator module end-to-end on the driver's
+tables with a DuckDB oracle replaying the declared semantics — closing
+the "every §2 operator has a passing queries() entry" gap for:
+
+- q45 graph label propagation (J4), q46 ROUGE-1 (I15),
+- q47 syndication canonical-URL dedup (I11), q48 nginx log parse (A3),
+- q49 streaming MV replay == batch fold (D9/K1),
+- q50 HTML clean + sentence split (I1/I4), q51 NFKC normalize (I2),
+- q52 RSS/Atom feed parse with URL guard (A1/B9).
 
 Where an input column the operator needs does not exist in the testdata
 (URLs for I11, raw log lines for A3), both engines derive it from the
@@ -15,6 +19,11 @@ statement of what it must produce.
 """
 
 from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -321,4 +330,262 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("path").alias("n_paths"),
         )
         .orderBy("status_code")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q49_streaming_mv_replay",
+    oracle="""
+SELECT date_trunc('minute', ts) AS bucket,
+       count(*) AS total,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
+       round(CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS error_rate
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming MV replay == batch oracle (D9/K1, streaming/mv.py — the
+    reference's insert-time SLI MV, 009_create_sli_metrics.sql:21-31).
+
+    The events table is re-landed as four chunk files and replayed
+    through a REAL Structured Streaming query (file source, one file per
+    micro-batch, availableNow trigger, checkpointed complete-mode memory
+    sink); the folded state after the final micro-batch must hash-match
+    the same oracle as batch q02 — the stream==batch contract the
+    ClickHouse MV relies on, proven inside the driver's own metric.
+    """
+    import pyarrow.parquet as pq
+
+    from alt_spark.streaming.mv import MV_REGISTRY, read_events_stream
+
+    # Pin the session confs load_table would pin (the driver may hand us
+    # a plain session): UTC bucketing and nanos-as-long parquet reads.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass
+
+    root = tempfile.mkdtemp(prefix="q49_replay_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    try:
+        t = pq.read_table(os.path.join(sf, "events.parquet"))
+        n = t.num_rows
+        step = max(1, (n + 3) // 4)
+        for i, off in enumerate(range(0, n, step)):
+            pq.write_table(
+                t.slice(off, step), os.path.join(landing, f"chunk{i:02d}.parquet")
+            )
+        name = "q49_mv_" + uuid.uuid4().hex[:8]
+        src = read_events_stream(spark, landing, max_files_per_trigger=1)
+        mv = MV_REGISTRY["sli_error_rate"](src)
+        sq = (
+            mv.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sq.awaitTermination()
+        # Materialize the folded state before the landing dir disappears.
+        out = spark.createDataFrame(
+            spark.table(name).collect(), spark.table(name).schema
+        )
+        return out.orderBy("bucket")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q50_html_clean_sentences",
+    oracle="""
+SELECT doc_id,
+       trim(regexp_replace(text, '\\s+', ' ', 'g')) || ' & more' AS cleaned,
+       CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 3 END AS n_sent,
+       'First part about ' || source || '.' AS first_sent
+FROM documents
+WHERE doc_id < 40
+ORDER BY doc_id
+""",
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """HTML cleaning + sentence split (I1/I4, functions/cleaning.py —
+    the reference's strip-tags path, recap-worker preprocess.rs:355-404,
+    and sentence boundary split, util/text.rs:19).
+
+    Each document is wrapped in a full HTML page (script and style
+    bodies, a comment, an &amp; entity); html_clean must recover exactly
+    the whitespace-collapsed text plus the decoded suffix — the oracle
+    states that expectation directly. Sentence counts come from a
+    controlled synthetic paragraph (period, bang, and a parity-dependent
+    question mark), so the expected count and first sentence are exact.
+    """
+    from alt_spark.functions.cleaning import html_clean, sentence_split
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 40)
+    html = F.concat(
+        F.lit("<html><head><style>p {color:red}</style></head><body><p>"),
+        F.col("text"),
+        F.lit("</p><script>var x = 1;</script><!-- note --> &amp; more</body></html>"),
+    )
+    stext = F.concat(
+        F.lit("First part about "),
+        F.col("source"),
+        F.lit(". Second bit num "),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("! Third question maybe"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("? extra tail")).otherwise(F.lit("")),
+    )
+    sents = sentence_split(stext)
+    return docs.select(
+        "doc_id",
+        html_clean(html).alias("cleaned"),
+        F.size(sents).alias("n_sent"),
+        F.element_at(sents, 1).alias("first_sent"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+_ASCII_SRC = "abcdefghijklmnopqrstuvwxyz "
+_FULLWIDTH = "".join(chr(0xFF41 + i) for i in range(26)) + "　"
+
+
+@query(
+    "q51_nfkc_normalize",
+    oracle="""
+SELECT doc_id, substr(text, 1, 20) AS normalized
+FROM documents
+WHERE doc_id < 60
+ORDER BY doc_id
+""",
+)
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """Unicode NFKC normalization (I2, functions/cleaning.py — the
+    reference's width normalization, preprocess.rs:345-353 and the
+    NFC-normalizing sanitizer property tests).
+
+    Both engines agree the input text is ASCII; the Spark side first
+    maps it to fullwidth forms (ａ-ｚ and the ideographic space) with
+    translate, then the NFKC pandas UDF must fold it back — the oracle
+    simply states the original substring. Exercises the Arrow-batched
+    UDF surface with an independently-stated expected output.
+    """
+    from alt_spark.functions.cleaning import normalize_text
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    widened = F.translate(
+        F.substring("text", 1, 20), _ASCII_SRC, _FULLWIDTH
+    )
+    return docs.select(
+        "doc_id", normalize_text(widened).alias("normalized")
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q52_rss_atom_parse",
+    oracle="""
+WITH s AS (
+  SELECT s_suppkey, s_name, s_nationkey
+  FROM supplier
+  WHERE s_suppkey % 97 <> 0
+)
+SELECT 'https://feeds.example.com/' || lower(n_name) AS feed_url,
+       count(*) AS n_articles,
+       min(s_name) AS first_title,
+       count(DISTINCT s_suppkey) AS n_links
+FROM s JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """RSS/Atom feed parsing (A1/B9, sources/rss.py — the reference's
+    feed ingestion, pre-processor article_driver.go / recap-worker
+    pipeline/fetch.rs, with the projector's URL allowlist guard,
+    knowledge-sovereign projector.go:511-529).
+
+    One feed per nation is rendered as real XML — RSS 2.0 for even
+    nation keys, Atom for odd (both from_xml branches on trial) — with
+    suppliers as items. Every 97th supplier gets a javascript: link the
+    B9 guard must drop. The oracle counts the expected surviving
+    articles straight from the relational tables.
+    """
+    from alt_spark.sources.rss import parse_feeds
+
+    sup = load_table(spark, sf, "supplier")
+    nat = load_table(spark, sf, "nation")
+    is_bad = (F.col("s_suppkey") % 97) == 0
+    link = F.when(is_bad, F.lit("javascript:alert(1)")).otherwise(
+        F.concat(F.lit("https://supplier.example.com/"), F.col("s_suppkey").cast("string"))
+    )
+    rss_item = F.concat(
+        F.lit("<item><title>"), F.col("s_name"),
+        F.lit("</title><link>"), link,
+        F.lit("</link><pubDate>2024-01-01</pubDate><description>supplier "),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</description></item>"),
+    )
+    atom_entry = F.concat(
+        F.lit("<entry><title>"), F.col("s_name"),
+        F.lit('</title><link href="'), link,
+        F.lit('"/><updated>2024-01-01</updated><summary>supplier '),
+        F.col("s_suppkey").cast("string"),
+        F.lit("</summary></entry>"),
+    )
+    per_sup = sup.select(
+        "s_nationkey", "s_suppkey", rss_item.alias("ri"), atom_entry.alias("ae")
+    )
+    grouped = per_sup.groupBy("s_nationkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s_suppkey", F.col("ri").alias("x")))),
+                lambda s: s["x"],
+            ),
+            "",
+        ).alias("items"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s_suppkey", F.col("ae").alias("x")))),
+                lambda s: s["x"],
+            ),
+            "",
+        ).alias("entries"),
+    )
+    feeds = grouped.join(
+        F.broadcast(nat), grouped["s_nationkey"] == nat["n_nationkey"]
+    ).select(
+        F.concat(F.lit("https://feeds.example.com/"), F.lower("n_name")).alias(
+            "feed_url"
+        ),
+        F.when(
+            F.col("n_nationkey") % 2 == 0,
+            F.concat(
+                F.lit("<rss><channel><title>"), F.col("n_name"),
+                F.lit("</title>"), F.col("items"), F.lit("</channel></rss>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<feed><title>"), F.col("n_name"),
+                F.lit("</title>"), F.col("entries"), F.lit("</feed>"),
+            )
+        )
+        .alias("xml"),
+    )
+    arts = parse_feeds(feeds)
+    return (
+        arts.groupBy("feed_url")
+        .agg(
+            F.count("*").alias("n_articles"),
+            F.min("title").alias("first_title"),
+            F.countDistinct("link").alias("n_links"),
+        )
+        .orderBy("feed_url")
     )
