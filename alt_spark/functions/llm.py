@@ -23,9 +23,17 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["make_llm_udf", "fake_summarizer", "fake_judge", "quality_gate"]
+__all__ = [
+    "make_llm_udf",
+    "make_embedder_udf",
+    "fake_summarizer",
+    "fake_judge",
+    "fake_embedder",
+    "quality_gate",
+]
 
 Endpoint = Callable[[list[str]], list[str]]
+EmbedModel = Callable[[list[str]], list[list[float]]]
 
 
 def fake_summarizer(prompts: list[str]) -> list[str]:
@@ -56,6 +64,58 @@ def make_llm_udf(endpoint: Endpoint, return_type: str = "string"):
 
     def apply(col: Column) -> Column:
         return pandas_udf(impl, return_type)(col)
+
+    return apply
+
+
+def fake_embedder(dim: int = 8) -> EmbedModel:
+    """Deterministic stand-in embedder: md5-hashed bag-of-words into dim
+    buckets, L2-normalized. REAL MODEL NOT CALLED — same call signature
+    as a sentence-transformers batch encode, so swapping in the real
+    model changes only this callable."""
+    import hashlib
+    import math
+
+    def model(texts: list[str]) -> list[list[float]]:
+        out = []
+        for t in texts:
+            v = [0.0] * dim
+            for tok in (t or "").lower().split():
+                h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:4], "big")
+                v[h % dim] += 1.0
+            norm = math.sqrt(sum(x * x for x in v)) or 1.0
+            out.append([x / norm for x in v])
+        return out
+
+    return model
+
+
+def make_embedder_udf(model: EmbedModel, dim: int):
+    """The st_embedder contract (recap-subworker/recap_subworker/gateway/
+    st_embedder.py shape): a batch of texts → one float vector of fixed
+    dimensionality each, as an Arrow-batched ``array<float>`` column.
+
+    The contract is enforced AT the UDF boundary — a model returning the
+    wrong dimensionality or row count fails the batch immediately, so a
+    real-model swap cannot silently churn the schema downstream (the
+    golden test in tests/test_cleaning_llm.py pins this).
+    """
+
+    def impl(s: pd.Series) -> pd.Series:
+        vecs = model(list(s.fillna("")))
+        if len(vecs) != len(s):
+            raise ValueError(
+                f"embedder returned {len(vecs)} vectors for {len(s)} texts"
+            )
+        for v in vecs:
+            if len(v) != dim:
+                raise ValueError(
+                    f"embedder returned dim {len(v)}, contract is {dim}"
+                )
+        return pd.Series(vecs, index=s.index)
+
+    def apply(col: Column) -> Column:
+        return pandas_udf(impl, "array<float>")(col)
 
     return apply
 

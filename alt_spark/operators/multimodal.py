@@ -10,10 +10,12 @@ feature-extract / resize / frame-sample as Arrow-batched kernels.
 Spark-side plumbing here is real and tested: pinned schema, Arrow batch
 shape (mapInPandas over record batches), partition-friendly layout
 (payloads stay with their rows; kernels are narrow maps — no shuffle).
-The actual codec calls are STUBBED — image/audio libraries are not in
-this container — behind `_decode_stub`, which produces a deterministic
-fake so the pipeline shape is verifiable end-to-end. Swapping the stub
-for PIL/ffmpeg changes no plan, schema, or partitioning.
+One REAL codec is implemented with the stdlib + numpy: uncompressed
+24-bit BMP (`image/bmp`) header parse + per-band luminance pooling
+(`_decode_bmp`). Other MIME types fall back to `_decode_stub`, a
+deterministic fake — compressed image/audio codecs are not in this
+container. Swapping the stub for PIL/ffmpeg changes no plan, schema,
+or partitioning; `_decode_bmp` is the proof of that claim.
 """
 
 from __future__ import annotations
@@ -65,13 +67,58 @@ def media_table(df: DataFrame) -> DataFrame:
     )
 
 
+def _decode_bmp(payload: bytes | None, dim: int) -> list[float] | None:
+    """REAL decode of an uncompressed 24-bit BMP (stdlib struct + numpy,
+    no external codec): parse the BITMAPINFOHEADER, reject anything but
+    BI_RGB 24bpp, then pool mean luminance (ITU-R BT.601 weights) over
+    `dim` vertical column bands, scaled to [0,1]. Returns None when the
+    payload is not a decodable BMP (caller falls back to the stub).
+    Row order (bottom-up vs top-down) cannot affect column-band means,
+    so the sign of the height field needs no special-casing.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    try:
+        (offset,) = struct.unpack_from("<I", payload, 10)
+        (hdr_size,) = struct.unpack_from("<I", payload, 14)
+        if hdr_size < 40:
+            return None
+        w, h = struct.unpack_from("<ii", payload, 18)
+        _planes, bpp = struct.unpack_from("<HH", payload, 26)
+        (compression,) = struct.unpack_from("<I", payload, 30)
+    except struct.error:
+        return None
+    if compression != 0 or bpp != 24 or w <= 0 or h == 0:
+        return None
+    h_abs = abs(h)
+    row_size = ((w * 3 + 3) // 4) * 4
+    if len(payload) < offset + row_size * h_abs:
+        return None
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=row_size * h_abs, offset=offset
+    ).reshape(h_abs, row_size)
+    pix = rows[:, : w * 3].reshape(h_abs, w, 3).astype(np.float64)
+    # BGR byte order: BT.601 luma = 0.114 B + 0.587 G + 0.299 R.
+    lum = pix[:, :, 0] * 0.114 + pix[:, :, 1] * 0.587 + pix[:, :, 2] * 0.299
+    band = (np.arange(w) * dim) // w
+    out = []
+    for i in range(dim):
+        cols = lum[:, band == i]
+        out.append(float(cols.mean()) / 255.0 if cols.size else 0.0)
+    return out
+
+
 def _decode_stub(payload: bytes | None, mime: str | None, dim: int) -> list[float]:
-    """Deterministic fake decoder. REAL DECODE NOT IMPLEMENTED — this
-    container has no image/audio codecs. A real kernel would replace
-    only this function (e.g. PIL decode → pooled embedding); everything
-    around it — Arrow batching, schema, partitioning — is production
-    shape. The fake hashes payload bytes into a stable unit-scale vector
-    so tests can assert exact values.
+    """Deterministic fake decoder for MIME types without a real kernel
+    here (compressed image/audio codecs are not in this container). A
+    real kernel replaces only this function — see `_decode_bmp` for the
+    in-tree proof; everything around it (Arrow batching, schema,
+    partitioning) is production shape. The fake hashes payload bytes
+    into a stable unit-scale vector so tests can assert exact values.
     """
     if payload is None:
         return [0.0] * dim
@@ -82,6 +129,15 @@ def _decode_stub(payload: bytes | None, mime: str | None, dim: int) -> list[floa
             acc = (acc ^ b) * 16777619 % (1 << 32)
         out.append(((acc % 2048) / 1024.0) - 1.0)
     return out
+
+
+def _decode(payload: bytes | None, mime: str | None, dim: int) -> list[float]:
+    """Codec dispatch: real BMP kernel for image/bmp, stub elsewhere."""
+    if mime == "image/bmp":
+        real = _decode_bmp(payload, dim)
+        if real is not None:
+            return real
+    return _decode_stub(payload, mime, dim)
 
 
 def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
@@ -105,9 +161,7 @@ def decode_features(media: DataFrame, dim: int = 8) -> DataFrame:
                         lambda p: 0 if p is None else len(p)
                     ).astype("int64"),
                     "feature": [
-                        _decode_stub(
-                            p, None if m is None else m["mime"], dim
-                        )
+                        _decode(p, None if m is None else m["mime"], dim)
                         for p, m in zip(pdf["payload"], pdf["meta"])
                     ],
                 }

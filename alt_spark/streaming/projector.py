@@ -157,33 +157,48 @@ def run_projector(
     dlq_dir = os.path.join(state_dir, "dlq")
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
-        # K5: poison rows — the projector never skips silently; invalid
-        # events are preserved with provenance for replay/inspection.
-        valid_pred = (
-            F.col("user_id").isNotNull()
-            & F.col("event_id").isNotNull()
-            & F.col("event_type").isNotNull()
-            & (F.coalesce(F.col("value"), F.lit(-1.0)) >= 0)
-        )
-        bad = batch.filter(~valid_pred)
-        if bad.limit(1).count() > 0:
-            bad.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(dlq_dir)
-        good = batch.filter(valid_pred)
-
-        delta = fold_batch(good)
-        prev_version, prev_path = _latest_version(state_dir)
-        if prev_path is not None and prev_version >= batch_id:
-            # Crash-replay of an already-committed batch: fold against the
-            # state *before* this batch so the rewrite is idempotent (K1).
-            prev_path = (
-                os.path.join(state_dir, f"v{batch_id - 1}") if batch_id > 0 else None
+        # The batch feeds three consumers (DLQ probe, DLQ write, fold);
+        # persist it so the source scans ONCE per micro-batch instead of
+        # once per consumer, and release the blocks before returning.
+        batch.persist()
+        try:
+            # K5: poison rows — the projector never skips silently;
+            # invalid events are preserved with provenance for
+            # replay/inspection.
+            valid_pred = (
+                F.col("user_id").isNotNull()
+                & F.col("event_id").isNotNull()
+                & F.col("event_type").isNotNull()
+                & (F.coalesce(F.col("value"), F.lit(-1.0)) >= 0)
             )
-        if prev_path is not None and os.path.isdir(prev_path):
-            state = spark.read.parquet(prev_path)
-            merged = merge_projection(state, delta)
-        else:
-            merged = delta
-        merged.write.mode("overwrite").parquet(os.path.join(state_dir, f"v{batch_id}"))
+            bad = batch.filter(~valid_pred)
+            if bad.limit(1).count() > 0:
+                bad.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(dlq_dir)
+            good = batch.filter(valid_pred)
+
+            delta = fold_batch(good)
+            prev_version, prev_path = _latest_version(state_dir)
+            if prev_path is not None and prev_version >= batch_id:
+                # Crash-replay of an already-committed batch: fold against
+                # the state *before* this batch so the rewrite is
+                # idempotent (K1).
+                prev_path = (
+                    os.path.join(state_dir, f"v{batch_id - 1}")
+                    if batch_id > 0
+                    else None
+                )
+            if prev_path is not None and os.path.isdir(prev_path):
+                state = spark.read.parquet(prev_path)
+                merged = merge_projection(state, delta)
+            else:
+                merged = delta
+            merged.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"v{batch_id}")
+            )
+        finally:
+            batch.unpersist()
 
     return (
         stream.writeStream.foreachBatch(process_batch)

@@ -111,6 +111,40 @@ def test_llm_udf_batching_and_quality_gate(spark):
     assert all(int(r.s) > 1 for r in sizes)
 
 
+def test_embedder_udf_contract_golden(spark):
+    """The st_embedder-shaped contract (I14): texts in, fixed-dim
+    float32 vectors out, enforced at the UDF boundary — a real model
+    drops into make_embedder_udf without schema churn. Goldens pin the
+    fake model so contract drift is visible in review."""
+    import pytest as _pytest
+
+    from pyspark.sql import types as T
+
+    rows = [
+        Row(id=1, text="spark shuffles data between stages"),
+        Row(id=2, text="spark shuffles data between stages"),  # same → same vec
+        Row(id=3, text=None),  # null folds to "" → zero-ish but valid dim
+    ]
+    df = spark.createDataFrame(rows)
+    emb = llm.make_embedder_udf(llm.fake_embedder(dim=8), dim=8)
+    out = df.select("id", emb(F.col("text")).alias("embedding"))
+    # Schema contract: array<float>, the same column type the embeddings
+    # testdata table uses — downstream ANN/kNN operators consume it as-is.
+    assert out.schema["embedding"].dataType == T.ArrayType(T.FloatType())
+    got = {r.id: r.embedding for r in out.collect()}
+    assert len(got[1]) == 8
+    assert got[1] == got[2]
+    assert got[3] == [0.0] * 8
+    # Unit-normalized output (the sentence-transformers convention).
+    assert sum(x * x for x in got[1]) == _pytest.approx(1.0, abs=1e-5)
+
+    # A model violating the dim contract fails the batch loudly, not by
+    # silently widening the column.
+    bad = llm.make_embedder_udf(llm.fake_embedder(dim=4), dim=8)
+    with _pytest.raises(Exception, match="dim"):
+        df.select(bad(F.col("text")).alias("e")).collect()
+
+
 def test_canonical_url_and_syndication_collapse(spark):
     rows = [
         Row(article_id=1, link="https://WWW.Example.com:443/story/1?utm_source=x&id=9#frag", title="Big news today in the markets"),

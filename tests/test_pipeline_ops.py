@@ -238,3 +238,53 @@ def test_multimodal_stub_pipeline_shapes(spark):
 
     frames = multimodal.frame_sample_plan(media, every_ms=1000).collect()
     assert {r.frame_ts_ms for r in frames} == {0, 1000, 2000, 3000}
+
+
+def _make_bmp(w: int, h: int, pixel_fn) -> bytes:
+    """Minimal uncompressed 24-bit BMP (BITMAPINFOHEADER, bottom-up)."""
+    import struct
+
+    row_size = ((w * 3 + 3) // 4) * 4
+    data = bytearray()
+    for r in range(h):
+        row = bytearray()
+        for c in range(w):
+            b, g, rd = pixel_fn(c, r)
+            row += bytes([b, g, rd])
+        row += b"\x00" * (row_size - len(row))
+        data += row
+    off = 54
+    hdr = (
+        b"BM"
+        + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+    )
+    return bytes(hdr) + bytes(data)
+
+
+def test_multimodal_real_bmp_decode(spark):
+    """image/bmp routes through the REAL header-parse + luminance-pool
+    kernel: a half-white half-black image pools to [1.0, 0.0]; a payload
+    claiming image/bmp but not decodable falls back to the stub; other
+    MIME types keep the stub."""
+    white_black = _make_bmp(
+        8, 4, lambda c, r: (255, 255, 255) if c < 4 else (0, 0, 0)
+    )
+    rows = [
+        Row(media_id=1, payload=white_black,
+            meta=Row(mime="image/bmp", width=8, height=4, duration_ms=None)),
+        Row(media_id=2, payload=b"BMnot-a-real-bmp",
+            meta=Row(mime="image/bmp", width=1, height=1, duration_ms=None)),
+        Row(media_id=3, payload=white_black,
+            meta=Row(mime="image/png", width=8, height=4, duration_ms=None)),
+    ]
+    media = multimodal.media_table(spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA))
+    got = {r.media_id: r.feature for r in multimodal.decode_features(media, dim=2).collect()}
+    assert got[1] == pytest.approx([1.0, 0.0], abs=1e-6)
+    from alt_spark.operators.multimodal import _decode_stub
+
+    assert got[2] == pytest.approx(
+        _decode_stub(b"BMnot-a-real-bmp", "image/bmp", 2), abs=1e-6
+    )
+    # Same bytes, non-BMP mime → stub output, which differs from the pool.
+    assert got[3] != got[1]
