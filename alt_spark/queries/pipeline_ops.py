@@ -625,3 +625,50 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("id") < 10)
         .orderBy("id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Production-hash twins of q30/q31/q33 (VERDICT r2 item 4): the oracle
+# rows above pay an honest md5/plain-band-key parity tax; these run the
+# xxhash64 defaults that actually ship, as rows-only declarations (no
+# cross-engine twin exists for xxhash64 — exactness of the PIPELINE is
+# already proven by the portable variants and the property tests), so
+# BENCH records the number the production path gets.
+@query("q53_minhash_production")
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """q30's MinHash+LSH near-dup with the production hash family:
+    xxhash64 base hash and hashed band keys (~20× narrower shuffle rows
+    than the portable plain-string keys — operators/dedup.py:193)."""
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_near_dup(docs, threshold=0.7, portable=False)
+    return pairs.select(
+        "id1", "id2", F.round("est_jaccard", 4).alias("est_jaccard")
+    ).orderBy(F.desc("est_jaccard"), "id1", "id2")
+
+
+@query("q54_simhash_production")
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """q31's SimHash near-dup with the production xxhash64 token hash."""
+    docs = load_table(spark, sf, "documents")
+    return dedup.simhash_near_dup(docs, portable=False).orderBy(
+        "hamming", "id1", "id2"
+    )
+
+
+@query("q55_winnowing_production")
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """q33's winnowing fingerprint density with the production xxhash64
+    gram hash (~2× cheaper than the portable md5 chain)."""
+    docs = load_table(spark, sf, "documents")
+    fp = ta.winnowing_fingerprints(docs, portable=False)
+    joined = docs.select(F.col("doc_id").alias("id"), "source").join(fp, "id", "left")
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.coalesce(F.sum(F.coalesce(F.size("fingerprints"), F.lit(0))), F.lit(0))
+            .cast("long")
+            .alias("fingerprints"),
+        )
+        .orderBy("source")
+    )
