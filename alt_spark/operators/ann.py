@@ -86,13 +86,44 @@ def hyperplane_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Add a `bucket` column: sign pattern of `num_planes` random
-    hyperplane projections packed into a long (SRP-LSH)."""
-    bucket = None
-    for p in range(num_planes):
-        plane = F.array(*[F.lit(c) for c in _hyperplane(dim, p)])
-        bit = (_dot(F.col(vec_col), plane) > 0).cast("long") * F.lit(1 << p).cast("long")
-        bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("bucket", bucket)
+    hyperplane projections packed into a long (SRP-LSH).
+
+    The plane matrix travels as a one-row broadcast relation, not as
+    expression literals: embedding dim x num_planes floats as `lit()`s
+    made the logical plan grow with the vector dimension (12k literals
+    at dim=768), bloating analysis/codegen. A broadcast of one local
+    row keeps plan size constant in `dim`; the bucket itself is a
+    single higher-order aggregate over `sequence(0, num_planes-1)`.
+    """
+    planes = [_hyperplane(dim, p) for p in range(num_planes)]
+    planes_df = df.sparkSession.createDataFrame(
+        [(planes,)], "__planes array<array<double>>"
+    )
+    bucket = F.aggregate(
+        F.sequence(F.lit(0), F.lit(num_planes - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, p: acc
+        + F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.element_at(F.col("__planes"), p + 1),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            > 0,
+            # 2^p as an exact double->long (p < 32; shiftleft's Python
+            # signature takes only int literals, not a lambda-bound Column)
+            F.pow(F.lit(2.0), p).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    return (
+        df.crossJoin(F.broadcast(planes_df))
+        .withColumn("bucket", bucket)
+        .drop("__planes")
+    )
 
 
 def lsh_topk(

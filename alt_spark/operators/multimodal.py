@@ -112,6 +112,54 @@ def _decode_bmp(payload: bytes | None, dim: int) -> list[float] | None:
     return out
 
 
+def _decode_wav(payload: bytes | None, dim: int) -> list[float] | None:
+    """REAL decode of a PCM WAV (RIFF header walk, stdlib struct + numpy,
+    no external codec): accept format 1 (integer PCM) at 8/16/32 bits,
+    mono or multi-channel (channels are averaged), then pool RMS
+    amplitude over `dim` time bands, scaled to [0,1]. Returns None when
+    the payload is not a decodable PCM WAV (caller falls back to the
+    stub). The chunk walk honors chunk sizes + word alignment, so extra
+    chunks (LIST, fact, ...) in any order are fine.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, _rate, _byte_rate, _block, bits = fmt
+    if audio_format != 1 or channels < 1 or bits not in (8, 16, 32):
+        return None
+    dtype, full = {8: (np.uint8, 128.0), 16: (np.int16, 32768.0), 32: (np.int32, 2147483648.0)}[bits]
+    n = len(data) // (bits // 8) // channels * channels
+    if n == 0:
+        return None
+    samples = np.frombuffer(data, dtype=dtype, count=n).astype(np.float64)
+    if bits == 8:
+        samples -= 128.0  # 8-bit WAV is unsigned, centered at 128
+    mono = samples.reshape(-1, channels).mean(axis=1) / full
+    band = (np.arange(len(mono)) * dim) // len(mono)
+    out = []
+    for i in range(dim):
+        seg = mono[band == i]
+        out.append(float(np.sqrt(np.mean(seg * seg))) if seg.size else 0.0)
+    return out
+
+
 def _decode_stub(payload: bytes | None, mime: str | None, dim: int) -> list[float]:
     """Deterministic fake decoder for MIME types without a real kernel
     here (compressed image/audio codecs are not in this container). A
@@ -132,9 +180,13 @@ def _decode_stub(payload: bytes | None, mime: str | None, dim: int) -> list[floa
 
 
 def _decode(payload: bytes | None, mime: str | None, dim: int) -> list[float]:
-    """Codec dispatch: real BMP kernel for image/bmp, stub elsewhere."""
+    """Codec dispatch: real BMP/WAV kernels, stub elsewhere."""
     if mime == "image/bmp":
         real = _decode_bmp(payload, dim)
+        if real is not None:
+            return real
+    elif mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+        real = _decode_wav(payload, dim)
         if real is not None:
             return real
     return _decode_stub(payload, mime, dim)
