@@ -14,6 +14,7 @@ layer.
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -80,10 +81,11 @@ SCHEMAS: dict[str, T.StructType] = {
     ]),
     "events": _S([
         _f("event_id", T.LongType()),
-        # Physically TIMESTAMP(NANOS) int64; read as long, converted to
-        # µs TimestampType in load_table (truncation; equals DuckDB's
-        # floor for the post-epoch timestamps this engine assumes).
-        _f("ts", T.LongType()),
+        # Logical type is always µs TimestampType. The PHYSICAL layout of
+        # events.parquet is probed from the footer at load time (see
+        # events_ts_unit): timestamp[us/ms/s] reads natively; a
+        # TIMESTAMP(NANOS) file reads as long + ns→µs truncation.
+        _f("ts", T.TimestampType()),
         _f("user_id", T.LongType()),
         _f("event_type", T.StringType()),
         _f("value", T.DoubleType()),
@@ -143,33 +145,81 @@ def sf_dir(default: str = "/root/testdata/sf0.01") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
+@functools.lru_cache(maxsize=64)
+def events_ts_unit(path: str) -> str:
+    """Probe the parquet footer for the physical time unit of ``ts``.
+
+    The engine does not own events.parquet (the driver regenerates it
+    between rounds and has already switched layouts once: TIMESTAMP(NANOS)
+    int64 → timestamp[us]), so the loader must never hard-code the
+    physical layout — read the footer and branch. Returns pyarrow's unit
+    string ('s'|'ms'|'us'|'ns'); a raw int64 column is treated as the
+    generator's TIMESTAMP(NANOS) layout.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    probe = path
+    if os.path.isdir(path):
+        parts = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))
+        if parts:
+            probe = os.path.join(path, parts[0])
+    t = pq.read_schema(probe).field("ts").type
+    if pa.types.is_timestamp(t):
+        return t.unit
+    return "ns"
+
+
+def events_read_schema(unit: str) -> T.StructType:
+    """Physical read schema for events given the footer's ts unit.
+
+    Spark maps parquet timestamp[us/ms/s] straight to TimestampType; a
+    ns column needs nanosAsLong (read as int64) + explicit truncation.
+    """
+    ts_type: T.DataType = T.LongType() if unit == "ns" else T.TimestampType()
+    return _S([
+        _f("event_id", T.LongType()),
+        _f("ts", ts_type),
+        _f("user_id", T.LongType()),
+        _f("event_type", T.StringType()),
+        _f("value", T.DoubleType()),
+        _f("props", T.StringType()),
+    ])
+
+
 def load_table(spark: SparkSession, sf: str, name: str) -> DataFrame:
     """Read one test table with its pinned schema (no inference)."""
     if name not in SCHEMAS:
         raise KeyError(f"unknown table {name!r}; known: {sorted(SCHEMAS)}")
     # The driver may hand us a session built without the engine profile;
     # pin the runtime-settable confs the declared semantics depend on at
-    # the load boundary: UTC (date_trunc/bucket parity with the oracle),
-    # nanosAsLong (events.parquet stores TIMESTAMP(NANOS)), and ANSI off
-    # (the engine's declared permissive-cast/wrapping-arithmetic
-    # semantics — B5 OrZero casts and the hash rings in operators.dedup
-    # rely on silent wrap, and Spark 4 defaults ANSI on).
+    # the load boundary: UTC (date_trunc/bucket parity with the oracle)
+    # and ANSI off (the engine's declared permissive-cast/wrapping-
+    # arithmetic semantics — B5 OrZero casts and the hash rings in
+    # operators.dedup rely on silent wrap; Spark 4 defaults ANSI on).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # static-conf on some builds; the engine profile sets it too
-    df = spark.read.schema(SCHEMAS[name]).parquet(f"{sf}/{name}.parquet")
+    path = f"{sf}/{name}.parquet"
     if name == "events":
-        # ns → µs truncation. `div` truncates toward zero, which equals
-        # floor only for ts >= 0 — the testdata (and any real log/event
-        # time) is post-epoch, so the assumption holds; pre-epoch rows
-        # would diverge from DuckDB's floor by 1µs.
-        from pyspark.sql import functions as F
+        unit = events_ts_unit(path)
+        if unit == "ns":
+            try:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            except Exception:
+                pass  # static-conf on some builds; the engine profile sets it
+            from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return df
+            # ns → µs truncation. `div` truncates toward zero, which
+            # equals floor only for ts >= 0 — post-epoch event time is an
+            # engine invariant; pre-epoch rows would diverge from
+            # DuckDB's floor by 1µs.
+            return (
+                spark.read.schema(events_read_schema("ns"))
+                .parquet(path)
+                .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            )
+        return spark.read.schema(events_read_schema(unit)).parquet(path)
+    return spark.read.schema(SCHEMAS[name]).parquet(path)
 
 
 def load_all(spark: SparkSession, sf: str) -> dict[str, DataFrame]:

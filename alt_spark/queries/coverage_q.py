@@ -362,12 +362,9 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
     from alt_spark.streaming.mv import MV_REGISTRY, read_events_stream
 
     # Pin the session confs load_table would pin (the driver may hand us
-    # a plain session): UTC bucketing and nanos-as-long parquet reads.
+    # a plain session): UTC bucketing. The physical ts layout is probed
+    # per-file by read_events_stream — never hard-coded here.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    try:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass
 
     root = tempfile.mkdtemp(prefix="q49_replay_")
     landing = os.path.join(root, "landing")

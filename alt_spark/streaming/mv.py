@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from alt_spark.catalog import SCHEMAS
+from alt_spark.catalog import events_read_schema, events_ts_unit
 
 __all__ = ["MV_REGISTRY", "read_events_stream", "run_mv"]
 
@@ -68,16 +68,19 @@ def read_events_stream(
     """File-source replay of the events table (A2-shaped source).
 
     Reads parquet chunk files landed in ``landing_dir`` as a stream, one
-    file per micro-batch by default, applying the same ns→µs timestamp
-    conversion as the batch catalog so stream and batch plans see
-    identical rows.
+    file per micro-batch by default, probing the footer for the physical
+    ts layout (same branch as the batch catalog) so stream and batch
+    plans see identical rows regardless of how the files were written.
     """
+    unit = events_ts_unit(landing_dir)
     raw = (
-        spark.readStream.schema(SCHEMAS["events"])
+        spark.readStream.schema(events_read_schema(unit))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(landing_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if unit == "ns":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def run_mv(
