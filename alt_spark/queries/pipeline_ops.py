@@ -214,65 +214,22 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     vote tables themselves (functions/lang_data.py) feed both engines
     from one source.
     """
-    from alt_spark.functions.lang_data import MARKERS, SCRIPTS
-    from alt_spark.functions.text_analysis import script_char_count
+    from alt_spark.functions.text_analysis import lang_id
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     extra = spark.createDataFrame(list(_Q29_EXTRA), "doc_id long, text string")
     corpus = docs.unionByName(extra)
-    # Aggregation shape rather than the per-row lang_id() expression: the
-    # Column form re-evaluates the tokenizer once per language vote after
-    # projection collapse; exploding once and voting with conditional
-    # sums tokenizes each document exactly once. Script counts are
-    # computed in the pre-explode projection (once per document, not per
-    # token row) and carried through the aggregate with first() — no
-    # second scan, no extra join shuffle.
-    tok = corpus.select(
-        "doc_id",
-        *[
-            script_char_count(F.col("text"), lang).alias(f"c_{lang}")
-            for lang in SCRIPTS
-        ],
-        F.explode_outer(
-            F.filter(F.split(F.lower("text"), r"\W+"), lambda x: x != "")
-        ).alias("tok"),
-    )
-    votes = [
-        F.sum(F.when(F.col("tok").isin(list(MARKERS[lang])), 1).otherwise(0)).alias(
-            f"v_{lang}"
-        )
-        for lang in MARKERS
-    ]
-    per_doc = tok.groupBy("doc_id").agg(
-        F.count("tok").alias("n_tok"),
-        *votes,
-        *[F.first(f"c_{lang}").alias(f"c_{lang}") for lang in SCRIPTS],
-    )
-
-    def eff(lang: str) -> F.Column:
-        v = F.col(f"c_{lang}")
-        for other in SCRIPTS[lang]["unless"]:
-            v = F.when(F.col(f"c_{other}") == 0, v).otherwise(F.lit(0))
-        return v
-
-    ordered = [(lang, F.col(f"v_{lang}")) for lang in MARKERS] + [
-        (lang, eff(lang)) for lang in SCRIPTS
-    ]
-    predicted, running = F.lit(ordered[0][0]), ordered[0][1]
-    for lang, v in ordered[1:]:
-        take = v > running
-        predicted = F.when(take, F.lit(lang)).otherwise(predicted)
-        running = F.when(take, v).otherwise(running)
-    best_votes = F.greatest(*[v for _, v in ordered])
-    script_total = None
-    for lang in SCRIPTS:
-        c = F.col(f"c_{lang}")
-        script_total = c if script_total is None else script_total + c
-    enough = (F.col("n_tok") >= 3) | (script_total >= 3)
-    pred = per_doc.select(
-        F.when(enough & (best_votes > 0), predicted)
-        .otherwise(F.lit("und"))
-        .alias("predicted")
+    # Per-row lang_id() expression, NOT the explode+groupBy aggregation
+    # shape: measured at sf0.1, the narrow per-row form (a few tokenizer
+    # re-evaluations inside whole-stage codegen, zero shuffles) runs the
+    # vote scan in ~0.9 s where the exploded token rows + hash aggregate
+    # cost ~3.2 s — the shuffle of one row per token dominates everything
+    # else. Script counts use regexp_count (single scan, no replaced-
+    # string allocation). The round-3 comment claiming the opposite
+    # measured only projection-collapse re-evaluation, not the explode
+    # shuffle it bought instead.
+    pred = corpus.select(
+        F.coalesce(lang_id(F.col("text")), F.lit("und")).alias("predicted")
     )
     return pred.groupBy("predicted").agg(F.count("*").alias("n_docs")).orderBy("predicted")
 
