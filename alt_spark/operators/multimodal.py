@@ -10,12 +10,13 @@ feature-extract / resize / frame-sample as Arrow-batched kernels.
 Spark-side plumbing here is real and tested: pinned schema, Arrow batch
 shape (mapInPandas over record batches), partition-friendly layout
 (payloads stay with their rows; kernels are narrow maps — no shuffle).
-One REAL codec is implemented with the stdlib + numpy: uncompressed
-24-bit BMP (`image/bmp`) header parse + per-band luminance pooling
-(`_decode_bmp`). Other MIME types fall back to `_decode_stub`, a
-deterministic fake — compressed image/audio codecs are not in this
-container. Swapping the stub for PIL/ffmpeg changes no plan, schema,
-or partitioning; `_decode_bmp` is the proof of that claim.
+REAL codecs implemented with the stdlib + numpy: uncompressed 24-bit
+BMP (`_decode_bmp`), zlib-compressed PNG with full scanline
+unfiltering (`_decode_png`), and PCM WAV (`_decode_wav`). Other MIME
+types (JPEG, compressed audio, video) fall back to `_decode_stub`, a
+deterministic fake — those codecs are not in this container. Swapping
+the stub for PIL/ffmpeg changes no plan, schema, or partitioning; the
+three real kernels are the proof of that claim.
 """
 
 from __future__ import annotations
@@ -112,6 +113,96 @@ def _decode_bmp(payload: bytes | None, dim: int) -> list[float] | None:
     return out
 
 
+def _decode_png(payload: bytes | None, dim: int) -> list[float] | None:
+    """REAL decode of a PNG (stdlib zlib + struct + numpy, no external
+    codec): chunk walk, IDAT inflate, full scanline unfilter (filter
+    types 0-4: None/Sub/Up/Average/Paeth per the PNG spec §9), then the
+    same BT.601 luminance column-band pooling as the BMP kernel.
+    Supports 8-bit greyscale (color type 0), RGB (2) and RGBA (6),
+    non-interlaced. Returns None for anything else (palette, 16-bit,
+    Adam7) — caller falls back to the stub.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    if payload is None or len(payload) < len(sig) + 25 or payload[: len(sig)] != sig:
+        return None
+    pos = len(sig)
+    ihdr = None
+    idat = bytearray()
+    try:
+        while pos + 8 <= len(payload):
+            (clen,) = struct.unpack_from(">I", payload, pos)
+            ctype = payload[pos + 4 : pos + 8]
+            body = payload[pos + 8 : pos + 8 + clen]
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", body)
+            elif ctype == b"IDAT":
+                idat.extend(body)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + clen  # len + type + data + crc
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color, _comp, _filt, interlace = ihdr
+        channels = {0: 1, 2: 3, 6: 4}.get(color)
+        if channels is None or depth != 8 or interlace != 0 or w == 0 or h == 0:
+            return None
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error):
+        return None
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        return None
+    lines = np.frombuffer(raw, dtype=np.uint8, count=h * (stride + 1)).reshape(
+        h, stride + 1
+    )
+    filters, data = lines[:, 0], lines[:, 1:]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    for y in range(h):
+        f = filters[y]
+        cur = data[y].astype(np.int32)
+        prior = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, np.int32)
+        if f == 0:  # None
+            rec = cur
+        elif f == 2:  # Up
+            rec = cur + prior
+        elif f in (1, 3, 4):  # Sub/Average/Paeth need left-to-right recurrence
+            rec = np.empty(stride, np.int32)
+            for x in range(stride):
+                # rec holds already-unfiltered (masked) bytes: the spec's
+                # Raw(x-bpp) operand is the reconstructed byte, so mask
+                # BEFORE it is read back as `left`.
+                left = rec[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    rec[x] = (cur[x] + left) & 0xFF
+                elif f == 3:
+                    rec[x] = (cur[x] + ((left + prior[x]) >> 1)) & 0xFF
+                else:
+                    ul = prior[x - bpp] if x >= bpp else 0
+                    p = left + prior[x] - ul
+                    pa, pb, pc = abs(p - left), abs(p - prior[x]), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (prior[x] if pb <= pc else ul)
+                    rec[x] = (cur[x] + pred) & 0xFF
+        else:
+            return None
+        out[y] = rec & 0xFF
+    pix = out.reshape(h, w, channels).astype(np.float64)
+    if channels == 1:
+        lum = pix[:, :, 0]
+    else:  # RGB(A) byte order: BT.601 luma = 0.299 R + 0.587 G + 0.114 B
+        lum = pix[:, :, 0] * 0.299 + pix[:, :, 1] * 0.587 + pix[:, :, 2] * 0.114
+    band = (np.arange(w) * dim) // w
+    return [
+        float(lum[:, band == i].mean()) / 255.0 if (band == i).any() else 0.0
+        for i in range(dim)
+    ]
+
+
 def _decode_wav(payload: bytes | None, dim: int) -> list[float] | None:
     """REAL decode of a PCM WAV (RIFF header walk, stdlib struct + numpy,
     no external codec): accept format 1 (integer PCM) at 8/16/32 bits,
@@ -180,9 +271,13 @@ def _decode_stub(payload: bytes | None, mime: str | None, dim: int) -> list[floa
 
 
 def _decode(payload: bytes | None, mime: str | None, dim: int) -> list[float]:
-    """Codec dispatch: real BMP/WAV kernels, stub elsewhere."""
+    """Codec dispatch: real BMP/PNG/WAV kernels, stub elsewhere."""
     if mime == "image/bmp":
         real = _decode_bmp(payload, dim)
+        if real is not None:
+            return real
+    elif mime == "image/png":
+        real = _decode_png(payload, dim)
         if real is not None:
             return real
     elif mime in ("audio/wav", "audio/x-wav", "audio/wave"):

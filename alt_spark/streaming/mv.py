@@ -56,9 +56,34 @@ def sli_throughput(df: DataFrame) -> DataFrame:
     )
 
 
+def sli_sliding_throughput(df: DataFrame) -> DataFrame:
+    """5-minute event throughput sliding every minute (K8 ⊕ — the
+    overlapping-window member of the window family, next to the
+    tumbling MVs above and the session windows below; generalizes
+    009_create_sli_metrics.sql's fixed minute buckets to a smoothed
+    rate). Each event lands in window_len/slide = 5 overlapping
+    windows; Spark's streaming state is keyed by window start, so the
+    per-batch shuffle carries 5 updates per event — constant factor,
+    same scale shape as the tumbling MV. Identical expression works on
+    a batch frame; parity is test-enforced
+    (tests/test_streaming.py::test_sliding_window_mv_parity).
+    """
+    return (
+        df.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes", "1 minute").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
 MV_REGISTRY: dict[str, Callable[[DataFrame], DataFrame]] = {
     "sli_error_rate": sli_error_rate,
     "sli_throughput": sli_throughput,
+    "sli_sliding_throughput": sli_sliding_throughput,
 }
 
 

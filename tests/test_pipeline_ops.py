@@ -286,5 +286,102 @@ def test_multimodal_real_bmp_decode(spark):
     assert got[2] == pytest.approx(
         _decode_stub(b"BMnot-a-real-bmp", "image/bmp", 2), abs=1e-6
     )
-    # Same bytes, non-BMP mime → stub output, which differs from the pool.
+    # Same bytes, non-BMP mime → PNG signature check fails → stub output.
     assert got[3] != got[1]
+
+
+def _make_png(w: int, h: int, pixel_fn, color_type: int = 2, filters=None) -> bytes:
+    """Minimal PNG encoder (stdlib only): 8-bit depth, color type 0/2/6,
+    one IDAT, per-row filter types chosen by `filters` (default all 0).
+    Filtering is applied forward per the spec so the decoder's unfilter
+    must invert it exactly."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    bpp = channels
+    raw = bytearray()
+    prior = bytes(w * channels)
+    for y in range(h):
+        row = bytearray()
+        for x in range(w):
+            row += bytes(pixel_fn(x, y)[:channels])
+        f = (filters or [0] * h)[y]
+        filt = bytearray()
+        for i in range(len(row)):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+            filt.append((row[i] - pred) & 0xFF)
+        raw += bytes([f]) + bytes(filt)
+        prior = bytes(row)
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_png_decode(spark):
+    """image/png routes through the REAL zlib-inflate + unfilter +
+    luminance-pool kernel: every filter type (None/Sub/Up/Average/Paeth)
+    must unfilter exactly, and the same image encoded as PNG and as BMP
+    must pool to identical features (cross-codec golden). Undecodable
+    payloads and unsupported layouts fall back to the stub."""
+    from alt_spark.operators.multimodal import _decode_png, _decode_stub
+
+    # Half-white/half-black gradient-free image, all five filter types.
+    px = lambda x, y: (255, 255, 255) if x < 4 else (0, 0, 0)  # noqa: E731
+    png = _make_png(8, 5, px, color_type=2, filters=[0, 1, 2, 3, 4])
+    assert _decode_png(png, 2) == pytest.approx([1.0, 0.0], abs=1e-6)
+
+    # Cross-codec: a deterministic non-uniform image pools identically
+    # through the PNG path (RGB order) and the BMP path (BGR order).
+    pat = lambda x, y: ((x * 37 + y * 11) % 256,) * 3  # noqa: E731 — grey, order-proof
+    png_pat = _make_png(16, 8, pat, color_type=2, filters=[4, 3, 2, 1, 0, 4, 2, 1])
+    bmp_pat = _make_bmp(16, 8, pat)
+    assert _decode_png(png_pat, 4) == pytest.approx(
+        multimodal._decode_bmp(bmp_pat, 4), abs=1e-9
+    )
+
+    # Greyscale (color type 0) and RGBA (6) decode; alpha is ignored.
+    grey = _make_png(8, 4, lambda x, y: (200,), color_type=0)
+    assert _decode_png(grey, 2) == pytest.approx([200 / 255] * 2, abs=1e-6)
+    rgba = _make_png(8, 4, lambda x, y: (255, 255, 255, 0), color_type=6)
+    assert _decode_png(rgba, 2) == pytest.approx([1.0, 1.0], abs=1e-6)
+
+    # Spark-side dispatch: real kernel for image/png, stub fallback for
+    # truncated payloads.
+    rows = [
+        Row(media_id=1, payload=png,
+            meta=Row(mime="image/png", width=8, height=5, duration_ms=None)),
+        Row(media_id=2, payload=png[:20],
+            meta=Row(mime="image/png", width=8, height=5, duration_ms=None)),
+    ]
+    media = multimodal.media_table(spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA))
+    got = {r.media_id: r.feature for r in multimodal.decode_features(media, dim=2).collect()}
+    assert got[1] == pytest.approx([1.0, 0.0], abs=1e-6)
+    assert got[2] == pytest.approx(_decode_stub(png[:20], "image/png", 2), abs=1e-6)

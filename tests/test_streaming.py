@@ -77,6 +77,38 @@ def test_mv_parity_with_batch(spark):
     assert streamed == batch
 
 
+def test_sliding_window_mv_parity(spark):
+    """K8 ⊕: the overlapping-window MV (5-min window, 1-min slide) after
+    full replay equals the same expression over the batch frame — every
+    event must land in all 5 of its overlapping windows, across
+    micro-batch boundaries."""
+    from alt_spark.catalog import load_table
+    from alt_spark.streaming.mv import sli_sliding_throughput
+
+    root = _fresh("sliding_mv")
+    landing = os.path.join(root, "landing")
+    _chunk_events(landing)
+    src = read_events_stream(spark, landing)
+    q = run_mv(spark, "sli_sliding_throughput", src, os.path.join(root, "ckpt"))
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+    streamed = {
+        tuple(r) for r in spark.sql("SELECT * FROM sli_sliding_throughput").collect()
+    }
+    batch = {
+        tuple(r)
+        for r in sli_sliding_throughput(load_table(spark, SF, "events")).collect()
+    }
+    assert streamed == batch
+    # Overlap sanity: windows outnumber distinct minutes (each minute
+    # starts one 5-min window; total events across windows ≈ 5× rows).
+    n_rows = load_table(spark, SF, "events").count()
+    assert sum(r[2] for r in streamed) > 4 * n_rows
+
+
 def test_producer_topic_roundtrip_and_consumer_groups(spark):
     """A6: a stream published through the producer reaches the topic
     exactly once (file-sink manifest), and two subscribers with separate
