@@ -49,6 +49,21 @@ def main() -> int:
         except Exception:
             pass
 
+    # Warm the Python UDF worker pool the same way: the first pandas UDF
+    # in the suite otherwise pays ~6 s of daemon spawn + pandas/pyarrow
+    # import across all local cores, charged to whichever query sorts
+    # first (long-lived clusters never pay this per-query).
+    try:
+        from pyspark.sql import functions as F
+        from pyspark.sql.functions import pandas_udf
+
+        _warm = pandas_udf(lambda s: s, "string")
+        spark.range(64).select(_warm(F.lit("x"))).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name in sorted(queries):
