@@ -121,3 +121,17 @@ def test_no_unexpected_nested_loop_joins(dfs):
         if "BroadcastNestedLoopJoin" in plan and "Cross" in plan:
             offenders.append(name)
     assert not offenders, f"unexpected cross-shaped nested loops: {offenders}"
+
+
+def test_winnowing_is_map_only(spark):
+    """The in-row winnowing formulation must compile to a shuffle-free
+    plan: gram hashing + sliding minima are one narrow projection over
+    the scan, so at 100 TB the operator adds zero exchanges. (The old
+    explode + rowsBetween-window form shuffled one row per character
+    gram — this pins the improvement.)"""
+    from alt_spark.catalog import load_table
+    from alt_spark.functions import text_analysis as ta
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    fp = ta.winnowing_fingerprints(docs)
+    assert audit.shuffle_count(fp) == 0, audit.physical_plan(fp)
