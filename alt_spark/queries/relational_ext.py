@@ -189,3 +189,153 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Q56-Q58: the three SQL-surface ops SURVEY §2 originally declared n/a
+# because the reference never issues them (D14 grouping sets, E7
+# frame-spec windows, G2 INTERSECT/EXCEPT). A user switching from the
+# reference's Postgres surface could still write them, and each is a
+# Spark built-in — implemented as ⊕ bonus coverage with full oracles.
+# They sort after q52 in the registry head, which places them beyond the
+# correctness driver's 50-entry report window; tests/test_oracle.py runs
+# the same compare harness over them, so the oracle evidence is pytest.
+@query(
+    "q56_grouping_sets_rollup",
+    oracle="""
+SELECT coalesce(p_brand, 'ALL') AS brand,
+       coalesce(p_type, 'ALL') AS ptype,
+       CAST(grouping(p_brand) * 2 + grouping(p_type) AS INT) AS gid,
+       count(*) AS n_parts,
+       round(sum(p_retailprice), 2) AS revenue
+FROM part
+GROUP BY ROLLUP (p_brand, p_type)
+ORDER BY gid, brand, ptype
+""",
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """D14 ⊕: ROLLUP grouping sets — per (brand, type), per brand, and
+    grand total in ONE pass (Spark expands the sets inside a single
+    hash aggregate; at scale this is one shuffle, not three queries).
+    grouping_id disambiguates a real NULL group key from a rolled-up
+    level, exactly like the SQL-standard GROUPING() the oracle uses.
+    """
+    part = load_table(spark, sf, "part")
+    return (
+        part.rollup("p_brand", "p_type")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.round(F.sum("p_retailprice"), 2).alias("revenue"),
+            F.grouping_id().cast("int").alias("gid"),
+        )
+        .select(
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+            "gid",
+            "n_parts",
+            "revenue",
+        )
+        .orderBy("gid", "brand", "ptype")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q57_frame_spec_windows",
+    oracle="""
+WITH cents AS (
+  SELECT o_custkey, o_orderkey, o_orderdate,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders
+), seq AS (
+  SELECT o_custkey, o_orderkey,
+         sum(c) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS msum,
+         count(*) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mcnt,
+         sum(c) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rsum
+  FROM cents
+)
+SELECT o_custkey, o_orderkey,
+       (((2 * msum + mcnt) // (2 * mcnt))::BIGINT / 100.0) AS moving_avg3,
+       (rsum / 100.0) AS running_total
+FROM seq
+WHERE o_custkey < 100
+ORDER BY o_custkey, o_orderkey
+""",
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """E7 ⊕: explicit frame-spec windows — a 3-row moving average and a
+    running total per customer, all frames over one (partition, order)
+    spec so they fuse into a single WindowExec pass. The order key
+    includes o_orderkey as tiebreak: ROWS frames are order-sensitive, so
+    the oracle must see the identical total order. Money math runs in
+    integer cents with integer-domain half-up rounding — double `avg`
+    then `round` diverges between engines exactly at representation-
+    noise half-boundaries (observed at sf0.01).
+    """
+    orders = load_table(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame3, run = w.rowsBetween(-2, 0), w.rowsBetween(Window.unboundedPreceding, 0)
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    msum, mcnt = F.sum(cents).over(frame3), F.count("*").over(frame3)
+    # Integer half-up rounding of msum/mcnt cents: (2s + n) div (2n);
+    # floor == truncating div for these positive operands, and the
+    # double hop is exact (frame sums stay far below 2^53).
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            (F.floor((2 * msum + mcnt) / (2 * mcnt)).cast("long") / 100.0).alias(
+                "moving_avg3"
+            ),
+            (F.sum(cents).over(run) / 100.0).alias("running_total"),
+        )
+        .filter(F.col("o_custkey") < 100)
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q58_intersect_except",
+    oracle="""
+WITH buyers AS (SELECT DISTINCT o_custkey AS c FROM orders),
+     building AS (SELECT c_custkey AS c FROM customer WHERE c_mktsegment = 'BUILDING'),
+     both_sets AS (SELECT c FROM building INTERSECT SELECT c FROM buyers),
+     only_building AS (SELECT c FROM building EXCEPT SELECT c FROM buyers)
+SELECT 'intersect' AS which, count(*) AS n FROM both_sets
+UNION ALL
+SELECT 'except' AS which, count(*) AS n FROM only_building
+ORDER BY which
+""",
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """G2 ⊕: INTERSECT / EXCEPT set semantics (distinct on both sides,
+    per the SQL standard — Spark's intersect()/exceptAll() distinction
+    matters; the standard forms are the distinct ones). Catalyst plans
+    both as left-semi / left-anti joins, so the scale shape is the same
+    hash join as C6/C7, not a sort-based set op.
+    """
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    buyers = orders.select(F.col("o_custkey").alias("c")).distinct()
+    building = customer.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("c")
+    )
+    inter = building.intersect(buyers)
+    exc = building.subtract(buyers)  # EXCEPT DISTINCT
+    return (
+        inter.agg(F.count("*").alias("n"))
+        .select(F.lit("intersect").alias("which"), "n")
+        .unionByName(
+            exc.agg(F.count("*").alias("n")).select(
+                F.lit("except").alias("which"), "n"
+            )
+        )
+        .orderBy("which")
+    )
