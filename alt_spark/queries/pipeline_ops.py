@@ -588,9 +588,11 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 # Production-hash twins of q30/q31/q33 (VERDICT r2 item 4): the oracle
 # rows above pay an honest md5/plain-band-key parity tax; these run the
 # xxhash64 defaults that actually ship, as rows-only declarations (no
-# cross-engine twin exists for xxhash64 — exactness of the PIPELINE is
-# already proven by the portable variants and the property tests), so
-# BENCH records the number the production path gets.
+# cross-engine twin exists for xxhash64), so BENCH records the number
+# the production path gets. Correctness of the production path itself
+# is pytest-enforced (tests/test_hash_equivalence.py): identical
+# MinHash pair sets across hash families, SimHash blocking == all-pairs
+# Hamming ground truth per family, winnowing empty-set parity.
 @query("q53_minhash_production")
 def q53(spark: SparkSession, sf: str) -> DataFrame:
     """q30's MinHash+LSH near-dup with the production hash family:
