@@ -43,3 +43,32 @@ def test_events_ts_range_matches_independent_reader(spark, sf):
 def test_events_logical_type_is_timestamp(spark):
     ev = load_table(spark, f"/root/testdata/{SFS[0]}", "events")
     assert dict(ev.dtypes)["ts"] == "timestamp"
+
+
+def test_every_table_loads_value_identical_to_independent_reader(spark):
+    """Full-table drift canary at smoke scale: every pinned-schema load
+    must be row-for-row identical to DuckDB's independent read of the
+    same parquet (values stringified, row order ignored). Catches any
+    future generator-side physical-type change — not just the events ts
+    one that already happened — before it can silently skew results."""
+    from alt_spark.catalog import TABLES
+
+    path = f"/root/testdata/{SFS[0]}"
+    con = duckdb.connect()
+    for name in TABLES:
+        df = load_table(spark, path, name)
+        got = sorted(
+            tuple(str(v) for v in row) for row in df.collect()
+        )
+        rel = con.sql(f"SELECT * FROM '{path}/{name}.parquet'")
+        # Align DuckDB column order to the engine's pinned schema order.
+        rel = rel.select(*df.columns)
+        want = sorted(tuple(str(v) for v in row) for row in rel.fetchall())
+        assert len(got) == len(want), f"{name}: row count drift"
+        if got != want:
+            diffs = [i for i, (a, b) in enumerate(zip(got, want)) if a != b][:3]
+            raise AssertionError(
+                f"{name}: value drift, e.g. rows {diffs}: "
+                + "; ".join(f"{got[i]} != {want[i]}" for i in diffs)
+            )
+    con.close()
