@@ -45,6 +45,33 @@ def test_events_logical_type_is_timestamp(spark):
     assert dict(ev.dtypes)["ts"] == "timestamp"
 
 
+def test_ns_layout_branch_reads_identically(spark, tmp_path):
+    """The TIMESTAMP(NANOS) loader branch must stay alive even while the
+    current testdata is timestamp[us]: rewrite the events table in the
+    ns physical layout and assert the catalog probe picks the ns path
+    and yields exactly the rows the us file yields (µs truncation is
+    lossless here — the source values are µs-precision)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = f"/root/testdata/{SFS[0]}"
+    t = pq.read_table(f"{src}/events.parquet")
+    ts_ns = t.set_column(
+        t.schema.get_field_index("ts"),
+        "ts",
+        t["ts"].cast(pa.timestamp("ns")),
+    )
+    ns_dir = tmp_path / "events_ns"
+    ns_dir.mkdir()
+    # version >= 2.6 is what permits physical TIMESTAMP(NANOS).
+    pq.write_table(ts_ns, str(ns_dir / "events.parquet"), version="2.6")
+    assert events_ts_unit(str(ns_dir / "events.parquet")) == "ns"
+
+    us_rows = {tuple(r) for r in load_table(spark, src, "events").collect()}
+    ns_rows = {tuple(r) for r in load_table(spark, str(ns_dir), "events").collect()}
+    assert ns_rows == us_rows
+
+
 def test_every_table_loads_value_identical_to_independent_reader(spark):
     """Full-table drift canary at smoke scale: every pinned-schema load
     must be row-for-row identical to DuckDB's independent read of the
