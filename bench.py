@@ -43,9 +43,15 @@ def main() -> int:
     # JSON line is always printed.
     from alt_spark.catalog import TABLES
 
+    # A count() alone is answered from parquet footer metadata, so the
+    # first query touching each table would still pay the cold column
+    # read; the noop write forces a real all-column scan into the OS
+    # page cache.
     for t in TABLES:
         try:
-            spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+            spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format(
+                "noop"
+            ).mode("overwrite").save()
         except Exception:
             pass
 
