@@ -77,6 +77,46 @@ def test_mv_parity_with_batch(spark):
     assert streamed == batch
 
 
+def test_stream_stream_interval_join_parity(spark):
+    """K ⊕: a stream-stream interval join (errors × same-user clicks
+    within ±60 s, both sides watermarked) over the full replay equals
+    the identical join expression on the batch frame — pairs must
+    survive micro-batch boundaries via the join state, and the
+    event-time bound keeps that state evictable."""
+    from alt_spark.catalog import load_table
+    from alt_spark.streaming.joins import clicks_near_errors
+
+    root = _fresh("ss_join")
+    landing = os.path.join(root, "landing")
+    _chunk_events(landing)
+    src = read_events_stream(spark, landing)
+    # sf0.001 is sparse (1k events over 30 days): ±1h yields a dozen
+    # pairs; the production ±60 s default is exercised at bench scale.
+    tol = 3600
+    q = (
+        clicks_near_errors(src, tolerance_seconds=tol)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_join")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    batch = {
+        tuple(r)
+        for r in clicks_near_errors(
+            load_table(spark, SF, "events"), tolerance_seconds=tol
+        ).collect()
+    }
+    assert batch, "testdata must contain error/click pairs within the interval"
+    assert streamed == batch
+
+
 def test_sliding_window_mv_parity(spark):
     """K8 ⊕: the overlapping-window MV (5-min window, 1-min slide) after
     full replay equals the same expression over the batch frame — every
