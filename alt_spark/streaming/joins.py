@@ -28,6 +28,7 @@ def clicks_near_errors(
     events: DataFrame,
     tolerance_seconds: int = 60,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Pairs each error with same-user clicks within ±tolerance (the
     streaming twin of Q05's self-join / Q43's range-join family).
@@ -37,9 +38,24 @@ def clicks_near_errors(
     expressions; on a streaming frame the per-side watermarks plus the
     two-sided event-time bound make the join's buffered state provably
     evictable (Spark rejects unbounded stream-stream joins outright).
-    Returns (user_id, error_id, click_id, error_ts, click_ts, lag_s).
+    Returns (user_id, error_id, click_id, error_ts, click_ts, lag_us).
+
+    ``how="left"`` keeps unmatched errors (click columns null) — the
+    harder streaming case: a null-padded row can only be emitted once
+    the watermark proves no matching click can still arrive, so results
+    trail the data by the watermark delay, and draining a bounded replay
+    needs a watermark-advancing sentinel event after the last real one
+    (see the parity test).
     """
-    is_streaming = events.isStreaming
+    # Watermark the SOURCE, before the per-side filters: both sides then
+    # track event time over the whole stream, so any event advances the
+    # shared watermark. Watermarking after the filter pins each side's
+    # watermark to its own last matching event — a quiet side (e.g. no
+    # errors arriving) would then hold back every pending outer result
+    # on the other side forever. The watermark tag follows the ts column
+    # through the per-side aliases.
+    if events.isStreaming:
+        events = events.withWatermark("ts", watermark)
     errors = events.filter(F.col("event_type") == "error").select(
         F.col("user_id"),
         F.col("event_id").alias("error_id"),
@@ -50,16 +66,13 @@ def clicks_near_errors(
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
-    if is_streaming:
-        errors = errors.withWatermark("error_ts", watermark)
-        clicks = clicks.withWatermark("click_ts", watermark)
     tol = F.expr(f"interval {tolerance_seconds} seconds")
     joined = errors.join(
         clicks,
         (F.col("user_id") == F.col("c_user_id"))
         & (F.col("click_ts") >= F.col("error_ts") - tol)
         & (F.col("click_ts") <= F.col("error_ts") + tol),
-        "inner",
+        how,
     )
     return joined.select(
         "user_id",

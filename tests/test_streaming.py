@@ -117,6 +117,79 @@ def test_stream_stream_interval_join_parity(spark):
     assert streamed == batch
 
 
+def test_stream_stream_left_outer_interval_join_parity(spark):
+    """K ⊕ (hard case): LEFT OUTER stream-stream interval join — an
+    unmatched error emits its null-padded row only once the watermark
+    proves no matching click can still arrive. A sentinel event far past
+    the last real one (neither error nor click, so it joins nothing)
+    advances the watermark enough to flush every pending outer result;
+    the flushed set must equal the batch left join exactly."""
+    import pyarrow.compute as pc
+
+    from alt_spark.catalog import load_table
+    from alt_spark.streaming.joins import clicks_near_errors
+
+    root = _fresh("ss_left_join")
+    landing = os.path.join(root, "landing")
+    chunks = _chunk_events(landing)
+    max_ts = pc.max(chunks[-1]["ts"]).as_py()
+    sentinel = pa.table(
+        {
+            "event_id": pa.array([10**13], pa.int64()),
+            "ts": pa.array(
+                [max_ts + __import__("datetime").timedelta(days=2)],
+                chunks[-1]["ts"].type,
+            ),
+            "user_id": pa.array([-1], pa.int64()),
+            "event_type": pa.array(["noop"], pa.string()),
+            "value": pa.array([0.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    ).cast(chunks[0].schema)
+    pq.write_table(sentinel, os.path.join(landing, "chunk_zzz_sentinel.parquet"))
+
+    tol = 3600
+    src = read_events_stream(spark, landing)
+    q = (
+        clicks_near_errors(src, tolerance_seconds=tol, how="left")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_left_join")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        # Outer results are emitted by the trailing no-data micro-batch
+        # after the watermark advances; processAllAvailable returns when
+        # data is drained, which can race that batch — poll until the
+        # sink stabilizes before stopping.
+        import time as _time
+
+        q.processAllAvailable()
+        last = -1
+        for _ in range(40):
+            n = spark.sql("SELECT count(*) c FROM ss_left_join").first()["c"]
+            if n == last:
+                break
+            last = n
+            _time.sleep(0.5)
+        q.stop()
+        q.awaitTermination(30)
+    finally:
+        if q.isActive:
+            q.stop()
+    streamed = {tuple(r) for r in spark.sql("SELECT * FROM ss_left_join").collect()}
+    batch = {
+        tuple(r)
+        for r in clicks_near_errors(
+            load_table(spark, SF, "events"), tolerance_seconds=tol, how="left"
+        ).collect()
+    }
+    unmatched = {r for r in batch if r[2] is None}
+    assert unmatched, "testdata must contain errors with no click in range"
+    assert streamed == batch
+
+
 def test_sliding_window_mv_parity(spark):
     """K8 ⊕: the overlapping-window MV (5-min window, 1-min slide) after
     full replay equals the same expression over the batch frame — every
