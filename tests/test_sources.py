@@ -87,3 +87,40 @@ def test_otlp_spans_flatten(spark):
     assert got["s2"].parent_span_id == "s1"
     assert got["s1"].attributes == {"http.status": "200"}
     assert str(got["s1"].start_ts).startswith("2024-01-01 00:00:00")
+
+
+def test_rss_datasource_matches_expression_parser(spark, tmp_path):
+    """A1 ⊕: the pluggable `format("rss")` Python data source yields the
+    same articles as the from_xml expression parser over the same landed
+    feed files — one input partition per feed, malformed files skipped,
+    B9 URL guard applied inside the reader."""
+    from alt_spark.sources.rss import parse_feeds
+    from alt_spark.sources.rss_datasource import RssDataSource
+
+    feeds = tmp_path / "feeds"
+    feeds.mkdir()
+    (feeds / "one.xml").write_text(RSS_DOC)
+    (feeds / "two.xml").write_text(ATOM_DOC)
+    (feeds / "bad.xml").write_text("<rss><channel><item>broken")
+
+    spark.dataSource.register(RssDataSource)
+    via_source = spark.read.format("rss").load(str(feeds))
+    got = {
+        (r.title, r.link, r.published, r.summary) for r in via_source.collect()
+    }
+
+    df = spark.createDataFrame(
+        [
+            Row(feed_url=str(feeds / "one.xml"), xml=RSS_DOC),
+            Row(feed_url=str(feeds / "two.xml"), xml=ATOM_DOC),
+        ]
+    )
+    want = {
+        (r.title, r.link, r.published, r.summary) for r in parse_feeds(df).collect()
+    }
+    assert got == want
+    # Partition-per-feed parallelism: three files → three input splits.
+    assert via_source.rdd.getNumPartitions() == 3
+    # The source composes with ordinary DataFrame ops (filter pushes into
+    # the plan; result is a plain relation).
+    assert via_source.filter("title = 'Alpha'").count() == 1
