@@ -24,7 +24,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from alt_spark.sources.rss import ARTICLE_SCHEMA
 
@@ -108,6 +113,48 @@ class RssReader(DataSourceReader):
         yield from _parse_feed(partition.path)
 
 
+class RssStreamReader(SimpleDataSourceStreamReader):
+    """`spark.readStream.format("rss")` — a feed-directory tail.
+
+    The reference polls feeds on a schedule and ingests whatever is new
+    (pre-processor's cron fetch); this is that model as a Structured
+    Streaming source: the offset is the sorted list of feed files
+    already ingested, each micro-batch parses only files that appeared
+    since, and replay between committed offsets is deterministic
+    (`readBetweenOffsets` re-parses exactly the files in the offset
+    delta — landed files are immutable, so recovery is exact).
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("rss source requires a path: .load('/dir/of/feeds')")
+
+    def _list(self):
+        if not os.path.isdir(self.path):
+            return [self.path] if os.path.exists(self.path) else []
+        return sorted(
+            os.path.join(self.path, f)
+            for f in os.listdir(self.path)
+            if f.endswith((".xml", ".rss", ".atom"))
+        )
+
+    def initialOffset(self):
+        return {"files": []}
+
+    def read(self, start):
+        seen = set(start.get("files", []))
+        now = self._list()
+        rows = [r for p in now if p not in seen for r in _parse_feed(p)]
+        return iter(rows), {"files": now}
+
+    def readBetweenOffsets(self, start, end):
+        seen = set(start.get("files", []))
+        for p in end.get("files", []):
+            if p not in seen:
+                yield from _parse_feed(p)
+
+
 class RssDataSource(DataSource):
     """Register with `spark.dataSource.register(RssDataSource)`."""
 
@@ -120,3 +167,6 @@ class RssDataSource(DataSource):
 
     def reader(self, schema):
         return RssReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return RssStreamReader(self.options)

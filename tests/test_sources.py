@@ -124,3 +124,40 @@ def test_rss_datasource_matches_expression_parser(spark, tmp_path):
     # The source composes with ordinary DataFrame ops (filter pushes into
     # the plan; result is a plain relation).
     assert via_source.filter("title = 'Alpha'").count() == 1
+
+
+def test_rss_stream_source_tails_new_feeds(spark, tmp_path):
+    """A1/A2 ⊕: readStream.format("rss") tails a feed directory — files
+    landed before the stream starts arrive in the first micro-batch,
+    files landed mid-stream arrive in a later one, and nothing is
+    double-ingested (offset = ingested file set)."""
+    from alt_spark.sources.rss_datasource import RssDataSource
+
+    feeds = tmp_path / "feeds"
+    feeds.mkdir()
+    (feeds / "one.xml").write_text(RSS_DOC)
+
+    spark.dataSource.register(RssDataSource)
+    q = (
+        spark.readStream.format("rss")
+        .load(str(feeds))
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rss_tail")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = {r.title for r in spark.sql("SELECT * FROM rss_tail").collect()}
+        assert first == {"First", "Second"}, "pre-existing feed in batch 1"
+
+        (feeds / "two.xml").write_text(ATOM_DOC)
+        q.processAllAvailable()
+        after = [r.title for r in spark.sql("SELECT * FROM rss_tail").collect()]
+        assert sorted(after) == ["Alpha", "First", "Second"], (
+            "new feed ingested exactly once, old feed not re-ingested"
+        )
+    finally:
+        q.stop()
+        q.awaitTermination(30)
