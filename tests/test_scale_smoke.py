@@ -86,3 +86,29 @@ def test_global_rank_at_100k(spark):
     ).first()
     # Unique (score, doc_id) sort keys -> rank is a permutation of 1..N.
     assert (stats["lo"], stats["hi"], stats["d"]) == (1, n, n)
+
+
+def test_winnowing_inrow_at_100k(spark):
+    """The shuffle-free winnowing projection at 100k docs: replicated
+    identical texts must produce identical fingerprint sets (the
+    operator is a pure per-row function), and the plan stays map-only
+    at volume — the property that makes it a free rider in any 100 TB
+    scan stage."""
+    from alt_spark.functions import text_analysis as ta
+    from alt_spark.plans import audit
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text").limit(500)
+    reps = spark.range(200).select(F.col("id").alias("rep"))
+    corpus = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 200 + F.col("rep")).alias("doc_id"), "text"
+    )
+    fp = ta.winnowing_fingerprints(corpus, portable=False)
+    # corpus has a crossJoin but the winnowing projection itself adds no
+    # exchange beyond it: compare against the corpus plan's own count.
+    assert audit.shuffle_count(fp) == audit.shuffle_count(corpus)
+    per_text = (
+        fp.join(corpus.select(F.col("doc_id").alias("id"), "text"), "id")
+        .groupBy("text")
+        .agg(F.countDistinct(F.to_json(F.struct("fingerprints"))).alias("n_variants"))
+    )
+    assert per_text.filter(F.col("n_variants") != 1).count() == 0
