@@ -139,7 +139,10 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     D5's exact COUNT(DISTINCT): HyperLogLog++ partials merge map-side,
     so the shuffle carries sketches, not user ids). Exactness is bounded
     in tests (tests/test_relational_ext.py) against the exact count at
-    the default 5% rsd."""
+    the default 5% rsd; the persistable-sketch form of the same pattern
+    (Datasketches hll_sketch_agg per partition, lossless hll_union_agg
+    merge — what a rollup table would store) is pinned by
+    tests/test_relational_ext.py::test_hll_sketches_merge_losslessly."""
     ev = load_table(spark, sf, "events")
     return (
         ev.groupBy("event_type")

@@ -27,3 +27,30 @@ def test_approx_distinct_within_rsd(spark):
     for t in exact:
         rel_err = abs(approx[t] - exact[t]) / exact[t]
         assert rel_err <= 0.15, (t, approx[t], exact[t])
+
+
+def test_hll_sketches_merge_losslessly(spark):
+    """D13 at the 100 TB shape: a Datasketches HLL built per day and
+    merged with hll_union_agg must estimate exactly what one global
+    sketch estimates (HLL union at equal lgk is lossless), and land
+    within the configured error of the exact distinct count. This is
+    the pattern a cluster runs — sketch in the scan stage, union the
+    tiny sketches — so the shuffle carries bytes-per-partition, not
+    user ids."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+
+    ev = load_table(spark, SF, "events")
+    per_day = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.hll_sketch_agg("user_id", 14).alias("sk")
+    )
+    merged = per_day.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", 14)).alias("est")
+    ).first()["est"]
+    exact = ev.select("user_id").distinct().count()
+    assert merged == direct, "HLL union at equal lgk must be lossless"
+    assert abs(merged - exact) / exact < 0.05
