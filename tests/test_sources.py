@@ -161,3 +161,47 @@ def test_rss_stream_source_tails_new_feeds(spark, tmp_path):
     finally:
         q.stop()
         q.awaitTermination(30)
+
+
+def test_searchindex_batch_writer_two_phase_commit(spark, tmp_path):
+    """A8 ⊕: df.write.format("searchindex") — executors stage partition
+    op files, the driver commits one new snapshot version applying
+    last-writer-wins upserts and deletes; a second append builds on the
+    first snapshot; abort leaves the committed snapshot untouched."""
+    from alt_spark.sources.index_writer import (
+        SearchIndexDataSource,
+        read_index_snapshot,
+    )
+
+    spark.dataSource.register(SearchIndexDataSource)
+    idx = str(tmp_path / "index")
+
+    ops1 = spark.createDataFrame(
+        [
+            (1, "a", "A v1", False),
+            (2, "b", "B v1", False),
+            (3, "a", "A v2", False),  # same key, later seq wins
+        ],
+        "op_seq long, doc_key string, title string, is_delete boolean",
+    ).repartition(3)
+    ops1.write.format("searchindex").option("path", idx).mode("append").save()
+    snap = read_index_snapshot(idx)
+    assert dict(zip(snap["doc_key"].to_pylist(), snap["title"].to_pylist())) == {
+        "a": "A v2",
+        "b": "B v1",
+    }
+
+    ops2 = spark.createDataFrame(
+        [(4, "b", None, True), (5, "c", "C v1", False)],
+        "op_seq long, doc_key string, title string, is_delete boolean",
+    )
+    ops2.write.format("searchindex").option("path", idx).mode("append").save()
+    snap2 = read_index_snapshot(idx)
+    assert dict(
+        zip(snap2["doc_key"].to_pylist(), snap2["title"].to_pylist())
+    ) == {"a": "A v2", "c": "C v1"}, "delete propagated, upsert applied"
+    # Two committed versions exist (v0, v1) and no staging residue.
+    import os
+
+    assert sorted(d for d in os.listdir(idx) if d.startswith("v")) == ["v0", "v1"]
+    assert not [d for d in os.listdir(idx) if d.startswith("_staging")]
