@@ -24,11 +24,16 @@ Layout:
     plans/        physical-plan audit helpers (pushdown/broadcast/shuffle
                   assertions used by tests/test_plans.py)
     sources/      NDJSON log ETL (per-service parsers -> logs -> http_logs),
-                  RSS/Atom, OTLP spans
+                  RSS/Atom (from_xml parser + pluggable format("rss")
+                  batch/stream Python DataSource), OTLP spans, search-index
+                  batch writer (format("searchindex"), two-phase commit)
     streaming/    incremental MVs (tumbling / sliding / session windows),
-                  checkpointed event-fold projector with dedup + DLQ,
-                  file-channel topic producer/consumer groups, search-index
-                  sink, partition-aligned retention, backfill/reprojection
+                  stream-stream interval joins (inner + left-outer,
+                  source-watermarked), checkpointed event-fold projector
+                  with dedup + DLQ, file-channel topic producer/consumer
+                  groups, search-index sink, partition-aligned retention,
+                  backfill/reprojection, stateful folds
+                  (applyInPandasWithState + transformWithState twin)
 """
 
 __version__ = "0.3.0"
