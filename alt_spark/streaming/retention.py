@@ -1,4 +1,4 @@
-"""Partition-aligned TTL retention (K6).
+"""Partition-aligned retention: time TTL (K6) and size trimming (K7).
 
 The reference expires log rows with partition-aligned TTL —
 `TTL timestamp + INTERVAL 1 DAY DELETE` with `ttl_only_drop_parts=1`
@@ -22,7 +22,7 @@ import re
 import shutil
 from datetime import date, timedelta
 
-__all__ = ["drop_expired_partitions"]
+__all__ = ["drop_expired_partitions", "trim_to_max_rows"]
 
 
 def drop_expired_partitions(
@@ -49,4 +49,55 @@ def drop_expired_partitions(
         if date.fromisoformat(m.group(1)) < horizon:
             shutil.rmtree(os.path.join(table_dir, name))
             dropped.append(m.group(1))
+    return dropped
+
+
+def trim_to_max_rows(
+    table_dir: str,
+    max_rows: int,
+    partition_col: str = "p_date",
+) -> list[str]:
+    """Count-based stream trimming (K7 — the `XTRIM MAXLEN ~` analog,
+    mq-hub redis_driver.go's capped stream).
+
+    Redis's approximate MAXLEN trims whole radix-tree macro-nodes rather
+    than exact entries; the partition-aligned analog trims whole date
+    partitions, oldest first, until the retained row count is <= max_rows
+    — never splitting a partition (so the result may retain fewer rows
+    than max_rows, exactly like `~`'s node-granularity overshoot, but
+    trimming stays a filesystem metadata op with no rewrite). The newest
+    partition is always kept even if it alone exceeds the budget (Redis
+    likewise never trims the node being appended to).
+
+    Row counts come from the parquet footers (metadata read, no scan).
+    Returns the dropped partition values, oldest first.
+    """
+    import pyarrow.parquet as pq
+
+    pat = re.compile(re.escape(partition_col) + r"=(\d{4}-\d{2}-\d{2})$")
+    if not os.path.isdir(table_dir):
+        return []
+
+    def _rows(part_dir: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(part_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+        return total
+
+    parts = sorted(
+        (m.group(1), os.path.join(table_dir, name))
+        for name in os.listdir(table_dir)
+        if (m := pat.match(name))
+    )
+    counts = {v: _rows(p) for v, p in parts}
+    total = sum(counts.values())
+    dropped: list[str] = []
+    for value, path in parts[:-1]:  # newest partition is never trimmed
+        if total <= max_rows:
+            break
+        shutil.rmtree(path)
+        total -= counts[value]
+        dropped.append(value)
     return dropped

@@ -571,3 +571,38 @@ def test_apply_in_pandas_with_state_running_fold(spark):
         .collect()
     }
     assert final == want
+
+
+def test_trim_to_max_rows_drops_oldest_whole_partitions(spark):
+    """K7: count-based trimming (XTRIM MAXLEN ~ analog) removes oldest
+    date partitions until under budget, never splits a partition, and
+    always keeps the newest partition even when it alone exceeds the
+    budget."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+
+    root = _fresh("trim")
+    table = os.path.join(root, "events_by_day")
+    ev = load_table(spark, SF, "events").withColumn("p_date", F.to_date("ts"))
+    ev.write.mode("overwrite").partitionBy("p_date").parquet(table)
+
+    per_day = {
+        str(r.p_date): r.n
+        for r in ev.groupBy("p_date").agg(F.count("*").alias("n")).collect()
+    }
+    days = sorted(per_day)
+    total = sum(per_day.values())
+    budget = total - per_day[days[0]] - per_day[days[1]] - 1  # force 3 drops
+
+    dropped = retention.trim_to_max_rows(table, budget)
+    assert dropped == days[:3], "oldest-first, whole partitions, stop at budget"
+    remaining = spark.read.parquet(table)
+    assert remaining.count() == total - sum(per_day[d] for d in days[:3])
+    assert remaining.count() <= budget
+
+    # Budget of zero: everything but the newest partition goes.
+    dropped2 = retention.trim_to_max_rows(table, 0)
+    assert sorted(dropped + dropped2) == days[:-1]
+    left = {str(r.p_date) for r in spark.read.parquet(table).select("p_date").distinct().collect()}
+    assert left == {days[-1]}, "newest partition survives any budget"
