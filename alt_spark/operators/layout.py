@@ -1,0 +1,173 @@
+"""Distributed force-directed graph layout (SURVEY §2 J12).
+
+Reference: the tag-cloud layout — an octree-approximated force layout
+computed server-side (alt-backend fetch_tag_cloud_usecase/
+layout_octree.go, layout.go: repulsion via Barnes-Hut far-field
+aggregation, attraction along co-occurrence edges, fixed iteration
+count with cooling).
+
+Spark-first reformulation of the same O(n log n) idea: Barnes-Hut's
+trick is that far-away nodes act through their aggregated center of
+mass. Here space is bucketed into a grid each iteration and
+
+- NEAR-FIELD repulsion is exact pairwise, but only within a node's
+  3×3 neighborhood of grid cells — an equi-join on cell ids, never
+  all-pairs;
+- FAR-FIELD repulsion comes from the per-cell (count, centroid)
+  summary table (one tiny aggregate, broadcast back) — each node sees
+  every distant CELL, not every distant node, exactly the Barnes-Hut
+  cell-as-supernode approximation;
+- attraction is one join along the edge list (weighted springs).
+
+Every stage is a bounded equi-join or broadcast; per-iteration cost is
+O(nodes + edges + cells²/…) with no quadratic pair set, so the layout
+runs where the co-occurrence graph lives instead of collecting it to a
+server process. Reproducible: positions init from xxhash64(node id), fixed iteration
+count, cooling schedule — same inputs give the same layout up to
+distributed floating-point summation order (force sums are a groupBy
+over doubles, so ~1e-9 run-to-run wobble, never structural change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = ["force_layout"]
+
+
+def force_layout(
+    nodes: DataFrame,
+    edges: DataFrame,
+    iterations: int = 20,
+    k: float = 1.0,
+    grid: float = 2.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Fruchterman-Reingold-style layout with Barnes-Hut-approximated
+    repulsion, entirely in DataFrame ops.
+
+    nodes: (id) — one row per node. edges: (src, dst, weight) —
+    undirected input (each edge acts on both endpoints). Returns
+    (id, x, y). `k` is the ideal spring length, `grid` the cell size
+    for the near/far split (cells larger than ~2k keep the near field
+    local), and positions start hash-uniform in [0, 10)².
+    """
+    pos = nodes.select(
+        "id",
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1000)) / 100.0).alias("x"),
+        (F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 1)), F.lit(1000)) / 100.0).alias("y"),
+    )
+    und = edges.select("src", "dst", "weight").unionByName(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "weight"
+        )
+    )
+
+    eps = F.lit(1e-6)
+    for it in range(iterations):
+        temp = 0.5 * (1.0 - it / iterations) + 0.05  # cooling
+        cell = pos.select(
+            "id",
+            "x",
+            "y",
+            F.floor(F.col("x") / grid).cast("long").alias("cx"),
+            F.floor(F.col("y") / grid).cast("long").alias("cy"),
+        )
+        # Far field: per-cell supernodes (count, centroid), broadcast.
+        cells = cell.groupBy("cx", "cy").agg(
+            F.count("*").alias("m"),
+            F.avg("x").alias("mx"),
+            F.avg("y").alias("my"),
+        )
+        far = (
+            cell.join(F.broadcast(cells.withColumnRenamed("cx", "ox").withColumnRenamed("cy", "oy")),
+                      (F.abs(F.col("cx") - F.col("ox")) > 1)
+                      | (F.abs(F.col("cy") - F.col("oy")) > 1))
+            .select(
+                "id",
+                ((F.col("x") - F.col("mx")) * F.col("m") * (k * k)
+                 / (F.pow(F.col("x") - F.col("mx"), 2) + F.pow(F.col("y") - F.col("my"), 2) + eps)
+                 ).alias("fx"),
+                ((F.col("y") - F.col("my")) * F.col("m") * (k * k)
+                 / (F.pow(F.col("x") - F.col("mx"), 2) + F.pow(F.col("y") - F.col("my"), 2) + eps)
+                 ).alias("fy"),
+            )
+        )
+        # Near field: exact pairwise within the 3×3 cell neighborhood —
+        # explode each node into its 9 neighbor cells, equi-join on cell.
+        probe = cell.select(
+            "id", "x", "y",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        (F.col("cx") + dx).alias("jx"),
+                        (F.col("cy") + dy).alias("jy"),
+                    )
+                    for dx in (-1, 0, 1)
+                    for dy in (-1, 0, 1)
+                ])
+            ).alias("nb"),
+        ).select("id", "x", "y", F.col("nb.jx").alias("jx"), F.col("nb.jy").alias("jy"))
+        near = (
+            probe.alias("a")
+            .join(
+                cell.select(
+                    F.col("id").alias("oid"),
+                    F.col("x").alias("ox"),
+                    F.col("y").alias("oy"),
+                    F.col("cx").alias("jx"),
+                    F.col("cy").alias("jy"),
+                ).alias("b"),
+                ["jx", "jy"],
+            )
+            .filter(F.col("id") != F.col("oid"))
+            .select(
+                "id",
+                ((F.col("x") - F.col("ox")) * (k * k)
+                 / (F.pow(F.col("x") - F.col("ox"), 2) + F.pow(F.col("y") - F.col("oy"), 2) + eps)
+                 ).alias("fx"),
+                ((F.col("y") - F.col("oy")) * (k * k)
+                 / (F.pow(F.col("x") - F.col("ox"), 2) + F.pow(F.col("y") - F.col("oy"), 2) + eps)
+                 ).alias("fy"),
+            )
+        )
+        # Attraction along edges: spring toward each neighbor.
+        attract = (
+            und.alias("e")
+            .join(pos.select(F.col("id").alias("src"), F.col("x").alias("sx"), F.col("y").alias("sy")), "src")
+            .join(pos.select(F.col("id").alias("dst"), F.col("x").alias("dx_"), F.col("y").alias("dy_")), "dst")
+            .select(
+                F.col("src").alias("id"),
+                (-(F.col("sx") - F.col("dx_"))
+                 * F.sqrt(F.pow(F.col("sx") - F.col("dx_"), 2) + F.pow(F.col("sy") - F.col("dy_"), 2))
+                 * F.col("weight") / k).alias("fx"),
+                (-(F.col("sy") - F.col("dy_"))
+                 * F.sqrt(F.pow(F.col("sx") - F.col("dx_"), 2) + F.pow(F.col("sy") - F.col("dy_"), 2))
+                 * F.col("weight") / k).alias("fy"),
+            )
+        )
+        forces = (
+            near.unionByName(far)
+            .unionByName(attract)
+            .groupBy("id")
+            .agg(F.sum("fx").alias("fx"), F.sum("fy").alias("fy"))
+        )
+        mag = F.sqrt(F.col("fx") * F.col("fx") + F.col("fy") * F.col("fy")) + eps
+        step = F.least(mag, F.lit(temp))
+        pos = (
+            pos.join(forces, "id", "left")
+            .select(
+                "id",
+                (F.col("x") + F.coalesce(F.col("fx") / mag * step, F.lit(0.0))).alias("x"),
+                (F.col("y") + F.coalesce(F.col("fy") / mag * step, F.lit(0.0))).alias("y"),
+            )
+        )
+        # Truncate lineage EVERY iteration: each round stacks ~4 joins,
+        # and Catalyst's optimization time grows super-linearly with
+        # plan depth — a 5-iteration tower already takes minutes to
+        # plan, while per-iteration eager checkpoints keep every round's
+        # plan shallow (~0.5 s/round on a small graph). At scale the
+        # checkpoint is the materialized per-iteration position table —
+        # the same shape iterative graph systems persist anyway.
+        pos = pos.localCheckpoint(eager=True)
+    return pos

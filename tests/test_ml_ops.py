@@ -115,3 +115,47 @@ def test_propagate_labels_fills_unlabeled(spark):
     assert got[1] == 7 and got[6] == 9, "seeds authoritative"
     assert got[2] == 7 and got[3] == 7
     assert got[4] == 9 and got[5] == 9
+
+
+def test_force_layout_separates_planted_clusters(spark):
+    """J12: the grid-bucketed force layout pulls two densely-connected
+    planted cliques apart — mean inter-cluster distance must exceed
+    mean intra-cluster distance — and reproduces across runs (hash
+    init, fixed cooling; positions equal up to distributed float-sum
+    order), with no all-pairs repulsion stage."""
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.layout import force_layout
+
+    edges = [
+        (base + i, base + j, 1.0)
+        for base in (0, 10)
+        for i in range(10)
+        for j in range(i + 1, 10)
+    ] + [(0, 10, 0.05)]
+    edf = spark.createDataFrame(edges, "src long, dst long, weight double")
+    ndf = spark.range(20).select(F.col("id"))
+    p = {r.id: (r.x, r.y) for r in force_layout(ndf, edf, iterations=12).collect()}
+
+    def dist(a, b):
+        return math.dist(p[a], p[b])
+
+    intra = [
+        dist(a, b)
+        for g in (range(10), range(10, 20))
+        for a, b in itertools.combinations(g, 2)
+    ]
+    inter = [dist(a, b) for a in range(10) for b in range(10, 20)]
+    assert sum(inter) / len(inter) > 2 * sum(intra) / len(intra), (
+        "clusters must separate"
+    )
+    p2 = {r.id: (r.x, r.y) for r in force_layout(ndf, edf, iterations=12).collect()}
+    # Deterministic up to distributed float-summation order: the force
+    # groupBy sums doubles, whose addition order varies with partition
+    # scheduling, so positions reproduce to ~1e-9, not bit-exactly.
+    assert all(
+        math.dist(p[i], p2[i]) < 1e-6 for i in p
+    ), "layout must reproduce (up to fp summation order)"
