@@ -145,7 +145,6 @@ def sf_dir(default: str = "/root/testdata/sf0.01") -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", default)
 
 
-@functools.lru_cache(maxsize=64)
 def events_ts_unit(path: str) -> str:
     """Probe the parquet footer for the physical time unit of ``ts``.
 
@@ -155,15 +154,28 @@ def events_ts_unit(path: str) -> str:
     physical layout — read the footer and branch. Returns pyarrow's unit
     string ('s'|'ms'|'us'|'ns'); a raw int64 column is treated as the
     generator's TIMESTAMP(NANOS) layout.
-    """
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
+    The memo is keyed on (probe file, mtime_ns, size): a path-only cache
+    would serve a stale verdict after the driver regenerates the file
+    in-process — a stale 'ns' on a new µs file re-applies the ÷1000 and
+    silently shifts every event to 1970, the exact failure the canary
+    exists to catch (ADVICE r4). The footer read itself is cheap; the
+    memo only spares repeated stat+open in tight per-query loops.
+    """
     probe = path
     if os.path.isdir(path):
         parts = sorted(p for p in os.listdir(path) if p.endswith(".parquet"))
         if parts:
             probe = os.path.join(path, parts[0])
+    st = os.stat(probe)
+    return _events_ts_unit_memo(probe, st.st_mtime_ns, st.st_size)
+
+
+@functools.lru_cache(maxsize=64)
+def _events_ts_unit_memo(probe: str, mtime_ns: int, size: int) -> str:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     t = pq.read_schema(probe).field("ts").type
     if pa.types.is_timestamp(t):
         return t.unit

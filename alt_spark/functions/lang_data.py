@@ -39,6 +39,21 @@ SCRIPTS: dict[str, dict[str, tuple]] = {
     "zh": {"ranges": ((0x4E00, 0x9FFF),), "unless": ("ja",)},  # CJK unified han
 }
 
+# The \b-anchored regexp_count vote in text_analysis.lang_id equals
+# token-equality voting only while every marker is a plain \w+ word:
+# a metacharacter or apostrophe (fr "c'est") would silently change the
+# alternation's semantics. Fail loudly at import instead — a marker
+# outside this alphabet needs the escaped-alternation form AND a
+# revisit of the \b == \W+-token-boundary equivalence proof.
+for _lang, _words in MARKERS.items():
+    for _w in _words:
+        if not _w.isascii() or not _w.replace("_", "").isalnum() or _w != _w.lower():
+            raise AssertionError(
+                f"MARKERS[{_lang!r}] entry {_w!r} is not ^[a-z0-9_]+$; "
+                "the \\b-vote/token-vote equivalence in lang_id assumes "
+                "plain word markers (see text_analysis.lang_id)"
+            )
+
 # Deterministic vote order for the sequential argmax (a later language
 # wins only on strictly more votes) — marker langs first, then scripts.
 VOTE_ORDER: tuple[str, ...] = (*MARKERS, *SCRIPTS)

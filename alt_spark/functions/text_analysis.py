@@ -11,6 +11,8 @@ Python in any of these.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -128,7 +130,14 @@ def lang_id(text: Column, min_tokens: int = 3) -> Column:
     low = F.lower(text)
 
     def _marker_votes(lang: str) -> Column:
-        pat = r"\b(?:" + "|".join(_LANG_MARKERS[lang]) + r")\b"
+        # re.escape is a no-op for the ^[a-z0-9_]+$ alphabet lang_data
+        # asserts at import; it's here so a future non-word marker can
+        # never silently become regex syntax (ADVICE r4).
+        pat = (
+            r"\b(?:"
+            + "|".join(re.escape(w) for w in _LANG_MARKERS[lang])
+            + r")\b"
+        )
         return F.regexp_count(low, F.lit(pat))
 
     raw_script = {lang: script_char_count(text, lang) for lang in _LANG_SCRIPTS}

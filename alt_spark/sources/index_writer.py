@@ -91,19 +91,25 @@ class SearchIndexWriter(DataSourceWriter):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        ops = pa.concat_tables(
-            [pq.read_table(m.path) for m in messages if m is not None]
-        )
-        # last-writer-wins per key by op_seq
+        staged = [pq.read_table(m.path) for m in messages if m is not None]
+        # last-writer-wins per key by op_seq; zero-op commit (an empty
+        # frame still schedules write tasks on some plans) publishes
+        # nothing — the previous snapshot stays latest, a no-op version
+        # rather than a concat_tables([]) crash (ADVICE r4).
         latest: dict[str, tuple[int, str | None, bool]] = {}
-        for seq, key, title, dele in zip(
-            ops["op_seq"].to_pylist(),
-            ops["doc_key"].to_pylist(),
-            ops["title"].to_pylist(),
-            ops["is_delete"].to_pylist(),
-        ):
-            if key not in latest or seq > latest[key][0]:
-                latest[key] = (seq, title, dele)
+        if staged:
+            ops = pa.concat_tables(staged)
+            for seq, key, title, dele in zip(
+                ops["op_seq"].to_pylist(),
+                ops["doc_key"].to_pylist(),
+                ops["title"].to_pylist(),
+                ops["is_delete"].to_pylist(),
+            ):
+                if key not in latest or seq > latest[key][0]:
+                    latest[key] = (seq, title, dele)
+        if not latest and not self.overwrite:
+            shutil.rmtree(self.staging, ignore_errors=True)
+            return
         prev_version, _ = _latest_version(self.path)
         snapshot: dict[str, str] = {}
         if not self.overwrite:
@@ -117,9 +123,13 @@ class SearchIndexWriter(DataSourceWriter):
                 snapshot.pop(key, None)
             else:
                 snapshot[key] = title
-        vdir = os.path.join(self.path, f"v{prev_version + 1}")
-        os.makedirs(vdir, exist_ok=True)
+        # Publish atomically: build the snapshot inside the staging dir,
+        # then a single os.rename into place — a concurrent
+        # read_index_snapshot can never select a half-written version
+        # (rename is atomic within one filesystem; ADVICE r4).
         keys = sorted(snapshot)
+        build = os.path.join(self.staging, f"_v{prev_version + 1}")
+        os.makedirs(build, exist_ok=True)
         pq.write_table(
             pa.table(
                 {
@@ -127,8 +137,10 @@ class SearchIndexWriter(DataSourceWriter):
                     "title": pa.array([snapshot[k] for k in keys], pa.string()),
                 }
             ),
-            os.path.join(vdir, "index.parquet"),
+            os.path.join(build, "index.parquet"),
         )
+        os.makedirs(self.path, exist_ok=True)
+        os.rename(build, os.path.join(self.path, f"v{prev_version + 1}"))
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages):

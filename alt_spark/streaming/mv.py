@@ -98,6 +98,15 @@ def read_events_stream(
     plans see identical rows regardless of how the files were written.
     """
     unit = events_ts_unit(landing_dir)
+    if unit == "ns":
+        # Same pin as catalog.load_table: Spark rejects INT64
+        # TIMESTAMP(NANOS) parquet outright without the legacy conf, so
+        # the streaming read must set it too — the batch-side pin does
+        # not help a session that only ever streams (ADVICE r4).
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # static-conf on some builds; the engine profile sets it
     raw = (
         spark.readStream.schema(events_read_schema(unit))
         .option("maxFilesPerTrigger", max_files_per_trigger)

@@ -71,6 +71,47 @@ def test_ns_layout_branch_reads_identically(spark, tmp_path):
     ns_rows = {tuple(r) for r in load_table(spark, str(ns_dir), "events").collect()}
     assert ns_rows == us_rows
 
+    # The STREAMING reader takes the same branch and must pin the same
+    # legacy conf itself (ADVICE r4: a session that only ever streams
+    # never runs load_table, and Spark rejects INT64 TIMESTAMP(NANOS)
+    # without the conf). Replay the ns-layout dir through
+    # read_events_stream and require the identical row set.
+    from alt_spark.streaming.mv import read_events_stream
+
+    stream = read_events_stream(spark, str(ns_dir), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("ns_canary_replay")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r) for r in spark.table("ns_canary_replay").collect()
+    }
+    assert streamed == us_rows
+
+
+@pytest.mark.parametrize("sf", SFS)
+def test_all_table_row_counts_match_independent_reader(spark, sf):
+    """Row-count canary at EVERY scale factor for every table the
+    oracles read (VERDICT r4 item 8): the value-identity canary below
+    runs at smoke scale only; this cheap count(*) cross-check fails
+    loudly if a regeneration changes cardinality anywhere else."""
+    from alt_spark.catalog import TABLES
+
+    path = f"/root/testdata/{sf}"
+    con = duckdb.connect()
+    for name in TABLES:
+        got = load_table(spark, path, name).count()
+        want = con.sql(
+            f"SELECT count(*) FROM '{path}/{name}.parquet'"
+        ).fetchone()[0]
+        assert got == want, f"{name}@{sf}: engine {got} rows != file {want}"
+    con.close()
+
 
 def test_every_table_loads_value_identical_to_independent_reader(spark):
     """Full-table drift canary at smoke scale: every pinned-schema load
