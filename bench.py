@@ -70,6 +70,29 @@ def main() -> int:
     except Exception:
         pass
 
+    # BASELINE.md budget: the ingestion-shaped queries are additionally
+    # tracked as rows/s so the suite reads against the reference's
+    # ingestion-path figures (>4 GB/s simd parse, >1 M msg/s buffer —
+    # docs/services/rask-logging-architecture.md:171-172). Input
+    # cardinality/bytes come from parquet footer metadata (no scan).
+    INGESTION_INPUT = {
+        "q02_sli_error_rate": "events",
+        "q16_conditional_extraction": "events",
+        "q17_exact_dedup": "documents",
+    }
+    input_meta: dict[str, tuple[int, int]] = {}  # table -> (rows, bytes)
+    try:
+        import pyarrow.parquet as pq
+
+        for t in set(INGESTION_INPUT.values()):
+            f = pq.ParquetFile(f"{sf_dir}/{t}.parquet")
+            input_meta[t] = (
+                f.metadata.num_rows,
+                os.path.getsize(f"{sf_dir}/{t}.parquet"),
+            )
+    except Exception:
+        pass
+
     timings: dict[str, float] = {}
     failed: dict[str, str] = {}
     for name in sorted(queries):
@@ -87,6 +110,17 @@ def main() -> int:
             spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
 
+    ingestion: dict[str, dict[str, float]] = {}
+    for name, table in INGESTION_INPUT.items():
+        if name in timings and table in input_meta and timings[name] > 0:
+            rows, nbytes = input_meta[table]
+            ingestion[name] = {
+                "input_rows": rows,
+                "input_bytes": nbytes,
+                "rows_per_s": round(rows / timings[name], 1),
+                "mb_per_s": round(nbytes / timings[name] / 1e6, 2),
+            }
+
     out = {
         "metric": "suite_seconds",
         "value": total,
@@ -94,6 +128,8 @@ def main() -> int:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
     }
+    if ingestion:
+        out["ingestion"] = ingestion
     if failed:
         out["failed"] = failed
     print(json.dumps(out), flush=True)
