@@ -14,6 +14,7 @@ import re
 from pyspark.sql import DataFrame
 
 __all__ = [
+    "optimized_plan",
     "physical_plan",
     "shuffle_count",
     "broadcast_join_count",
@@ -29,6 +30,13 @@ def physical_plan(df: DataFrame) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def optimized_plan(df: DataFrame) -> str:
+    """The optimized logical plan as a string — the right layer for
+    expression-duplication audits (projection collapse and predicate
+    pushdown have run; codegen hasn't rewritten expressions yet)."""
+    return df._jdf.queryExecution().optimizedPlan().toString()  # type: ignore[attr-defined]
 
 
 def shuffle_count(df: DataFrame) -> int:

@@ -104,28 +104,54 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
     structured-JSON services (fields lifted verbatim into the map),
     free-text fallback (bracket level detection, like the reference's
     last-resort parser).
+
+    Plan shape: the expensive per-line subtrees (envelope from_json,
+    payload from_json, the access regex, the service rewrite) are each
+    materialized as a NAMED COLUMN in their own projection layer, and
+    every later layer references them only as attributes. Catalyst's
+    CollapseProject refuses to merge a layer whose non-cheap output is
+    referenced more than once by the consumer, so the layering survives
+    optimization and each subtree is evaluated once per row in
+    whole-stage codegen. The previous single-select form let projection
+    collapse under a consumer like http_logs re-embed the access regex
+    76× per row in the executed plan (measured at sf0.1: fused q48
+    parse 5.9 s → ~2.5 s layered; a transform()-lambda binding also
+    deduplicates but falls out of codegen into interpreted eval —
+    measured 12.6 s — so layered projections are the right form).
+    tests/test_plans.py pins the bounded-duplication property.
     """
-    env = lines.select(
-        F.from_json(F.col(line_col), _ENVELOPE).alias("e")
-    ).select("e.*")
-
-    service = F.regexp_replace(F.col("container_name"), r"^/", "")
-    log = F.col("log")
-    is_json_payload = log.startswith("{")
-    json_fields = F.from_json(log, T.MapType(T.StringType(), T.StringType()))
-    access_parts = _nginx_access_parts(log)
-    is_nginx_access = (service == "nginx") & (
-        F.size(access_parts) == len(_ACCESS_KEYS)
-    )
-    is_nginx_error = (service == "nginx") & log.rlike(_NGINX_ERROR)
-
     group_map = F.create_map(
         *[F.lit(x) for kv in _SERVICE_GROUPS.items() for x in kv]
     )
 
+    # Layer 1: envelope decode (from_json referenced by extract-only
+    # fields — CSE shares the parse within the collapsed projection).
+    env = lines.select(
+        F.from_json(F.col(line_col), _ENVELOPE).alias("e")
+    ).select("e.time", F.col("e.container_name").alias("cname"), "e.log")
+
+    # Layer 2: the expensive per-line scans, once each.
+    log = F.col("log")
+    staged = env.select(
+        "time",
+        "cname",
+        "log",
+        F.regexp_replace(F.col("cname"), r"^/", "").alias("service"),
+        _nginx_access_parts(log).alias("parts"),
+        F.from_json(log, T.MapType(T.StringType(), T.StringType())).alias("jf"),
+    )
+
+    # Layer 3: cheap conditional assembly over attributes only.
+    service, parts = F.col("service"), F.col("parts")
+    jf = F.col("jf")
+    is_json_payload = log.startswith("{")
+    is_nginx_access = (service == "nginx") & (
+        F.size(parts) == len(_ACCESS_KEYS)
+    )
+    is_nginx_error = (service == "nginx") & log.rlike(_NGINX_ERROR)
     fields = (
-        F.when(is_nginx_access, _nginx_access_fields(access_parts))
-        .when(is_json_payload, json_fields)
+        F.when(is_nginx_access, _nginx_access_fields(parts))
+        .when(is_json_payload, jf)
         .otherwise(F.create_map().cast("map<string,string>"))
     )
     level = (
@@ -133,7 +159,7 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
         .when(is_nginx_error, F.lower(F.regexp_extract(log, _NGINX_ERROR, 1)))
         .when(
             is_json_payload,
-            F.coalesce(F.lower(json_fields.getItem("level")), F.lit("info")),
+            F.coalesce(F.lower(jf.getItem("level")), F.lit("info")),
         )
         # Fallback: bracket scan, like the reference's simple parser.
         .when(log.contains("[error]"), F.lit("error"))
@@ -141,13 +167,13 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
         .otherwise(F.lit("info"))
     )
 
-    return env.select(
+    return staged.select(
         service.alias("service_name"),
         F.coalesce(group_map[service], F.lit("apps")).alias("service_group"),
         level.alias("level"),
         log.alias("message"),
         F.to_timestamp(F.col("time")).alias("timestamp"),
-        F.sha1(F.concat_ws("|", "container_name", "time")).alias("container_id"),
+        F.sha1(F.concat_ws("|", "cname", "time")).alias("container_id"),
         fields.alias("fields"),
     )
 
@@ -177,12 +203,22 @@ def http_logs(logs: DataFrame) -> DataFrame:
     `toUInt16OrZero`). The WHERE guarantees exactly one branch's keys are
     populated for every row that reaches the projection.
     """
-    f = F.col("fields")
-    is_nginx = F.col("service_name") == "nginx"
-
     def or_zero(col: Column, dtype: str) -> Column:
         return F.coalesce(col.cast(dtype), F.lit(0).cast(dtype))
 
+    # `fields` may be the full parse when-chain when this runs fused
+    # over parse_logs; it is referenced many times below, so the
+    # projection stays a separate layer (CollapseProject's no-duplication
+    # rule — see parse_logs docstring). The qualifying filter runs on an
+    # extracted `ok` column ABOVE a single-element explode(): predicates
+    # on generated columns cannot push through Generate, which is what
+    # keeps Catalyst from substituting the entire parse chain into the
+    # filter condition and pushing it to the scan (measured at sf0.1:
+    # the pushed filter held 66 copies of the access regex and 90 of
+    # from_json, costing ~2× the parse; the Generate barrier removes
+    # them all and stays in whole-stage codegen, unlike a rand() guard).
+    f = F.col("fields")
+    is_nginx = F.col("service_name") == "nginx"
     nginx_ok = (
         is_nginx
         & F.map_contains_key(f, "http_method")
@@ -197,18 +233,36 @@ def http_logs(logs: DataFrame) -> DataFrame:
         & F.map_contains_key(f, "status")
         & (f.getItem("method") != "")
     )
-    return logs.filter(nginx_ok | proxy_ok).select(
+    row = F.struct(
         F.col("timestamp"),
         F.col("service_name"),
-        F.when(is_nginx, f.getItem("http_method")).otherwise(f.getItem("method")).alias("method"),
-        F.when(is_nginx, f.getItem("http_path")).otherwise(f.getItem("path")).alias("path"),
-        F.when(
-            is_nginx, or_zero(f.getItem("http_status"), "int")
-        ).otherwise(or_zero(f.getItem("status"), "int")).alias("status_code"),
+        (nginx_ok | proxy_ok).alias("ok"),
+        F.when(is_nginx, f.getItem("http_method"))
+        .otherwise(f.getItem("method"))
+        .alias("method"),
+        F.when(is_nginx, f.getItem("http_path"))
+        .otherwise(f.getItem("path"))
+        .alias("path"),
+        F.when(is_nginx, or_zero(f.getItem("http_status"), "int"))
+        .otherwise(or_zero(f.getItem("status"), "int"))
+        .alias("status_code"),
         F.when(is_nginx, or_zero(f.getItem("http_size"), "long"))
         .otherwise(F.lit(0).cast("long"))
         .alias("response_size"),
         F.when(is_nginx, F.lit(0.0))
         .otherwise(or_zero(f.getItem("duration_ms"), "double"))
         .alias("response_time_ms"),
+    )
+    return (
+        logs.select(F.explode(F.array(row)).alias("h"))
+        .filter(F.col("h.ok"))
+        .select(
+            F.col("h.timestamp").alias("timestamp"),
+            F.col("h.service_name").alias("service_name"),
+            F.col("h.method").alias("method"),
+            F.col("h.path").alias("path"),
+            F.col("h.status_code").alias("status_code"),
+            F.col("h.response_size").alias("response_size"),
+            F.col("h.response_time_ms").alias("response_time_ms"),
+        )
     )

@@ -123,6 +123,19 @@ def test_no_unexpected_nested_loop_joins(dfs):
     assert not offenders, f"unexpected cross-shaped nested loops: {offenders}"
 
 
+def test_nginx_parse_expressions_not_duplicated(dfs):
+    """The q48 parse chain must hold each expensive scan expression a
+    bounded number of times. parse_logs layers its projections so
+    CollapseProject cannot re-embed them, and http_logs filters above a
+    single-element explode() so predicate pushdown cannot substitute the
+    parse into the filter condition — without those guards the optimized
+    plan carried 66 copies of the access regex and 90 of from_json per
+    input row (measured r5, sf0.1: 6.2 s vs 2.2 s). Pin the property."""
+    plan = audit.optimized_plan(dfs["q48_nginx_log_parse"])
+    assert plan.count("regexp_replace") <= 4, plan
+    assert plan.count("from_json") <= 4, plan
+
+
 def test_winnowing_is_map_only(spark):
     """The in-row winnowing formulation must compile to a shuffle-free
     plan: gram hashing + sliding minima are one narrow projection over
