@@ -20,7 +20,33 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["portable_hash64", "DDB_U64", "DDB_H64", "ddb_signed", "ddb_affine_signed"]
+__all__ = [
+    "portable_hash64",
+    "portable_hash60",
+    "DDB_U64",
+    "DDB_H64",
+    "DDB_H60",
+    "ddb_signed",
+    "ddb_affine_signed",
+]
+
+def portable_hash60(c: Column) -> Column:
+    """Non-negative 60-bit hash of a string column: first 15 md5 hex
+    chars through ONE ``conv``. The hex→long parse costs more than the
+    md5 itself (measured at sf0.1: two-conv 64-bit form 5.2 s over the
+    gram workload vs 2.9 s for this one), so per-gram hot paths that
+    don't need all 64 bits — winnowing, whose sliding-min only needs a
+    consistent total order — use this form. SimHash keeps the 64-bit
+    variant (it consumes every bit of the fingerprint).
+    """
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def DDB_H60(expr: str) -> str:
+    """DuckDB: the exact twin of :func:`portable_hash60` — 60 bits never
+    set the sign bit, so a plain BIGINT cast matches Spark's long."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
 
 def portable_hash64(c: Column) -> Column:
     """Signed 64-bit hash of a string column: first 16 md5 hex chars.

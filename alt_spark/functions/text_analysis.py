@@ -202,13 +202,15 @@ def winnowing_fingerprints(
     shuffle (at 100 TB this is a map-only stage).
 
     ``portable=True`` switches the gram hash from xxhash64 (production
-    default) to the md5-based portable_hash64 so the whole pipeline has
-    an exact DuckDB twin (see functions/hashing.py); the winnowing
-    guarantee is hash-agnostic.
+    default) to the md5-based portable_hash60 so the whole pipeline has
+    an exact DuckDB twin (see functions/hashing.py — the 60-bit single-
+    conv form, since the sliding min only needs a consistent total
+    order and the second hex parse was most of the portable-path cost);
+    the winnowing guarantee is hash-agnostic.
     """
-    from alt_spark.functions.hashing import portable_hash64
+    from alt_spark.functions.hashing import portable_hash60
 
-    hash_fn = portable_hash64 if portable else F.xxhash64
+    hash_fn = portable_hash60 if portable else F.xxhash64
     text = F.col(text_col)
     n = F.length(text)
     grams = F.when(

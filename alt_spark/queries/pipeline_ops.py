@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from alt_spark.catalog import load_table
 from alt_spark.functions import text_analysis as ta
+from alt_spark.functions.hashing import DDB_H60 as _h60
 from alt_spark.functions.hashing import DDB_H64 as _h64
 from alt_spark.functions.hashing import DDB_U64 as _u64
 from alt_spark.operators import dedup
@@ -448,7 +449,7 @@ def q32(spark: SparkSession, sf: str) -> DataFrame:
     "q33_winnowing_fingerprints",
     oracle=f"""
 WITH g AS (
-  SELECT doc_id AS id, i - 1 AS pos, {_h64("substr(text, i, 5)")} AS h
+  SELECT doc_id AS id, i - 1 AS pos, {_h60("substr(text, i, 5)")} AS h
   FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) u(i)
   WHERE length(text) >= 5
 ), w AS (

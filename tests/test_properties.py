@@ -122,3 +122,38 @@ def test_portable_hash64_matches_duckdb(spark, words):
     want = dict(con.execute(f"SELECT s, {DDB_H64('s')} FROM t").fetchall())
     con.close()
     assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet=st.characters(codec="utf-8", exclude_categories=("Cs",)),
+            min_size=0,
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=25,
+        unique=True,
+    )
+)
+def test_portable_hash60_matches_duckdb(spark, words):
+    """The single-conv 60-bit portable hash (winnowing's gram hash)
+    agrees with its DuckDB twin and never goes negative — the property
+    that lets both engines skip the sign remap."""
+    import duckdb
+
+    from alt_spark.functions.hashing import DDB_H60, portable_hash60
+
+    sdf = spark.createDataFrame([(w,) for w in words], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", portable_hash60(F.col("s")).alias("h")).collect()
+    }
+    assert all(h >= 0 for h in got.values())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(s VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in words])
+    want = dict(con.execute(f"SELECT s, {DDB_H60('s')} FROM t").fetchall())
+    con.close()
+    assert got == want
