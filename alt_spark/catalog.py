@@ -176,7 +176,18 @@ def _events_ts_unit_memo(probe: str, mtime_ns: int, size: int) -> str:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(probe).field("ts").type
+    meta = pq.read_metadata(probe)
+    pq_schema = meta.schema
+    for i in range(len(pq_schema)):
+        col = pq_schema.column(i)
+        if col.name == "ts" and col.physical_type == "INT96":
+            # Spark's default parquet timestamp layout (e.g. a landing
+            # dir written by a plain-session `df.write.parquet`). Arrow
+            # reports INT96 as timestamp[ns], but Spark reads it
+            # natively as TimestampType — it must NOT take the
+            # INT64-nanos branch (LongType read would fail outright).
+            return "us"
+    t = pq_schema.to_arrow_schema().field("ts").type
     if pa.types.is_timestamp(t):
         return t.unit
     return "ns"

