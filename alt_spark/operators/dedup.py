@@ -155,9 +155,15 @@ def minhash_signatures(
     slower: Catalyst's projection collapse inlines the shingle expression
     into every one of the 128 branches, re-tokenizing each row 128 times.
     """
-    from alt_spark.functions.hashing import portable_hash64
+    # Portable base hash is the 60-bit single-conv form: the affine
+    # permutation family spreads any base hash over the full 64-bit
+    # wrapping ring, so the min-statistics don't need the upper nibble,
+    # and the second hex parse was most of the portable hash's cost
+    # (functions/hashing.py). SimHash keeps the 64-bit form — it
+    # consumes the base hash's bits directly.
+    from alt_spark.functions.hashing import portable_hash60
 
-    base_hash = portable_hash64 if portable else F.xxhash64
+    base_hash = portable_hash60 if portable else F.xxhash64
     sh_rows = shingle_rows(df, text_col, id_col, shingle_k).select(
         "id", base_hash(F.col("sh")).alias("h")
     )

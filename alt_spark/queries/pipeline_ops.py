@@ -17,7 +17,6 @@ from pyspark.sql import functions as F
 from alt_spark.catalog import load_table
 from alt_spark.functions import text_analysis as ta
 from alt_spark.functions.hashing import DDB_H60 as _h60
-from alt_spark.functions.hashing import DDB_H64 as _h64
 from alt_spark.functions.hashing import DDB_U64 as _u64
 from alt_spark.operators import dedup
 from alt_spark.queries import query
@@ -262,7 +261,7 @@ WITH toks AS (
   FROM toks, unnest(range(len(t)-2)) u(i)
   WHERE len(t) >= 3
 ), hashed AS (
-  SELECT id, {_h64('sh')} AS h FROM sh
+  SELECT id, {_h60('sh')} AS h FROM sh
 ), mins AS (
   SELECT id,
          {min_cols}
