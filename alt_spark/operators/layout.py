@@ -32,7 +32,41 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-__all__ = ["force_layout"]
+__all__ = ["force_layout", "grid_cells"]
+
+
+def grid_cells(pos: DataFrame, cells_per_axis: int) -> DataFrame:
+    """Bucket (id, x, y) rows onto a ``cells_per_axis``² lattice rescaled
+    to the frame's bounding box. Occupied-cell count is ≤ cells_per_axis²
+    for ANY input spread — the invariant that keeps force_layout's
+    far-field supernode broadcast bounded (a fixed cell SIZE grows the
+    cell count with occupied area; tests feed this an adversarial spread
+    to pin the difference). Split out of force_layout so the bound is
+    testable against the exact production bucketing."""
+    cpa = int(cells_per_axis)
+    eps = F.lit(1e-6)
+    bbox = pos.agg(
+        F.min("x").alias("bx0"),
+        F.max("x").alias("bx1"),
+        F.min("y").alias("by0"),
+        F.max("y").alias("by1"),
+    )
+    # Cell edge length for the current extent; greatest(span, eps)
+    # guards the all-points-coincident frame. least(cpa-1) clamps
+    # the max-coordinate row into the last cell.
+    gx = F.greatest(F.col("bx1") - F.col("bx0"), eps) / cpa
+    gy = F.greatest(F.col("by1") - F.col("by0"), eps) / cpa
+    return pos.crossJoin(F.broadcast(bbox)).select(
+        "id",
+        "x",
+        "y",
+        F.least(
+            F.floor((F.col("x") - F.col("bx0")) / gx), F.lit(cpa - 1)
+        ).cast("long").alias("cx"),
+        F.least(
+            F.floor((F.col("y") - F.col("by0")) / gy), F.lit(cpa - 1)
+        ).cast("long").alias("cy"),
+    )
 
 
 def force_layout(
@@ -77,31 +111,7 @@ def force_layout(
     eps = F.lit(1e-6)
     for it in range(iterations):
         temp = 0.5 * (1.0 - it / iterations) + 0.05  # cooling
-        bbox = pos.agg(
-            F.min("x").alias("bx0"),
-            F.max("x").alias("bx1"),
-            F.min("y").alias("by0"),
-            F.max("y").alias("by1"),
-        )
-        # Cell edge length for the current extent; greatest(span, eps)
-        # guards the all-points-coincident frame. least(cpa-1) clamps
-        # the max-coordinate row into the last cell.
-        gx = F.greatest(F.col("bx1") - F.col("bx0"), eps) / cpa
-        gy = F.greatest(F.col("by1") - F.col("by0"), eps) / cpa
-        cell = (
-            pos.crossJoin(F.broadcast(bbox))
-            .select(
-                "id",
-                "x",
-                "y",
-                F.least(
-                    F.floor((F.col("x") - F.col("bx0")) / gx), F.lit(cpa - 1)
-                ).cast("long").alias("cx"),
-                F.least(
-                    F.floor((F.col("y") - F.col("by0")) / gy), F.lit(cpa - 1)
-                ).cast("long").alias("cy"),
-            )
-        )
+        cell = grid_cells(pos, cpa)
         # Far field: per-cell supernodes (count, centroid), broadcast.
         cells = cell.groupBy("cx", "cy").agg(
             F.count("*").alias("m"),

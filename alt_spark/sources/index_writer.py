@@ -140,7 +140,19 @@ class SearchIndexWriter(DataSourceWriter):
             os.path.join(build, "index.parquet"),
         )
         os.makedirs(self.path, exist_ok=True)
-        os.rename(build, os.path.join(self.path, f"v{prev_version + 1}"))
+        try:
+            os.rename(build, os.path.join(self.path, f"v{prev_version + 1}"))
+        except OSError as exc:
+            # A concurrent committer published v{N+1} first. Surface a
+            # clear conflict instead of ENOTEMPTY — last-committer-wins
+            # would silently drop this job's ops — and always clean the
+            # staging dir so the failed commit leaves no residue.
+            shutil.rmtree(self.staging, ignore_errors=True)
+            raise RuntimeError(
+                f"searchindex version conflict: v{prev_version + 1} was "
+                "published concurrently; re-run the write against the "
+                "new snapshot"
+            ) from exc
         shutil.rmtree(self.staging, ignore_errors=True)
 
     def abort(self, messages):

@@ -87,7 +87,7 @@ def test_ns_layout_branch_reads_identically(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(120), "ns-layout replay did not drain in 120s"
     streamed = {
         tuple(r) for r in spark.table("ns_canary_replay").collect()
     }

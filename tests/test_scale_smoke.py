@@ -119,17 +119,29 @@ def test_force_layout_at_100k_nodes(spark):
     assert elapsed < 300, f"layout smoke took {elapsed:.0f}s"
     assert len(rows) == n
     assert all(math.isfinite(r.x) and math.isfinite(r.y) for r in rows)
-    # The supernode bound, computed the way force_layout buckets: the
-    # occupied-cell count can never exceed the lattice size.
-    xs = [r.x for r in rows]
-    ys = [r.y for r in rows]
-    gx = max(max(xs) - min(xs), 1e-6) / 64
-    gy = max(max(ys) - min(ys), 1e-6) / 64
-    cells = {
-        (min(int((r.x - min(xs)) / gx), 63), min(int((r.y - min(ys)) / gy), 63))
-        for r in rows
-    }
-    assert len(cells) <= 64 * 64
+
+
+def test_grid_cells_bounded_under_adversarial_spread(spark):
+    """The supernode bound that keeps force_layout's far-field broadcast
+    legal, tested against the EXACT production bucketing
+    (layout.grid_cells) on a worst-case input: positions spread over 9
+    orders of magnitude. A fixed-cell-size grid (the pre-r5 form, cell
+    edge 2.0) would occupy ~millions of cells here; the adaptive lattice
+    must stay ≤ cells_per_axis² and use its full range."""
+    from alt_spark.operators.layout import grid_cells
+
+    pos = spark.range(50_000).select(
+        F.col("id"),
+        # exponential spread: x in [1, e^20.7) ~ 1e9, plus dense cluster
+        F.exp(F.col("id") % 207 / 10.0).alias("x"),
+        (F.col("id") % 1000).cast("double").alias("y"),
+    )
+    occupied = grid_cells(pos, 64).select("cx", "cy").distinct().collect()
+    assert len(occupied) <= 64 * 64
+    idx = [(r.cx, r.cy) for r in occupied]
+    assert all(0 <= cx <= 63 and 0 <= cy <= 63 for cx, cy in idx)
+    # Not degenerate either: the lattice actually spreads the points.
+    assert len(idx) > 64
 
 
 def test_stream_stream_interval_join_at_100k_events(spark, tmp_path):
@@ -181,7 +193,7 @@ def test_stream_stream_interval_join_at_100k_events(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(240)
+    assert q.awaitTermination(240), "interval-join replay did not drain in 240s"
     stream_n = spark.table("interval_join_100k").count()
     elapsed = time.monotonic() - t0
     assert elapsed < 300, f"interval-join smoke took {elapsed:.0f}s"
