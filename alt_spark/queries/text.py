@@ -116,14 +116,22 @@ def q18(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
     )
     # df only for tokens that appear in the query doc: broadcast the tiny
-    # query-vocab and semi-join the corpus token stream BEFORE the distinct
+    # query-vocab and semi-join the corpus token stream BEFORE the
     # aggregation. At 100 TB the alternative (df over the full vocabulary,
     # then broadcast) shuffles and collects a corpus-sized dictionary; this
-    # plan reduces the wide stage to query-vocab cardinality.
+    # plan reduces the wide stage to query-vocab cardinality. Per-doc
+    # duplicate tokens collapse IN-ROW (array_distinct before the explode),
+    # so rows are already unique per (doc, token) and df is a plain count
+    # with map-side partial aggregation — an exact COUNT(DISTINCT doc_id)
+    # would instead shuffle every (token, doc_id) pair to dedupe again.
+    docs = load_table(spark, sf, "documents")
+    dtok = docs.select(
+        "doc_id", F.explode(F.array_distinct(_token_col())).alias("token")
+    )
     df = (
-        tok.join(F.broadcast(tf0.select("token")), "token", "left_semi")
+        dtok.join(F.broadcast(tf0.select("token")), "token", "left_semi")
         .groupBy("token")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        .agg(F.count("*").alias("df"))
     )
     n = load_table(spark, sf, "documents").agg(F.count("*").alias("n"))
     return (
