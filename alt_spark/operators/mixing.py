@@ -1,0 +1,84 @@
+"""Deterministic data mixing for training corpora (north-star pillar).
+
+A 100 TB training pipeline re-weights sources every run ("20% code, 5%
+forum, ..."), and the sample must be (a) reproducible — the same doc is
+kept or dropped on every run and every executor, (b) scan-local — no
+shuffle, no rand() (non-deterministic under task retry, which silently
+duplicates/drops rows when a stage is re-attempted), and (c) exactly
+auditable cross-engine.
+
+``stratified_sample`` keeps a row iff
+
+    portable_hash60(salt ':' id) % PRECISION  <  rate_permyriad[stratum]
+
+Integer arithmetic end-to-end: the md5-based portable hash and the
+modulo are bit-identical in Spark and DuckDB (functions/hashing.py), so
+sampling decisions — not just counts — are oracle-checkable row by row.
+The filter is a narrow per-row predicate evaluated inside the scan
+stage; at 100 TB it costs one md5 per row and prunes before any wide
+operator runs. Changing ``salt`` draws an independent sample;
+the reference has no sampling layer (it processes every feed item), so
+this operator is beyond-reference by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alt_spark.functions.hashing import portable_hash60
+
+__all__ = ["PRECISION", "sample_bucket", "stratified_sample"]
+
+# Sampling rates are expressed in permyriad (1/10000) so the keep
+# decision stays in exact integer arithmetic in both engines.
+PRECISION = 10_000
+
+
+def sample_bucket(id_col: Column | str, salt: str) -> Column:
+    """Deterministic bucket in [0, PRECISION) for a row id.
+
+    DuckDB twin: ``ddb_sample_bucket`` below — same md5 bytes, same
+    modulo, same value.
+    """
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return portable_hash60(
+        F.concat_ws(":", F.lit(salt), c.cast("string"))
+    ) % PRECISION
+
+
+def ddb_sample_bucket(id_expr: str, salt: str) -> str:
+    """DuckDB SQL twin of :func:`sample_bucket` (60-bit hash is
+    non-negative, so plain ``%`` matches Spark's)."""
+    from alt_spark.functions.hashing import DDB_H60
+
+    key = f"concat('{salt}', ':', CAST({id_expr} AS VARCHAR))"
+    return f"({DDB_H60(key)} % {PRECISION})"
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_permyriad: dict[str, int],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash
+    bucket falls under the stratum's rate (in 1/10000ths). Strata
+    without a declared rate are dropped (rate 0) — a mixing config
+    lists exactly what it wants.
+
+    The rate map is a literal expression (broadcast-free; it lives in
+    the task binary), the predicate is narrow, and the sampled subset
+    is stable under re-partitioning, task retry, and cluster size.
+    """
+    for k, v in rates_permyriad.items():
+        if not 0 <= v <= PRECISION:
+            raise ValueError(f"rate for {k!r} must be in [0, {PRECISION}], got {v}")
+    pairs: list[Column] = []
+    for k, v in rates_permyriad.items():
+        pairs.extend([F.lit(k), F.lit(int(v))])
+    rate = F.coalesce(
+        F.element_at(F.create_map(*pairs), F.col(stratum_col)), F.lit(0)
+    )
+    return df.filter(sample_bucket(id_col, salt) < rate)

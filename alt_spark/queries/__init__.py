@@ -46,6 +46,7 @@ def _load_all_modules() -> None:
     from alt_spark.queries import relational  # noqa: F401
     from alt_spark.queries import relational_ext  # noqa: F401
     from alt_spark.queries import text  # noqa: F401
+    from alt_spark.queries import training  # noqa: F401
     from alt_spark.queries import vectors  # noqa: F401
 
 
@@ -76,6 +77,10 @@ _loaded = False
 #         INTERSECT/EXCEPT) to earn driver hash rows; each kept its
 #         pytest DuckDB oracle and has green driver rows in
 #         CORRECTNESS_r01–r04.
+#   q59-q61 — r5 training-data additions (mixing / chunking / packing);
+#         oracle-backed, so test_oracle_parity hash-checks them every
+#         run; parked in the tail to keep the 50 driver rows stable
+#         this round (candidates to rotate in next round).
 _REPORT_TAIL = (
     "q49_streaming_mv_replay",
     "q37_approx_distinct_users",
@@ -85,6 +90,9 @@ _REPORT_TAIL = (
     "q12_decay_ranking",
     "q13_keyset_pagination",
     "q14_paged_window_count",
+    "q59_stratified_mixing",
+    "q60_context_chunks",
+    "q61_sequence_packing",
 )
 
 

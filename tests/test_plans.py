@@ -148,3 +148,32 @@ def test_winnowing_is_map_only(spark):
     docs = load_table(spark, "/root/testdata/sf0.001", "documents")
     fp = ta.winnowing_fingerprints(docs)
     assert audit.shuffle_count(fp) == 0, audit.physical_plan(fp)
+
+
+def test_chunking_is_map_only(spark):
+    """Context-window chunking (operators/packing.chunk_tokens) is a
+    single narrow projection — sequence/slice/posexplode in-row — so
+    chunking 100 TB parallelizes exactly like scanning it: zero
+    exchanges."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.packing import chunk_tokens
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+    chunks = chunk_tokens(docs.withColumn("toks", toks), F.col("toks"), "doc_id")
+    assert audit.shuffle_count(chunks) == 0, audit.physical_plan(chunks)
+
+
+def test_stratified_sample_is_scan_local(spark):
+    """The mixing filter must stay a narrow predicate over the scan
+    (no exchange, no UDF): one md5 + integer mod per row."""
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.mixing import stratified_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = stratified_sample(docs, {"en": 5000}, "lang")
+    plan = audit.physical_plan(kept)
+    assert audit.shuffle_count(kept) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

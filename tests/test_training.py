@@ -1,0 +1,181 @@
+"""Training-data preparation ops (operators/mixing.py, packing.py):
+sampling determinism, chunk-cover exactness, packing invariants.
+Oracle parity for Q59-Q61 lives in test_oracle.py; these are the
+properties SQL can't state (determinism under repartitioning, FFD
+budget-safety, packing efficiency)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from alt_spark.catalog import load_table
+from alt_spark.operators.mixing import PRECISION, sample_bucket, stratified_sample
+from alt_spark.operators.packing import chunk_tokens, pack_contiguous, pack_ffd
+from tests.conftest import SF_SMOKE
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMOKE, "documents")
+
+
+def _tokens_col():
+    return F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+
+
+# ---------------------------------------------------------------------- mixing
+def test_sample_rate_edges_and_subset(spark):
+    docs = _docs(spark)
+    langs = [r[0] for r in docs.select("lang").distinct().collect()]
+    all_kept = stratified_sample(docs, {l: PRECISION for l in langs}, "lang")
+    assert all_kept.count() == docs.count()
+    assert stratified_sample(docs, {l: 0 for l in langs}, "lang").count() == 0
+    # Undeclared strata drop: a config lists exactly what it wants.
+    only_en = stratified_sample(docs, {"en": PRECISION}, "lang")
+    assert only_en.filter(F.col("lang") != "en").count() == 0
+
+
+def test_sample_deterministic_under_repartitioning(spark):
+    docs = _docs(spark)
+    rates = {"en": 3000, "de": 7000, "fr": 1234, "es": 5000, "zh": 500}
+    a = {r[0] for r in stratified_sample(docs, rates, "lang").select("doc_id").collect()}
+    b = {
+        r[0]
+        for r in stratified_sample(docs.repartition(13), rates, "lang")
+        .select("doc_id")
+        .collect()
+    }
+    assert a == b, "sampling must not depend on physical layout"
+    # Different salt draws a genuinely different sample.
+    c = {
+        r[0]
+        for r in stratified_sample(docs, rates, "lang", salt="other")
+        .select("doc_id")
+        .collect()
+    }
+    assert c != a
+
+
+def test_sample_proportion_tracks_rate(spark):
+    docs = _docs(spark)
+    n = docs.filter(F.col("lang") == "en").count()
+    kept = stratified_sample(docs, {"en": 5000}, "lang").count()
+    # Binomial(n, 0.5): 4 sigma tolerance — deterministic given testdata.
+    assert abs(kept - 0.5 * n) <= 4 * (n * 0.25) ** 0.5 + 1
+
+
+def test_sample_bucket_range(spark):
+    docs = _docs(spark)
+    row = docs.select(
+        F.min(sample_bucket("doc_id", "s")).alias("lo"),
+        F.max(sample_bucket("doc_id", "s")).alias("hi"),
+    ).first()
+    assert 0 <= row["lo"] and row["hi"] < PRECISION
+
+
+def test_sample_rejects_bad_rate(spark):
+    with pytest.raises(ValueError):
+        stratified_sample(_docs(spark), {"en": PRECISION + 1}, "lang")
+
+
+# -------------------------------------------------------------------- chunking
+def test_chunks_disjoint_cover_when_stride_equals_window(spark):
+    docs = _docs(spark).select("doc_id", "text").withColumn("toks", _tokens_col())
+    chunks = chunk_tokens(docs, F.col("toks"), "doc_id", max_tokens=16, stride=16)
+    # Reassembling chunks in order must reproduce the token stream exactly.
+    rebuilt = (
+        chunks.groupBy("id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk_text")))
+                .getField("chunk_text")
+            ).alias("rebuilt")
+        )
+    )
+    orig = docs.select("doc_id", F.concat_ws(" ", "toks").alias("orig"))
+    joined = orig.join(rebuilt, orig.doc_id == rebuilt.id, "left")
+    bad = joined.filter(
+        (F.col("orig") != F.coalesce(F.col("rebuilt"), F.lit("")))
+        & (F.length("orig") > 0)
+    ).count()
+    assert bad == 0
+    # Window bound + per-doc chunk count: ceil(n_tok / 16).
+    sizes = chunks.agg(F.max("n_tok").alias("mx"), F.min("n_tok").alias("mn")).first()
+    assert sizes["mx"] <= 16 and sizes["mn"] >= 1
+    counts = (
+        docs.select("doc_id", F.size("toks").alias("n"))
+        .filter(F.col("n") > 0)
+        .join(chunks.groupBy("id").agg(F.count("*").alias("c")), F.col("doc_id") == F.col("id"))
+        .filter(F.col("c") != F.ceil(F.col("n") / 16.0))
+        .count()
+    )
+    assert counts == 0
+
+
+def test_chunks_overlap_stride(spark):
+    docs = _docs(spark).select("doc_id", "text").withColumn("toks", _tokens_col())
+    chunks = chunk_tokens(docs, F.col("toks"), "doc_id", max_tokens=32, stride=24)
+    # chunk_idx is dense from 0 and each full window holds exactly 32.
+    first = chunks.filter(F.col("chunk_idx") == 0).count()
+    docs_nonempty = docs.filter(F.size("toks") > 0).count()
+    assert first == docs_nonempty
+    with pytest.raises(ValueError):
+        chunk_tokens(docs, F.col("toks"), "doc_id", max_tokens=8, stride=9)
+
+
+# --------------------------------------------------------------------- packing
+def _sized(spark):
+    docs = _docs(spark)
+    return docs.select(
+        "lang", "doc_id", F.size(_tokens_col()).cast("long").alias("n_tok")
+    )
+
+
+def test_contiguous_packing_overflow_bound(spark):
+    t = _sized(spark)
+    budget = 128
+    binned = pack_contiguous(t, "n_tok", budget, "lang", "doc_id")
+    per_bin = binned.groupBy("lang", "bin").agg(
+        F.sum("n_tok").alias("s"), F.max("n_tok").alias("mx")
+    )
+    # Streaming-pack bound: a bin exceeds budget by less than its
+    # largest (= last) document.
+    assert per_bin.filter(F.col("s") >= budget + F.col("mx")).count() == 0
+    # Bins are dense per shard starting at 0.
+    dense = per_bin.groupBy("lang").agg(
+        F.min("bin").alias("lo"), F.max("bin").alias("hi"), F.count("*").alias("c")
+    )
+    assert dense.filter((F.col("lo") != 0) | (F.col("c") != F.col("hi") + 1)).count() == 0
+
+
+def test_ffd_packing_invariants(spark):
+    t = _sized(spark)
+    budget = 128
+    packed = pack_ffd(t, "n_tok", budget, "lang", "doc_id").cache()
+    # Partition: every doc exactly once.
+    assert packed.count() == t.count()
+    assert packed.select("id").distinct().count() == t.count()
+    # Budget safety: only singleton bins may exceed the budget.
+    per_bin = packed.groupBy("shard", "bin").agg(
+        F.sum("n_tokens").alias("s"), F.count("*").alias("c")
+    )
+    assert per_bin.filter((F.col("s") > budget) & (F.col("c") > 1)).count() == 0
+    # Determinism.
+    again = pack_ffd(t, "n_tok", budget, "lang", "doc_id")
+    assert packed.exceptAll(again).count() == 0
+    # First-fit efficiency invariant: two bins can never both be at most
+    # half full (the second's docs would have fit in the first), so each
+    # shard has at most one such bin — utilization stays > 50% minus one
+    # bin, the textbook FF guarantee.
+    slack = per_bin.filter(F.col("s") * 2 <= budget).groupBy("shard").count()
+    assert slack.filter(F.col("count") > 1).count() == 0
+    packed.unpersist()
+
+
+def test_ffd_oversize_doc_gets_singleton_bin(spark):
+    rows = [("s", 1, 500), ("s", 2, 60), ("s", 3, 60), ("s", 4, 10)]
+    df = spark.createDataFrame(rows, ["shard", "doc_id", "n_tok"])
+    packed = pack_ffd(df, "n_tok", 128, "shard", "doc_id").collect()
+    by_id = {r["id"]: r["bin"] for r in packed}
+    # The oversize doc (500 > budget) must sit alone in its bin.
+    assert sum(1 for r in packed if r["bin"] == by_id[1]) == 1
