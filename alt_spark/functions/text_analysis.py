@@ -53,6 +53,30 @@ def word_token_count(text: Column) -> Column:
     return F.size(_tokens(text))
 
 
+# GPT-2-style pre-tokenizer (public: openai/gpt-2 encoder.py pattern),
+# restricted to lookahead-free branches so the IDENTICAL pattern runs in
+# Java regex (Spark) and RE2 (DuckDB — no lookahead support): common
+# English contraction suffixes, space-prefixed letter runs, digit runs,
+# punctuation runs, then whitespace runs. Leftmost-first alternation
+# semantics match across both engines. This is the count a BPE encoder
+# sees BEFORE merges — the standard cheap proxy for "model tokens" in
+# corpus budgeting (real BPE merges only split these pieces further, so
+# it lower-bounds nothing and over-counts nothing at the word level).
+BPE_PRETOKEN_PATTERN = (
+    r"'[sdmt]|'ll|'re|'ve| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_pretoken_count(text: Column) -> Column:
+    """Count of GPT-2-style pre-tokens, excluding pure-whitespace pieces
+    (whitespace branches keep the scan single-pass but don't count)."""
+    non_ws = F.filter(
+        F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0),
+        lambda t: t.rlike(r"\S"),
+    )
+    return F.size(non_ws)
+
+
 def avg_token_len(text: Column) -> Column:
     toks = _tokens(text)
     total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))

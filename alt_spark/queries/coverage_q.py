@@ -380,15 +380,29 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
         name = "q49_mv_" + uuid.uuid4().hex[:8]
         src = read_events_stream(spark, landing, max_files_per_trigger=1)
         mv = MV_REGISTRY["sli_error_rate"](src)
-        sq = (
-            mv.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .option("checkpointLocation", os.path.join(root, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        sq.awaitTermination()
+        # State-store partitioning is fixed at first start from the
+        # checkpoint: the MV groups ~9k minute-buckets, so 32 session
+        # shuffle partitions would mean 32 state stores × 4 micro-batches
+        # of per-task open/commit overhead for no parallelism gain. Pin a
+        # small count for THIS fresh-checkpoint replay and restore the
+        # session conf after start (aggregation results are partition-
+        # count-invariant; a production MV sizes this to its key space).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            sq = (
+                mv.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            # The first micro-batch snapshots the conf asynchronously
+            # after start(), so only restore once the replay is done.
+            assert sq.awaitTermination(300), "q49 replay timed out"
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # Materialize the folded state before the landing dir disappears.
         out = spark.createDataFrame(
             spark.table(name).collect(), spark.table(name).schema

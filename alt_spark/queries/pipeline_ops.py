@@ -88,6 +88,9 @@ WITH t AS (
   SELECT source,
          len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tok,
          len({_DDB_TOKENS}) AS word_tok,
+         len(list_filter(
+           regexp_extract_all(text, '''[sdmt]|''ll|''re|''ve| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'),
+           x -> regexp_matches(x, '\\S'))) AS bpe_tok,
          CAST(list_sum(list_transform({_DDB_TOKENS}, x -> length(x))) AS DOUBLE)
            / greatest(len({_DDB_TOKENS}), 1) AS avg_len
   FROM documents
@@ -95,6 +98,7 @@ WITH t AS (
 SELECT source,
        CAST(sum(ws_tok) AS BIGINT) AS ws_tokens,
        CAST(sum(word_tok) AS BIGINT) AS word_tokens,
+       CAST(sum(bpe_tok) AS BIGINT) AS bpe_tokens,
        round(avg(avg_len), 4) AS avg_token_len
 FROM t
 GROUP BY source
@@ -102,15 +106,17 @@ ORDER BY source
 """,
 )
 def q28(spark: SparkSession, sf: str) -> DataFrame:
-    """Token counting per source: whitespace count vs tokenizer count
-    plus mean token length (north-star token accounting; preprocess.rs
-    :286-344 token stats)."""
+    """Token counting per source: whitespace count, tokenizer count and
+    GPT-2-style BPE pre-token count, plus mean token length (north-star
+    token accounting; preprocess.rs:286-344 token stats). The BPE column
+    is the model-token budgeting proxy — identical regex both engines."""
     docs = load_table(spark, sf, "documents")
     text = F.col("text")
     per_doc = docs.select(
         "source",
         ta.whitespace_token_count(text).alias("ws_tok"),
         ta.word_token_count(text).alias("word_tok"),
+        ta.bpe_pretoken_count(text).alias("bpe_tok"),
         ta.avg_token_len(text).alias("avg_len"),
     )
     return (
@@ -118,6 +124,7 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
         .agg(
             F.sum("ws_tok").cast("long").alias("ws_tokens"),
             F.sum("word_tok").cast("long").alias("word_tokens"),
+            F.sum("bpe_tok").cast("long").alias("bpe_tokens"),
             F.round(F.avg("avg_len"), 4).alias("avg_token_len"),
         )
         .orderBy("source")

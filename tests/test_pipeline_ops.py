@@ -385,3 +385,26 @@ def test_multimodal_real_png_decode(spark):
     got = {r.media_id: r.feature for r in multimodal.decode_features(media, dim=2).collect()}
     assert got[1] == pytest.approx([1.0, 0.0], abs=1e-6)
     assert got[2] == pytest.approx(_decode_stub(png[:20], "image/png", 2), abs=1e-6)
+
+
+def test_bpe_pretoken_count_goldens(spark):
+    """GPT-2-style pre-tokenizer count: hand-verified piece counts.
+    The pattern is the lookahead-free restriction of the public GPT-2
+    pre-tokenizer, so contractions split ('t / 'll), punctuation runs
+    count once, and whitespace pieces are excluded."""
+    from alt_spark.functions.text_analysis import bpe_pretoken_count
+
+    cases = [
+        ("hello world", 2),           # [hello][ world]
+        ("don't stop", 3),            # [don]['t][ stop]
+        ("we'll we're we've", 6),     # 3 words + 3 suffixes
+        ("hello, world!!", 4),        # [hello][,][ world][!!]
+        ("a1b2", 4),                  # [a][1][b][2] letter/digit runs split
+        ("  spaced  out  ", 2),       # whitespace pieces don't count
+        ("", 0),
+    ]
+    df = spark.createDataFrame(cases, ["text", "expect"])
+    from pyspark.sql import functions as F
+
+    bad = df.filter(bpe_pretoken_count(F.col("text")) != F.col("expect")).collect()
+    assert not bad, bad
