@@ -225,3 +225,40 @@ def test_winnowing_inrow_at_100k(spark):
         .agg(F.countDistinct(F.to_json(F.struct("fingerprints"))).alias("n_variants"))
     )
     assert per_text.filter(F.col("n_variants") != 1).count() == 0
+
+
+def test_training_prep_at_100k(spark):
+    """Mixing → chunking → packing at 100k docs: the full training-prep
+    chain holds its invariants at volume. Chunking stays shuffle-free
+    (plan-pinned in test_plans), sampling stays proportional, and the
+    packed bins respect the streaming-pack bound per shard."""
+    from alt_spark.operators.mixing import stratified_sample
+    from alt_spark.operators.packing import chunk_tokens, pack_contiguous
+
+    corpus = _big_corpus(spark).withColumn(
+        "shard", (F.col("doc_id") % 32).cast("string")
+    ).persist()
+    try:
+        n = corpus.count()
+        # Mixing: one declared stratum at 25% — kept set proportional.
+        kept = stratified_sample(corpus, {"7": 2500}, "shard", "doc_id")
+        k, stratum = kept.count(), corpus.filter(F.col("shard") == "7").count()
+        assert abs(k - stratum / 4) <= 4 * (stratum * 0.25 * 0.75) ** 0.5 + 1
+        # Chunking: disjoint cover (stride == window) over 100k docs.
+        toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+        with_toks = corpus.withColumn("toks", toks)
+        chunks = chunk_tokens(with_toks, F.col("toks"), "doc_id", 32, 32)
+        tok_total = with_toks.agg(F.sum(F.size("toks"))).first()[0]
+        chunk_tok_total = chunks.agg(F.sum("n_tok")).first()[0]
+        assert chunk_tok_total == tok_total, "chunks must cover every token exactly once"
+        # Packing: 32 shards in parallel, overflow < last doc per bin.
+        sized = with_toks.select("shard", "doc_id", F.size("toks").cast("long").alias("n_tok"))
+        per_bin = (
+            pack_contiguous(sized, "n_tok", 4096, "shard", "doc_id")
+            .groupBy("shard", "bin")
+            .agg(F.sum("n_tok").alias("s"), F.max("n_tok").alias("mx"))
+        )
+        assert per_bin.filter(F.col("s") >= 4096 + F.col("mx")).count() == 0
+        assert per_bin.count() >= 32  # every shard produced bins
+    finally:
+        corpus.unpersist()
