@@ -79,6 +79,12 @@ def main() -> int:
         "q02_sli_error_rate": "events",
         "q16_conditional_extraction": "events",
         "q17_exact_dedup": "documents",
+        # The combined-log parse chain: rows/s here reads against the
+        # reference's >1 M msg/s buffer figure (its >4 GB/s simd-parse
+        # number is per rendered line bytes, which q48 synthesizes
+        # in-plan — parquet bytes understate that, so rows/s is the
+        # honest cross-figure).
+        "q48_nginx_log_parse": "events",
     }
     input_meta: dict[str, tuple[int, int]] = {}  # table -> (rows, bytes)
     try:

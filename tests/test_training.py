@@ -179,3 +179,37 @@ def test_ffd_oversize_doc_gets_singleton_bin(spark):
     by_id = {r["id"]: r["bin"] for r in packed}
     # The oversize doc (500 > budget) must sit alone in its bin.
     assert sum(1 for r in packed if r["bin"] == by_id[1]) == 1
+
+
+def test_ffd_randomized_shards(spark):
+    """Randomized FFD coverage in one job: 40 seeded random shards with
+    adversarial size mixes (tiny/budget-sized/oversize). Invariants per
+    shard: partition of ids, budget safety outside singletons, at most
+    one ≤-half-full bin."""
+    import random
+
+    rng = random.Random(59)
+    budget = 100
+    rows = []
+    for shard in range(40):
+        n = rng.randint(1, 60)
+        for i in range(n):
+            kind = rng.random()
+            if kind < 0.1:
+                size = rng.randint(budget + 1, budget * 3)  # oversize
+            elif kind < 0.4:
+                size = rng.randint(budget // 2, budget)  # near-budget
+            else:
+                size = rng.randint(1, budget // 2)  # small
+            rows.append((str(shard), shard * 1000 + i, size))
+    df = spark.createDataFrame(rows, ["shard", "doc_id", "n_tok"])
+    packed = pack_ffd(df, "n_tok", budget, "shard", "doc_id").cache()
+    assert packed.count() == len(rows)
+    assert packed.select("id").distinct().count() == len(rows)
+    per_bin = packed.groupBy("shard", "bin").agg(
+        F.sum("n_tokens").alias("s"), F.count("*").alias("c")
+    )
+    assert per_bin.filter((F.col("s") > budget) & (F.col("c") > 1)).count() == 0
+    slack = per_bin.filter(F.col("s") * 2 <= budget).groupBy("shard").count()
+    assert slack.filter(F.col("count") > 1).count() == 0
+    packed.unpersist()
