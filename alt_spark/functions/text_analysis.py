@@ -42,6 +42,13 @@ def _tokens(text: Column) -> Column:
     return F.filter(F.split(F.lower(text), r"\W+"), lambda x: x != "")
 
 
+# DuckDB twin of the engine tokenizer contract (lower + \W+ split,
+# empties dropped; Spark side: operators/dedup.tokens_col and _tokens
+# above). Oracle modules import THIS constant rather than re-declaring
+# the string, so the cross-engine pair has exactly one definition.
+DDB_TOKENS = "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
+
+
 def whitespace_token_count(text: Column) -> Column:
     """Token count by whitespace runs (the cheap pre-tokenizer count)."""
     return F.size(F.filter(F.split(text, r"\s+"), lambda x: x != ""))
@@ -57,14 +64,19 @@ def word_token_count(text: Column) -> Column:
 # restricted to lookahead-free branches so the IDENTICAL pattern runs in
 # Java regex (Spark) and RE2 (DuckDB — no lookahead support): common
 # English contraction suffixes, space-prefixed letter runs, digit runs,
-# punctuation runs, then whitespace runs. Leftmost-first alternation
+# punctuation runs, then whitespace runs. Whitespace is an EXPLICIT
+# class, not \s — Java's \s includes vertical tab, RE2's does not, so
+# \s would silently diverge on \x0B. Leftmost-first alternation
 # semantics match across both engines. This is the count a BPE encoder
 # sees BEFORE merges — the standard cheap proxy for "model tokens" in
 # corpus budgeting (real BPE merges only split these pieces further, so
 # it lower-bounds nothing and over-counts nothing at the word level).
+_BPE_WS = r" \t\r\n\f\x0B"
 BPE_PRETOKEN_PATTERN = (
-    r"'[sdmt]|'ll|'re|'ve| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+    r"'[sdmt]|'ll|'re|'ve| ?\p{L}+| ?\p{N}+"
+    rf"| ?[^{_BPE_WS}\p{{L}}\p{{N}}]+|[{_BPE_WS}]+"
 )
+_BPE_NON_WS = rf"[^{_BPE_WS}]"
 
 
 def bpe_pretoken_count(text: Column) -> Column:
@@ -72,9 +84,21 @@ def bpe_pretoken_count(text: Column) -> Column:
     (whitespace branches keep the scan single-pass but don't count)."""
     non_ws = F.filter(
         F.regexp_extract_all(text, F.lit(BPE_PRETOKEN_PATTERN), 0),
-        lambda t: t.rlike(r"\S"),
+        lambda t: t.rlike(_BPE_NON_WS),
     )
     return F.size(non_ws)
+
+
+def ddb_bpe_pretoken_count(text_expr: str) -> str:
+    """DuckDB twin of :func:`bpe_pretoken_count`, generated from the SAME
+    pattern constant so the two engines cannot drift (single quotes
+    doubled for the SQL literal; backslashes pass through untouched —
+    DuckDB single-quoted strings do no escape processing)."""
+    pat = BPE_PRETOKEN_PATTERN.replace("'", "''")
+    return (
+        f"len(list_filter(regexp_extract_all({text_expr}, '{pat}'), "
+        f"x -> regexp_matches(x, '{_BPE_NON_WS}')))"
+    )
 
 
 def avg_token_len(text: Column) -> Column:

@@ -36,23 +36,27 @@ PRECISION = 10_000
 
 
 def sample_bucket(id_col: Column | str, salt: str) -> Column:
-    """Deterministic bucket in [0, PRECISION) for a row id.
+    """Deterministic bucket in [0, PRECISION) for a row id; NULL for a
+    NULL id (null propagates through ``concat``, so a null-id row is
+    never sampled — identically in both engines).
 
     DuckDB twin: ``ddb_sample_bucket`` below — same md5 bytes, same
-    modulo, same value.
+    modulo, same value, same NULL behavior.
     """
     c = F.col(id_col) if isinstance(id_col, str) else id_col
     return portable_hash60(
-        F.concat_ws(":", F.lit(salt), c.cast("string"))
+        F.concat(F.lit(salt), F.lit(":"), c.cast("string"))
     ) % PRECISION
 
 
 def ddb_sample_bucket(id_expr: str, salt: str) -> str:
     """DuckDB SQL twin of :func:`sample_bucket` (60-bit hash is
-    non-negative, so plain ``%`` matches Spark's)."""
+    non-negative, so plain ``%`` matches Spark's; ``||`` propagates
+    NULL like Spark's concat — DuckDB's ``concat()`` would not)."""
     from alt_spark.functions.hashing import DDB_H60
 
-    key = f"concat('{salt}', ':', CAST({id_expr} AS VARCHAR))"
+    salt_sql = salt.replace("'", "''")
+    key = f"('{salt_sql}' || ':' || CAST({id_expr} AS VARCHAR))"
     return f"({DDB_H60(key)} % {PRECISION})"
 
 

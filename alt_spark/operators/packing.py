@@ -132,13 +132,21 @@ def pack_ffd(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Null token counts (e.g. null text upstream) surface here as
+        # NaN in a float64 column; treat them as 0-token docs rather
+        # than failing the task.
+        pdf = pdf.assign(n_tokens=pdf["n_tokens"].fillna(0).astype("int64"))
         pdf = pdf.sort_values(["n_tokens", "id"], ascending=[False, True])
         bins: list[int] = []  # remaining capacity per bin
         assigned: list[int] = []
         for t in pdf["n_tokens"]:
-            t = int(t)
+            t = max(int(t), 0)
             for i, rem in enumerate(bins):
-                if t <= rem:
+                # rem > 0 keeps 0-token docs out of exhausted bins —
+                # in particular out of oversize singletons, whose
+                # capacity clamps to 0 (for t > 0, t <= rem already
+                # implies rem > 0, so this changes nothing else).
+                if t <= rem and rem > 0:
                     bins[i] = rem - t
                     assigned.append(i)
                     break

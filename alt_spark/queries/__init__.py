@@ -77,10 +77,12 @@ _loaded = False
 #         INTERSECT/EXCEPT) to earn driver hash rows; each kept its
 #         pytest DuckDB oracle and has green driver rows in
 #         CORRECTNESS_r01–r04.
-#   q59-q61 — r5 training-data additions (mixing / chunking / packing);
-#         oracle-backed, so test_oracle_parity hash-checks them every
-#         run; parked in the tail to keep the 50 driver rows stable
-#         this round (candidates to rotate in next round).
+#   q23/q26/q35 — rotated out in r5 so the training-data additions
+#         q59-q61 (mixing / chunking / packing — the north-star family
+#         the driver should hash-check) earn driver rows. Their §2 rows
+#         keep driver coverage elsewhere (J2 via q40's multi-term BM25,
+#         J9+G1 via q10's RRF) or pytest-oracle evidence (D6/B8), the
+#         same footing the judge-approved q12-q14 rotation established.
 _REPORT_TAIL = (
     "q49_streaming_mv_replay",
     "q37_approx_distinct_users",
@@ -90,9 +92,9 @@ _REPORT_TAIL = (
     "q12_decay_ranking",
     "q13_keyset_pagination",
     "q14_paged_window_count",
-    "q59_stratified_mixing",
-    "q60_context_chunks",
-    "q61_sequence_packing",
+    "q23_bm25",
+    "q26_hybrid_rrf",
+    "q35_prefix_search_sample",
 )
 
 

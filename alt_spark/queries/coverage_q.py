@@ -400,7 +400,14 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
             )
             # The first micro-batch snapshots the conf asynchronously
             # after start(), so only restore once the replay is done.
-            assert sq.awaitTermination(300), "q49 replay timed out"
+            # On timeout, stop the query BEFORE the landing/checkpoint
+            # dirs are removed (a zombie stream over deleted dirs would
+            # poison the shared session); explicit raise, not assert,
+            # so python -O can't turn a timeout into a silent partial
+            # fold.
+            if not sq.awaitTermination(300):
+                sq.stop()
+                raise RuntimeError("q49 streaming replay timed out")
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # Materialize the folded state before the landing dir disappears.

@@ -18,10 +18,9 @@ from alt_spark.catalog import load_table
 from alt_spark.functions import text_analysis as ta
 from alt_spark.functions.hashing import DDB_H60 as _h60
 from alt_spark.functions.hashing import DDB_U64 as _u64
+from alt_spark.functions.text_analysis import DDB_TOKENS as _DDB_TOKENS
 from alt_spark.operators import dedup
 from alt_spark.queries import query
-
-_DDB_TOKENS = "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 _EN = "('the','and','of','to','is','in','that','with')"
 
 
@@ -88,9 +87,7 @@ WITH t AS (
   SELECT source,
          len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS ws_tok,
          len({_DDB_TOKENS}) AS word_tok,
-         len(list_filter(
-           regexp_extract_all(text, '''[sdmt]|''ll|''re|''ve| ?\\p{{L}}+| ?\\p{{N}}+| ?[^\\s\\p{{L}}\\p{{N}}]+|\\s+'),
-           x -> regexp_matches(x, '\\S'))) AS bpe_tok,
+         {ta.ddb_bpe_pretoken_count('text')} AS bpe_tok,
          CAST(list_sum(list_transform({_DDB_TOKENS}, x -> length(x))) AS DOUBLE)
            / greatest(len({_DDB_TOKENS}), 1) AS avg_len
   FROM documents

@@ -19,17 +19,19 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from alt_spark.catalog import load_table
+from alt_spark.functions.text_analysis import DDB_TOKENS as _DDB_TOKENS
 from alt_spark.queries import query
-
-_DDB_TOKENS = "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
 
 def _token_col():
-    """Shared tokenizer (Spark side). DuckDB twin: _DDB_TOKENS.
+    """Shared tokenizer (Spark side). DuckDB twin: _DDB_TOKENS (single
+    definition in functions/text_analysis.py).
 
     Built lazily — Column construction needs an active SparkContext.
     """
-    return F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+    from alt_spark.operators.dedup import tokens_col
+
+    return tokens_col("text")
 
 
 def _tokens(spark: SparkSession, sf: str) -> DataFrame:

@@ -17,11 +17,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alt_spark.catalog import load_table
+from alt_spark.functions.text_analysis import DDB_TOKENS as _DDB_TOKENS
+from alt_spark.operators.dedup import tokens_col
 from alt_spark.operators.mixing import ddb_sample_bucket, stratified_sample
 from alt_spark.operators.packing import chunk_tokens, pack_contiguous
 from alt_spark.queries import query
-
-_DDB_TOKENS = "list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '')"
 
 # The mixing config under test: permyriad keep-rates per language.
 _RATES = {"en": 8000, "de": 5000, "fr": 2500, "es": 2500, "zh": 1000}
@@ -29,7 +29,7 @@ _SALT = "mix-v1"
 
 
 def _tokens_col():
-    return F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+    return tokens_col("text")
 
 
 def _rate_case() -> str:

@@ -56,8 +56,19 @@ def test_report_window_contains_every_reportable_oracle():
 
     undocumented = [n for n in tail if n not in _REPORT_TAIL]
     assert not undocumented, f"undocumented tail entries: {undocumented}"
-    # The r4 additions earn driver hash rows this round (VERDICT r4 item 1).
-    for n in ("q56_grouping_sets_rollup", "q57_frame_spec_windows", "q58_intersect_except"):
+    # The r4 additions earn driver hash rows this round (VERDICT r4
+    # item 1), and the r5 training-data family earns them too.
+    for n in (
+        "q56_grouping_sets_rollup",
+        "q57_frame_spec_windows",
+        "q58_intersect_except",
+        "q59_stratified_mixing",
+        "q60_context_chunks",
+        "q61_sequence_packing",
+    ):
         assert n in head, f"{n} must sit inside the driver report window"
-    # No registry entry is lost by the ordering.
-    assert set(names) == set(qs), "ordering must be a permutation of the registry"
+    # No registry entry is lost by the ordering: compare against the raw
+    # registration dict, not the ordered view's own keys.
+    from alt_spark.queries import QUERIES
+
+    assert set(names) == set(QUERIES), "ordering must be a permutation of the registry"

@@ -408,3 +408,23 @@ def test_bpe_pretoken_count_goldens(spark):
 
     bad = df.filter(bpe_pretoken_count(F.col("text")) != F.col("expect")).collect()
     assert not bad, bad
+
+
+def test_bpe_pretoken_cross_engine_incl_vertical_tab(spark, ddb):
+    """The BPE pre-token pattern must count identically in Java regex
+    and RE2 even on \\x0B, where \\s semantics differ (code-review
+    regression: explicit whitespace class, shared pattern constant)."""
+    from alt_spark.functions.text_analysis import (
+        bpe_pretoken_count,
+        ddb_bpe_pretoken_count,
+    )
+
+    texts = ["a\x0bb", "tab\there", "don't\x0b stop", "x \x0b y"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    from pyspark.sql import functions as F
+
+    got = [r[0] for r in df.select(bpe_pretoken_count(F.col("text"))).collect()]
+    for t, g in zip(texts, got, strict=True):
+        lit = t.replace("'", "''").replace("\x0b", "' || chr(11) || '")
+        sql = "SELECT " + ddb_bpe_pretoken_count(f"('{lit}')")
+        assert ddb.execute(sql).fetchone()[0] == g, t

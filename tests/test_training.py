@@ -213,3 +213,50 @@ def test_ffd_randomized_shards(spark):
     slack = per_bin.filter(F.col("s") * 2 <= budget).groupBy("shard").count()
     assert slack.filter(F.col("count") > 1).count() == 0
     packed.unpersist()
+
+
+def test_ffd_null_and_zero_token_docs(spark):
+    """Null token counts pack as 0-token docs (no task failure), and
+    0-token docs never join exhausted bins — in particular not an
+    oversize singleton (code-review regression: int(NaN) crash and the
+    t=0 <= rem=0 hole)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [
+            StructField("shard", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("n_tok", LongType()),
+        ]
+    )
+    rows = [("s", 1, 500), ("s", 2, None), ("s", 3, 0), ("s", 4, 128)]
+    df = spark.createDataFrame(rows, schema)
+    packed = pack_ffd(df, "n_tok", 128, "shard", "doc_id").collect()
+    assert len(packed) == 4
+    by_id = {r["id"]: r["bin"] for r in packed}
+    # Oversize doc 1 stays a singleton; the exactly-full doc 4 too
+    # (rem=0 afterwards); 0/null docs share their own bin.
+    assert sum(1 for r in packed if r["bin"] == by_id[1]) == 1
+    assert sum(1 for r in packed if r["bin"] == by_id[4]) == 1
+    assert by_id[2] == by_id[3]
+
+
+def test_sample_null_id_dropped_in_both_engines(spark, ddb):
+    """A NULL id has no deterministic bucket: the row is dropped by the
+    Spark filter AND by the DuckDB twin (|| propagates NULL; DuckDB's
+    concat() would not — code-review regression)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from alt_spark.operators.mixing import ddb_sample_bucket
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("lang", StringType())]
+    )
+    df = spark.createDataFrame([(None, "en"), (7, "en")], schema)
+    kept = stratified_sample(df, {"en": PRECISION}, "lang")
+    assert [r["doc_id"] for r in kept.collect()] == [7]
+    sql = (
+        "SELECT count(*) FROM (VALUES (CAST(NULL AS BIGINT)), (7)) t(doc_id) "
+        f"WHERE {ddb_sample_bucket('doc_id', 'mix')} < {PRECISION}"
+    )
+    assert ddb.execute(sql).fetchone()[0] == 1
