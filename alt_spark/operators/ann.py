@@ -23,6 +23,9 @@ __all__ = [
     "lsh_topk",
     "ivf_index",
     "ivf_topk",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -236,5 +239,179 @@ def ivf_topk(
         assigned.filter(F.col("list_id").isin(probes))
         .select(F.col(id_col).alias("id"), sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "id")
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------------- PQ/ADC
+def pq_train(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Product-quantization codebook: split dim into ``m`` subspaces and
+    fit ``ksub`` centroids per subspace. Returns ``codebook[m][ksub]
+    [dim/m]`` — m·ksub·(dim/m) = ksub·dim floats, driver-tiny at any
+    corpus size (what FAISS holds in RAM while codes stay sharded with
+    the data).
+
+    ONE distributed pass trains all subspaces: vectors explode into
+    (subspace, subvector) rows and each subspace group runs the same
+    deterministic numpy Lloyd kernel as cluster_islands (init = the
+    ksub lowest-``id_col`` members, fixed iterations) via applyInPandas
+    — m sequential MLlib fits would pay m scans and m job launches for
+    the same statistic. Sorting by the real id makes the codebook
+    independent of physical layout, not just of randomness. At 100 TB
+    train on a sample — the codebook is a statistic, not a per-row
+    artifact. ``seed`` is kept for signature stability; the kernel is
+    order-deterministic without randomness.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    first = df.select(F.size(vec_col).alias("d")).first()
+    dim = first["d"]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+
+    sub_rows = df.select(
+        F.col(id_col).alias("__rid"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice(F.col(vec_col), j * dsub + 1, dsub).cast(
+                    "array<double>"
+                ),
+            )
+        ).alias("__j", "__sub"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("j", T.IntegerType()),
+            T.StructField("c", T.IntegerType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def lloyd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__rid").reset_index(drop=True)
+        X = np.array(pdf["__sub"].tolist(), dtype=np.float64)
+        kk = min(ksub, len(X))
+        centers = X[:kk].copy()
+        for _ in range(20):
+            d = ((X[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(kk):
+                members = X[assign == c]
+                if len(members):
+                    centers[c] = members.mean(axis=0)
+        j = int(pdf["__j"].iloc[0])
+        return pd.DataFrame(
+            {
+                "j": np.full(kk, j, dtype=np.int32),
+                "c": np.arange(kk, dtype=np.int32),
+                "centroid": list(centers),
+            }
+        )
+
+    rows = sub_rows.groupBy("__j").applyInPandas(lloyd, schema).collect()
+    codebook: list[list[list[float]]] = [[] for _ in range(m)]
+    for r in sorted(rows, key=lambda r: (r["j"], r["c"])):
+        codebook[r["j"]].append([float(x) for x in r["centroid"]])
+    return codebook
+
+
+def _codebook_df(df: DataFrame, codebook: list[list[list[float]]]) -> DataFrame:
+    """One-row broadcast relation for the codebook (same plan-size
+    rationale as hyperplane_buckets: literals would grow the plan with
+    ksub·dim)."""
+    return df.sparkSession.createDataFrame(
+        [(codebook,)], "__cb array<array<array<double>>>"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Add ``codes`` (array<int>, length m): per subspace, the index of
+    the nearest codebook centroid (squared-L2). One narrow projection
+    over a broadcast codebook row — encoding shuffles nothing, and the
+    output column is m small ints standing in for dim floats (16 bytes
+    vs 256 at dim=64/m=16 — the 100 TB memory story).
+    """
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    ksub = len(codebook[0])
+
+    def sub_l2(j: Column, c: Column) -> Column:
+        # squared L2 between the row's j-th subvector and centroid c of
+        # subspace j (both 1-indexed into the broadcast codebook).
+        cent = F.element_at(F.element_at(F.col("__cb"), j + 1), c + 1)
+        sub = F.slice(F.col(vec_col), j * dsub + 1, dsub)
+        return F.aggregate(
+            F.zip_with(sub, cent, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    def code_for(j: Column) -> Column:
+        dists = F.transform(F.sequence(F.lit(0), F.lit(ksub - 1)), lambda c: sub_l2(j, c))
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = F.transform(F.sequence(F.lit(0), F.lit(m - 1)), code_for)
+    return (
+        df.crossJoin(F.broadcast(_codebook_df(df, codebook)))
+        .withColumn("codes", codes)
+        .drop("__cb")
+    )
+
+
+def pq_adc_topk(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebook: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Asymmetric-distance top-k over PQ codes: the query builds an
+    m x ksub lookup table driver-side (tiny), each row's approximate
+    squared-L2 is m table lookups summed in-row — the scan never touches
+    the original vectors, so a 100 TB corpus searches from its codes
+    (per-row cost O(m), independent of dim).
+    """
+    m = len(codebook)
+    dsub = len(codebook[0][0])
+    lut = [
+        [
+            sum(
+                (query_vec[j * dsub + t] - cent[t]) ** 2
+                for t in range(dsub)
+            )
+            for cent in codebook[j]
+        ]
+        for j in range(m)
+    ]
+    lut_df = encoded.sparkSession.createDataFrame([(lut,)], "__lut array<array<double>>")
+    adc = F.aggregate(
+        F.zip_with(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.col("codes"),
+            lambda j, c: F.element_at(F.element_at(F.col("__lut"), j + 1), c + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        encoded.crossJoin(F.broadcast(lut_df))
+        .select(F.col(id_col).alias("id"), adc.alias("adc_dist"))
+        .orderBy("adc_dist", "id")
         .limit(k)
     )

@@ -428,3 +428,59 @@ def test_bpe_pretoken_cross_engine_incl_vertical_tab(spark, ddb):
         lit = t.replace("'", "''").replace("\x0b", "' || chr(11) || '")
         sql = "SELECT " + ddb_bpe_pretoken_count(f"('{lit}')")
         assert ddb.execute(sql).fetchone()[0] == g, t
+
+
+def test_pq_adc_recall_and_rerank(spark):
+    """Product quantization (operators/ann.py): codes are m small ints
+    (16 bytes standing in for 64 floats), ADC search touches only codes,
+    and the production shortlist→exact-rerank pattern dominates raw ADC
+    recall (guaranteed: every exact-top-k member that survives into the
+    shortlist is kept by the exact rerank)."""
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.ann import pq_adc_topk, pq_encode, pq_train
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    # Determinism incl. physical layout (init sorts by the real id).
+    assert pq_train(emb.repartition(7), m=4, ksub=8) == pq_train(emb, m=4, ksub=8)
+    m, ksub = 16, 64
+    cb = pq_train(emb, m=m, ksub=ksub)
+    assert len(cb) == m and all(len(sub) == ksub for sub in cb)
+    enc = pq_encode(emb, cb).persist()
+    try:
+        # Structural: every row has m codes in [0, ksub).
+        bad = enc.filter(
+            (F.size("codes") != m)
+            | (F.array_min("codes") < 0)
+            | (F.array_max("codes") >= ksub)
+        ).count()
+        assert bad == 0
+        for row in emb.orderBy("vec_id").limit(3).collect():
+            q = [float(v) for v in row["embedding"]]
+            qa = F.array(*[F.lit(v) for v in q])
+            l2 = F.aggregate(
+                F.zip_with(F.col("embedding"), qa, lambda x, y: (x.cast("double") - y) ** 2),
+                F.lit(0.0),
+                lambda a, v: a + v,
+            )
+            exact = {
+                r["vec_id"]
+                for r in emb.select("vec_id", l2.alias("d")).orderBy("d", "vec_id").limit(10).collect()
+            }
+            adc = {r["id"] for r in pq_adc_topk(enc, q, cb, 10).collect()}
+            short = [r["id"] for r in pq_adc_topk(enc, q, cb, 50).collect()]
+            rerank = {
+                r["vec_id"]
+                for r in enc.filter(F.col("vec_id").isin(short))
+                .select("vec_id", l2.alias("d"))
+                .orderBy("d", "vec_id")
+                .limit(10)
+                .collect()
+            }
+            adc_recall = len(exact & adc) / 10
+            rr_recall = len(exact & rerank) / 10
+            assert adc_recall >= 0.5, (row["vec_id"], adc_recall)
+            assert rr_recall >= 0.7, (row["vec_id"], rr_recall)
+            assert rr_recall >= adc_recall
+    finally:
+        enc.unpersist()
