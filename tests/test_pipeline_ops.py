@@ -484,3 +484,59 @@ def test_pq_adc_recall_and_rerank(spark):
             assert rr_recall >= adc_recall
     finally:
         enc.unpersist()
+
+
+def test_ivf_pq_composition(spark):
+    """IVF + PQ compose into the canonical 100 TB ANN layout: coarse
+    lists prune the scan (partition pruning at scale), ADC ranks the
+    probed lists from 16-byte codes without touching vectors, and an
+    exact re-rank of the shortlist recovers true neighbors."""
+    import math
+
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.ann import ivf_index, pq_encode, pq_train
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    assigned, centroids = ivf_index(emb, nlist=8)
+    cb = pq_train(emb, m=16, ksub=64)
+    enc = pq_encode(assigned, cb).select("vec_id", "embedding", "list_id", "codes").persist()
+    try:
+        q = [float(v) for v in emb.orderBy("vec_id").first()["embedding"]]
+
+        def cos(u, w):
+            d = sum(a * b for a, b in zip(u, w))
+            nu = math.sqrt(sum(a * a for a in u)) or 1.0
+            nw = math.sqrt(sum(a * a for a in w)) or 1.0
+            return d / (nu * nw)
+
+        probes = sorted(range(8), key=lambda i: -cos(q, centroids[i]))[:4]
+        pruned = enc.filter(F.col("list_id").isin(probes))
+        assert 0 < pruned.count() < enc.count(), "IVF must actually prune"
+        # ADC over the pruned lists only; exact re-rank of the shortlist.
+        from alt_spark.operators.ann import pq_adc_topk
+
+        short = [r["id"] for r in pq_adc_topk(pruned, q, cb, 50).collect()]
+        qa = F.array(*[F.lit(v) for v in q])
+        l2 = F.aggregate(
+            F.zip_with(F.col("embedding"), qa, lambda x, y: (x.cast("double") - y) ** 2),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        exact = {
+            r["vec_id"]
+            for r in emb.select("vec_id", l2.alias("d")).orderBy("d", "vec_id").limit(10).collect()
+        }
+        rerank = {
+            r["vec_id"]
+            for r in enc.filter(F.col("vec_id").isin(short))
+            .select("vec_id", l2.alias("d"))
+            .orderBy("d", "vec_id")
+            .limit(10)
+            .collect()
+        }
+        # Both approximations stack (lists can drop true neighbors, so
+        # the bar sits below the PQ-only bound — still a real signal).
+        assert len(exact & rerank) / 10 >= 0.5
+    finally:
+        enc.unpersist()
