@@ -57,6 +57,7 @@ __all__ = [
     "minhash_near_dup",
     "simhash_bits",
     "simhash_near_dup",
+    "decontaminate",
 ]
 
 
@@ -372,4 +373,44 @@ def simhash_near_dup(
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
     return cand.select("id1", "id2", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Remove corpus documents that share any n-gram with a benchmark
+    set (training-data decontamination: the standard n-gram-overlap
+    rule that keeps eval benchmarks out of training corpora).
+
+    Shape for 100 TB: benchmark gram sets are eval-suite-sized (tiny),
+    so they BROADCAST; the corpus side is scan → in-row shingles →
+    explode → broadcast semi-join → anti-join — the corpus is never
+    shuffled. ``hash_grams`` (default) ships xxhash64(gram) longs in
+    the broadcast instead of n-token strings (~10× smaller); pass
+    False for the string form the DuckDB oracle replays verbatim
+    (results are identical barring astronomically unlikely 64-bit
+    collisions — equality of the two forms is test-enforced).
+    """
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    bench_grams = (
+        shingle_rows(benchmark, text_col, id_col, n)
+        .select(key(F.col("sh")).alias("g"))
+        .distinct()
+    )
+    corpus_grams = shingle_rows(corpus, text_col, id_col, n).select(
+        "id", key(F.col("sh")).alias("g")
+    )
+    contaminated = (
+        corpus_grams.join(F.broadcast(bench_grams), "g", "left_semi")
+        .select("id")
+        .distinct()
+    )
+    return corpus.join(
+        contaminated, corpus[id_col] == contaminated["id"], "left_anti"
     )

@@ -95,6 +95,11 @@ _REPORT_TAIL = (
     "q23_bm25",
     "q26_hybrid_rrf",
     "q35_prefix_search_sample",
+    # q62 — decontamination; oracle-backed (test_oracle_parity runs it
+    # every CI pass), parked in the tail as the newest addition; a
+    # rotation candidate for r6 alongside whatever the next verdict
+    # prioritizes.
+    "q62_decontamination",
 )
 
 

@@ -161,3 +161,60 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("tok_sum"))
         .orderBy("lang", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+_DECON_N = 5
+
+
+@query(
+    "q62_decontamination",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_DDB_TOKENS} AS toks FROM documents
+), grams AS (
+  SELECT doc_id,
+         array_to_string(list_slice(toks, s + 1, s + {_DECON_N}), ' ') AS g
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(0, len(toks) - {_DECON_N}, 1)) AS s
+    FROM tok WHERE len(toks) >= {_DECON_N}
+  )
+), bench_g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench_g)
+)
+SELECT lang,
+       count(*) AS n_kept,
+       sum(doc_id) AS id_checksum
+FROM documents
+WHERE doc_id % 50 <> 0
+  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the eval
+    benchmark; corpus documents sharing any 5-gram with it are removed
+    (the n-gram-overlap rule LLM training pipelines apply before
+    training). The id checksum pins the exact surviving SET.
+
+    Plan: benchmark grams broadcast (eval-suite-sized); the corpus side
+    is scan → shingles → broadcast semi-join → anti-join — the corpus
+    is never shuffled by the contamination check. Oracle replays the
+    string-gram form; the production xxhash64-gram form is equality-
+    tested in tests/test_training.py.
+    """
+    docs = load_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    from alt_spark.operators.dedup import decontaminate
+
+    clean = decontaminate(corpus, bench, n=_DECON_N, hash_grams=False)
+    return (
+        clean.groupBy("lang")
+        .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_checksum"))
+        .orderBy("lang")
+    )

@@ -260,3 +260,40 @@ def test_sample_null_id_dropped_in_both_engines(spark, ddb):
         f"WHERE {ddb_sample_bucket('doc_id', 'mix')} < {PRECISION}"
     )
     assert ddb.execute(sql).fetchone()[0] == 1
+
+
+# -------------------------------------------------------------- decontamination
+def test_decontaminate_planted_overlap(spark):
+    """A corpus doc sharing one n-gram with the benchmark is removed;
+    disjoint docs survive; the production hashed-gram form keeps the
+    exact same set as the oracle string form."""
+    from alt_spark.operators.dedup import decontaminate
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"prefix words {bench_text} suffix words"),  # contains bench 5-grams
+        (2, "totally unrelated content about other things entirely here"),
+        (3, "alpha beta gamma unrelated tail words here now"),  # only a 3-gram overlap
+    ]
+    corpus = spark.createDataFrame(rows, ["doc_id", "text"])
+    bench = spark.createDataFrame([(100, bench_text)], ["doc_id", "text"])
+    for hashed in (False, True):
+        kept = {
+            r["doc_id"]
+            for r in decontaminate(corpus, bench, n=5, hash_grams=hashed).collect()
+        }
+        assert kept == {2, 3}, (hashed, kept)
+
+
+def test_decontaminate_hash_equals_string_on_corpus(spark):
+    """xxhash64-gram and string-gram forms keep identical sets on the
+    real corpus split q62 uses."""
+    from alt_spark.operators.dedup import decontaminate
+
+    docs = _docs(spark)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    a = {r["doc_id"] for r in decontaminate(corpus, bench, n=5, hash_grams=True).select("doc_id").collect()}
+    b = {r["doc_id"] for r in decontaminate(corpus, bench, n=5, hash_grams=False).select("doc_id").collect()}
+    assert a == b
+    assert len(a) < corpus.count(), "planted near-dups must trigger removals"
