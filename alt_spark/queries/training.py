@@ -1,14 +1,16 @@
-"""Q59-Q61: training-data preparation queries (north-star pillar).
+"""Q59-Q62: training-data preparation queries (north-star pillar).
 
 The ops between "clean corpus" and "token batches": deterministic data
 mixing (operators/mixing.py), context-window chunking and sequence
-packing (operators/packing.py). All three are SQL-expressible and carry
-full DuckDB oracles — sampling decisions, chunk contents (md5), and bin
-assignments are value-checked cross-engine, not just counted. They are
-beyond the reference's own surface (it has no training-export path);
-registered in the documented report-window tail, so their driver-side
-evidence is the in-pytest oracle parity (tests/test_oracle.py) plus the
-property suite (tests/test_training.py).
+packing (operators/packing.py), and benchmark decontamination
+(operators/dedup.decontaminate). All four are SQL-expressible and carry
+full DuckDB oracles — sampling decisions, chunk contents (md5), bin
+assignments, and surviving-document sets are value-checked cross-engine,
+not just counted. They are beyond the reference's own surface (it has no
+training-export path); q59-q61 sit in the driver report window since the
+r5 rotation, q62 in the documented tail, and all four run in-pytest
+oracle parity (tests/test_oracle.py) plus the property suite
+(tests/test_training.py).
 """
 
 from __future__ import annotations
