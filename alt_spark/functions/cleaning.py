@@ -26,7 +26,15 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
-__all__ = ["html_clean", "normalize_text", "sentence_split", "ja_tokenize"]
+__all__ = [
+    "html_clean",
+    "normalize_text",
+    "sentence_split",
+    "ja_tokenize",
+    "scrub_pii",
+    "ddb_scrub_pii",
+    "PII_PATTERNS",
+]
 
 
 def html_clean(text: Column) -> Column:
@@ -111,3 +119,39 @@ def ja_tokenize(text: Column) -> Column:
     Arrow-batched pandas UDF returning array<string>; goldens in
     tests/test_cleaning_llm.py freeze the fallback contract."""
     return pandas_udf(_ja_tokenize_impl, "array<string>")(text)
+
+
+# ----------------------------------------------------------------- PII scrub
+# Redaction patterns for training-data cleaning: lookahead-free,
+# ASCII-class-only regexes so the IDENTICAL pattern string runs in Java
+# regex (Spark) and RE2 (DuckDB) — same discipline as the BPE
+# pre-tokenizer (text_analysis.py). Order matters and is part of the
+# contract: URLs scrub before emails (URLs may embed '@'), IPs before
+# phones (dotted quads would otherwise half-match the phone shape).
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^ \t\r\n]+", "[URL]"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "[IP]"),
+    (r"\+?[0-9][0-9 ().-]{7,}[0-9]", "[PHONE]"),
+)
+
+
+def scrub_pii(text: Column) -> Column:
+    """Redact URLs, emails, IPs and phone-shaped digit runs to typed
+    placeholders — the standard privacy pass before corpus export. A
+    chain of JVM-side regexp_replace (one projection, no UDF, no
+    shuffle); at 100 TB this is scan-speed."""
+    out = text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def ddb_scrub_pii(text_expr: str) -> str:
+    """DuckDB twin of :func:`scrub_pii`, generated from the SAME pattern
+    table (so the engines cannot drift) with 'g' for global replace."""
+    out = text_expr
+    for pat, repl in PII_PATTERNS:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out

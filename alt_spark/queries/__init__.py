@@ -95,11 +95,12 @@ _REPORT_TAIL = (
     "q23_bm25",
     "q26_hybrid_rrf",
     "q35_prefix_search_sample",
-    # q62 — decontamination; oracle-backed (test_oracle_parity runs it
-    # every CI pass), parked in the tail as the newest addition; a
-    # rotation candidate for r6 alongside whatever the next verdict
-    # prioritizes.
+    # q62/q63 — decontamination and PII scrub; oracle-backed
+    # (test_oracle_parity runs them every CI pass), parked in the tail
+    # as the newest additions; rotation candidates for r6 alongside
+    # whatever the next verdict prioritizes.
     "q62_decontamination",
+    "q63_pii_scrub",
 )
 
 

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alt_spark.catalog import load_table
+from alt_spark.functions.cleaning import ddb_scrub_pii
 from alt_spark.functions.text_analysis import DDB_TOKENS as _DDB_TOKENS
 from alt_spark.operators.dedup import tokens_col
 from alt_spark.operators.mixing import ddb_sample_bucket, stratified_sample
@@ -219,4 +220,63 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
         clean.groupBy("lang")
         .agg(F.count("*").alias("n_kept"), F.sum("doc_id").alias("id_checksum"))
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Planted PII rows: the synthetic corpus is PII-free, so the scrub is
+# exercised by a deterministic literal extension identical in both
+# engines (same device as q29's CJK probe rows).
+_PII_EXTRA: tuple[tuple[int, str], ...] = (
+    (200001, "contact me at alice@example.com or visit https://example.com/page?q=1 soon"),
+    (200002, "server at 192.168.1.10 called +1 (555) 123-4567 yesterday"),
+    (200003, "mirror https://a.b/c linked from bob.smith+x@mail.co today"),
+    (200004, "no identifiers here just ordinary words"),
+)
+
+
+def _pii_values_sql() -> str:
+    rows = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _PII_EXTRA
+    )
+    return f"(VALUES {rows}) AS extra(doc_id, text)"
+
+
+@query(
+    "q63_pii_scrub",
+    oracle=f"""
+WITH unioned AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM {_pii_values_sql()}
+), scrubbed AS (
+  SELECT doc_id, {ddb_scrub_pii('text')} AS clean
+  FROM unioned
+)
+SELECT doc_id,
+       md5(clean) AS scrubbed_md5,
+       CAST(len(regexp_extract_all(clean, '\\[(URL|EMAIL|IP|PHONE)\\]')) AS BIGINT) AS n_redacted
+FROM scrubbed
+""",
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction over the corpus plus planted identifier rows: the
+    md5 of every scrubbed document pins exact replacement behavior
+    (pattern order included), and n_redacted counts typed placeholders.
+
+    Plan: a chain of JVM-side regexp_replace in one narrow projection —
+    scrubbing 100 TB is scan-speed, no shuffle, no UDF.
+    """
+    from alt_spark.functions.cleaning import scrub_pii
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(list(_PII_EXTRA), ["doc_id", "text"])
+    unioned = docs.unionByName(extra)
+    clean = scrub_pii(F.col("text"))
+    return unioned.select(
+        "doc_id",
+        F.md5(clean).alias("scrubbed_md5"),
+        F.regexp_count(clean, F.lit(r"\[(URL|EMAIL|IP|PHONE)\]"))
+        .cast("long")
+        .alias("n_redacted"),
     )

@@ -166,3 +166,24 @@ def test_canonical_url_and_syndication_collapse(spark):
     # 2 lost to canonical-url dedup (1 wins), 3 filtered as wire host,
     # 4 collapsed into 1 by identical title, 5 survives.
     assert kept == {1, 5}
+
+
+def test_scrub_pii_goldens(spark):
+    """Typed redaction with the documented pattern order: URLs before
+    emails (URLs embed '@'), IPs before phones (dotted quads would
+    half-match the phone shape)."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.functions.cleaning import scrub_pii
+
+    cases = [
+        ("mail alice@example.com now", "mail [EMAIL] now"),
+        ("see https://x.io/a?b=c#d end", "see [URL] end"),
+        ("via http://u:p@h.com/x end", "via [URL] end"),  # URL wins over email
+        ("host 10.0.0.1 up", "host [IP] up"),
+        ("call +1 (555) 123-4567 ok", "call [PHONE] ok"),
+        ("plain words stay intact", "plain words stay intact"),
+    ]
+    df = spark.createDataFrame(cases, ["text", "expect"])
+    bad = df.filter(scrub_pii(F.col("text")) != F.col("expect")).collect()
+    assert not bad, bad
