@@ -26,6 +26,8 @@ __all__ = [
     "lang_id",
     "script_char_count",
     "winnowing_fingerprints",
+    "ngram_strings",
+    "repetition_metrics",
 ]
 
 # Marker/script tables are DATA (functions/lang_data.py): adding a
@@ -217,6 +219,78 @@ def lang_id(text: Column, min_tokens: int = 3) -> Column:
     enough = (n_tok >= min_tokens) | (script_total >= min_tokens)
     return F.when(enough & (best_votes > 0), best).otherwise(
         F.lit(None).cast("string")
+    )
+
+
+def ngram_strings(tokens: Column, n: int) -> Column:
+    """Space-joined word n-grams of a token array (NON-distinct — the
+    repetition metrics need every occurrence). Rows with fewer than n
+    tokens yield an empty array (sequence(1, <=0) would count down)."""
+    return F.when(
+        F.size(tokens) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(tokens) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at(tokens, (i + j).cast("int")) for j in range(n)],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(tokens: Column, n: int) -> Column:
+    """Gopher-style repetition signals for word n-grams, computed fully
+    in-row: ``struct(top_cov, dup_chars)`` where
+
+    - ``top_cov``  = max over distinct n-grams of count * length(gram)
+      (characters covered by the most repetitive n-gram — the
+      "fraction of characters in the most common n-gram" numerator of
+      Rae et al. 2021 Table A1, with the count*len max making tie
+      handling deterministic without an ordering rule);
+    - ``dup_chars`` = sum over n-grams occurring >1 time of
+      count * length(gram) (the duplicate-n-gram numerator; overlaps
+      counted per occurrence, the standard approximation).
+
+    Shape: sort the gram array in-row, then a single ``aggregate`` pass
+    counts run lengths — per-doc O(G log G) with zero exchanges, so the
+    filter runs at scan speed on 100 TB (no explode + groupBy(doc,
+    gram) shuffle, which at corpus scale would shuffle ~the token
+    count). Within a run of equal grams the running count*len is
+    monotone, so updating the max at every element equals closing runs.
+    """
+    grams = F.array_sort(ngram_strings(tokens, n))
+    zero = F.lit(0).cast("long")
+    init = F.struct(
+        F.lit("").alias("prev"),
+        zero.alias("run"),
+        zero.alias("top"),
+        zero.alias("dup"),
+    )
+
+    def step(acc: Column, g: Column) -> Column:
+        glen = F.length(g).cast("long")
+        run = F.when(g == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        dup_add = (
+            F.when(run == 2, 2 * glen)
+            .when(run > 2, glen)
+            .otherwise(F.lit(0).cast("long"))
+        )
+        return F.struct(
+            g.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["top"], run * glen).alias("top"),
+            (acc["dup"] + dup_add).alias("dup"),
+        )
+
+    return F.aggregate(
+        grams,
+        init,
+        step,
+        lambda acc: F.struct(
+            acc["top"].alias("top_cov"), acc["dup"].alias("dup_chars")
+        ),
     )
 
 

@@ -1,0 +1,140 @@
+"""Character n-gram language-model corpus scoring (north-star pillar).
+
+The CCNet/KenLM-style quality gate LLM data pipelines run between
+cleaning and mixing: train a small character-level n-gram model on the
+corpus (or a trusted slice of it), then score every document by how
+well the model predicts it — low-likelihood documents are boilerplate,
+encoding noise, or wrong-language text. The reference has no training
+export path (SURVEY.md §2 Q59+ rationale); public shape: Wenzek et al.
+2019 (CCNet) §3.3.
+
+Scale design (the part that matters at 100 TB):
+
+- **Training** is one explode → groupBy(gram) pass. Character n-gram
+  cardinality is bounded by alphabet^n (tens of thousands for n=3), so
+  map-side partial aggregation collapses each task's output to ~|V|
+  rows before the shuffle — shuffle volume is O(tasks * |V|), not
+  O(corpus tokens). On a real corpus you train on a sample; the model
+  is the small side by construction.
+- **Scoring** explodes each doc's grams, broadcast-joins the model
+  (|V| rows — always under the broadcast threshold), and re-aggregates
+  by doc id. Exploded rows stay in their input task, so partial
+  aggregation collapses them back to one row per doc *before* the
+  shuffle: the exchange moves one row per document, not one per gram.
+- Everything is JVM-side built-ins; no Python in either pass.
+
+Exactness: the per-doc outputs used for cross-engine checks are pure
+integers (gram count, OOV permyriad via integer division, and the sum
+of matched model counts, which pins the exact hit SET) — float log
+probabilities never enter the oracle surface. The float surprisal is
+available via ``avg_surprisal`` for ranking use and is tolerance-tested
+in pytest instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["char_ngrams", "train_char_lm", "score_against_lm"]
+
+
+def char_ngrams(text: Column, n: int = 3) -> Column:
+    """All character n-grams of ``lower(text)`` (non-distinct, in order).
+
+    Rows shorter than n characters yield an empty array (guarded — a
+    descending ``sequence`` would otherwise count down).
+    """
+    low = F.lower(text)
+    return F.when(
+        F.length(low) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - (n - 1)),
+            lambda i: low.substr(i.cast("int"), F.lit(n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def train_char_lm(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_count: int = 5,
+) -> DataFrame:
+    """Train the gram table: ``(gram string, cnt long)`` for every char
+    n-gram occurring at least ``min_count`` times in the corpus.
+
+    ``min_count`` is the vocabulary gate (rare grams are noise and
+    would bloat the broadcast); everything below it is OOV at scoring
+    time.
+    """
+    return (
+        docs.select(F.explode(char_ngrams(F.col(text_col), n)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )
+
+
+def score_against_lm(
+    docs: DataFrame,
+    model: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """Score each document against a trained gram table.
+
+    Returns one row per input document:
+
+    - ``n_grams``       total char n-grams in the doc (long);
+    - ``oov_permyriad`` 10000 * OOV-grams div n_grams (long, exact
+      integer division; 0 for docs too short to have grams);
+    - ``freq_checksum`` sum of the model counts of every hit gram
+      (long) — pins the exact multiset of model hits, so a wrong join
+      or an off-by-one gram window cannot match;
+    - ``avg_surprisal`` mean of -ln(cnt/total) over hit grams (double;
+      OOV grams excluded — the integer OOV rate carries that signal).
+      Ranking-only: never hash-compared cross-engine.
+    """
+    total = model.agg(F.sum("cnt").alias("model_total"))
+    grams = docs.select(
+        F.col(id_col), F.explode(char_ngrams(F.col(text_col), n)).alias("gram")
+    )
+    scored = (
+        grams.join(F.broadcast(model), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("freq_checksum"),
+            F.sum(F.log(F.col("cnt"))).alias("_log_sum"),
+            F.sum(F.when(F.col("cnt").isNotNull(), 1).otherwise(0)).alias(
+                "_n_hit"
+            ),
+        )
+    )
+    # Left join back so short/gramless docs keep a scored row; the
+    # 1-row total frame broadcasts (same device as the BM25 stats row).
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+            F.when(
+                F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0).cast("long")
+            )
+            .otherwise(F.expr("(10000 * n_oov) div n_grams"))
+            .alias("oov_permyriad"),
+            F.coalesce("freq_checksum", F.lit(0))
+            .cast("long")
+            .alias("freq_checksum"),
+            F.when(
+                F.coalesce("_n_hit", F.lit(0)) > 0,
+                F.log(F.col("model_total").cast("double"))
+                - F.col("_log_sum") / F.col("_n_hit"),
+            ).alias("avg_surprisal"),
+        )
+    )

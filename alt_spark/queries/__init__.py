@@ -95,12 +95,14 @@ _REPORT_TAIL = (
     "q23_bm25",
     "q26_hybrid_rrf",
     "q35_prefix_search_sample",
-    # q62/q63 — decontamination and PII scrub; oracle-backed
-    # (test_oracle_parity runs them every CI pass), parked in the tail
-    # as the newest additions; rotation candidates for r6 alongside
-    # whatever the next verdict prioritizes.
+    # q62-q65 — decontamination, PII scrub, repetition filter, char-LM
+    # scoring; oracle-backed (test_oracle_parity runs them every CI
+    # pass), parked in the tail as the newest additions; rotation
+    # candidates for r6 alongside whatever the next verdict prioritizes.
     "q62_decontamination",
     "q63_pii_scrub",
+    "q64_repetition_filter",
+    "q65_charlm_score",
 )
 
 

@@ -1,16 +1,19 @@
-"""Q59-Q62: training-data preparation queries (north-star pillar).
+"""Q59-Q65: training-data preparation queries (north-star pillar).
 
 The ops between "clean corpus" and "token batches": deterministic data
 mixing (operators/mixing.py), context-window chunking and sequence
-packing (operators/packing.py), and benchmark decontamination
-(operators/dedup.decontaminate). All four are SQL-expressible and carry
-full DuckDB oracles — sampling decisions, chunk contents (md5), bin
-assignments, and surviving-document sets are value-checked cross-engine,
-not just counted. They are beyond the reference's own surface (it has no
-training-export path); q59-q61 sit in the driver report window since the
-r5 rotation, q62 in the documented tail, and all four run in-pytest
-oracle parity (tests/test_oracle.py) plus the property suite
-(tests/test_training.py).
+packing (operators/packing.py), benchmark decontamination
+(operators/dedup.decontaminate), PII scrubbing (functions/cleaning),
+Gopher-style repetition filtering (functions/text_analysis.
+repetition_metrics), and char-n-gram LM corpus scoring (operators/lm).
+All are SQL-expressible and carry full DuckDB oracles — sampling
+decisions, chunk contents (md5), bin assignments, surviving-document
+sets, repetition numerators, and LM hit-sets are value-checked
+cross-engine, not just counted. They are beyond the reference's own
+surface (it has no training-export path); q59-q61 sit in the driver
+report window since the r5 rotation, the rest in the documented tail,
+and all run in-pytest oracle parity (tests/test_oracle.py) plus the
+property suite (tests/test_training.py).
 """
 
 from __future__ import annotations
@@ -280,3 +283,154 @@ def q63(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("n_redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition-filter thresholds (Rae et al. 2021 Table A1 shape),
+# in permyriad of document characters: fraction covered by the most
+# common word n-gram (n=2,3,4) and by duplicated 5-grams.
+_REP_CAPS = {2: 2000, 3: 1800, 4: 1600}
+_DUP5_CAP = 1500
+_REP_NS = (2, 3, 4, 5)
+
+
+@query(
+    "q64_repetition_filter",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, length(text) AS n_chars, {_DDB_TOKENS} AS toks FROM documents
+), g AS (
+  SELECT doc_id, n, array_to_string(list_slice(toks, s + 1, s + n), ' ') AS gram
+  FROM (
+    SELECT doc_id, toks, n, unnest(generate_series(0, len(toks) - n)) AS s
+    FROM tok CROSS JOIN (VALUES (2), (3), (4), (5)) ns(n)
+    WHERE len(toks) >= n
+  )
+), cnt AS (
+  SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram
+), agg AS (
+  SELECT doc_id, n,
+         max(c * length(gram)) AS top_cov,
+         coalesce(sum(CASE WHEN c > 1 THEN c * length(gram) END), 0) AS dup_chars
+  FROM cnt GROUP BY doc_id, n
+), piv AS (
+  SELECT t.doc_id, t.n_chars,
+         coalesce(max(CASE WHEN a.n = 2 THEN a.top_cov END), 0) AS t2,
+         coalesce(max(CASE WHEN a.n = 3 THEN a.top_cov END), 0) AS t3,
+         coalesce(max(CASE WHEN a.n = 4 THEN a.top_cov END), 0) AS t4,
+         coalesce(max(CASE WHEN a.n = 5 THEN a.dup_chars END), 0) AS d5
+  FROM tok t LEFT JOIN agg a ON t.doc_id = a.doc_id
+  GROUP BY t.doc_id, t.n_chars
+)
+SELECT doc_id,
+       CAST((10000 * t2) // n_chars AS BIGINT) AS top2_permyriad,
+       CAST((10000 * t3) // n_chars AS BIGINT) AS top3_permyriad,
+       CAST((10000 * t4) // n_chars AS BIGINT) AS top4_permyriad,
+       CAST((10000 * d5) // n_chars AS BIGINT) AS dup5_permyriad,
+       CAST(CASE WHEN (10000 * t2) // n_chars <= {_REP_CAPS[2]}
+                  AND (10000 * t3) // n_chars <= {_REP_CAPS[3]}
+                  AND (10000 * t4) // n_chars <= {_REP_CAPS[4]}
+                  AND (10000 * d5) // n_chars <= {_DUP5_CAP}
+            THEN 1 ELSE 0 END AS BIGINT) AS keep_flag
+FROM piv
+""",
+)
+def q64(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filter: per document, the characters
+    covered by the most common word 2/3/4-gram and by duplicated
+    5-grams, as permyriad of document length, plus the keep decision.
+
+    Plan: the metrics are computed fully in-row (sorted gram array +
+    one aggregate pass — functions/text_analysis.repetition_metrics),
+    so the whole query is a single narrow projection with zero
+    exchanges: at 100 TB this filter runs at scan speed. The oracle
+    replays the semantics through the explode + GROUP BY form, so the
+    in-row run-length trick is value-checked against the obvious
+    definition, not against itself.
+    """
+    from alt_spark.functions.text_analysis import repetition_metrics
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        _tokens_col().alias("toks"),
+    )
+    scored = toks.select(
+        "doc_id",
+        "n_chars",
+        *[
+            repetition_metrics(F.col("toks"), n).alias(f"m{n}")
+            for n in _REP_NS
+        ],
+    )
+    permyriad = {
+        "top2_permyriad": "(10000 * m2.top_cov) div n_chars",
+        "top3_permyriad": "(10000 * m3.top_cov) div n_chars",
+        "top4_permyriad": "(10000 * m4.top_cov) div n_chars",
+        "dup5_permyriad": "(10000 * m5.dup_chars) div n_chars",
+    }
+    keep = (
+        f"CASE WHEN {permyriad['top2_permyriad']} <= {_REP_CAPS[2]}"
+        f" AND {permyriad['top3_permyriad']} <= {_REP_CAPS[3]}"
+        f" AND {permyriad['top4_permyriad']} <= {_REP_CAPS[4]}"
+        f" AND {permyriad['dup5_permyriad']} <= {_DUP5_CAP}"
+        " THEN 1 ELSE 0 END"
+    )
+    return scored.select(
+        "doc_id",
+        *[F.expr(sql).cast("long").alias(name) for name, sql in permyriad.items()],
+        F.expr(keep).cast("long").alias("keep_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+_LM_N, _LM_MIN_COUNT = 3, 5
+
+
+@query(
+    "q65_charlm_score",
+    oracle=f"""
+WITH low AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), grams AS (
+  SELECT doc_id, substr(t, s, {_LM_N}) AS g
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, length(t) - {_LM_N - 1})) AS s
+    FROM low WHERE length(t) >= {_LM_N}
+  )
+), model AS (
+  SELECT g, count(*) AS cnt FROM grams GROUP BY g
+  HAVING count(*) >= {_LM_MIN_COUNT}
+), sc AS (
+  SELECT gr.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN m.g IS NULL THEN 1 ELSE 0 END) AS n_oov,
+         coalesce(sum(m.cnt), 0) AS fsum
+  FROM grams gr LEFT JOIN model m ON gr.g = m.g
+  GROUP BY gr.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(sc.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(CASE WHEN coalesce(sc.n_grams, 0) = 0 THEN 0
+                 ELSE (10000 * sc.n_oov) // sc.n_grams END AS BIGINT)
+         AS oov_permyriad,
+       CAST(coalesce(sc.fsum, 0) AS BIGINT) AS freq_checksum
+FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+""",
+)
+def q65(spark: SparkSession, sf: str) -> DataFrame:
+    """Char-trigram LM corpus scoring (CCNet/KenLM-style quality gate):
+    train the gram table on the corpus itself, then score every doc.
+    The oracle surface is integer-only — gram count, OOV permyriad
+    (exact integer division), and the sum of matched model counts,
+    which pins the exact hit multiset; the float surprisal column the
+    operator also provides is tolerance-tested in pytest, never
+    hash-compared (operators/lm.py for the 100 TB shape: bounded-
+    vocabulary partial aggregation + broadcast model).
+    """
+    from alt_spark.operators.lm import score_against_lm, train_char_lm
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    model = train_char_lm(docs, n=_LM_N, min_count=_LM_MIN_COUNT)
+    return score_against_lm(docs, model, n=_LM_N).drop("avg_surprisal")

@@ -297,3 +297,127 @@ def test_decontaminate_hash_equals_string_on_corpus(spark):
     b = {r["doc_id"] for r in decontaminate(corpus, bench, n=5, hash_grams=False).select("doc_id").collect()}
     assert a == b
     assert len(a) < corpus.count(), "planted near-dups must trigger removals"
+
+
+# --------------------------------------------------------------------------
+# Q64 repetition filter / Q65 char-LM scoring (operators/lm.py,
+# functions/text_analysis.repetition_metrics)
+
+
+def test_repetition_metrics_known_values(spark):
+    from alt_spark.functions.text_analysis import repetition_metrics
+    from alt_spark.operators.dedup import tokens_col
+
+    rows = [
+        # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] →
+        # top "a b" count 3, len 3 → top_cov 9; dup = 3*3 + 2*3 = 15.
+        (1, "a b a b a b"),
+        # all-distinct bigrams: top_cov = max single len, dup = 0.
+        (2, "one two three four"),
+        # fewer than 2 tokens: both 0.
+        (3, "solo"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["m"]["top_cov"], r["m"]["dup_chars"])
+        for r in df.select(
+            "doc_id", repetition_metrics(tokens_col("text"), 2).alias("m")
+        ).collect()
+    }
+    assert out[1] == (9, 15)
+    assert out[2] == (len("three four"), 0)
+    assert out[3] == (0, 0)
+    assert out[4] == (0, 0)
+
+
+def test_repetition_in_row_matches_explode_groupby(spark):
+    """The sorted-run aggregate equals the obvious explode + groupBy
+    definition on real corpus text (the same cross-check the DuckDB
+    oracle performs, here kept as a pure-Spark property at smoke SF)."""
+    from alt_spark.functions.text_analysis import ngram_strings, repetition_metrics
+    from alt_spark.operators.dedup import tokens_col
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    n = 3
+    fast = {
+        r["doc_id"]: (r["m"]["top_cov"], r["m"]["dup_chars"])
+        for r in docs.select(
+            "doc_id", repetition_metrics(tokens_col("text"), n).alias("m")
+        ).collect()
+    }
+    slow = {
+        r["doc_id"]: (r["top_cov"], r["dup_chars"])
+        for r in (
+            docs.select(
+                "doc_id",
+                F.explode(ngram_strings(tokens_col("text"), n)).alias("g"),
+            )
+            .groupBy("doc_id", "g")
+            .agg(F.count("*").alias("c"))
+            .groupBy("doc_id")
+            .agg(
+                F.max(F.col("c") * F.length("g")).alias("top_cov"),
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("c") > 1, F.col("c") * F.length("g"))
+                    ),
+                    F.lit(0),
+                ).alias("dup_chars"),
+            )
+            .collect()
+        )
+    }
+    for doc_id, got in slow.items():
+        assert fast[doc_id] == got, doc_id
+    # Docs absent from `slow` (too short for any n-gram) must be 0/0.
+    for doc_id, got in fast.items():
+        if doc_id not in slow:
+            assert got == (0, 0)
+
+
+def test_charlm_surprisal_matches_python_model(spark):
+    """avg_surprisal equals ln(total) - mean(ln cnt) over hit grams,
+    recomputed with a driver-side Counter (float tolerance — the
+    integer columns are oracle-exact in q65 instead)."""
+    import math
+    from collections import Counter
+
+    from alt_spark.operators.lm import score_against_lm, train_char_lm
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    model = train_char_lm(docs, n=3, min_count=5)
+    scored = score_against_lm(docs, model, n=3)
+
+    local = [(r["doc_id"], r["text"].lower()) for r in docs.collect()]
+    counts = Counter(
+        t[i : i + 3] for _, t in local for i in range(len(t) - 2)
+    )
+    vocab = {g: c for g, c in counts.items() if c >= 5}
+    total = sum(vocab.values())
+    got = {r["doc_id"]: r for r in scored.collect()}
+    assert len(got) == len(local)
+    for doc_id, t in local:
+        grams = [t[i : i + 3] for i in range(len(t) - 2)]
+        hits = [vocab[g] for g in grams if g in vocab]
+        r = got[doc_id]
+        assert r["n_grams"] == len(grams)
+        assert r["freq_checksum"] == sum(hits)
+        if grams:
+            assert r["oov_permyriad"] == 10000 * (len(grams) - len(hits)) // len(grams)
+        if hits:
+            want = math.log(total) - sum(math.log(c) for c in hits) / len(hits)
+            assert abs(r["avg_surprisal"] - want) < 1e-9
+        else:
+            assert r["avg_surprisal"] is None
+
+
+def test_charlm_scoring_plan_has_broadcast_model(spark):
+    """The model side of the scoring join must broadcast — a shuffled
+    join on gram would move the exploded corpus (O(chars) rows)."""
+    from alt_spark.operators.lm import score_against_lm, train_char_lm
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    scored = score_against_lm(docs, train_char_lm(docs), n=3)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
