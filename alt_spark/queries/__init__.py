@@ -103,6 +103,7 @@ _REPORT_TAIL = (
     "q63_pii_scrub",
     "q64_repetition_filter",
     "q65_charlm_score",
+    "q66_corpus_prep_pipeline",
 )
 
 

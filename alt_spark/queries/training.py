@@ -434,3 +434,106 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     model = train_char_lm(docs, n=_LM_N, min_count=_LM_MIN_COUNT)
     return score_against_lm(docs, model, n=_LM_N).drop("avg_surprisal")
+
+
+# ---------------------------------------------------------------------------
+_PREP_MIN_CHARS, _PREP_MIN_TOKS = 100, 20
+
+
+@query(
+    "q66_corpus_prep_pipeline",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, text, length(text) AS n_chars, {_DDB_TOKENS} AS toks
+  FROM documents
+), valid AS (
+  SELECT doc_id, lang, text, toks FROM tok
+  WHERE n_chars >= {_PREP_MIN_CHARS} AND len(toks) >= {_PREP_MIN_TOKS}
+), survivors AS (
+  SELECT min(doc_id) AS doc_id FROM valid GROUP BY text
+), dedup AS (
+  SELECT v.* FROM valid v JOIN survivors s ON v.doc_id = s.doc_id
+), grams AS (
+  SELECT doc_id, array_to_string(list_slice(toks, s + 1, s + {_DECON_N}), ' ') AS g
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(0, len(toks) - {_DECON_N})) AS s
+    FROM tok WHERE len(toks) >= {_DECON_N}
+  )
+), bench_g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+), contaminated AS (
+  SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM bench_g)
+), clean AS (
+  SELECT d.* FROM dedup d
+  WHERE d.doc_id % 50 <> 0
+    AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+), mixed AS (
+  SELECT doc_id, lang, len(toks) AS n_tok FROM clean
+  WHERE {ddb_sample_bucket('doc_id', _SALT)} < {_rate_case()}
+), binned AS (
+  SELECT lang, doc_id, n_tok,
+         CAST(floor(coalesce(sum(n_tok) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) / {_BUDGET}) AS BIGINT) AS bin
+  FROM mixed
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(count(DISTINCT bin) AS BIGINT) AS n_bins,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM binned
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q66(spark: SparkSession, sf: str) -> DataFrame:
+    """The end-to-end corpus-prep pipeline as ONE composed plan:
+    validity gate → exact dedup → benchmark decontamination →
+    stratified mixing → sequence packing, reported as a per-language
+    training manifest (docs, bins, token sum, and an id checksum that
+    pins the exact surviving document set through all five stages).
+
+    This is the integration query for the training-data family: each
+    stage is the same operator the standalone queries (q17, q59, q61,
+    q62) check in isolation, composed here so a cross-stage contract
+    break (a dropped column, a stage reordering, a dedup that loses the
+    token array) fails the hash even if every unit oracle stays green.
+
+    Plan shape at 100 TB: the validity gate and the mixing predicate
+    are narrow filters inside the scan stage; dedup is one
+    hash-partitioned window on the content hash; decontamination
+    broadcasts the benchmark gram set (corpus never shuffled by it);
+    packing is one hash-partitioned window per language shard. No
+    global sorts, no all-pairs joins, nothing driver-side.
+    """
+    from alt_spark.operators.dedup import decontaminate, exact_dedup
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", "lang", "text", _tokens_col().alias("toks"))
+    valid = toks.filter(
+        (F.length("text") >= _PREP_MIN_CHARS)
+        & (F.size("toks") >= _PREP_MIN_TOKS)
+    )
+    dedup = exact_dedup(valid).drop("n_dups")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    corpus = dedup.filter(F.col("doc_id") % 50 != 0)
+    clean = decontaminate(corpus, bench, n=_DECON_N, hash_grams=False)
+    mixed = stratified_sample(clean, _RATES, "lang", "doc_id", salt=_SALT)
+    sized = mixed.select(
+        "lang", "doc_id", F.size("toks").cast("long").alias("n_tok")
+    )
+    binned = pack_contiguous(
+        sized, "n_tok", _BUDGET, shard_col="lang", order_col="doc_id"
+    )
+    return (
+        binned.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("bin").cast("long").alias("n_bins"),
+            F.sum("n_tok").alias("tok_sum"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )

@@ -27,6 +27,8 @@ _NESTED_LOOP_OK = {
     "q23_bm25",
     "q40_bm25_multiterm",
     "q41_keyword_extraction",
+    # 1-row model-total frame crossed onto per-doc scores (operators/lm).
+    "q65_charlm_score",
 }
 
 
@@ -177,3 +179,24 @@ def test_stratified_sample_is_scan_local(spark):
     plan = audit.physical_plan(kept)
     assert audit.shuffle_count(kept) == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_repetition_filter_is_shuffle_free(spark):
+    """q64's metrics are in-row by design: the whole query must plan as
+    a narrow projection over the documents scan — zero exchanges."""
+    from alt_spark.queries import all_queries
+
+    df = all_queries()["q64_repetition_filter"](spark, SF)
+    assert audit.shuffle_count(df) == 0, audit.physical_plan(df)
+
+
+def test_corpus_prep_pipeline_plan_shape(spark):
+    """q66 composes five stages; the composed plan must keep each
+    stage's scale contract: the benchmark-gram side of decontamination
+    broadcasts, and nothing collapses to a single partition."""
+    from alt_spark.queries import all_queries
+
+    df = all_queries()["q66_corpus_prep_pipeline"](spark, SF)
+    assert audit.broadcast_join_count(df) >= 1, audit.physical_plan(df)
+    assert not audit.single_partition_data_exchanges(df)
+    assert not audit.has_cartesian_product(df)
