@@ -262,3 +262,71 @@ def test_training_prep_at_100k(spark):
         assert per_bin.count() >= 32  # every shard produced bins
     finally:
         corpus.unpersist()
+
+
+def test_repetition_filter_at_100k(spark):
+    """The in-row repetition metrics at 100k docs: still shuffle-free
+    (plan check) and every replicated variant of a source doc carries
+    the same top-2-gram coverage (the ' variant N' suffix adds one
+    bigram occurrence, so coverage is source-determined up to that
+    tail — assert the invariant on an unsuffixed replication)."""
+    from alt_spark.functions.text_analysis import repetition_metrics
+    from alt_spark.operators.dedup import tokens_col
+    from alt_spark.plans import audit
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    corpus = docs.crossJoin(reps).select(
+        (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
+        (F.col("doc_id")).alias("src_id"),
+        F.col("text"),
+    )
+    scored = corpus.select(
+        "src_id", repetition_metrics(tokens_col("text"), 2).alias("m")
+    )
+    assert audit.shuffle_count(scored) == 0, audit.physical_plan(scored)
+    per_src = (
+        scored.groupBy("src_id")
+        .agg(F.countDistinct(F.col("m")["top_cov"]).alias("k"))
+        .agg(F.max("k"))
+        .first()[0]
+    )
+    assert per_src == 1, "replicas of one source text diverged"
+
+
+def test_charlm_at_100k(spark):
+    """LM training + scoring at 100k docs: the model stays bounded
+    (vocabulary <= alphabet^3), the scoring join broadcasts, and every
+    identical replica of a source doc scores identically."""
+    from alt_spark.operators.lm import score_against_lm, train_char_lm
+    from alt_spark.plans import audit
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    corpus = docs.crossJoin(reps).select(
+        (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
+        (F.col("doc_id")).alias("src_id"),
+        F.col("text"),
+    ).persist()
+    try:
+        model = train_char_lm(corpus, min_count=5)
+        n_vocab = model.count()
+        assert 0 < n_vocab < 50_000, n_vocab
+        scored = score_against_lm(corpus, model)
+        plan = audit.physical_plan(scored)
+        assert "BroadcastHashJoin" in plan
+        joined = scored.join(
+            corpus.select("doc_id", "src_id"), "doc_id"
+        )
+        diverged = (
+            joined.groupBy("src_id")
+            .agg(
+                F.countDistinct("freq_checksum").alias("k1"),
+                F.countDistinct("oov_permyriad").alias("k2"),
+            )
+            .filter((F.col("k1") > 1) | (F.col("k2") > 1))
+            .count()
+        )
+        assert diverged == 0
+    finally:
+        corpus.unpersist()
