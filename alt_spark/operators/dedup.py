@@ -58,6 +58,8 @@ __all__ = [
     "simhash_bits",
     "simhash_near_dup",
     "decontaminate",
+    "segment_rows",
+    "segment_dedup",
 ]
 
 
@@ -413,4 +415,90 @@ def decontaminate(
     )
     return corpus.join(
         contaminated, corpus[id_col] == contaminated["id"], "left_anti"
+    )
+
+
+def segment_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 4,
+) -> DataFrame:
+    """(id, seg_no, seg) rows: consecutive ``width``-token windows.
+
+    The segmentation CCNet-style paragraph dedup runs on. Natural texts
+    split on blank lines; the engine's segmenter is token-windowed so it
+    also behaves on single-paragraph documents (the testdata shape).
+    Built in-row — ``sequence`` for the window starts, ``slice`` +
+    ``concat_ws`` per start, one ``posexplode`` — a single narrow
+    projection inside the scan stage, no shuffle.
+
+    Zero-token documents yield no segments (mirrored by the oracle's
+    ``WHERE len(t) > 0``); the ``when`` guard keeps ``sequence`` from
+    counting *down* on the empty array.
+    """
+    toks = tokens_col(text_col)
+    nseg = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+    segs = F.when(
+        F.size(toks) > 0,
+        F.transform(
+            F.sequence(F.lit(0), nseg - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("id"), F.posexplode(segs).alias("seg_no", "seg")
+    )
+
+
+def segment_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 4,
+    min_docs: int = 2,
+    hash_segs: bool = True,
+) -> DataFrame:
+    """Cross-document duplicated-segment removal (CCNet paragraph dedup:
+    drop every segment whose exact text occurs in >= ``min_docs``
+    distinct documents, then reassemble each document from its surviving
+    segments in order).
+
+    This is the line/paragraph-level sibling of document-level
+    ``exact_dedup``: boilerplate (headers, footers, navigation, license
+    blocks) repeats across pages while the page bodies differ, so
+    document-level hashing never catches it.
+
+    Returns (id, n_kept, n_removed, clean_text).
+
+    Shape for 100 TB: segments explode in-row, the duplicate set is one
+    groupBy over the segment key, and membership is a key-equi left
+    join — every stage is a bucketed shuffle on the segment key, never
+    pairwise. Reassembly is a per-document collect_list bounded by
+    document size. ``hash_segs`` (default) keys the groupBy and join on
+    ``xxhash64(seg)`` longs instead of the segment strings (narrow
+    shuffle rows); pass False for the string form the DuckDB oracle
+    replays verbatim — equality of the two forms is test-enforced.
+    """
+    key = (lambda c: F.xxhash64(c)) if hash_segs else (lambda c: c)
+    lines = segment_rows(df, text_col, id_col, width).select(
+        "id", "seg_no", "seg", key(F.col("seg")).alias("k")
+    )
+    dup = (
+        lines.groupBy("k")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("k", F.lit(True).alias("_dup"))
+    )
+    flagged = lines.join(dup, "k", "left").select(
+        "id", "seg_no", "seg", F.col("_dup").isNotNull().alias("dup")
+    )
+    parts = F.array_sort(F.collect_list(F.struct("seg_no", "dup", "seg")))
+    return flagged.groupBy("id").agg(
+        F.count(F.when(~F.col("dup"), 1)).alias("n_kept"),
+        F.count(F.when(F.col("dup"), 1)).alias("n_removed"),
+        F.array_join(
+            F.transform(F.filter(parts, lambda x: ~x["dup"]), lambda x: x["seg"]),
+            " ",
+        ).alias("clean_text"),
     )

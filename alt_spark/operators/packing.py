@@ -44,7 +44,7 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
-__all__ = ["chunk_tokens", "pack_contiguous", "pack_ffd"]
+__all__ = ["chunk_tokens", "pack_contiguous", "pack_ffd", "shuffle_shards"]
 
 
 def chunk_tokens(
@@ -168,3 +168,44 @@ def pack_ffd(
         F.col(n_tokens_col).cast("long").alias("n_tokens"),
     )
     return slim.groupBy("__shard").applyInPandas(pack, schema)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global corpus shuffle + sharding for training export.
+
+    Training runs want documents in pseudo-random order, split into
+    ``n_shards`` balanced output files, reproducibly (same corpus + same
+    ``salt`` → byte-identical shards, so a re-run after failure exports
+    the same epoch ordering). Adds:
+
+    - ``shard``   int  — hash-uniform shard assignment
+    - ``pos``     long — 0-based position within the shard, ordered by
+                         the shuffle key (i.e. pseudo-random)
+
+    Shape for 100 TB: the shuffle key is one md5 per row computed inside
+    the scan stage; shard assignment is a mod — rows move in exactly ONE
+    hash exchange keyed by shard. Position is a per-shard window: choose
+    ``n_shards`` so a shard fits a task (e.g. 10k shards for 100 TB →
+    ~10 GB sorts, standard external-sort territory) — there is never a
+    global sort or single-partition exchange. The 60-bit portable hash
+    (functions/hashing.py) keeps every shard/pos decision replayable by
+    the DuckDB oracle.
+    """
+    from alt_spark.functions.hashing import portable_hash60
+
+    key = portable_hash60(
+        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+    )
+    # 60-bit hash is non-negative, so % and pmod agree with DuckDB's %.
+    out = df.withColumn("__k", key).withColumn(
+        "shard", (F.col("__k") % n_shards).cast("int")
+    )
+    w = Window.partitionBy("shard").orderBy("__k", id_col)
+    return out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("long")
+    ).drop("__k")

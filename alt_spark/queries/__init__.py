@@ -104,6 +104,8 @@ _REPORT_TAIL = (
     "q64_repetition_filter",
     "q65_charlm_score",
     "q66_corpus_prep_pipeline",
+    "q67_segment_dedup",
+    "q68_shuffle_shards",
 )
 
 

@@ -1,4 +1,4 @@
-"""Q59-Q65: training-data preparation queries (north-star pillar).
+"""Q59-Q68: training-data preparation queries (north-star pillar).
 
 The ops between "clean corpus" and "token batches": deterministic data
 mixing (operators/mixing.py), context-window chunking and sequence
@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from alt_spark.catalog import load_table
 from alt_spark.functions.cleaning import ddb_scrub_pii
+from alt_spark.functions.hashing import DDB_H60
 from alt_spark.functions.text_analysis import DDB_TOKENS as _DDB_TOKENS
 from alt_spark.operators.dedup import tokens_col
 from alt_spark.operators.mixing import ddb_sample_bucket, stratified_sample
@@ -536,4 +537,113 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("doc_id").alias("id_checksum"),
         )
         .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+_SEG_W = 4  # token-window width for CCNet-style segment dedup
+
+
+@query(
+    "q67_segment_dedup",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id AS id, {_DDB_TOKENS} AS t FROM documents
+), lines AS (
+  SELECT id, s AS seg_no,
+         array_to_string(list_slice(t, s * {_SEG_W} + 1, s * {_SEG_W} + {_SEG_W}), ' ') AS seg
+  FROM (
+    SELECT id, t,
+           unnest(generate_series(0, CAST(ceil(len(t) / {_SEG_W}.0) AS BIGINT) - 1, 1)) AS s
+    FROM toks WHERE len(t) > 0
+  )
+), dup AS (
+  SELECT seg FROM lines GROUP BY seg HAVING count(DISTINCT id) >= 2
+)
+SELECT l.id AS doc_id,
+       count(*) FILTER (WHERE d.seg IS NULL) AS n_kept,
+       count(*) FILTER (WHERE d.seg IS NOT NULL) AS n_removed,
+       md5(coalesce(
+         string_agg(l.seg, ' ' ORDER BY l.seg_no) FILTER (WHERE d.seg IS NULL),
+         '')) AS clean_md5
+FROM lines l LEFT JOIN dup d USING (seg)
+GROUP BY l.id
+ORDER BY doc_id
+""",
+)
+def q67(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style duplicated-segment removal: drop every 4-token
+    window whose exact text occurs in >= 2 distinct documents, then
+    reassemble each document from its surviving segments in order. The
+    per-document md5 of the reassembled text pins segment CONTENT and
+    ORDER, not just counts — the oracle verifies the exact surviving
+    byte stream.
+
+    Plan: segments explode in-row, the duplicate set is one groupBy on
+    the segment key, membership one key-equi join, reassembly one
+    per-document collect_list — every exchange is keyed, nothing is
+    pairwise. Oracle replays the string-segment form; the production
+    xxhash64-keyed form is equality-tested in tests/test_training.py.
+    """
+    from alt_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, sf, "documents")
+    clean = segment_dedup(docs, width=_SEG_W, hash_segs=False)
+    return clean.select(
+        F.col("id").alias("doc_id"),
+        "n_kept",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+_SHUF_SALT = "shuffle-v1"
+_N_SHARDS = 16
+
+
+@query(
+    "q68_shuffle_shards",
+    oracle=f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {DDB_H60("'" + _SHUF_SALT + ":' || CAST(doc_id AS VARCHAR)")} AS k
+  FROM documents
+), ranked AS (
+  SELECT doc_id, k % {_N_SHARDS} AS shard,
+         row_number() OVER (PARTITION BY k % {_N_SHARDS} ORDER BY k, doc_id) - 1 AS pos
+  FROM keyed
+)
+SELECT shard,
+       count(*) AS n_docs,
+       sum((pos + 1) * doc_id) AS order_checksum,
+       min(CASE WHEN pos = 0 THEN doc_id END) AS head_doc
+FROM ranked
+GROUP BY shard
+ORDER BY shard
+""",
+)
+def q68(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic corpus shuffle + sharding (training export): every
+    document gets a salted-hash shuffle key, a shard = key mod 16, and a pseudo-random position within its shard. The
+    position-weighted checksum pins the exact ORDER of every shard, and
+    head_doc pins each shard's first document — the oracle verifies the
+    permutation itself, not just shard sizes.
+
+    Plan: one md5 per row inside the scan stage, one hash exchange
+    keyed by shard, one per-shard window sort. n_shards bounds the sort
+    (10k shards at 100 TB → ~10 GB external sorts); never a global sort.
+    """
+    from alt_spark.operators.packing import shuffle_shards
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    sharded = shuffle_shards(docs, "doc_id", _N_SHARDS, _SHUF_SALT)
+    return (
+        sharded.groupBy(F.col("shard").cast("long").alias("shard"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("pos") + 1) * F.col("doc_id")).alias("order_checksum"),
+            F.min(F.when(F.col("pos") == 0, F.col("doc_id"))).alias("head_doc"),
+        )
+        .orderBy("shard")
     )

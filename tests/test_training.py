@@ -421,3 +421,109 @@ def test_charlm_scoring_plan_has_broadcast_model(spark):
     scored = score_against_lm(docs, train_char_lm(docs), n=3)
     plan = scored._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+# --------------------------------------------------------------- segment dedup
+def test_segment_dedup_hash_equals_string_on_corpus(spark):
+    """The production xxhash64-keyed form and the portable string-keyed
+    form (the DuckDB-oracle path, q67) make identical per-document
+    decisions — extends the oracle transitively to the hashed path."""
+    from alt_spark.operators.dedup import segment_dedup
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = segment_dedup(docs, hash_segs=True).orderBy("id").collect()
+    b = segment_dedup(docs, hash_segs=False).orderBy("id").collect()
+    assert a == b
+    assert any(r["n_removed"] > 0 for r in a), "corpus must exercise removal"
+
+
+def test_segment_dedup_untouched_doc_roundtrips(spark):
+    """A document with no duplicated segments reassembles to exactly its
+    own token stream (content and order preserved bit-for-bit)."""
+    from alt_spark.operators.dedup import segment_dedup, tokens_col
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    joined = (
+        segment_dedup(docs, hash_segs=True)
+        .filter(F.col("n_removed") == 0)
+        .join(docs.select(F.col("doc_id").alias("id"), "text"), "id")
+    )
+    assert joined.count() > 0, "corpus must contain untouched docs"
+    diverged = joined.filter(
+        F.col("clean_text") != F.concat_ws(" ", tokens_col("text"))
+    ).count()
+    assert diverged == 0
+
+
+def test_segment_dedup_planted_boilerplate(spark):
+    """Planted repeated boilerplate is removed from every carrier doc
+    while the distinct payloads survive."""
+    from alt_spark.operators.dedup import segment_dedup
+
+    boiler = "subscribe to our newsletter today"  # 5 tokens
+    rows = [(i, f"{boiler} unique payload word{i} alpha{i} beta{i}") for i in range(4)]
+    rows.append((99, "entirely distinct document with original content only"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in segment_dedup(df, width=5, hash_segs=True).collect()}
+    for i in range(4):
+        assert out[i]["n_removed"] >= 1, out[i]
+        assert "subscribe" not in out[i]["clean_text"]
+        assert f"word{i}" in out[i]["clean_text"]
+    assert out[99]["n_removed"] == 0
+
+
+# --------------------------------------------------------------- shuffle shard
+def test_shuffle_shards_is_a_dense_permutation(spark):
+    """Sharding partitions the corpus exactly; positions are dense
+    0..n-1 within every shard; the assignment is deterministic and
+    salt-sensitive."""
+    from alt_spark.operators.packing import shuffle_shards
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    n = docs.count()
+    out = shuffle_shards(docs, n_shards=8).persist()
+    try:
+        assert out.count() == n
+        assert out.select("doc_id").distinct().count() == n
+        # dense positions: per shard, max(pos) == count-1 and all distinct
+        bad = (
+            out.groupBy("shard")
+            .agg(
+                F.count("*").alias("c"),
+                F.max("pos").alias("mx"),
+                F.count_distinct("pos").alias("dp"),
+            )
+            .filter((F.col("mx") != F.col("c") - 1) | (F.col("dp") != F.col("c")))
+            .count()
+        )
+        assert bad == 0
+        again = shuffle_shards(docs, n_shards=8).collect()
+        assert sorted(map(tuple, again)) == sorted(map(tuple, out.collect()))
+        other = shuffle_shards(docs, n_shards=8, salt="epoch-2")
+        moved = (
+            out.join(other.withColumnRenamed("pos", "pos2").withColumnRenamed("shard", "shard2"), "doc_id")
+            .filter((F.col("pos") != F.col("pos2")) | (F.col("shard") != F.col("shard2")))
+            .count()
+        )
+        assert moved > n // 2, "a new salt must re-permute the corpus"
+    finally:
+        out.unpersist()
+
+
+def test_shuffle_shards_balanced(spark):
+    """Hash sharding stays balanced: no shard deviates wildly from the
+    mean at 8 shards over the smoke corpus."""
+    from alt_spark.operators.packing import shuffle_shards
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id")
+    n = docs.count()
+    sizes = [
+        r["c"]
+        for r in shuffle_shards(docs, n_shards=8)
+        .groupBy("shard")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert len(sizes) == 8
+    mean = n / 8
+    assert max(sizes) < 2 * mean and min(sizes) > mean / 2, sizes
