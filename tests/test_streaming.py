@@ -606,3 +606,53 @@ def test_trim_to_max_rows_drops_oldest_whole_partitions(spark):
     assert sorted(dropped + dropped2) == days[:-1]
     left = {str(r.p_date) for r in spark.read.parquet(table).select("p_date").distinct().collect()}
     assert left == {days[-1]}, "newest partition survives any budget"
+
+
+def test_drop_duplicates_within_watermark_parity(spark):
+    """K3 via Spark's native stateful dedup: redelivered rows inside the
+    watermark are dropped by ``dropDuplicatesWithinWatermark`` exactly as
+    the projector's fold-side dedup drops them — the streamed distinct
+    event set equals batch ``dropDuplicates``. (The projector remains the
+    engine's K3 path; this pins the native-operator formulation so both
+    stay available and semantically aligned.)"""
+    root = _fresh("wm_dedup")
+    landing = os.path.join(root, "landing")
+    chunks = _chunk_events(landing)
+
+    # Redeliver the last 7 rows of chunk 0 in chunk 1's file and the
+    # last 3 of chunk 1 in chunk 3's — at-least-once across batches,
+    # all within the 2h watermark of the advancing event time.
+    dup_a = chunks[0].slice(chunks[0].num_rows - 7, 7)
+    dup_b = chunks[1].slice(chunks[1].num_rows - 3, 3)
+    pq.write_table(
+        pa.concat_tables([dup_a, chunks[1]]).cast(chunks[0].schema),
+        os.path.join(landing, "chunk_001.parquet"),
+    )
+    pq.write_table(
+        pa.concat_tables([dup_b, chunks[3]]).cast(chunks[0].schema),
+        os.path.join(landing, "chunk_003.parquet"),
+    )
+
+    src = read_events_stream(spark, landing)
+    deduped = src.withWatermark("ts", "2 hours").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("wm_dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    got = {
+        r["event_id"] for r in spark.sql("SELECT event_id FROM wm_dedup_out").collect()
+    }
+    batch = spark.read.parquet(f"{SF}/events.parquet")
+    want = {r["event_id"] for r in batch.select("event_id").distinct().collect()}
+    assert got == want, (len(got), len(want))
