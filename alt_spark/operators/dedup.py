@@ -437,7 +437,16 @@ def segment_rows(
     ``WHERE len(t) > 0``); the ``when`` guard keeps ``sequence`` from
     counting *down* on the empty array.
     """
-    toks = tokens_col(text_col)
+    # Materialize the tokenizer in its own projection layer: the slice
+    # inside the transform lambda references the token array per output
+    # element, so it must be an attribute, not the split/lower/filter
+    # expression itself — CollapseProject keeps the layer because a
+    # non-cheap expression referenced more than once is never inlined
+    # (the q48 duplication lesson).
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
     nseg = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
     segs = F.when(
         F.size(toks) > 0,
@@ -446,9 +455,7 @@ def segment_rows(
             lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("id"), F.posexplode(segs).alias("seg_no", "seg")
-    )
+    return base.select("id", F.posexplode(segs).alias("seg_no", "seg"))
 
 
 def segment_dedup(
