@@ -106,6 +106,7 @@ _REPORT_TAIL = (
     "q66_corpus_prep_pipeline",
     "q67_segment_dedup",
     "q68_shuffle_shards",
+    "q69_quality_classifier",
 )
 
 

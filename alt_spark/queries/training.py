@@ -647,3 +647,39 @@ def q68(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+@query("q69_quality_classifier")
+def q69(spark: SparkSession, sf: str) -> DataFrame:
+    """Trained quality-gate profile (rows-only by design: L-BFGS
+    logistic regression is not SQL-expressible — the learning itself is
+    property-tested in tests/test_training.py: held-out AUC, planted
+    junk-vs-clean separation, scoring determinism).
+
+    Bootstrap labels from the heuristic quality median, fit the hashed
+    bag-of-words logistic regression, score every document, and report
+    the per-source gate profile. Plan: featurize+score is a broadcast
+    coefficient vector applied at scan speed; training moves one
+    2^12-double gradient per task per iteration.
+    """
+    from alt_spark.operators.quality_clf import (
+        bootstrap_labels,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "source", "text")
+    model = train_quality_classifier(bootstrap_labels(docs))
+    scored = score_quality(model, docs).withColumnRenamed("id", "doc_id")
+    return (
+        docs.select("doc_id", "source")
+        .join(scored, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("keep_prob"), 3).alias("avg_keep_prob"),
+            F.count(F.when(F.col("keep_prob") >= 0.5, 1)).alias("n_keep"),
+        )
+        .orderBy("source")
+    )

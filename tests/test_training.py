@@ -527,3 +527,64 @@ def test_shuffle_shards_balanced(spark):
     assert len(sizes) == 8
     mean = n / 8
     assert max(sizes) < 2 * mean and min(sizes) > mean / 2, sizes
+
+
+# ------------------------------------------------------------ quality classifier
+def test_quality_classifier_learns_and_separates(spark):
+    """Bootstrap labels from the heuristic quality median, train on the
+    even-id half, evaluate on the odd-id holdout: the classifier must
+    rank held-out keep-docs above drop-docs (AUC), and planted junk
+    must score below planted clean text."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from alt_spark.operators.quality_clf import (
+        bootstrap_labels,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id", "text"
+    )
+    labeled = bootstrap_labels(docs).persist()
+    try:
+        n_keep = labeled.filter(F.col("label") == 1.0).count()
+        n = labeled.count()
+        assert 0 < n_keep < n, "median split must produce both classes"
+
+        train = labeled.filter(F.col("doc_id") % 2 == 0)
+        test = labeled.filter(F.col("doc_id") % 2 == 1)
+        model = train_quality_classifier(train)
+
+        pred = model.transform(test.withColumn("__toks", _tokens_col()))
+        auc = BinaryClassificationEvaluator(
+            labelCol="label", metricName="areaUnderROC"
+        ).evaluate(pred)
+        assert auc > 0.75, f"held-out AUC too low: {auc}"
+
+        planted = spark.createDataFrame(
+            [
+                (900001, "the data table shows a small group of customer orders and the line values sorted by key"),
+                (900002, "zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz zz"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r["keep_prob"] for r in score_quality(model, planted).collect()}
+        assert got[900001] > got[900002], got
+    finally:
+        labeled.unpersist()
+
+
+def test_quality_classifier_scoring_is_deterministic(spark):
+    """Scoring the same corpus twice with one fitted model is exact."""
+    from alt_spark.operators.quality_clf import (
+        bootstrap_labels,
+        score_quality,
+        train_quality_classifier,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    model = train_quality_classifier(bootstrap_labels(docs))
+    a = sorted(map(tuple, score_quality(model, docs).collect()))
+    b = sorted(map(tuple, score_quality(model, docs).collect()))
+    assert a == b
