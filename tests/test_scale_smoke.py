@@ -330,3 +330,57 @@ def test_charlm_at_100k(spark):
         assert diverged == 0
     finally:
         corpus.unpersist()
+
+
+def test_segment_dedup_at_100k(spark):
+    """Segment dedup at 100k docs on the production (xxhash64-keyed)
+    path: with every source text replicated, EVERY segment is
+    cross-document duplicated, so every document must reassemble to the
+    empty string — a total-removal invariant that exercises the dup-set
+    join at full selectivity. Replicas of one source also agree on
+    (n_kept, n_removed)."""
+    corpus = _big_corpus(spark).persist()
+    try:
+        out = dedup.segment_dedup(corpus, hash_segs=True)
+        survivors = out.filter(F.col("n_kept") > 0).count()
+        assert survivors == 0, f"{survivors} docs kept segments"
+        assert out.count() == corpus.count()
+    finally:
+        corpus.unpersist()
+
+
+def test_shuffle_shards_at_100k(spark):
+    """Deterministic shuffle-sharding at 100k rows: exact partition,
+    dense per-shard positions, and balance within 20% of the mean at
+    64 shards (hash uniformity at volume)."""
+    from alt_spark.operators.packing import shuffle_shards
+
+    corpus = _big_corpus(spark).select("doc_id").persist()
+    try:
+        n = corpus.count()
+        out = shuffle_shards(corpus, n_shards=64)
+        stats = (
+            out.groupBy("shard")
+            .agg(
+                F.count("*").alias("c"),
+                F.max("pos").alias("mx"),
+                F.count_distinct("pos").alias("dp"),
+            )
+            .persist()
+        )
+        try:
+            assert stats.count() == 64
+            bad = stats.filter(
+                (F.col("mx") != F.col("c") - 1) | (F.col("dp") != F.col("c"))
+            ).count()
+            assert bad == 0
+            sizes = [r["c"] for r in stats.collect()]
+            mean = n / 64
+            assert max(sizes) < 1.2 * mean and min(sizes) > 0.8 * mean, (
+                min(sizes),
+                max(sizes),
+            )
+        finally:
+            stats.unpersist()
+    finally:
+        corpus.unpersist()
