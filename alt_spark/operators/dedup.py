@@ -504,11 +504,25 @@ def segment_dedup(
         "id", "seg_no", "seg", F.col("_dup").isNotNull().alias("dup")
     )
     parts = F.array_sort(F.collect_list(F.struct("seg_no", "dup", "seg")))
-    return flagged.groupBy("id").agg(
+    agged = flagged.groupBy("id").agg(
         F.count(F.when(~F.col("dup"), 1)).alias("n_kept"),
         F.count(F.when(F.col("dup"), 1)).alias("n_removed"),
         F.array_join(
             F.transform(F.filter(parts, lambda x: ~x["dup"]), lambda x: x["seg"]),
             " ",
         ).alias("clean_text"),
+    )
+    # Row preservation: zero-token documents yield no segment rows (the
+    # posexplode drops them), but every input document keeps an output
+    # row — n_kept = n_removed = 0, empty clean_text (the same contract
+    # as score_against_lm's gramless docs).
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(agged, "id", "left")
+        .select(
+            "id",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
     )

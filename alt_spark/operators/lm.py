@@ -137,7 +137,11 @@ def score_against_lm(
     explode + groupBy over the training corpus, executed twice. The
     cache is bounded by construction (|V| <= alphabet^n rows — the same
     bounded-driver-state budget as the IVF centroid table); the first
-    branch executed fills it, the second reads it.
+    branch executed fills it, the second reads it. Ownership: the cache
+    belongs to the passed ``model`` DataFrame — a caller scoring against
+    many models in one long session should ``model.unpersist()`` after
+    consuming the result (the returned frame is lazy, so this function
+    cannot release it itself).
     """
     model = model.persist()
     total = model.agg(F.sum("cnt").alias("model_total"))

@@ -198,8 +198,11 @@ def shuffle_shards(
     """
     from alt_spark.functions.hashing import portable_hash60
 
+    # F.concat (not concat_ws): NULL ids must propagate to a NULL key —
+    # exactly what the oracle's `||` does — rather than silently hash
+    # the bare salt (the sample_bucket convention, operators/mixing.py).
     key = portable_hash60(
-        F.concat_ws(":", F.lit(salt), F.col(id_col).cast("string"))
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
     )
     # 60-bit hash is non-negative, so % and pmod agree with DuckDB's %.
     out = df.withColumn("__k", key).withColumn(

@@ -512,19 +512,24 @@ def q66(spark: SparkSession, sf: str) -> DataFrame:
     from alt_spark.operators.dedup import decontaminate, exact_dedup
 
     docs = load_table(spark, sf, "documents")
-    toks = docs.select("doc_id", "lang", "text", _tokens_col().alias("toks"))
+    # Reduce the token ARRAY to its count inside the scan stage: the
+    # dedup window exchange then carries (doc_id, lang, text, n_tok)
+    # instead of the materialized array (which decontaminate would
+    # ignore anyway — shingle_rows re-tokenizes from text), roughly
+    # halving the widest shuffle in the plan.
+    toks = docs.select(
+        "doc_id", "lang", "text", F.size(_tokens_col()).cast("long").alias("n_tok")
+    )
     valid = toks.filter(
         (F.length("text") >= _PREP_MIN_CHARS)
-        & (F.size("toks") >= _PREP_MIN_TOKS)
+        & (F.col("n_tok") >= _PREP_MIN_TOKS)
     )
     dedup = exact_dedup(valid).drop("n_dups")
     bench = docs.filter(F.col("doc_id") % 50 == 0)
     corpus = dedup.filter(F.col("doc_id") % 50 != 0)
     clean = decontaminate(corpus, bench, n=_DECON_N, hash_grams=False)
     mixed = stratified_sample(clean, _RATES, "lang", "doc_id", salt=_SALT)
-    sized = mixed.select(
-        "lang", "doc_id", F.size("toks").cast("long").alias("n_tok")
-    )
+    sized = mixed.select("lang", "doc_id", "n_tok")
     binned = pack_contiguous(
         sized, "n_tok", _BUDGET, shard_col="lang", order_col="doc_id"
     )
@@ -559,15 +564,21 @@ WITH toks AS (
   )
 ), dup AS (
   SELECT seg FROM lines GROUP BY seg HAVING count(DISTINCT id) >= 2
+), per_doc AS (
+  SELECT l.id,
+         count(*) FILTER (WHERE d.seg IS NULL) AS n_kept,
+         count(*) FILTER (WHERE d.seg IS NOT NULL) AS n_removed,
+         md5(coalesce(
+           string_agg(l.seg, ' ' ORDER BY l.seg_no) FILTER (WHERE d.seg IS NULL),
+           '')) AS clean_md5
+  FROM lines l LEFT JOIN dup d USING (seg)
+  GROUP BY l.id
 )
-SELECT l.id AS doc_id,
-       count(*) FILTER (WHERE d.seg IS NULL) AS n_kept,
-       count(*) FILTER (WHERE d.seg IS NOT NULL) AS n_removed,
-       md5(coalesce(
-         string_agg(l.seg, ' ' ORDER BY l.seg_no) FILTER (WHERE d.seg IS NULL),
-         '')) AS clean_md5
-FROM lines l LEFT JOIN dup d USING (seg)
-GROUP BY l.id
+SELECT docs.doc_id,
+       coalesce(p.n_kept, 0) AS n_kept,
+       coalesce(p.n_removed, 0) AS n_removed,
+       coalesce(p.clean_md5, md5('')) AS clean_md5
+FROM documents docs LEFT JOIN per_doc p ON p.id = docs.doc_id
 ORDER BY doc_id
 """,
 )

@@ -34,7 +34,15 @@ _NESTED_LOOP_OK = {
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    return {name: fn(spark, SF) for name, fn in all_queries().items()}
+    # q69 is excluded: constructing it FITS an MLlib model (Pipeline.fit
+    # is an action — percentile_cont pass + L-BFGS iterations), which is
+    # real executor work inside what should be plan-only audits. Its
+    # scan/broadcast invariants are covered by its own property tests.
+    return {
+        name: fn(spark, SF)
+        for name, fn in all_queries().items()
+        if name != "q69_quality_classifier"
+    }
 
 
 def test_no_cartesian_products_anywhere(dfs):

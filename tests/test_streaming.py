@@ -650,9 +650,12 @@ def test_drop_duplicates_within_watermark_parity(spark):
         if q.isActive:
             q.stop()
 
-    got = {
-        r["event_id"] for r in spark.sql("SELECT event_id FROM wm_dedup_out").collect()
-    }
+    rows = [r["event_id"] for r in spark.sql("SELECT event_id FROM wm_dedup_out").collect()]
+    got = set(rows)
+    # The row/set cardinality check IS the dedup assertion: a regression
+    # that re-emits a redelivered row keeps the set equal but not the
+    # count.
+    assert len(rows) == len(got), f"{len(rows) - len(got)} duplicate emissions"
     batch = spark.read.parquet(f"{SF}/events.parquet")
     want = {r["event_id"] for r in batch.select("event_id").distinct().collect()}
     assert got == want, (len(got), len(want))

@@ -463,13 +463,16 @@ def test_segment_dedup_planted_boilerplate(spark):
     boiler = "subscribe to our newsletter today"  # 5 tokens
     rows = [(i, f"{boiler} unique payload word{i} alpha{i} beta{i}") for i in range(4)]
     rows.append((99, "entirely distinct document with original content only"))
+    rows.append((98, "!!!"))  # zero tokens: row must survive with empty output
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r["id"]: r for r in segment_dedup(df, width=5, hash_segs=True).collect()}
+    assert len(out) == len(rows), "every input doc keeps an output row"
     for i in range(4):
         assert out[i]["n_removed"] >= 1, out[i]
         assert "subscribe" not in out[i]["clean_text"]
         assert f"word{i}" in out[i]["clean_text"]
     assert out[99]["n_removed"] == 0
+    assert (out[98]["n_kept"], out[98]["n_removed"], out[98]["clean_text"]) == (0, 0, "")
 
 
 # --------------------------------------------------------------- shuffle shard
