@@ -659,3 +659,73 @@ def test_drop_duplicates_within_watermark_parity(spark):
     batch = spark.read.parquet(f"{SF}/events.parquet")
     want = {r["event_id"] for r in batch.select("event_id").distinct().collect()}
     assert got == want, (len(got), len(want))
+
+
+def test_streaming_corpus_prep_parity(spark):
+    """Streaming ingestion of training documents == the batch prep:
+    documents land in micro-batches (with redelivered rows across
+    batches), flow through the same operators the batch corpus-prep uses
+    — validity gate, stateful content-hash dedup, PII scrub — and the
+    surviving (content-hash, scrubbed-md5) SET must equal the batch
+    pipeline's. Pins that the training-prep family composes under
+    Structured Streaming, not just in batch plans."""
+    import pyarrow as _pa
+    from pyspark.sql import functions as F
+
+    from alt_spark.functions.cleaning import scrub_pii
+    from alt_spark.operators.dedup import tokens_col
+
+    root = _fresh("corpus_prep_stream")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+
+    t = pq.read_table(f"{SF}/documents.parquet").select(["doc_id", "text"])
+    n = t.num_rows
+    chunks = [t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3) for i in range(3)]
+    # Redeliver the first 5 rows of chunk 0 inside chunk 2 (same texts,
+    # later micro-batch): the stateful dedup must drop them.
+    chunks[2] = _pa.concat_tables([chunks[0].slice(0, 5), chunks[2]])
+    for i, c in enumerate(chunks):
+        pq.write_table(c, os.path.join(landing, f"chunk_{i:03d}.parquet"))
+
+    src = spark.readStream.schema("doc_id long, text string").parquet(landing)
+    valid = src.filter(
+        (F.length("text") >= 40) & (F.size(tokens_col("text")) >= 8)
+    )
+    prepped = (
+        valid.withColumn("h", F.xxhash64("text"))
+        .dropDuplicates(["h"])
+        .select("h", F.md5(scrub_pii(F.col("text"))).alias("scrub_md5"))
+    )
+    q = (
+        prepped.writeStream.format("memory")
+        .queryName("corpus_prep_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    rows = spark.sql("SELECT h, scrub_md5 FROM corpus_prep_out").collect()
+    got = {(r["h"], r["scrub_md5"]) for r in rows}
+    assert len(rows) == len(got), "stateful dedup re-emitted a content hash"
+
+    batch = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    bvalid = batch.filter(
+        (F.length("text") >= 40) & (F.size(tokens_col("text")) >= 8)
+    )
+    want = {
+        (r["h"], r["scrub_md5"])
+        for r in bvalid.select(
+            F.xxhash64("text").alias("h"),
+            F.md5(scrub_pii(F.col("text"))).alias("scrub_md5"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want, (len(got), len(want))
+    assert len(want) > 0
