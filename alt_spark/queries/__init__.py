@@ -95,10 +95,11 @@ _REPORT_TAIL = (
     "q23_bm25",
     "q26_hybrid_rrf",
     "q35_prefix_search_sample",
-    # q62-q65 — decontamination, PII scrub, repetition filter, char-LM
-    # scoring; oracle-backed (test_oracle_parity runs them every CI
-    # pass), parked in the tail as the newest additions; rotation
-    # candidates for r6 alongside whatever the next verdict prioritizes.
+    # q62-q68 — decontamination, PII scrub, repetition filter, char-LM
+    # scoring, corpus-prep pipeline, segment dedup, shuffle-sharding;
+    # all oracle-backed (test_oracle_parity runs them every CI pass),
+    # parked in the tail as the newest additions; rotation candidates
+    # for r6 alongside whatever the next verdict prioritizes.
     "q62_decontamination",
     "q63_pii_scrub",
     "q64_repetition_filter",
@@ -106,6 +107,9 @@ _REPORT_TAIL = (
     "q66_corpus_prep_pipeline",
     "q67_segment_dedup",
     "q68_shuffle_shards",
+    # q69 — trained quality classifier; rows-only by design (MLlib
+    # L-BFGS is not SQL-expressible); AUC/separation/determinism
+    # property-tested in tests/test_training.py.
     "q69_quality_classifier",
 )
 
