@@ -591,3 +591,18 @@ def test_quality_classifier_scoring_is_deterministic(spark):
     a = sorted(map(tuple, score_quality(model, docs).collect()))
     b = sorted(map(tuple, score_quality(model, docs).collect()))
     assert a == b
+
+
+def test_shuffle_shards_null_id_propagates(spark):
+    """A NULL id must get a NULL shuffle key (concat semantics, matching
+    the oracle's ||), never silently hash the bare salt — the
+    sample_bucket convention (ADVICE r4 / self-review r5)."""
+    from alt_spark.operators.packing import shuffle_shards
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "doc_id long"
+    )
+    out = shuffle_shards(df, n_shards=4).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[None]["shard"] is None
+    assert by_id[1]["shard"] is not None and by_id[2]["shard"] is not None
