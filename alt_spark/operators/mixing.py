@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from alt_spark.functions.hashing import portable_hash60
 
-__all__ = ["PRECISION", "sample_bucket", "stratified_sample"]
+__all__ = ["PRECISION", "sample_bucket", "stratified_sample", "temperature_rates"]
 
 # Sampling rates are expressed in permyriad (1/10000) so the keep
 # decision stays in exact integer arithmetic in both engines.
@@ -86,3 +86,48 @@ def stratified_sample(
         F.element_at(F.create_map(*pairs), F.col(stratum_col)), F.lit(0)
     )
     return df.filter(sample_bucket(id_col, salt) < rate)
+
+
+def temperature_rates(
+    df: DataFrame,
+    stratum_col: str,
+    budget_permyriad: int = 5000,
+) -> DataFrame:
+    """Derive per-stratum keep-rates that TEMPER the corpus mixture
+    (alpha = 0.5): sampled composition follows sqrt(n_s) instead of n_s,
+    boosting rare strata relative to proportional sampling — the
+    standard temperature re-weighting for multilingual/multi-source
+    training mixes. ``budget_permyriad`` caps the expected overall keep
+    fraction.
+
+    Returns (stratum, n, rate) where rate is in permyriad, ready for
+    :func:`stratified_sample`'s keep predicate.
+
+    Integer arithmetic end-to-end so the DuckDB oracle replays every
+    rate exactly: weights are floor(sqrt(n)) (IEEE sqrt is correctly
+    rounded, so floor matches bit-for-bit across engines; exact for any
+    n < 2^52), and the budget→kept→rate chain is integer division only
+    (fits long up to corpora of ~1e15 rows). alpha other than 0.5 would
+    need pow() with a cross-engine rounding caveat; sqrt is the common
+    production choice and the exactness-safe one.
+
+    Shape at 100 TB: one count per stratum (bounded groupBy), a 1-row
+    total frame, and a stratum-sized rate table — everything after the
+    count is broadcast-scale.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
+    w = counts.withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
+    tot = w.agg(F.sum("w").alias("tw"), F.sum("n").alias("tn"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(PRECISION).cast("long"),
+                F.expr(
+                    f"(({PRECISION} * ((((tn * {int(budget_permyriad)}) div {PRECISION}) * w) div tw)) div n)"
+                ),
+            ),
+        )
+        .select(stratum_col, "n", "rate")
+    )

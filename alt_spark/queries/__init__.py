@@ -111,6 +111,7 @@ _REPORT_TAIL = (
     # L-BFGS is not SQL-expressible); AUC/separation/determinism
     # property-tested in tests/test_training.py.
     "q69_quality_classifier",
+    "q70_temperature_mixing",
 )
 
 

@@ -701,3 +701,68 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+_TEMP_SALT = "temp-mix-v1"
+_TEMP_BUDGET = 5000  # keep ~half the corpus overall
+
+
+@query(
+    "q70_temperature_mixing",
+    oracle=f"""
+WITH c AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+), w AS (
+  SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c
+), t AS (
+  SELECT sum(w) AS tw, sum(n) AS tn FROM w
+), r AS (
+  SELECT lang, n,
+         least(10000,
+               (10000 * ((((tn * {_TEMP_BUDGET}) // 10000) * w) // tw)) // n
+         ) AS rate
+  FROM w, t
+)
+SELECT d.lang,
+       r.n AS n_total,
+       r.rate AS rate_permyriad,
+       count(*) FILTER (WHERE {ddb_sample_bucket('d.doc_id', _TEMP_SALT)} < r.rate) AS n_kept,
+       coalesce(sum(d.doc_id) FILTER (
+         WHERE {ddb_sample_bucket('d.doc_id', _TEMP_SALT)} < r.rate), 0) AS id_checksum
+FROM documents d JOIN r ON d.lang = r.lang
+GROUP BY d.lang, r.n, r.rate
+ORDER BY d.lang
+""",
+)
+def q70(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-balanced mixing (alpha = 0.5): keep-rates derived
+    from the corpus itself so the sampled mixture follows sqrt(n_lang)
+    — rare languages get boosted relative to proportional sampling,
+    the standard multilingual re-weighting. Compare q59, which applies
+    FIXED declared rates; this derives them, then applies the same
+    deterministic md5-bucket keep decision. The id checksum pins the
+    exact kept SET per stratum, and the integer-only rate chain
+    (floor-sqrt weights, integer division) makes each derived rate
+    itself oracle-exact.
+
+    Plan: one bounded groupBy for counts, a broadcast rate table, one
+    narrow scan-stage keep predicate — at 100 TB the re-weighting adds
+    one tiny aggregate to a plain filtered scan.
+    """
+    from alt_spark.operators.mixing import sample_bucket, temperature_rates
+
+    docs = load_table(spark, sf, "documents")
+    rates = temperature_rates(docs, "lang", budget_permyriad=_TEMP_BUDGET)
+    keep = sample_bucket("doc_id", _TEMP_SALT) < F.col("rate")
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", F.col("n").alias("n_total"), F.col("rate").alias("rate_permyriad"))
+        .agg(
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("doc_id"))), F.lit(0)).alias(
+                "id_checksum"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -606,3 +606,27 @@ def test_shuffle_shards_null_id_propagates(spark):
     by_id = {r["doc_id"]: r for r in out}
     assert by_id[None]["shard"] is None
     assert by_id[1]["shard"] is not None and by_id[2]["shard"] is not None
+
+
+def test_temperature_rates_boost_rare_strata(spark):
+    """alpha=0.5 tempering: keep-rate is monotone DECREASING in stratum
+    size (rate ∝ sqrt(n)/n), the overall expected keep tracks the
+    budget, and no rate leaves [0, PRECISION]."""
+    from alt_spark.operators.mixing import PRECISION, temperature_rates
+
+    docs = _docs(spark)
+    rates = {r["lang"]: (r["n"], r["rate"]) for r in
+             temperature_rates(docs, "lang", budget_permyriad=5000).collect()}
+    assert len(rates) >= 3
+    by_size = sorted(rates.values())
+    # rate ∝ floor(sqrt(n))/n is only monotone up to floor jitter, so
+    # compare strata with a REAL size gap (>=2x): the smaller must get
+    # at least the larger's rate.
+    for n1, r1 in by_size:
+        for n2, r2 in by_size:
+            if n2 >= 2 * n1:
+                assert r1 >= r2, f"stratum {n1} vs {n2}: {r1} < {r2}"
+    assert all(0 <= r <= PRECISION for _, r in rates.values())
+    expected = sum(n * r for n, r in rates.values()) / PRECISION
+    total = sum(n for n, _ in rates.values())
+    assert 0.35 * total <= expected <= 0.55 * total, (expected, total)
