@@ -1,4 +1,4 @@
-"""Q59-Q69: training-data preparation queries (north-star pillar).
+"""Q59-Q70: training-data preparation queries (north-star pillar).
 
 The ops between "clean corpus" and "token batches": deterministic data
 mixing (operators/mixing.py), context-window chunking and sequence
@@ -7,7 +7,9 @@ packing (operators/packing.py), benchmark decontamination
 Gopher-style repetition filtering (functions/text_analysis.
 repetition_metrics), char-n-gram LM corpus scoring (operators/lm), and
 the trained quality classifier (operators/quality_clf — q69, rows-only
-by design: MLlib L-BFGS).
+by design: MLlib L-BFGS), and temperature-balanced mixing
+(operators/mixing.temperature_rates — q70, corpus-derived alpha=0.5
+rates, integer-exact).
 All are SQL-expressible and carry full DuckDB oracles — sampling
 decisions, chunk contents (md5), bin assignments, surviving-document
 sets, repetition numerators, and LM hit-sets are value-checked
