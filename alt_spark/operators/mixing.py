@@ -106,8 +106,12 @@ def temperature_rates(
     Integer arithmetic end-to-end so the DuckDB oracle replays every
     rate exactly: weights are floor(sqrt(n)) (IEEE sqrt is correctly
     rounded, so floor matches bit-for-bit across engines; exact for any
-    n < 2^52), and the budget→kept→rate chain is integer division only
-    (fits long up to corpora of ~1e15 rows). alpha other than 0.5 would
+    n < 2^52), and the budget→kept→rate chain is integer division only.
+    Overflow bound: the widest intermediate is kept_total * w ≈
+    N^1.5 * budget/PRECISION, which stays under 2^63 for corpora up to
+    ~3e12 rows at a half-budget — beyond that, derive rates on a
+    sampled count table (the rates only need relative sizes). alpha
+    other than 0.5 would
     need pow() with a cross-engine rounding caveat; sqrt is the common
     production choice and the exactness-safe one.
 
@@ -115,6 +119,10 @@ def temperature_rates(
     total frame, and a stratum-sized rate table — everything after the
     count is broadcast-scale.
     """
+    if not 0 <= budget_permyriad <= PRECISION:
+        raise ValueError(
+            f"budget_permyriad must be in [0, {PRECISION}], got {budget_permyriad}"
+        )
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("n"))
     w = counts.withColumn("w", F.floor(F.sqrt(F.col("n"))).cast("long"))
     tot = w.agg(F.sum("w").alias("tw"), F.sum("n").alias("tn"))

@@ -688,9 +688,15 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
     # Train on a 20% deterministic sample, score the whole corpus — the
     # standard production shape (the gate model never needs the full
     # corpus to fit; measured ~2x cheaper at sf0.1 with identical
-    # downstream behavior on the bootstrap task).
+    # downstream behavior on the bootstrap task). The sample comes from
+    # the engine's salted-hash sampler, not an id modulo — unbiased
+    # under any id-assignment pattern (operators/mixing.py doctrine).
+    from alt_spark.operators.mixing import sample_bucket
+
     labeled = bootstrap_labels(docs)
-    model = train_quality_classifier(labeled.filter(F.col("doc_id") % 5 == 0))
+    model = train_quality_classifier(
+        labeled.filter(sample_bucket("doc_id", "qclf-train-v1") < 2000)
+    )
     scored = score_quality(model, docs).withColumnRenamed("id", "doc_id")
     return (
         docs.select("doc_id", "source")

@@ -664,8 +664,10 @@ def test_drop_duplicates_within_watermark_parity(spark):
 def test_streaming_corpus_prep_parity(spark):
     """Streaming ingestion of training documents == the batch prep:
     documents land in micro-batches (with redelivered rows across
-    batches), flow through the same operators the batch corpus-prep uses
-    — validity gate, stateful content-hash dedup, PII scrub — and the
+    batches), pass the batch pipeline's own validity-gate thresholds
+    (q66's _PREP_* constants), a stateful content-hash dedup (the
+    streaming analog of exact_dedup's first-wins hash), and the same
+    PII scrub; the
     surviving (content-hash, scrubbed-md5) SET must equal the batch
     pipeline's. Pins that the training-prep family composes under
     Structured Streaming, not just in batch plans."""
@@ -688,9 +690,18 @@ def test_streaming_corpus_prep_parity(spark):
     for i, c in enumerate(chunks):
         pq.write_table(c, os.path.join(landing, f"chunk_{i:03d}.parquet"))
 
-    src = spark.readStream.schema("doc_id long, text string").parquet(landing)
+    from alt_spark.queries.training import _PREP_MIN_CHARS, _PREP_MIN_TOKS
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)  # one file per micro-batch: the
+        # redelivered rows arrive in a LATER batch, so the dedup state
+        # must survive batch boundaries for parity to hold
+        .parquet(landing)
+    )
     valid = src.filter(
-        (F.length("text") >= 40) & (F.size(tokens_col("text")) >= 8)
+        (F.length("text") >= _PREP_MIN_CHARS)
+        & (F.size(tokens_col("text")) >= _PREP_MIN_TOKS)
     )
     prepped = (
         valid.withColumn("h", F.xxhash64("text"))
@@ -716,7 +727,8 @@ def test_streaming_corpus_prep_parity(spark):
 
     batch = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
     bvalid = batch.filter(
-        (F.length("text") >= 40) & (F.size(tokens_col("text")) >= 8)
+        (F.length("text") >= _PREP_MIN_CHARS)
+        & (F.size(tokens_col("text")) >= _PREP_MIN_TOKS)
     )
     want = {
         (r["h"], r["scrub_md5"])
