@@ -29,6 +29,10 @@ _NESTED_LOOP_OK = {
     "q41_keyword_extraction",
     # 1-row model-total frame crossed onto per-doc scores (operators/lm).
     "q65_charlm_score",
+    # 1-row (tw, tn) totals frame crossed onto the stratum-sized count
+    # table (operators/mixing.temperature_rates) — bounded by
+    # construction, same device as the BM25/LM stats rows.
+    "q70_temperature_mixing",
 }
 
 
