@@ -112,6 +112,9 @@ _REPORT_TAIL = (
     # property-tested in tests/test_training.py.
     "q69_quality_classifier",
     "q70_temperature_mixing",
+    # q71 — percentile_approx scale twin of q04; rows-only by design
+    # (engine-specific sketch); error-bound pytest vs the exact form.
+    "q71_latency_quantiles_approx",
 )
 
 

@@ -627,3 +627,30 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+@query("q71_latency_quantiles_approx")
+def q71(spark: SparkSession, sf: str) -> DataFrame:
+    """The D4 scale twin: ``percentile_approx`` (Greenwald-Khanna
+    sketch) over the same groups as q04's exact form. Rows-only by
+    design — the sketch is engine-specific, so exactness is pinned by
+    the error-bound test against q04 instead of a cross-engine hash
+    (tests/test_relational_ext.py; the q37 HLL pattern).
+
+    This IS the 100 TB path: the sketch is mergeable map-side (bounded
+    state per task, one row per group moves in the exchange), where the
+    exact percentile must shuffle and sort every value. accuracy=10000
+    bounds rank error at 1/10000 of the group size.
+    """
+    ev = load_table(spark, sf, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.percentile_approx("value", 0.5, 10000), 4).alias("p50"),
+            F.round(F.percentile_approx("value", 0.95, 10000), 4).alias("p95"),
+            F.round(F.percentile_approx("value", 0.99, 10000), 4).alias("p99"),
+            F.round(F.max("value"), 4).alias("max_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -54,3 +54,35 @@ def test_hll_sketches_merge_losslessly(spark):
     exact = ev.select("user_id").distinct().count()
     assert merged == direct, "HLL union at equal lgk must be lossless"
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_approx_percentiles_within_rank_error_of_exact(spark):
+    """q71 (percentile_approx, the D4 scale path) vs q04 (exact): every
+    approximate quantile must be an actual data value whose rank is
+    within the sketch's guarantee of the target rank. At accuracy=10000
+    and sf0.01 group sizes the permitted rank slack is small; max_value
+    must be exact."""
+    from alt_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.01"
+    exact = {r["event_type"]: r for r in all_queries()["q04_latency_quantiles"](spark, sf).collect()}
+    approx = {r["event_type"]: r for r in all_queries()["q71_latency_quantiles_approx"](spark, sf).collect()}
+    assert set(exact) == set(approx)
+    from alt_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf, "events").select("event_type", "value")
+    for et, a in approx.items():
+        assert a["max_value"] == exact[et]["max_value"]
+        vals = sorted(
+            r["value"] for r in ev.filter(F.col("event_type") == et).collect()
+        )
+        n = len(vals)
+        for q, col in ((0.5, "p50"), (0.95, "p95"), (0.99, "p99")):
+            # rank error <= n/accuracy (+1 slack for the round(…,4))
+            import bisect
+            lo = bisect.bisect_left([round(v, 4) for v in vals], a[col])
+            hi = bisect.bisect_right([round(v, 4) for v in vals], a[col])
+            target = q * n
+            slack = n / 10000.0 + 2
+            assert lo - slack <= target <= hi + slack, (et, col, a[col], lo, hi, target)
