@@ -115,6 +115,7 @@ _REPORT_TAIL = (
     # q71 — percentile_approx scale twin of q04; rows-only by design
     # (engine-specific sketch); error-bound pytest vs the exact form.
     "q71_latency_quantiles_approx",
+    "q72_quality_gate_pipeline",
 )
 
 

@@ -1,4 +1,4 @@
-"""Q59-Q70: training-data preparation queries (north-star pillar).
+"""Q59-Q70 + Q72: training-data preparation queries (north-star pillar).
 
 The ops between "clean corpus" and "token batches": deterministic data
 mixing (operators/mixing.py), context-window chunking and sequence
@@ -771,6 +771,123 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
             F.coalesce(F.sum(F.when(keep, F.col("doc_id"))), F.lit(0)).alias(
                 "id_checksum"
             ),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+_TYP_MIN = 56  # min avg gram probability, permyriad (scale-free typicality)
+
+
+@query(
+    "q72_quality_gate_pipeline",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, length(text) AS n_chars, {_DDB_TOKENS} AS toks
+  FROM documents
+), valid AS (
+  SELECT doc_id, lang, n_chars, toks FROM tok
+  WHERE n_chars >= {_PREP_MIN_CHARS} AND len(toks) >= {_PREP_MIN_TOKS}
+), g2 AS (
+  SELECT doc_id, array_to_string(list_slice(toks, s + 1, s + 2), ' ') AS gram
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 2)) AS s
+    FROM valid
+  )
+), rep AS (
+  SELECT doc_id, max(c * length(gram)) AS t2
+  FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram)
+  GROUP BY doc_id
+), low AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), grams AS (
+  SELECT doc_id, substr(t, s, {_LM_N}) AS g
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, length(t) - {_LM_N - 1})) AS s
+    FROM low WHERE length(t) >= {_LM_N}
+  )
+), model AS (
+  SELECT g, count(*) AS cnt FROM grams GROUP BY g
+  HAVING count(*) >= {_LM_MIN_COUNT}
+), tot AS (
+  SELECT sum(cnt) AS model_total FROM model
+), sc AS (
+  SELECT gr.doc_id, count(*) AS n_grams, coalesce(sum(m.cnt), 0) AS fsum
+  FROM grams gr LEFT JOIN model m ON gr.g = m.g
+  GROUP BY gr.doc_id
+), kept AS (
+  SELECT v.lang, v.doc_id, sc.n_grams
+  FROM valid v
+  JOIN rep ON rep.doc_id = v.doc_id
+  JOIN sc ON sc.doc_id = v.doc_id
+  CROSS JOIN tot
+  WHERE (10000 * rep.t2) // v.n_chars <= {_REP_CAPS[2]}
+    AND ((10000 * sc.fsum) // sc.n_grams) // tot.model_total >= {_TYP_MIN}
+)
+SELECT lang,
+       count(*) AS n_kept,
+       sum(doc_id) AS id_checksum,
+       sum(n_grams) AS gram_sum
+FROM kept
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def q72(spark: SparkSession, sf: str) -> DataFrame:
+    """The QUALITY-gate pipeline as ONE composed plan — the content
+    sibling of q66's structural pipeline: validity gate → Gopher
+    repetition gate (top-2-gram coverage cap) → char-LM typicality gate
+    (average model probability of the doc's grams, in permyriad — the
+    scale-free form of the CCNet perplexity cut: counts cancel corpus
+    size, so the same threshold holds at any SF) → per-language
+    manifest. The id checksum pins the exact surviving set through all
+    three gates; gram_sum additionally pins the survivors' LM view.
+
+    Plan shape at 100 TB: validity and repetition are in-row at scan
+    speed (zero exchanges — q64's plan-pinned kernel); the LM stages
+    are the bounded-vocabulary groupBy + broadcast-model join of q65;
+    the gates meet in one doc_id equi-join. No all-pairs, no global
+    sorts, nothing driver-side beyond the cached bounded model.
+    """
+    from alt_spark.functions.text_analysis import repetition_metrics
+    from alt_spark.operators.lm import score_against_lm, train_char_lm
+
+    docs = load_table(spark, sf, "documents")
+    valid = docs.select(
+        "doc_id", "lang", F.length("text").alias("n_chars"), _tokens_col().alias("toks")
+    ).filter(
+        (F.col("n_chars") >= _PREP_MIN_CHARS)
+        & (F.size("toks") >= _PREP_MIN_TOKS)
+    )
+    rep = valid.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        repetition_metrics(F.col("toks"), 2)["top_cov"].alias("t2"),
+    )
+    model = train_char_lm(docs, n=_LM_N, min_count=_LM_MIN_COUNT)
+    scored = score_against_lm(docs, model, n=_LM_N).drop(
+        "avg_surprisal", "oov_permyriad"
+    )
+    total = model.agg(F.sum("cnt").alias("model_total"))
+    kept = (
+        rep.join(scored, "doc_id")
+        .crossJoin(F.broadcast(total))
+        .filter(
+            (F.expr(f"(10000 * t2) div n_chars") <= _REP_CAPS[2])
+            & (
+                F.expr("((10000 * freq_checksum) div n_grams) div model_total")
+                >= _TYP_MIN
+            )
+        )
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_grams").alias("gram_sum"),
         )
         .orderBy("lang")
     )
