@@ -30,6 +30,8 @@ __all__ = [
     "fake_judge",
     "fake_embedder",
     "quality_gate",
+    "fake_reranker",
+    "make_reranker_udf",
 ]
 
 Endpoint = Callable[[list[str]], list[str]]
@@ -137,3 +139,40 @@ def quality_gate(
         F.coalesce(judge_col(F.col(text_col)).cast("int"), F.lit(0)),
     )
     return scored.filter(F.col("quality") >= threshold)
+
+
+RerankModel = Callable[[list[tuple[str, str]]], list[float]]
+
+
+def fake_reranker(pairs: list[tuple[str, str]]) -> list[float]:
+    """Deterministic cross-encoder stand-in: fraction of the query's
+    tokens present in the candidate (monotone in true relevance for
+    overlap-shaped corpora, so ordering tests are meaningful). REAL
+    MODEL NOT CALLED — production passes a callable that POSTs the
+    batch to the rerank endpoint (reference: rerank_server.py, a
+    CrossEncoder behind REST with batch-size and candidate caps)."""
+    out = []
+    for q, c in pairs:
+        qt = [t for t in (q or "").lower().split() if t]
+        ct = set((c or "").lower().split())
+        out.append(round(sum(1 for t in qt if t in ct) / max(len(qt), 1), 6))
+    return out
+
+
+def make_reranker_udf(model: RerankModel):
+    """Arrow-batched (query, candidate) → relevance double.
+
+    The pandas batch is the unit of endpoint calls — the same
+    amortization contract as make_llm_udf; maxRecordsPerBatch bounds
+    request fan-in to the rerank service.
+    """
+
+    @pandas_udf("double")
+    def impl(q: pd.Series, c: pd.Series) -> pd.Series:
+        scores = model(list(zip(q.fillna("").tolist(), c.fillna("").tolist())))
+        return pd.Series(scores, index=q.index, dtype="float64")
+
+    def apply(query: Column, cand: Column) -> Column:
+        return impl(query, cand)
+
+    return apply

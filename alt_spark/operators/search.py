@@ -22,7 +22,7 @@ from pyspark.sql.window import Window
 
 from alt_spark.operators.dedup import tokens_col
 
-__all__ = ["bm25_rank", "tfidf_keywords"]
+__all__ = ["bm25_rank", "tfidf_keywords", "rerank_topk"]
 
 
 def _token_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -108,3 +108,54 @@ def tfidf_keywords(
         .filter(F.col("rank") <= k)
         .select("id", "token", "rank", "tfidf")
     )
+
+
+def rerank_topk(
+    candidates: DataFrame,
+    query: str,
+    model,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 10,
+    max_candidates: int = 200,
+    max_candidate_chars: int = 4000,
+    incoming_score_col: str | None = "score",
+) -> DataFrame:
+    """Cross-encoder reranking of a retrieval candidate set (the
+    reference's retrieval Stage 4: rag-orchestrator
+    internal/usecase/retrieval/rerank.go:22-96 — dedupe candidates,
+    score every (query, content) pair, sort, cut TopK; service caps
+    from rerank_server.py: MAX_CANDIDATES and per-candidate length
+    truncation).
+
+    ``model`` is an Arrow-batched callable (functions/llm.py:
+    make_reranker_udf) — production POSTs each pandas batch to the
+    rerank endpoint; tests pass the deterministic fake.
+
+    Returns (id, rerank_score) — top k by (score desc, id asc), the
+    deterministic tie-break.
+
+    Scale note: a rerank set is retrieval-sized (<= max_candidates per
+    query) by CONTRACT, not by data volume — the limit enforcing the
+    cap is a bounded global top-k (the same budget as every other
+    top-k cut in the retrieval family), and the model call is the cost
+    center, not the exchange.
+    """
+    from alt_spark.functions.llm import make_reranker_udf
+
+    cand = candidates.dropDuplicates([id_col])
+    if incoming_score_col and incoming_score_col in cand.columns:
+        # Server-side cap: only the best incoming candidates are sent
+        # to the model (score desc, id asc — deterministic).
+        cand = cand.orderBy(
+            F.desc(incoming_score_col), F.col(id_col)
+        ).limit(max_candidates)
+    else:
+        cand = cand.orderBy(F.col(id_col)).limit(max_candidates)
+    scored = cand.select(
+        F.col(id_col).alias("id"),
+        make_reranker_udf(model)(
+            F.lit(query), F.substring(F.col(text_col), 1, max_candidate_chars)
+        ).alias("rerank_score"),
+    )
+    return scored.orderBy(F.desc("rerank_score"), "id").limit(k)

@@ -187,3 +187,70 @@ def test_scrub_pii_goldens(spark):
     df = spark.createDataFrame(cases, ["text", "expect"])
     bad = df.filter(scrub_pii(F.col("text")) != F.col("expect")).collect()
     assert not bad, bad
+
+
+def test_rerank_topk_ordering_caps_and_truncation(spark):
+    """Cross-encoder rerank stage (retrieval Stage 4): deterministic
+    top-k by (score desc, id asc); only the best max_candidates
+    incoming hits are sent to the model; candidate text is truncated
+    before scoring (a match beyond the cap must not count)."""
+    from alt_spark.functions.llm import fake_reranker
+    from alt_spark.operators.search import rerank_topk
+
+    query = "spark shuffle partition"
+    rows = [
+        (1, "spark shuffle partition join", 0.9),   # 3/3 overlap
+        (2, "spark shuffle nothing else", 0.8),     # 2/3
+        (3, "spark alone here", 0.7),               # 1/3
+        (4, "totally unrelated words", 0.99),       # 0/3 but best incoming
+        (5, "spark shuffle partition extra", 0.1),  # 3/3, worst incoming
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, score double")
+
+    got = rerank_topk(df, query, fake_reranker, k=3).collect()
+    assert [r["id"] for r in got] == [1, 5, 2], got
+    assert got[0]["rerank_score"] == 1.0
+
+    # Cap: with max_candidates=2 only ids 4 (0.99) and 1 (0.9) reach the
+    # model — id 5's perfect text never gets scored.
+    capped = rerank_topk(df, query, fake_reranker, k=3, max_candidates=2).collect()
+    assert {r["id"] for r in capped} == {1, 4}
+
+    # Truncation: the only overlapping tokens sit beyond the char cap.
+    long_rows = [(7, ("x " * 50) + "spark shuffle partition", 0.5)]
+    ldf = spark.createDataFrame(long_rows, "doc_id long, text string, score double")
+    t = rerank_topk(ldf, query, fake_reranker, k=1, max_candidate_chars=40).collect()
+    assert t[0]["rerank_score"] == 0.0
+
+    # Duplicate candidate ids collapse before scoring (rerank.go's
+    # candidateMap semantics).
+    dup = df.union(df)
+    again = rerank_topk(dup, query, fake_reranker, k=3).collect()
+    assert [r["id"] for r in again] == [1, 5, 2]
+
+
+def test_rerank_composes_with_hybrid_retrieval(spark):
+    """Retrieve (hybrid RRF candidates) -> rerank -> top-k: the full
+    reference retrieval chain shape, deterministic end to end with the
+    fake cross-encoder."""
+    from alt_spark.functions.llm import fake_reranker
+    from alt_spark.operators.search import rerank_topk
+    from alt_spark.queries import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    # q26's hybrid RRF output is (doc_id, rrf_score, ...) over documents.
+    hybrid = all_queries()["q26_hybrid_rrf"](spark, sf)  # (id, rrf_score, n_lists)
+    from alt_spark.catalog import load_table
+
+    cands = (
+        hybrid.withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("rrf_score", "score")
+        .join(load_table(spark, sf, "documents").select("doc_id", "text"), "doc_id")
+    )
+    out = rerank_topk(cands, "dup value table", fake_reranker, k=5)
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    scores = [r["rerank_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    again = [tuple(r) for r in rerank_topk(cands, "dup value table", fake_reranker, k=5).collect()]
+    assert again == [tuple(r) for r in rows]
