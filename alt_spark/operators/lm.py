@@ -144,6 +144,12 @@ def score_against_lm(
     cannot release it itself).
     """
     model = model.persist()
+    # Fill the cache EAGERLY: the two consumers below are planned
+    # concurrently (the broadcast build job and the total agg), and a
+    # lazy persist lets them race the fill — each then re-runs the full
+    # training lineage (measured: q72's composed pipeline paid the
+    # train pass twice). One bounded count() serializes the fill.
+    model.count()
     total = model.agg(F.sum("cnt").alias("model_total"))
     grams = _gram_rows(docs, text_col, n, id_col)
     scored = (

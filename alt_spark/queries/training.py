@@ -778,6 +778,8 @@ def q70(spark: SparkSession, sf: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 _TYP_MIN = 56  # min avg gram probability, permyriad (scale-free typicality)
+_LM_TRAIN_SALT = "lm-train-v1"
+_LM_TRAIN_RATE = 2000  # permyriad: train the gate model on a 20% trusted slice
 
 
 @query(
@@ -808,7 +810,12 @@ WITH tok AS (
     FROM low WHERE length(t) >= {_LM_N}
   )
 ), model AS (
-  SELECT g, count(*) AS cnt FROM grams GROUP BY g
+  SELECT g, count(*) AS cnt FROM grams
+  WHERE doc_id IN (
+    SELECT doc_id FROM documents
+    WHERE {ddb_sample_bucket('doc_id', _LM_TRAIN_SALT)} < {_LM_TRAIN_RATE}
+  )
+  GROUP BY g
   HAVING count(*) >= {_LM_MIN_COUNT}
 ), tot AS (
   SELECT sum(cnt) AS model_total FROM model
@@ -866,7 +873,17 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
         repetition_metrics(F.col("toks"), 2)["top_cov"].alias("t2"),
     )
-    model = train_char_lm(docs, n=_LM_N, min_count=_LM_MIN_COUNT)
+    from alt_spark.operators.mixing import sample_bucket
+
+    # CCNet shape: the LM trains on a deterministic trusted SLICE (20%
+    # via the salted-hash sampler), scores the whole corpus — the model
+    # never needs the full corpus, and the typicality threshold is
+    # scale-free so the same cap holds (distribution probed identical
+    # under full and sampled models at sf0.001/sf0.01).
+    train_slice = docs.filter(
+        sample_bucket("doc_id", _LM_TRAIN_SALT) < _LM_TRAIN_RATE
+    )
+    model = train_char_lm(train_slice, n=_LM_N, min_count=_LM_MIN_COUNT)
     scored = score_against_lm(docs, model, n=_LM_N).drop(
         "avg_surprisal", "oov_permyriad"
     )
