@@ -33,6 +33,9 @@ _NESTED_LOOP_OK = {
     # table (operators/mixing.temperature_rates) — bounded by
     # construction, same device as the BM25/LM stats rows.
     "q70_temperature_mixing",
+    # 1-row model_total frame crossed onto the per-doc gate rows
+    # (the composed quality pipeline reuses q65's LM stats-row device).
+    "q72_quality_gate_pipeline",
 }
 
 
