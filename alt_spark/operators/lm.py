@@ -129,7 +129,11 @@ def score_against_lm(
       or an off-by-one gram window cannot match;
     - ``avg_surprisal`` mean of -ln(cnt/total) over hit grams (double;
       OOV grams excluded — the integer OOV rate carries that signal).
-      Ranking-only: never hash-compared cross-engine.
+      Ranking-only: never hash-compared cross-engine;
+    - ``model_total``   the model's total gram count (long, same value
+      on every row) — exposed so composed pipelines (q72) that need a
+      model-relative gate can use it without re-aggregating the model
+      and adding a second 1-row cross join.
 
     The model is persisted here: two sub-plans consume it (the broadcast
     hash table and the 1-row model_total frame), and without the cache
@@ -143,13 +147,12 @@ def score_against_lm(
     consuming the result (the returned frame is lazy, so this function
     cannot release it itself).
     """
+    # Lazy persist only: constructing this frame must stay a plan-only
+    # step (the plan-audit suite builds every query frame without
+    # executing it). The first ACTION fills the cache; Spark's
+    # block-level locking serializes concurrent partition computation,
+    # so both consumers read one materialization.
     model = model.persist()
-    # Fill the cache EAGERLY: the two consumers below are planned
-    # concurrently (the broadcast build job and the total agg), and a
-    # lazy persist lets them race the fill — each then re-runs the full
-    # training lineage (measured: q72's composed pipeline paid the
-    # train pass twice). One bounded count() serializes the fill.
-    model.count()
     total = model.agg(F.sum("cnt").alias("model_total"))
     grams = _gram_rows(docs, text_col, n, id_col)
     scored = (
@@ -187,5 +190,6 @@ def score_against_lm(
                 F.log(F.col("model_total").cast("double"))
                 - F.col("_log_sum") / F.col("_n_hit"),
             ).alias("avg_surprisal"),
+            F.col("model_total").cast("long").alias("model_total"),
         )
     )

@@ -128,9 +128,11 @@ def rerank_topk(
     from rerank_server.py: MAX_CANDIDATES and per-candidate length
     truncation).
 
-    ``model`` is an Arrow-batched callable (functions/llm.py:
-    make_reranker_udf) — production POSTs each pandas batch to the
-    rerank endpoint; tests pass the deterministic fake.
+    ``model`` is a RAW scoring callable, ``list[(query, content)] ->
+    list[float]`` (functions/llm.py:RerankModel — e.g.
+    ``fake_reranker``, or a callable that POSTs the batch to the rerank
+    endpoint). This function wraps it in the Arrow-batched UDF itself
+    (``make_reranker_udf``); do NOT pre-wrap.
 
     Returns (id, rerank_score) — top k by (score desc, id asc), the
     deterministic tie-break.
@@ -143,8 +145,23 @@ def rerank_topk(
     """
     from alt_spark.functions.llm import make_reranker_udf
 
-    cand = candidates.dropDuplicates([id_col])
-    if incoming_score_col and incoming_score_col in cand.columns:
+    # Deterministic per-id dedupe: a hybrid merge can carry the same id
+    # with different incoming scores/texts, and dropDuplicates would
+    # keep an arbitrary one (run-to-run nondeterminism). Keep the
+    # best-scored row per id, text as the final tiebreak.
+    has_score = bool(incoming_score_col) and incoming_score_col in candidates.columns
+    order = (
+        [F.desc(incoming_score_col), F.col(text_col)]
+        if has_score
+        else [F.col(text_col)]
+    )
+    w = Window.partitionBy(id_col).orderBy(*order)
+    cand = (
+        candidates.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if has_score:
         # Server-side cap: only the best incoming candidates are sent
         # to the model (score desc, id asc — deterministic).
         cand = cand.orderBy(

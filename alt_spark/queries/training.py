@@ -438,7 +438,9 @@ def q65(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     model = train_char_lm(docs, n=_LM_N, min_count=_LM_MIN_COUNT)
-    return score_against_lm(docs, model, n=_LM_N).drop("avg_surprisal")
+    return score_against_lm(docs, model, n=_LM_N).drop(
+        "avg_surprisal", "model_total"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -884,13 +886,13 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         sample_bucket("doc_id", _LM_TRAIN_SALT) < _LM_TRAIN_RATE
     )
     model = train_char_lm(train_slice, n=_LM_N, min_count=_LM_MIN_COUNT)
+    # model_total comes exposed from the scorer — no second aggregation
+    # over the model, no second 1-row cross join in the plan.
     scored = score_against_lm(docs, model, n=_LM_N).drop(
         "avg_surprisal", "oov_permyriad"
     )
-    total = model.agg(F.sum("cnt").alias("model_total"))
     kept = (
         rep.join(scored, "doc_id")
-        .crossJoin(F.broadcast(total))
         .filter(
             (F.expr(f"(10000 * t2) div n_chars") <= _REP_CAPS[2])
             & (

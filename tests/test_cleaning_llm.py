@@ -223,10 +223,21 @@ def test_rerank_topk_ordering_caps_and_truncation(spark):
     assert t[0]["rerank_score"] == 0.0
 
     # Duplicate candidate ids collapse before scoring (rerank.go's
-    # candidateMap semantics).
+    # candidateMap semantics) — and CONFLICTING duplicates resolve
+    # deterministically to the best-scored row, so a hybrid merge that
+    # carries the same id from two retrieval arms cannot flip the
+    # outcome run to run.
     dup = df.union(df)
     again = rerank_topk(dup, query, fake_reranker, k=3).collect()
     assert [r["id"] for r in again] == [1, 5, 2]
+    conflict = df.union(
+        spark.createDataFrame(
+            [(1, "no overlap at all", 0.2)], "doc_id long, text string, score double"
+        )
+    )
+    resolved = rerank_topk(conflict, query, fake_reranker, k=3).collect()
+    assert [r["id"] for r in resolved] == [1, 5, 2]
+    assert resolved[0]["rerank_score"] == 1.0  # best-scored row's text won
 
 
 def test_rerank_composes_with_hybrid_retrieval(spark):
