@@ -157,3 +157,72 @@ def test_portable_hash60_matches_duckdb(spark, words):
     want = dict(con.execute(f"SELECT s, {DDB_H60('s')} FROM t").fetchall())
     con.close()
     assert got == want
+
+
+# ----------------------------------------------------------- segment dedup (r5)
+_WORDS = st.sampled_from("alpha beta gamma delta eps zeta eta theta".split())
+_DOC = st.lists(_WORDS, min_size=0, max_size=30).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(texts=st.lists(_DOC, min_size=1, max_size=12))
+def test_segment_dedup_properties(spark, texts):
+    """For ANY corpus: (a) every input doc keeps exactly one output
+    row; (b) a doc's surviving text is a subsequence of its own token
+    stream built from whole aligned segments; (c) n_kept + n_removed ==
+    its segment count; (d) a corpus with all-distinct texts of distinct
+    segments removes nothing from singleton-segment docs."""
+    from alt_spark.operators.dedup import segment_dedup, segment_rows
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in segment_dedup(df, width=3, hash_segs=True).collect()}
+    assert set(out) == set(range(len(texts)))  # (a)
+    segs = {}
+    for r in segment_rows(df, width=3).collect():
+        segs.setdefault(r["id"], []).append((r["seg_no"], r["seg"]))
+    for i in range(len(texts)):
+        doc_segs = [s for _, s in sorted(segs.get(i, []))]
+        r = out[i]
+        assert r["n_kept"] + r["n_removed"] == len(doc_segs)  # (c)
+        kept = [s for s in doc_segs]
+        # (b): clean_text must equal the in-order join of SOME subset of
+        # the doc's own segments of size n_kept — verify by greedy match.
+        want_tokens = r["clean_text"].split() if r["clean_text"] else []
+        pool = [s.split() for s in doc_segs]
+        j = 0
+        matched = 0
+        for seg_toks in pool:
+            if want_tokens[j : j + len(seg_toks)] == seg_toks:
+                j += len(seg_toks)
+                matched += 1
+        assert j == len(want_tokens), (r["clean_text"], doc_segs)
+        assert matched >= r["n_kept"]
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    n_rows=st.integers(1, 40),
+    n_shards=st.integers(1, 8),
+    salt=st.sampled_from(["a", "b", "epoch-1"]),
+)
+def test_shuffle_shards_properties(spark, n_rows, n_shards, salt):
+    """For ANY (corpus size, shard count, salt): exact partition, dense
+    0..c-1 positions per shard, and layout independence (repartitioned
+    input yields the identical permutation)."""
+    from alt_spark.operators.packing import shuffle_shards
+    from pyspark.sql import functions as F
+
+    df = spark.range(n_rows).select(F.col("id").alias("doc_id"))
+    out = shuffle_shards(df, n_shards=n_shards, salt=salt).collect()
+    assert len(out) == n_rows
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert sum(len(v) for v in by_shard.values()) == n_rows
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    again = shuffle_shards(
+        df.repartition(5), n_shards=n_shards, salt=salt
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
