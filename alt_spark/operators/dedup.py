@@ -53,7 +53,9 @@ __all__ = [
     "shingles",
     "exact_dedup",
     "minhash_signatures",
+    "band_rows",
     "lsh_candidate_pairs",
+    "lsh_incremental_pairs",
     "minhash_near_dup",
     "simhash_bits",
     "simhash_near_dup",
@@ -189,6 +191,36 @@ def minhash_signatures(
     )
 
 
+def band_rows(
+    signatures: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """(id, band, key) rows — the PERSISTABLE banded LSH index of a
+    signature table. Write this once per corpus snapshot; increments
+    then join against the stored index (``lsh_incremental_pairs``)
+    without ever re-signing the base — the operational shape at 100 TB,
+    where the base index is written daily and each new batch only pays
+    for its own signatures.
+    """
+    slice_str = lambda b: F.concat_ws(  # noqa: E731
+        ",",
+        F.slice(
+            F.col("signature"),
+            (b * rows_per_band + 1).cast("int"),
+            rows_per_band,
+        ).cast("array<string>"),
+    )
+    key_fn = slice_str if portable else (lambda b: F.xxhash64(slice_str(b)))
+    return signatures.select(
+        "id",
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), key_fn)
+        ).alias("band", "key"),
+    )
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 16,
@@ -206,21 +238,7 @@ def lsh_candidate_pairs(
     equality semantics, DuckDB-replayable; ~20× wider shuffle rows, so
     the hashed key stays the production default).
     """
-    slice_str = lambda b: F.concat_ws(  # noqa: E731
-        ",",
-        F.slice(
-            F.col("signature"),
-            (b * rows_per_band + 1).cast("int"),
-            rows_per_band,
-        ).cast("array<string>"),
-    )
-    key_fn = slice_str if portable else (lambda b: F.xxhash64(slice_str(b)))
-    banded = signatures.select(
-        "id",
-        F.posexplode(
-            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), key_fn)
-        ).alias("band", "key"),
-    )
+    banded = band_rows(signatures, bands, rows_per_band, portable)
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -232,6 +250,62 @@ def lsh_candidate_pairs(
         .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
         .distinct()
     )
+
+
+def lsh_incremental_pairs(
+    new_signatures: DataFrame,
+    base_bands: DataFrame,
+    bands: int = 16,
+    rows_per_band: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Candidate pairs for an INCREMENT against a persisted band index,
+    plus pairs within the increment itself — the daily-batch form of
+    near-dup at 100 TB: the base corpus is banded ONCE (``band_rows``
+    written to storage); each new batch signs only its own documents and
+    equi-joins its bands against the stored index. Nothing about the
+    base is recomputed, and the join is keyed on (band, key) exactly
+    like the full self-join — bucketed, never all-pairs.
+
+    ``base_bands`` must be (id, band, key) as produced by ``band_rows``
+    with the SAME (bands, rows_per_band, portable) configuration.
+
+    Returns (new_id, match_id, in_base): in_base=true rows pair a new
+    document with a base document; false rows pair two new documents
+    (new_id < match_id for those, so each in-batch pair appears once).
+    """
+    nb = band_rows(new_signatures, bands, rows_per_band, portable)
+    vs_base = (
+        nb.alias("a")
+        .join(
+            base_bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("match_id"),
+            F.lit(True).alias("in_base"),
+        )
+        .distinct()
+    )
+    within = (
+        nb.alias("a")
+        .join(
+            nb.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("match_id"),
+            F.lit(False).alias("in_base"),
+        )
+        .distinct()
+    )
+    return vs_base.unionByName(within)
 
 
 def minhash_near_dup(

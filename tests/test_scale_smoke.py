@@ -384,3 +384,51 @@ def test_shuffle_shards_at_100k(spark):
             stats.unpersist()
     finally:
         corpus.unpersist()
+
+
+def test_incremental_lsh_against_stored_index(spark, tmp_path):
+    """The daily-batch near-dup workflow: the base corpus is banded ONCE
+    and written to storage; a new batch signs only itself and joins the
+    stored index. Every planted new-vs-base duplicate is found without
+    recomputing base signatures, within-batch duplicates are found too,
+    and the incremental pair set equals the full-recompute pair set
+    restricted to pairs touching the new batch."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 400)
+    base_bands_path = str(tmp_path / "base_bands")
+    dedup.band_rows(dedup.minhash_signatures(base)).write.parquet(base_bands_path)
+
+    # Increment: 30 fresh docs, 5 exact copies of base docs, and one
+    # in-batch duplicated pair.
+    fresh = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 430)).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    copies = base.filter(F.col("doc_id") < 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    pair = docs.filter(F.col("doc_id") == 450).select(
+        F.explode(F.array(F.lit(300001), F.lit(300002))).alias("doc_id"), "text"
+    )
+    new = fresh.unionByName(copies).unionByName(pair)
+
+    stored = spark.read.parquet(base_bands_path)
+    got = dedup.lsh_incremental_pairs(
+        dedup.minhash_signatures(new), stored
+    ).collect()
+    vs_base = {(r["new_id"], r["match_id"]) for r in got if r["in_base"]}
+    within = {(r["new_id"], r["match_id"]) for r in got if not r["in_base"]}
+    for i in range(5):
+        assert (200000 + i, i) in vs_base, f"copy of base doc {i} missed"
+    assert (300001, 300002) in within
+    # Parity with a full recompute over base ∪ new.
+    full = dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(base.unionByName(new))
+    ).collect()
+    new_ids = {r["doc_id"] for r in new.select("doc_id").collect()}
+    full_touching_new = {
+        (r["id1"], r["id2"])
+        for r in full
+        if r["id1"] in new_ids or r["id2"] in new_ids
+    }
+    norm = {tuple(sorted(p)) for p in (vs_base | within)}
+    assert norm == {tuple(sorted(p)) for p in full_touching_new}
