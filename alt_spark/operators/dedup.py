@@ -238,7 +238,13 @@ def lsh_candidate_pairs(
     equality semantics, DuckDB-replayable; ~20× wider shuffle rows, so
     the hashed key stays the production default).
     """
-    banded = band_rows(signatures, bands, rows_per_band, portable)
+    return _pairs_from_bands(band_rows(signatures, bands, rows_per_band, portable))
+
+
+def _pairs_from_bands(banded: DataFrame) -> DataFrame:
+    """(id1 < id2) candidate pairs from (id, band, key) rows — the one
+    band-bucket self-join both the full and the incremental path share
+    (so e.g. a future salt column lands in both at once)."""
     a, b_ = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -273,15 +279,29 @@ def lsh_incremental_pairs(
     Returns (new_id, match_id, in_base): in_base=true rows pair a new
     document with a base document; false rows pair two new documents
     (new_id < match_id for those, so each in-batch pair appears once).
+
+    Rerun-safe: ids present in BOTH the batch and the stored index (a
+    retry after a partial failure re-submitting yesterday's docs) are
+    treated as batch members only — their stale index rows are excluded
+    before the join, so no pair is reported twice with conflicting
+    flags.
     """
-    nb = band_rows(new_signatures, bands, rows_per_band, portable)
+    # The batch's band rows feed three join legs (vs-base a-side, both
+    # within sides); materialize them once (eager localCheckpoint — the
+    # minhash_near_dup precedent) so the batch pays its signing cost
+    # once, as the docstring promises. Bounded: ids × bands rows.
+    nb = band_rows(new_signatures, bands, rows_per_band, portable).localCheckpoint(
+        eager=True
+    )
+    base = base_bands.join(
+        F.broadcast(nb.select("id").distinct()), "id", "left_anti"
+    )
     vs_base = (
         nb.alias("a")
         .join(
-            base_bands.alias("b"),
+            base.alias("b"),
             (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") != F.col("b.id")),
+            & (F.col("a.key") == F.col("b.key")),
         )
         .select(
             F.col("a.id").alias("new_id"),
@@ -290,20 +310,10 @@ def lsh_incremental_pairs(
         )
         .distinct()
     )
-    within = (
-        nb.alias("a")
-        .join(
-            nb.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("new_id"),
-            F.col("b.id").alias("match_id"),
-            F.lit(False).alias("in_base"),
-        )
-        .distinct()
+    within = _pairs_from_bands(nb).select(
+        F.col("id1").alias("new_id"),
+        F.col("id2").alias("match_id"),
+        F.lit(False).alias("in_base"),
     )
     return vs_base.unionByName(within)
 

@@ -185,7 +185,6 @@ def test_segment_dedup_properties(spark, texts):
         doc_segs = [s for _, s in sorted(segs.get(i, []))]
         r = out[i]
         assert r["n_kept"] + r["n_removed"] == len(doc_segs)  # (c)
-        kept = [s for s in doc_segs]
         # (b): clean_text must equal the in-order join of SOME subset of
         # the doc's own segments of size n_kept — verify by greedy match.
         want_tokens = r["clean_text"].split() if r["clean_text"] else []
@@ -198,6 +197,15 @@ def test_segment_dedup_properties(spark, texts):
                 matched += 1
         assert j == len(want_tokens), (r["clean_text"], doc_segs)
         assert matched >= r["n_kept"]
+    # (d): a doc whose every segment is globally unique loses nothing.
+    seg_docs = {}
+    for did, pairs in segs.items():
+        for _, seg in pairs:
+            seg_docs.setdefault(seg, set()).add(did)
+    for i in range(len(texts)):
+        doc_segs = [s for _, s in segs.get(i, [])]
+        if doc_segs and all(len(seg_docs[s]) == 1 for s in doc_segs):
+            assert out[i]["n_removed"] == 0, (i, doc_segs)
 
 
 @settings(max_examples=6, deadline=None)

@@ -411,6 +411,11 @@ def test_incremental_lsh_against_stored_index(spark, tmp_path):
     )
     new = fresh.unionByName(copies).unionByName(pair)
 
+    # Rerun overlap: doc 10 is ALREADY in the stored index and gets
+    # re-submitted verbatim in the batch (retry after partial failure).
+    resubmit = base.filter(F.col("doc_id") == 10)
+    new = new.unionByName(resubmit)
+
     stored = spark.read.parquet(base_bands_path)
     got = dedup.lsh_incremental_pairs(
         dedup.minhash_signatures(new), stored
@@ -420,6 +425,11 @@ def test_incremental_lsh_against_stored_index(spark, tmp_path):
     for i in range(5):
         assert (200000 + i, i) in vs_base, f"copy of base doc {i} missed"
     assert (300001, 300002) in within
+    # The resubmitted id must not pair with its own stale index rows,
+    # and no logical pair may appear under both flags.
+    assert (10, 10) not in vs_base and (10, 10) not in within
+    assert not ({tuple(sorted(p)) for p in vs_base}
+                & {tuple(sorted(p)) for p in within})
     # Parity with a full recompute over base ∪ new.
     full = dedup.lsh_candidate_pairs(
         dedup.minhash_signatures(base.unionByName(new))
