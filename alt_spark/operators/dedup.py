@@ -52,6 +52,7 @@ __all__ = [
     "tokens_col",
     "shingles",
     "exact_dedup",
+    "exact_dedup_incremental",
     "minhash_signatures",
     "band_rows",
     "lsh_candidate_pairs",
@@ -609,4 +610,35 @@ def segment_dedup(
             F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
             F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         )
+    )
+
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    base_hashes: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a new batch against a persisted content-hash
+    index — the daily-batch sibling of ``lsh_incremental_pairs``: the
+    base corpus keeps a (content hash) column table on storage; each
+    batch dedups WITHIN itself (first-wins, as ``exact_dedup``) and
+    then anti-joins the stored hashes. The base is never rescanned, and
+    the surviving rows' hashes are exactly what gets appended to the
+    index for the next batch.
+
+    ``base_hashes`` needs one column ``h`` (xxhash64 of the text, e.g.
+    ``df.select(F.xxhash64("text").alias("h"))`` written at snapshot
+    time). Returns the surviving new rows with their ``h`` attached.
+    """
+    h = F.xxhash64(F.col(text_col))
+    w = Window.partitionBy("h").orderBy(id_col)
+    in_batch = (
+        new_df.withColumn("h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return in_batch.join(
+        base_hashes.select("h").distinct(), "h", "left_anti"
     )

@@ -442,3 +442,41 @@ def test_incremental_lsh_against_stored_index(spark, tmp_path):
     }
     norm = {tuple(sorted(p)) for p in (vs_base | within)}
     assert norm == {tuple(sorted(p)) for p in full_touching_new}
+
+
+def test_incremental_exact_dedup_against_stored_hashes(spark, tmp_path):
+    """Exact-dedup increment workflow: batch-internal first-wins dedup,
+    then anti-join against the stored hash index; survivors ∪ index
+    equals a full-recompute dedup of base ∪ batch (by content)."""
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") < 400)
+    hpath = str(tmp_path / "hashes")
+    base.select(F.xxhash64("text").alias("h")).distinct().write.parquet(hpath)
+
+    fresh = docs.filter(F.col("doc_id") >= 400).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    base_copies = base.filter(F.col("doc_id") < 10).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    in_batch_dup = fresh.filter(F.col("doc_id") == 100400).select(
+        (F.col("doc_id") + 300000).alias("doc_id"), "text"
+    )
+    new = fresh.unionByName(base_copies).unionByName(in_batch_dup)
+
+    stored = spark.read.parquet(hpath)
+    kept = dedup.exact_dedup_incremental(new, stored).persist()
+    try:
+        ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+        assert not any(200000 <= i < 200010 for i in ids), "base copies must drop"
+        assert 100400 in ids and 400400 not in ids, "first-wins within batch"
+        # survivors' texts ∪ base texts == full dedup of the union
+        full = (
+            base.unionByName(new)
+            .select(F.xxhash64("text").alias("h"))
+            .distinct()
+            .count()
+        )
+        assert kept.count() + stored.count() == full
+    finally:
+        kept.unpersist()
