@@ -59,7 +59,7 @@ WITH kept AS (
 )
 SELECT lang,
        count(*) AS n_kept,
-       sum(doc_id) AS id_checksum
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM kept
 GROUP BY lang
 ORDER BY lang
@@ -148,7 +148,7 @@ WITH t AS (
 )
 SELECT lang, bin,
        count(*) AS n_docs,
-       sum(n_tok) AS tok_sum
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
 FROM binned
 GROUP BY lang, bin
 ORDER BY lang, bin
@@ -198,7 +198,7 @@ WITH tok AS (
 )
 SELECT lang,
        count(*) AS n_kept,
-       sum(doc_id) AS id_checksum
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
 FROM documents
 WHERE doc_id % 50 <> 0
   AND doc_id NOT IN (SELECT doc_id FROM contaminated)
@@ -633,7 +633,7 @@ WITH keyed AS (
 )
 SELECT shard,
        count(*) AS n_docs,
-       sum((pos + 1) * doc_id) AS order_checksum,
+       CAST(sum((pos + 1) * doc_id) AS BIGINT) AS order_checksum,
        min(CASE WHEN pos = 0 THEN doc_id END) AS head_doc
 FROM ranked
 GROUP BY shard
@@ -729,17 +729,17 @@ WITH c AS (
   SELECT sum(w) AS tw, sum(n) AS tn FROM w
 ), r AS (
   SELECT lang, n,
-         least(10000,
+         CAST(least(10000,
                (10000 * ((((tn * {_TEMP_BUDGET}) // 10000) * w) // tw)) // n
-         ) AS rate
+         ) AS BIGINT) AS rate
   FROM w, t
 )
 SELECT d.lang,
        r.n AS n_total,
        r.rate AS rate_permyriad,
        count(*) FILTER (WHERE {ddb_sample_bucket('d.doc_id', _TEMP_SALT)} < r.rate) AS n_kept,
-       coalesce(sum(d.doc_id) FILTER (
-         WHERE {ddb_sample_bucket('d.doc_id', _TEMP_SALT)} < r.rate), 0) AS id_checksum
+       CAST(coalesce(sum(d.doc_id) FILTER (
+         WHERE {ddb_sample_bucket('d.doc_id', _TEMP_SALT)} < r.rate), 0) AS BIGINT) AS id_checksum
 FROM documents d JOIN r ON d.lang = r.lang
 GROUP BY d.lang, r.n, r.rate
 ORDER BY d.lang
@@ -836,8 +836,8 @@ WITH tok AS (
 )
 SELECT lang,
        count(*) AS n_kept,
-       sum(doc_id) AS id_checksum,
-       sum(n_grams) AS gram_sum
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_grams) AS BIGINT) AS gram_sum
 FROM kept
 GROUP BY lang
 ORDER BY lang

@@ -34,6 +34,61 @@ def ddb():
     con.close()
 
 
+# The driver canonicalizes oracle output through pandas/Arrow, where
+# DuckDB HUGEINT (the result type of sum(BIGINT)) arrives as float64 and
+# renders "6325.0" while Spark's long renders "6325" — a hash mismatch
+# with zero value difference (the q59/q61 r5 incident). fetchall() hides
+# this (HUGEINT -> Python int), so type agreement is asserted separately
+# from values, via DESCRIBE (binding-only, no execution).
+#
+# Map: Spark simpleString -> DuckDB type names that canonicalize the
+# same way through pandas. HUGEINT is deliberately NOT allowed for
+# integral Spark columns: pandas renders it float64.
+_DDB_OK_FOR_SPARK = {
+    "long": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER"},
+    "int": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+            "UTINYINT", "USMALLINT", "UINTEGER"},
+    "short": {"TINYINT", "SMALLINT", "INTEGER", "BIGINT"},
+    "double": {"DOUBLE", "FLOAT"},
+    "float": {"DOUBLE", "FLOAT"},
+    "string": {"VARCHAR"},
+    "boolean": {"BOOLEAN"},
+    "date": {"DATE"},
+}
+
+
+def oracle_schema(ddb, sql):
+    """Column -> DuckDB type name for an oracle query, without running it."""
+    rows = ddb.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+
+def assert_dtype_agreement(sdf, ddb, sql, name=""):
+    """Fail when an oracle column would canonicalize differently from the
+    Spark column through the driver's pandas path (e.g. HUGEINT vs long)."""
+    otypes = oracle_schema(ddb, sql)
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    assert sorted(otypes) == sorted(stypes), (
+        f"{name}: columns differ: {sorted(stypes)} vs {sorted(otypes)}"
+    )
+    bad = []
+    for col, stype in stypes.items():
+        otype = otypes[col].upper()
+        base = otype.split("(")[0].strip()
+        allowed = _DDB_OK_FOR_SPARK.get(stype)
+        if allowed is None:
+            # timestamp/decimal/array/struct: representation-compatible
+            # families; the value comparison still covers them.
+            continue
+        if base not in allowed:
+            bad.append(f"{col}: spark={stype} oracle={otype}")
+    assert not bad, (
+        f"{name}: oracle column types would canonicalize differently from "
+        f"Spark through the driver's pandas path (CAST the oracle side): {bad}"
+    )
+
+
 def canon(rows, colnames):
     """Canonicalize a result set the way the driver does: columns sorted
     by name, rows sorted, floats normalized."""
@@ -54,6 +109,7 @@ def canon(rows, colnames):
 
 def compare_query(spark, ddb, qfn, sql, sf=SF_ORACLE):
     sdf = qfn(spark, sf)
+    assert_dtype_agreement(sdf, ddb, sql)
     srows = [tuple(r) for r in sdf.collect()]
     scols = sdf.columns
     rel = ddb.execute(sql)

@@ -8,7 +8,7 @@ from __future__ import annotations
 import pytest
 
 from alt_spark.queries import all_oracles, all_queries
-from tests.conftest import SF_SMOKE, compare_query
+from tests.conftest import SF_ORACLE, SF_SMOKE, assert_dtype_agreement, compare_query
 
 
 def _oracle_params():
@@ -24,6 +24,16 @@ def _smoke_params():
 @pytest.mark.parametrize("qfn,sql", _oracle_params())
 def test_oracle_parity(spark, ddb, qfn, sql):
     compare_query(spark, ddb, qfn, sql)
+
+
+@pytest.mark.parametrize("qfn,sql", _oracle_params())
+def test_oracle_dtype_agreement(spark, ddb, qfn, sql):
+    """Fast, execution-free guard for the whole HUGEINT class of driver
+    hash mismatches (the q59/q61 r5 incident): DuckDB DESCRIBE (binding
+    only) vs the Spark analyzed schema. An uncast sum(BIGINT) in any
+    oracle — in the driver window or the tail — fails here in
+    milliseconds, before the value-level parity test even runs."""
+    assert_dtype_agreement(qfn(spark, SF_ORACLE), ddb, sql)
 
 
 @pytest.mark.parametrize("qfn", _smoke_params())
