@@ -83,6 +83,24 @@ _loaded = False
 #         keep driver coverage elsewhere (J2 via q40's multi-term BM25,
 #         J9+G1 via q10's RRF) or pytest-oracle evidence (D6/B8), the
 #         same footing the judge-approved q12-q14 rotation established.
+#   r6 rotation (VERDICT r5 item 3): q62-q68/q70/q72 — the full
+#         training-prep family — moved INTO the window to earn driver
+#         hash rows; nine entries with 4-5 rounds of green driver
+#         history (CORRECTNESS_r01-r05) and overlapping in-window §2
+#         evidence rotated out in exchange:
+#   q05 — C5 self-join; C-family joins keep q03/q06-q09/q11/q15 rows;
+#   q16 — B conditional extraction; q38/q48 carry the B-family rows;
+#   q18 — J1 TF-IDF; q40 (BM25) + q41 (TF-IDF keyword extraction) stay;
+#   q21 — D11 digest counters; events family keeps q20/q22, buckets
+#         keep q02/q03;
+#   q24 — I9 shingle near-dup; near-dup family keeps q30/q31/q32;
+#   q27 — I7 validity filter; q66 (rotating in) gates on it as stage 1;
+#   q28 — token stats; token counting is load-bearing in the in-window
+#         q60/q61/q64/q66 oracles;
+#   q44 — rollup cascade; q56 (grouping sets / ROLLUP) stays in-window;
+#   q51 — I2 NFKC; q50 (HTML clean + sentence split) stays in-window.
+# The rotation ledger in COVERAGE.md tracks per-query driver-row
+# history across rounds.
 _REPORT_TAIL = (
     "q49_streaming_mv_replay",
     "q37_approx_distinct_users",
@@ -95,27 +113,22 @@ _REPORT_TAIL = (
     "q23_bm25",
     "q26_hybrid_rrf",
     "q35_prefix_search_sample",
-    # q62-q68 — decontamination, PII scrub, repetition filter, char-LM
-    # scoring, corpus-prep pipeline, segment dedup, shuffle-sharding;
-    # all oracle-backed (test_oracle_parity runs them every CI pass),
-    # parked in the tail as the newest additions; rotation candidates
-    # for r6 alongside whatever the next verdict prioritizes.
-    "q62_decontamination",
-    "q63_pii_scrub",
-    "q64_repetition_filter",
-    "q65_charlm_score",
-    "q66_corpus_prep_pipeline",
-    "q67_segment_dedup",
-    "q68_shuffle_shards",
+    "q05_event_type_pairs",
+    "q16_conditional_extraction",
+    "q18_tfidf_doc0",
+    "q21_digest_counters",
+    "q24_shingle_jaccard",
+    "q27_quality_scores",
+    "q28_token_stats",
+    "q44_rollup_cascade",
+    "q51_nfkc_normalize",
     # q69 — trained quality classifier; rows-only by design (MLlib
     # L-BFGS is not SQL-expressible); AUC/separation/determinism
     # property-tested in tests/test_training.py.
     "q69_quality_classifier",
-    "q70_temperature_mixing",
     # q71 — percentile_approx scale twin of q04; rows-only by design
     # (engine-specific sketch); error-bound pytest vs the exact form.
     "q71_latency_quantiles_approx",
-    "q72_quality_gate_pipeline",
 )
 
 

@@ -66,8 +66,9 @@ def test_report_window_contains_every_reportable_oracle():
 
     undocumented = [n for n in tail if n not in _REPORT_TAIL]
     assert not undocumented, f"undocumented tail entries: {undocumented}"
-    # The r4 additions earn driver hash rows this round (VERDICT r4
-    # item 1), and the r5 training-data family earns them too.
+    # The r5 rotations stay in-window, and the r6 rotation (VERDICT r5
+    # item 3) puts the full training-prep family inside the window so
+    # every one of its queries earns a driver hash row.
     for n in (
         "q56_grouping_sets_rollup",
         "q57_frame_spec_windows",
@@ -75,6 +76,15 @@ def test_report_window_contains_every_reportable_oracle():
         "q59_stratified_mixing",
         "q60_context_chunks",
         "q61_sequence_packing",
+        "q62_decontamination",
+        "q63_pii_scrub",
+        "q64_repetition_filter",
+        "q65_charlm_score",
+        "q66_corpus_prep_pipeline",
+        "q67_segment_dedup",
+        "q68_shuffle_shards",
+        "q70_temperature_mixing",
+        "q72_quality_gate_pipeline",
     ):
         assert n in head, f"{n} must sit inside the driver report window"
     # No registry entry is lost by the ordering: compare against the raw
