@@ -33,10 +33,39 @@ in pytest instead.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["char_ngrams", "train_char_lm", "score_against_lm"]
+
+# Bounded registry of persisted model frames, keyed by canonical plan
+# (semanticHash). Spark's cache manager already dedupes persist() by
+# canonical plan, so re-scoring against the SAME model never adds an
+# entry — but a long session scoring against many DIFFERENT models
+# (pytest parametrization, notebook experimentation) would otherwise
+# accumulate one bounded-but-unreleased cache entry per model, with
+# unpersist delegated to callers who (q65/q72 included) never call it.
+# LRU-evicting here caps total cached-model state at _MODEL_CACHE_MAX
+# entries of <= alphabet^n rows each; an evicted model that some lazy
+# frame still references is simply recomputed — correctness unaffected.
+_MODEL_CACHE: OrderedDict[int, DataFrame] = OrderedDict()
+_MODEL_CACHE_MAX = 4
+
+
+def _persist_model(model: DataFrame) -> DataFrame:
+    key = model.semanticHash()
+    cached = _MODEL_CACHE.get(key)
+    if cached is not None:
+        _MODEL_CACHE.move_to_end(key)
+        return cached
+    model = model.persist()
+    _MODEL_CACHE[key] = model
+    while len(_MODEL_CACHE) > _MODEL_CACHE_MAX:
+        _, old = _MODEL_CACHE.popitem(last=False)
+        old.unpersist()
+    return model
 
 
 def char_ngrams(text: Column, n: int = 3) -> Column:
@@ -138,21 +167,21 @@ def score_against_lm(
     The model is persisted here: two sub-plans consume it (the broadcast
     hash table and the 1-row model_total frame), and without the cache
     each would re-run the model's whole training lineage — a full
-    explode + groupBy over the training corpus, executed twice. The
-    cache is bounded by construction (|V| <= alphabet^n rows — the same
-    bounded-driver-state budget as the IVF centroid table); the first
-    branch executed fills it, the second reads it. Ownership: the cache
-    belongs to the passed ``model`` DataFrame — a caller scoring against
-    many models in one long session should ``model.unpersist()`` after
-    consuming the result (the returned frame is lazy, so this function
-    cannot release it itself).
+    explode + groupBy over the training corpus, executed twice. Each
+    entry is bounded by construction (|V| <= alphabet^n rows — the same
+    bounded-driver-state budget as the IVF centroid table), and the
+    NUMBER of entries is bounded too: the module-level LRU
+    (``_MODEL_CACHE``) unpersists the oldest model once more than
+    ``_MODEL_CACHE_MAX`` distinct models have been scored against, so
+    long sessions cannot accumulate unreleased cache entries no matter
+    how many models they construct.
     """
     # Lazy persist only: constructing this frame must stay a plan-only
     # step (the plan-audit suite builds every query frame without
     # executing it). The first ACTION fills the cache; Spark's
     # block-level locking serializes concurrent partition computation,
     # so both consumers read one materialization.
-    model = model.persist()
+    model = _persist_model(model)
     total = model.agg(F.sum("cnt").alias("model_total"))
     grams = _gram_rows(docs, text_col, n, id_col)
     scored = (

@@ -700,13 +700,24 @@ def q69(spark: SparkSession, sf: str) -> DataFrame:
         labeled.filter(sample_bucket("doc_id", "qclf-train-v1") < 2000)
     )
     scored = score_quality(model, docs).withColumnRenamed("id", "doc_id")
+    # Order-insensitive reporting surface: keep_prob is deterministic
+    # PER ROW (broadcast coefficients dotted with hashed features), but
+    # a float AVG sums in partition order — a rounded digit could flip
+    # across cluster layouts. Round each row to an integer permyriad
+    # FIRST, then aggregate with exact integer arithmetic: the result
+    # is identical under any partitioning of the same scored rows.
     return (
         docs.select("doc_id", "source")
         .join(scored, "doc_id")
+        .withColumn(
+            "keep_permyriad", F.round(F.col("keep_prob") * 10000).cast("long")
+        )
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
-            F.round(F.avg("keep_prob"), 3).alias("avg_keep_prob"),
+            F.expr("sum(keep_permyriad) div count(*)").alias(
+                "avg_keep_permyriad"
+            ),
             F.count(F.when(F.col("keep_prob") >= 0.5, 1)).alias("n_keep"),
         )
         .orderBy("source")
@@ -891,12 +902,25 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     scored = score_against_lm(docs, model, n=_LM_N).drop(
         "avg_surprisal", "oov_permyriad"
     )
+    # freq_checksum is corpus-scale (a sum of model gram counts), so the
+    # 10000x scaling runs in DECIMAL(38,0): at 100 TB the int64 product
+    # would wrap silently (ANSI off) and flip keep decisions, while
+    # DuckDB's HUGEINT side stays exact. Spark's `div` (IntegralDivide)
+    # accepts decimal operands and returns BIGINT; the first quotient is
+    # <= 10000 * max(model cnt) <= 10000 * model_total, which fits long
+    # whenever the model itself does — so only the one unbounded
+    # intermediate needs the wide type. Value-identical at test SFs
+    # (oracle-pinned); exact at any SF. The repetition chain stays int64:
+    # t2 <= n-gram chars of ONE document, a per-doc quantity.
     kept = (
         rep.join(scored, "doc_id")
         .filter(
-            (F.expr(f"(10000 * t2) div n_chars") <= _REP_CAPS[2])
+            (F.expr("(10000 * t2) div n_chars") <= _REP_CAPS[2])
             & (
-                F.expr("((10000 * freq_checksum) div n_grams) div model_total")
+                F.expr(
+                    "((10000 * CAST(freq_checksum AS DECIMAL(38,0)))"
+                    " div n_grams) div model_total"
+                )
                 >= _TYP_MIN
             )
         )

@@ -265,3 +265,26 @@ def test_rerank_composes_with_hybrid_retrieval(spark):
     assert scores == sorted(scores, reverse=True)
     again = [tuple(r) for r in rerank_topk(cands, "dup value table", fake_reranker, k=5).collect()]
     assert again == [tuple(r) for r in rows]
+
+
+def test_rerank_explicit_missing_score_col_raises(spark):
+    """A caller who NAMES a score column that isn't on the frame gets an
+    error, not a silent id-ordered cap that drops the best candidates
+    (r5 advice). The default sentinel keeps the documented fallback."""
+    import pytest as _pytest
+
+    from alt_spark.functions.llm import fake_reranker
+    from alt_spark.operators.search import rerank_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha text"), (2, "beta text")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="my_score"):
+        rerank_topk(df, "q", fake_reranker, k=1, incoming_score_col="my_score")
+    # Default sentinel on a score-less frame: documented silent fallback.
+    assert rerank_topk(df, "q", fake_reranker, k=1).count() == 1
+    # Explicit None: documented opt-in to the id-ordered fallback.
+    assert (
+        rerank_topk(df, "q", fake_reranker, k=1, incoming_score_col=None).count()
+        == 1
+    )

@@ -630,3 +630,61 @@ def test_temperature_rates_boost_rare_strata(spark):
     expected = sum(n * r for n, r in rates.values()) / PRECISION
     total = sum(n for n, _ in rates.values())
     assert 0.35 * total <= expected <= 0.55 * total, (expected, total)
+
+
+def test_lm_model_cache_is_bounded_lru(spark):
+    """Scoring against many DISTINCT models must not accumulate
+    unreleased cache entries (r5 advice): the module LRU caps persisted
+    models at _MODEL_CACHE_MAX and unpersists evictees."""
+    from alt_spark.operators import lm
+    from alt_spark.operators.lm import score_against_lm, train_char_lm
+
+    lm._MODEL_CACHE.clear()
+    docs = _docs(spark).select("doc_id", "text").limit(50)
+    models = []
+    for min_count in (2, 3, 4, 5, 6, 7):  # 6 distinct model plans
+        m = train_char_lm(docs, n=3, min_count=min_count)
+        score_against_lm(docs, m, n=3).count()
+        models.append(m)
+    assert len(lm._MODEL_CACHE) <= lm._MODEL_CACHE_MAX
+    # The oldest models were evicted AND unpersisted (StorageLevel NONE);
+    # the newest are still cached. _persist_model returned new frames,
+    # so check the registry's own entries.
+    cached = list(lm._MODEL_CACHE.values())
+    assert all(df.storageLevel.useMemory for df in cached)
+    # Re-scoring against a cached model is a registry hit, not a new entry.
+    before = list(lm._MODEL_CACHE)
+    score_against_lm(docs, models[-1], n=3).count()
+    assert list(lm._MODEL_CACHE) == before
+
+
+def test_q69_aggregate_surface_is_partition_invariant(spark):
+    """q69's manifest must not depend on partitioning (r5 advice: a
+    float AVG's summation order could flip a rounded digit). The fixed
+    surface rounds per row then aggregates integers — identical under
+    any layout of the same scored rows."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, f"s{i % 3}", rng.random()) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, keep_prob double")
+
+    def manifest(frame):
+        out = (
+            frame.withColumn(
+                "keep_permyriad", F.round(F.col("keep_prob") * 10000).cast("long")
+            )
+            .groupBy("source")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.expr("sum(keep_permyriad) div count(*)").alias("avg_keep_permyriad"),
+                F.count(F.when(F.col("keep_prob") >= 0.5, 1)).alias("n_keep"),
+            )
+            .orderBy("source")
+        )
+        return [tuple(r) for r in out.collect()]
+
+    base = manifest(df)
+    assert manifest(df.repartition(17)) == base
+    assert manifest(df.repartition(1)) == base
+    assert manifest(df.repartition(8, "source")) == base
