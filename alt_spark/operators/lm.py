@@ -145,6 +145,7 @@ def score_against_lm(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Score each document against a trained gram table.
 
@@ -163,6 +164,24 @@ def score_against_lm(
       on every row) — exposed so composed pipelines (q72) that need a
       model-relative gate can use it without re-aggregating the model
       and adding a second 1-row cross join.
+
+    ``carry``: names of EXISTING per-doc columns on ``docs`` to pass
+    through to the output (one value per doc, taken with ``first`` —
+    they are constant within a doc by construction). This is the fused
+    single-scan shape for composed pipelines: a caller that also needs
+    per-doc metrics (validity fields, repetition coverage) computes
+    them as named columns on the SAME frame, and the whole pipeline
+    becomes one scan — no second read of the corpus, no doc_id
+    re-join. Carried columns ride the pre-explode projection (computed
+    once per input row, below the Generate, so the q48
+    expression-duplication hazard cannot trigger) and collapse back in
+    the same partial aggregation that already folds gram rows to one
+    row per doc — the exchange still moves one row per document.
+    CONTRACT: with ``carry`` non-empty, every input row must have
+    ``length(lower(text)) >= n`` (the gramless-doc left-join-back is
+    skipped — it could not supply carried values anyway); callers gate
+    on a min-length validity filter first. Rows violating the contract
+    are silently absent from the output.
 
     The model is persisted here: two sub-plans consume it (the broadcast
     hash table and the 1-row model_total frame), and without the cache
@@ -183,11 +202,12 @@ def score_against_lm(
     # so both consumers read one materialization.
     model = _persist_model(model)
     total = model.agg(F.sum("cnt").alias("model_total"))
-    grams = _gram_rows(docs, text_col, n, id_col)
+    grams = _gram_rows(docs, text_col, n, id_col, *carry)
     scored = (
         grams.join(F.broadcast(model), "gram", "left")
         .groupBy(id_col)
         .agg(
+            *[F.first(c).alias(c) for c in carry],
             F.count("*").alias("n_grams"),
             F.sum(F.when(F.col("cnt").isNull(), 1).otherwise(0)).alias("n_oov"),
             F.coalesce(F.sum("cnt"), F.lit(0)).alias("freq_checksum"),
@@ -197,6 +217,23 @@ def score_against_lm(
             ),
         )
     )
+    if carry:
+        # Fused shape: every input row is contracted to produce grams,
+        # so the scored frame already has one row per doc — no
+        # join-back scan. The 1-row total frame still broadcasts.
+        return scored.crossJoin(F.broadcast(total)).select(
+            F.col(id_col),
+            *[F.col(c) for c in carry],
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.expr("(10000 * n_oov) div n_grams").alias("oov_permyriad"),
+            F.col("freq_checksum").cast("long").alias("freq_checksum"),
+            F.when(
+                F.col("_n_hit") > 0,
+                F.log(F.col("model_total").cast("double"))
+                - F.col("_log_sum") / F.col("_n_hit"),
+            ).alias("avg_surprisal"),
+            F.col("model_total").cast("long").alias("model_total"),
+        )
     # Left join back so short/gramless docs keep a scored row; the
     # 1-row total frame broadcasts (same device as the BM25 stats row).
     return (

@@ -864,30 +864,43 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     manifest. The id checksum pins the exact surviving set through all
     three gates; gram_sum additionally pins the survivors' LM view.
 
-    Plan shape at 100 TB: validity and repetition are in-row at scan
-    speed (zero exchanges — q64's plan-pinned kernel); the LM stages
-    are the bounded-vocabulary groupBy + broadcast-model join of q65;
-    the gates meet in one doc_id equi-join. No all-pairs, no global
-    sorts, nothing driver-side beyond the cached bounded model.
+    Plan shape at 100 TB: ONE fused corpus scan — validity and
+    repetition are in-row below the gram explode (q64's plan-pinned
+    kernel, computed once per doc in the pre-Generate projection and
+    carried through the scorer's partial aggregation), the LM stages
+    are the bounded-vocabulary groupBy + broadcast-model join of q65,
+    and the per-doc metrics collapse back in the SAME aggregation that
+    folds gram rows — no second read of the corpus, no rep-vs-scored
+    doc_id re-join (r6: this halved the text decodes and removed one
+    shuffle vs the two-path r5 plan). No all-pairs, no global sorts,
+    nothing driver-side beyond the cached bounded model.
     """
     from alt_spark.functions.text_analysis import repetition_metrics
     from alt_spark.operators.lm import score_against_lm, train_char_lm
+    from alt_spark.operators.mixing import sample_bucket
 
     docs = load_table(spark, sf, "documents")
-    valid = docs.select(
-        "doc_id", "lang", F.length("text").alias("n_chars"), _tokens_col().alias("toks")
-    ).filter(
+    # Layered projections (the q48 lesson): toks is NAMED in its own
+    # layer (referenced many times by repetition_metrics), t2/n_chars
+    # in the next; both ride the scorer's pre-explode projection.
+    toks_layer = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.length("text").alias("n_chars"),
+        _tokens_col().alias("toks"),
+    )
+    valid = toks_layer.filter(
         (F.col("n_chars") >= _PREP_MIN_CHARS)
         & (F.size("toks") >= _PREP_MIN_TOKS)
     )
     rep = valid.select(
         "doc_id",
         "lang",
+        "text",
         "n_chars",
         repetition_metrics(F.col("toks"), 2)["top_cov"].alias("t2"),
     )
-    from alt_spark.operators.mixing import sample_bucket
-
     # CCNet shape: the LM trains on a deterministic trusted SLICE (20%
     # via the salted-hash sampler), scores the whole corpus — the model
     # never needs the full corpus, and the typicality threshold is
@@ -897,10 +910,13 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         sample_bucket("doc_id", _LM_TRAIN_SALT) < _LM_TRAIN_RATE
     )
     model = train_char_lm(train_slice, n=_LM_N, min_count=_LM_MIN_COUNT)
-    # model_total comes exposed from the scorer — no second aggregation
-    # over the model, no second 1-row cross join in the plan.
-    scored = score_against_lm(docs, model, n=_LM_N).drop(
-        "avg_surprisal", "oov_permyriad"
+    # Fused scoring: validity-gated docs all satisfy the carry contract
+    # (n_chars >= 100 >= n), and scoring only valid docs matches the
+    # oracle — per-doc scores are independent of other documents, and
+    # the gates intersect with validity anyway. model_total comes
+    # exposed from the scorer — no second aggregation over the model.
+    scored = score_against_lm(
+        rep, model, n=_LM_N, carry=("lang", "n_chars", "t2")
     )
     # freq_checksum is corpus-scale (a sum of model gram counts), so the
     # 10000x scaling runs in DECIMAL(38,0): at 100 TB the int64 product
@@ -912,17 +928,14 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
     # intermediate needs the wide type. Value-identical at test SFs
     # (oracle-pinned); exact at any SF. The repetition chain stays int64:
     # t2 <= n-gram chars of ONE document, a per-doc quantity.
-    kept = (
-        rep.join(scored, "doc_id")
-        .filter(
-            (F.expr("(10000 * t2) div n_chars") <= _REP_CAPS[2])
-            & (
-                F.expr(
-                    "((10000 * CAST(freq_checksum AS DECIMAL(38,0)))"
-                    " div n_grams) div model_total"
-                )
-                >= _TYP_MIN
+    kept = scored.filter(
+        (F.expr("(10000 * t2) div n_chars") <= _REP_CAPS[2])
+        & (
+            F.expr(
+                "((10000 * CAST(freq_checksum AS DECIMAL(38,0)))"
+                " div n_grams) div model_total"
             )
+            >= _TYP_MIN
         )
     )
     return (

@@ -215,3 +215,30 @@ def test_corpus_prep_pipeline_plan_shape(spark):
     assert audit.broadcast_join_count(df) >= 1, audit.physical_plan(df)
     assert not audit.single_partition_data_exchanges(df)
     assert not audit.has_cartesian_product(df)
+
+
+def test_quality_gate_pipeline_fused_scan(spark):
+    """q72's r6 fused shape, plan-pinned: the repetition kernel runs
+    ONCE per document below the gram explode (not once per gram row —
+    the q48 duplication hazard), and the rep metrics ride the scorer's
+    aggregation instead of a second corpus scan + doc_id re-join."""
+    from alt_spark.queries import all_queries
+
+    df = all_queries()["q72_quality_gate_pipeline"](spark, SF)
+    opt = audit.optimized_plan(df)
+    # repetition_metrics sorts the gram array in-row; if CollapseProject
+    # ever re-embeds it above the Generate, the count explodes with the
+    # gram multiplicity. One evaluation (plus one in a pushed filter
+    # copy at most) is the designed bound.
+    assert opt.count("array_sort") <= 2, opt
+    phys = audit.physical_plan(df)
+    # documents is read by exactly two scans: the fused metrics+gram
+    # scan and the LM training slice. The r5 shape had four.
+    assert phys.count("documents.parquet") <= 2, phys
+    # The gates meet inside the scorer's aggregation — no extra
+    # doc_id-keyed shuffle join between a rep frame and a scored frame.
+    # The five remaining exchanges: model gram groupBy, 1-row
+    # model-total agg, per-doc score groupBy, per-lang manifest
+    # groupBy, final orderBy. The r5 two-path plan had the rep⋈scored
+    # join's exchanges on top of these.
+    assert audit.shuffle_count(df) <= 5, phys

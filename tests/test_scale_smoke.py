@@ -480,3 +480,141 @@ def test_incremental_exact_dedup_against_stored_hashes(spark, tmp_path):
         assert kept.count() + stored.count() == full
     finally:
         kept.unpersist()
+
+
+def test_corpus_prep_pipeline_at_100k(spark):
+    """q66's composed 5-stage plan at 100k docs with a wall-time bound:
+    validity -> exact dedup -> decontamination -> mixing -> packing as
+    ONE lazy composition over a replicated corpus. Invariants that must
+    survive volume: dedup collapses every replica group to one
+    survivor, the decontamination side stays broadcast, every packed
+    bin respects budget + one-doc overflow, and the whole composition
+    finishes inside the smoke budget."""
+    import time
+
+    from alt_spark.operators.mixing import stratified_sample
+    from alt_spark.operators.packing import pack_contiguous
+    from alt_spark.plans import audit
+
+    t0 = time.time()
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    corpus = docs.crossJoin(reps).select(
+        (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
+        F.col("lang"),
+        F.concat(
+            F.col("text"), F.lit(" variant "), (F.col("rep") % 7).cast("string")
+        ).alias("text"),
+    )
+    toks = F.filter(F.split(F.lower(F.col("text")), r"\W+"), lambda x: x != "")
+    sized = corpus.withColumn("n_tok", F.size(toks).cast("long"))
+    valid = sized.filter((F.length("text") >= 100) & (F.col("n_tok") >= 20))
+    deduped = dedup.exact_dedup(valid).drop("n_dups")
+    bench = corpus.filter(F.col("doc_id") % (50 * REPLICAS) == 0)
+    clean = dedup.decontaminate(
+        deduped.filter(F.col("doc_id") % (50 * REPLICAS) != 0),
+        bench,
+        n=5,
+        hash_grams=True,
+    )
+    rates = {r[0]: 8000 for r in docs.select("lang").distinct().collect()}
+    mixed = stratified_sample(clean, rates, "lang", "doc_id")
+    binned = pack_contiguous(
+        mixed.select("lang", "doc_id", "n_tok"),
+        "n_tok",
+        256,
+        shard_col="lang",
+        order_col="doc_id",
+    )
+    plan = audit.physical_plan(binned)
+    assert "BroadcastHashJoin" in plan  # decon gram set broadcasts
+    assert not audit.single_partition_data_exchanges(binned)
+    per_bin = binned.groupBy("lang", "bin").agg(
+        F.sum("n_tok").alias("tok_sum"), F.max("n_tok").alias("max_tok")
+    )
+    # Contiguous packing bound: a bin exceeds the budget only by its
+    # one overflowing document.
+    overfull = per_bin.filter(
+        F.col("tok_sum") > 256 + F.col("max_tok")
+    ).count()
+    assert overfull == 0
+    # Dedup collapsed each (source, variant) replica family to one row:
+    # survivors of the valid set == distinct valid texts.
+    n_survivors = deduped.count()
+    n_distinct = valid.select("text").distinct().count()
+    assert n_survivors == n_distinct
+    assert time.time() - t0 < 150, "composed q66 smoke exceeded budget"
+
+
+def test_quality_gate_pipeline_at_100k(spark):
+    """q72's fused composed plan at 100k docs with a wall-time bound:
+    validity + repetition metrics carried through the LM scorer's
+    aggregation (one corpus scan). Replicas of one source text are
+    byte-identical here, so every gate input — t2, n_chars, n_grams,
+    freq_checksum — must agree across replicas: each source family is
+    kept or dropped ATOMICALLY at volume."""
+    import time
+
+    from alt_spark.functions.text_analysis import repetition_metrics
+    from alt_spark.operators.dedup import tokens_col
+    from alt_spark.operators.lm import score_against_lm, train_char_lm
+    from alt_spark.operators.mixing import sample_bucket
+
+    t0 = time.time()
+    docs = load_table(spark, SF, "documents").select("doc_id", "lang", "text")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    corpus = docs.crossJoin(reps).select(
+        (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
+        (F.col("doc_id")).alias("src_id"),
+        F.col("lang"),
+        F.col("text"),
+    ).persist()
+    try:
+        toks_layer = corpus.select(
+            "doc_id",
+            "src_id",
+            "lang",
+            "text",
+            F.length("text").alias("n_chars"),
+            tokens_col("text").alias("toks"),
+        )
+        valid = toks_layer.filter(
+            (F.col("n_chars") >= 100) & (F.size("toks") >= 20)
+        )
+        rep = valid.select(
+            "doc_id",
+            "src_id",
+            "lang",
+            "text",
+            "n_chars",
+            repetition_metrics(F.col("toks"), 2)["top_cov"].alias("t2"),
+        )
+        model = train_char_lm(
+            corpus.filter(sample_bucket("doc_id", "lm-train-v1") < 2000),
+            n=3,
+            min_count=5,
+        )
+        scored = score_against_lm(
+            rep, model, n=3, carry=("src_id", "lang", "n_chars", "t2")
+        )
+        kept = scored.filter(
+            (F.expr("(10000 * t2) div n_chars") <= 2000)
+            & (
+                F.expr(
+                    "((10000 * CAST(freq_checksum AS DECIMAL(38,0)))"
+                    " div n_grams) div model_total"
+                )
+                >= 56
+            )
+        )
+        # Atomic family decisions: every source is kept by all replicas
+        # or none. (Replica texts are identical, metrics are per-row
+        # deterministic, the model is shared.)
+        fam = kept.groupBy("src_id").count().filter(
+            F.col("count") % REPLICAS != 0
+        )
+        assert fam.count() == 0, "a replica family split across the gate"
+        assert kept.count() > 0
+        assert time.time() - t0 < 150, "composed q72 smoke exceeded budget"
+    finally:
+        corpus.unpersist()
