@@ -120,9 +120,14 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
     measured 12.6 s — so layered projections are the right form).
     tests/test_plans.py pins the bounded-duplication property.
     """
-    group_map = F.create_map(
-        *[F.lit(x) for kv in _SERVICE_GROUPS.items() for x in kv]
-    )
+    # Literal-map lookup (create_map(...)[service]) rebuilds the map
+    # object per row — measured 0.37s/100k rows vs ~0 for the equality
+    # chain (r6 profile). A when-chain compiles to string equals.
+    group_col = F.lit("apps")
+    for svc, grp in _SERVICE_GROUPS.items():
+        group_col = F.when(F.col("service") == svc, F.lit(grp)).otherwise(
+            group_col
+        )
 
     # Layer 1: envelope decode (from_json referenced by extract-only
     # fields — CSE shares the parse within the collapsed projection).
@@ -130,15 +135,30 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
         F.from_json(F.col(line_col), _ENVELOPE).alias("e")
     ).select("e.time", F.col("e.container_name").alias("cname"), "e.log")
 
-    # Layer 2: the expensive per-line scans, once each.
+    # Layer 2: the expensive per-line scans, once each. The payload
+    # from_json runs ONLY for lines that can be JSON (is_json_payload's
+    # own definition): feeding Jackson a non-JSON line costs its
+    # exception path — measured 0.55s/100k rows at sf0.1, the largest
+    # single cost in the parse (r6 profile) — while the branch guard is
+    # one byte compare. Non-JSON lines got a null map either way, so
+    # semantics are unchanged. The container-name strip is a byte
+    # compare + substring, not a regex (saves another ~0.07s/100k).
     log = F.col("log")
     staged = env.select(
         "time",
         "cname",
         "log",
-        F.regexp_replace(F.col("cname"), r"^/", "").alias("service"),
+        F.when(
+            F.col("cname").startswith("/"),
+            F.col("cname").substr(F.lit(2), F.length("cname")),
+        )
+        .otherwise(F.col("cname"))
+        .alias("service"),
         _nginx_access_parts(log).alias("parts"),
-        F.from_json(log, T.MapType(T.StringType(), T.StringType())).alias("jf"),
+        F.when(
+            log.startswith("{"),
+            F.from_json(log, T.MapType(T.StringType(), T.StringType())),
+        ).alias("jf"),
     )
 
     # Layer 3: cheap conditional assembly over attributes only.
@@ -169,7 +189,7 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
 
     return staged.select(
         service.alias("service_name"),
-        F.coalesce(group_map[service], F.lit("apps")).alias("service_group"),
+        group_col.alias("service_group"),
         level.alias("level"),
         log.alias("message"),
         F.to_timestamp(F.col("time")).alias("timestamp"),
@@ -209,14 +229,22 @@ def http_logs(logs: DataFrame) -> DataFrame:
     # `fields` may be the full parse when-chain when this runs fused
     # over parse_logs; it is referenced many times below, so the
     # projection stays a separate layer (CollapseProject's no-duplication
-    # rule — see parse_logs docstring). The qualifying filter runs on an
-    # extracted `ok` column ABOVE a single-element explode(): predicates
-    # on generated columns cannot push through Generate, which is what
-    # keeps Catalyst from substituting the entire parse chain into the
-    # filter condition and pushing it to the scan (measured at sf0.1:
-    # the pushed filter held 66 copies of the access regex and 90 of
-    # from_json, costing ~2× the parse; the Generate barrier removes
-    # them all and stays in whole-stage codegen, unlike a rand() guard).
+    # rule — see parse_logs docstring). The qualifying filter runs on a
+    # GENERATED boolean: `ok` rides a single-element explode(), and
+    # predicates on generated columns cannot push through Generate,
+    # which is what keeps Catalyst from substituting the entire parse
+    # chain into the filter condition and pushing it to the scan
+    # (measured at sf0.1: the pushed filter held 66 copies of the
+    # access regex and 90 of from_json, costing ~2x the parse; a
+    # nondeterministic filter guard does not survive either — rand()'s
+    # known [0,1) bounds constant-fold the guard away, and inferred
+    # isnotnull constraints push with full substitution regardless).
+    # The OUTPUT columns stay top-level rather than riding the Generate
+    # inside a struct: a struct forces every member to be computed
+    # before the barrier, while top-level columns keep column pruning
+    # alive through the MV — a consumer that never reads `timestamp`
+    # never pays the timestamp parse (measured 0.4s/100k rows, the r6
+    # q48 win; only `ok`'s inputs are forced).
     f = F.col("fields")
     is_nginx = F.col("service_name") == "nginx"
     nginx_ok = (
@@ -233,7 +261,7 @@ def http_logs(logs: DataFrame) -> DataFrame:
         & F.map_contains_key(f, "status")
         & (f.getItem("method") != "")
     )
-    row = F.struct(
+    projected = logs.select(
         F.col("timestamp"),
         F.col("service_name"),
         (nginx_ok | proxy_ok).alias("ok"),
@@ -253,16 +281,19 @@ def http_logs(logs: DataFrame) -> DataFrame:
         .otherwise(or_zero(f.getItem("duration_ms"), "double"))
         .alias("response_time_ms"),
     )
+    out_cols = (
+        "timestamp",
+        "service_name",
+        "method",
+        "path",
+        "status_code",
+        "response_size",
+        "response_time_ms",
+    )
     return (
-        logs.select(F.explode(F.array(row)).alias("h"))
-        .filter(F.col("h.ok"))
-        .select(
-            F.col("h.timestamp").alias("timestamp"),
-            F.col("h.service_name").alias("service_name"),
-            F.col("h.method").alias("method"),
-            F.col("h.path").alias("path"),
-            F.col("h.status_code").alias("status_code"),
-            F.col("h.response_size").alias("response_size"),
-            F.col("h.response_time_ms").alias("response_time_ms"),
+        projected.select(
+            *out_cols, F.explode(F.array(F.col("ok"))).alias("__ok")
         )
+        .filter(F.col("__ok"))
+        .select(*out_cols)
     )
