@@ -17,7 +17,94 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_edges", "random_walk_with_restart", "propagate_labels"]
+__all__ = [
+    "normalize_edges",
+    "random_walk_with_restart",
+    "propagate_labels",
+    "connected_components",
+]
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components of an undirected edge list: ``(id, comp)``
+    where ``comp`` is the MINIMUM node id in the component (the
+    deterministic canonical representative).
+
+    This is the step a dedup pipeline runs after near-dup PAIR
+    generation (q30/q53): pairs are not a keep-decision — transitive
+    groups are (A~B, B~C means A,B,C are one cluster and one survivor
+    should represent all three). The reference stops at pair-level
+    similarity (minhash.rs); cluster canonicalization is the standard
+    production step on top (e.g. the SlimPajama/BigQuery dedup recipes).
+
+    Algorithm: alternating neighbor-min propagation and pointer
+    jumping (label-of-label lookup), the DataFrame form of the
+    two-phase CC of Kiveris et al. 2014 ("Connected Components in
+    MapReduce and Beyond"). Neighbor-min alone needs O(diameter)
+    rounds — a path graph degenerates to O(n); the jump step halves
+    label-chain depth each round, so convergence is O(log n) rounds on
+    ANY topology. Near-dup clusters are almost always tiny cliques
+    (1-3 rounds); the bound is for the adversarial tail.
+
+    Scale shape per round: one edges-side equi-join + groupBy(min) +
+    one labels self-join — all hash-partitioned on node/label ids,
+    nothing driver-side except the converged-count check. Labels are
+    localCheckpoint'd each round (lineage truncation, the iterative-op
+    doctrine) and the edge list is persisted once. Raises RuntimeError
+    if max_iters rounds do not converge (never observed below the
+    adversarial-path bound; raise max_iters for pathological graphs).
+    """
+    edges = pairs.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).persist()
+    labels = (
+        und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).localCheckpoint()
+    try:
+        for _ in range(max_iters):
+            nbr_min = (
+                und.join(labels, und["a"] == labels["id"])
+                .groupBy(F.col("b").alias("id"))
+                .agg(F.min("comp").alias("nbr"))
+            )
+            prop = labels.join(nbr_min, "id", "left").select(
+                "id",
+                F.least(F.col("comp"), F.coalesce("nbr", F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+            # Pointer jump: comp <- comp's own comp. Cuts label-chain
+            # depth in half each round (comp ids are node ids, so the
+            # label table doubles as the pointer table).
+            ptr = prop.select(
+                F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+            )
+            jumped = (
+                prop.join(ptr, prop["comp"] == ptr["pid"], "left")
+                .select(
+                    "id",
+                    F.coalesce("pcomp", "comp").alias("comp"),
+                )
+            ).localCheckpoint()
+            changed = (
+                jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+                .filter(F.col("comp") != F.col("old"))
+                .count()
+            )
+            labels = jumped
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds"
+        )
+    finally:
+        und.unpersist()
 
 
 def normalize_edges(edges: DataFrame) -> DataFrame:

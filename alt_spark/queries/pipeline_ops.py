@@ -239,13 +239,15 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _q30_oracle() -> str:
-    """The full MinHash+LSH pipeline replayed in DuckDB: md5-based base
-    hash, Spark's wrapping ``h*a_i + b_i`` affine permutations done
-    exactly in HUGEINT (functions/hashing.py:ddb_affine_signed), min per
-    permutation as SIGNED 64-bit (matching Spark long ordering), band
-    keys as comma-joined signature slices, candidate pairs from the
-    band equi-join, and the agreement-fraction Jaccard estimate."""
+def _minhash_pair_ctes() -> str:
+    """The MinHash+LSH pipeline as a reusable CTE chain (through `est`):
+    md5-based base hash, Spark's wrapping ``h*a_i + b_i`` affine
+    permutations done exactly in HUGEINT (functions/hashing.py:
+    ddb_affine_signed), min per permutation as SIGNED 64-bit (matching
+    Spark long ordering), band keys as comma-joined signature slices,
+    candidate pairs from the band equi-join, and the agreement-fraction
+    Jaccard estimate. Shared by q30 (pair surface) and q73 (cluster
+    surface on top of the same pairs)."""
     from alt_spark.functions.hashing import ddb_affine_signed
     from alt_spark.operators.dedup import _PERM_A, _PERM_B
 
@@ -257,8 +259,7 @@ def _q30_oracle() -> str:
     band_keys = ", ".join(
         f"array_to_string(sig[{b * 8 + 1}:{b * 8 + 8}], ',')" for b in range(16)
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
   SELECT doc_id AS id, {_DDB_TOKENS} AS t FROM documents
 ), sh AS (
   SELECT DISTINCT id, t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS sh
@@ -287,7 +288,12 @@ WITH toks AS (
   FROM cand
   JOIN sig s1 ON s1.id = cand.id1
   JOIN sig s2 ON s2.id = cand.id2
-)
+)"""
+
+
+def _q30_oracle() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()}
 SELECT id1, id2, round(est_jaccard, 4) AS est_jaccard
 FROM est
 WHERE est_jaccard >= 0.7
@@ -634,4 +640,73 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
             .alias("fingerprints"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+def _q73_oracle() -> str:
+    """q30's pair chain + recursive min-label closure: reach(id, r)
+    enumerates every (node, node-that-reaches-it) over the undirected
+    pair graph (UNION dedups, so recursion terminates), and min(r) per
+    node is the component's canonical id — the same representative the
+    Spark side's min-label propagation converges to."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+pairs AS (
+  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.7
+), und AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM und
+  UNION
+  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
+), comp AS (
+  SELECT id, min(r) AS comp FROM reach GROUP BY id
+)
+SELECT comp AS cluster_id,
+       count(*) AS n_docs,
+       CAST(sum(id) AS BIGINT) AS id_checksum,
+       count(*) - 1 AS n_dropped
+FROM comp
+GROUP BY comp
+ORDER BY cluster_id
+"""
+
+
+@query("q73_neardup_clusters", oracle=_q73_oracle())
+def q73(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-duplicate CLUSTER canonicalization: connected components
+    over the q30 MinHash pair graph, reported per cluster (canonical =
+    min doc_id, member checksum, drop count). Pairs are not a
+    keep-decision — transitive groups are: A~B and B~C must yield ONE
+    survivor for {A,B,C}, which pair-level output cannot express. The
+    reference stops at pair similarity (minhash.rs); this is the
+    production step above it (operators/graph.connected_components —
+    alternating min-propagation + pointer jumping, O(log n) rounds).
+
+    The id_checksum pins exact cluster MEMBERSHIP cross-engine (the
+    oracle replays the closure with a recursive CTE), so a missed
+    transitive merge or an over-merge fails the hash even when cluster
+    counts happen to agree.
+
+    Plan note: cluster formation is iterative (one keyed join + min
+    aggregation per round, lineage truncated each round) — the loop
+    runs actions during construction, so this query is excluded from
+    the plan-only audit fixture alongside q69.
+    """
+    from alt_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_near_dup(docs, threshold=0.7, portable=True)
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy(F.col("comp").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("id").alias("id_checksum"),
+            (F.count("*") - F.lit(1)).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
     )

@@ -159,3 +159,82 @@ def test_force_layout_separates_planted_clusters(spark):
     assert all(
         math.dist(p[i], p2[i]) < 1e-6 for i in p
     ), "layout must reproduce (up to fp summation order)"
+
+
+# ------------------------------------------------------------- connected components
+def test_connected_components_transitive_merge(spark):
+    """A~B, B~C must land in ONE component with the min id as canonical
+    — the exact property pair-level dedup output cannot express."""
+    from alt_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8), (10, 11), (11, 12), (12, 13)],
+        "id1 long, id2 long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_connected_components_path_graph_converges_fast(spark):
+    """Adversarial topology: a 256-node PATH has diameter 255, so
+    naive neighbor-min would need ~255 rounds; pointer jumping must
+    converge within the default 25-round budget (O(log n)) and still
+    label every node with the path head."""
+    from alt_spark.operators.graph import connected_components
+
+    n = 256
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id1 long, id2 long"
+    )
+    rows = connected_components(pairs).collect()
+    assert len(rows) == n
+    assert all(r["comp"] == 0 for r in rows)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized cross-check: component labels equal a driver-side
+    union-find ground truth on Erdős–Rényi-ish edge sets."""
+    import random
+
+    from alt_spark.operators.graph import connected_components
+
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 60
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n), 2)))
+                for _ in range(40 + 10 * trial)
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        truth = {}
+        for node in {x for e in edges for x in e}:
+            root = find(node)
+            truth.setdefault(root, set()).add(node)
+        expected = {}
+        for members in truth.values():
+            canon = min(members)
+            for m in members:
+                expected[m] = canon
+        pairs = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in edges], "id1 long, id2 long"
+        )
+        got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+        assert got == expected, f"trial {trial}"
+
+
+def test_connected_components_empty_edges(spark):
+    from alt_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    assert connected_components(pairs).count() == 0

@@ -41,14 +41,16 @@ _NESTED_LOOP_OK = {
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    # q69 is excluded: constructing it FITS an MLlib model (Pipeline.fit
-    # is an action — percentile_cont pass + L-BFGS iterations), which is
-    # real executor work inside what should be plan-only audits. Its
-    # scan/broadcast invariants are covered by its own property tests.
+    # q69 and q73 are excluded: constructing q69 FITS an MLlib model
+    # (Pipeline.fit is an action — percentile_cont pass + L-BFGS
+    # iterations) and q73 runs the connected-components convergence
+    # loop (one keyed join + count per round) — real executor work
+    # inside what should be plan-only audits. Their scan/broadcast
+    # invariants are covered by their own property tests.
     return {
         name: fn(spark, SF)
         for name, fn in all_queries().items()
-        if name != "q69_quality_classifier"
+        if name not in ("q69_quality_classifier", "q73_neardup_clusters")
     }
 
 
@@ -222,8 +224,18 @@ def test_quality_gate_pipeline_fused_scan(spark):
     ONCE per document below the gram explode (not once per gram row —
     the q48 duplication hazard), and the rep metrics ride the scorer's
     aggregation instead of a second corpus scan + doc_id re-join."""
+    from alt_spark.operators import lm
     from alt_spark.queries import all_queries
 
+    # Hermetic plan: if an earlier test materialized q72's LM model,
+    # the persisted model substitutes as InMemoryRelation and the plan
+    # PRINTER repeats the cached lineage (its internal exchange) inside
+    # both consumers — inflating the textual exchange count without any
+    # extra runtime shuffle. Release the model cache so the audited
+    # plan is the cold-start one the bounds describe.
+    for cached in lm._MODEL_CACHE.values():
+        cached.unpersist()
+    lm._MODEL_CACHE.clear()
     df = all_queries()["q72_quality_gate_pipeline"](spark, SF)
     opt = audit.optimized_plan(df)
     # repetition_metrics sorts the gram array in-row; if CollapseProject
