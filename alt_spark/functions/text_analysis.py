@@ -365,3 +365,156 @@ def winnowing_fingerprints(
     return df.select(
         F.col(id_col).alias("id"), fingerprints.alias("fingerprints")
     )
+
+
+# ---------------------------------------------------------------- Gopher gates
+# Rae et al. 2021 (Gopher) Table A1 document-quality rules, the subset
+# that is exactly integer-expressible cross-engine. Thresholds in
+# permyriad where fractional.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_CAPS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len_permyriad": 30_000,   # mean word length >= 3 chars
+    "max_mean_word_len_permyriad": 100_000,  # mean word length <= 10 chars
+    "max_symbol_word_permyriad": 1_000,      # '#'/'...' per word <= 0.1
+    "max_bullet_lines_permyriad": 9_000,     # <= 90% lines bullet-led
+    "max_ellipsis_lines_permyriad": 3_000,   # <= 30% lines '...'-ended
+    "min_alpha_word_permyriad": 8_000,       # >= 80% words with a letter
+    "min_stop_hits": 2,                      # >= 2 distinct stopwords
+}
+
+# One source for the regex fragments both engines compile (Java + RE2
+# common subset; no $ anchors — Java's $ matches before a final
+# newline, RE2's does not, so line-end checks pair an explicit \n
+# pattern with an ends_with on the last line).
+_BULLET_MID = r"\n[ \t]*[-*•]"
+_BULLET_HEAD = r"^[ \t]*[-*•]"
+_ELLIPSIS_MID = r"\.\.\.\n"
+
+
+def gopher_signals(text: Column, words: Column, toks: Column) -> Column:
+    """Gopher-style per-document quality signals as a struct of exact
+    integers (permyriads), plus the composed keep decision.
+
+    ``words`` (whitespace tokens, empties dropped) and ``toks`` (the
+    engine tokenizer contract) must be NAMED columns on the input frame
+    — the layering doctrine: both are referenced several times here,
+    and a named column is evaluated once per row while an inline
+    expression would be re-evaluated per reference.
+
+    Fields: ``n_words``, ``mean_word_len_permyriad``,
+    ``alpha_word_permyriad``, ``bullet_lines_permyriad``,
+    ``ellipsis_lines_permyriad``, ``symbol_word_permyriad``,
+    ``stop_hits`` (distinct GOPHER_STOPWORDS present), ``keep_flag``.
+    All integer arithmetic; the DuckDB twin (``ddb_gopher_signals``)
+    is generated from the same constants, so every signal — not just
+    the gate — is oracle-exact. In-row, zero exchanges: the filter
+    runs at scan speed on 100 TB (same plan contract as
+    repetition_metrics).
+    """
+    def _div(a: Column, b: Column) -> Column:
+        # Integer division on non-negative longs (floor matches `//`).
+        return F.floor(a / b).cast("long")
+
+    long0 = F.lit(0).cast("long")
+    n_words = F.size(words).cast("long")
+    nw1 = F.greatest(n_words, F.lit(1).cast("long"))
+    word_chars = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    mean_len = _div(F.lit(10000).cast("long") * word_chars, nw1)
+    alpha_words = F.size(
+        F.filter(words, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    n_lines = F.size(F.split(text, "\n", -1)).cast("long")
+    bullet_lines = (
+        F.regexp_count(text, F.lit(_BULLET_MID)).cast("long")
+        + F.when(text.rlike(_BULLET_HEAD), 1).otherwise(0).cast("long")
+    )
+    ellipsis_lines = (
+        F.regexp_count(text, F.lit(_ELLIPSIS_MID)).cast("long")
+        + F.when(text.endswith("..."), 1).otherwise(0).cast("long")
+    )
+    hash_count = (F.length(text) - F.length(F.replace(text, F.lit("#"), F.lit("")))).cast("long")
+    ellipsis_count = F.regexp_count(text, F.lit(r"\.\.\.")).cast("long")
+    stop_hits = sum(
+        (F.array_contains(toks, w).cast("long") for w in GOPHER_STOPWORDS),
+        long0,
+    )
+    sig = {
+        "n_words": n_words,
+        "mean_word_len_permyriad": mean_len,
+        "alpha_word_permyriad": _div(F.lit(10000).cast("long") * alpha_words, nw1),
+        "bullet_lines_permyriad": _div(F.lit(10000).cast("long") * bullet_lines, n_lines),
+        "ellipsis_lines_permyriad": _div(F.lit(10000).cast("long") * ellipsis_lines, n_lines),
+        "symbol_word_permyriad": _div(
+            F.lit(10000).cast("long") * (hash_count + ellipsis_count), nw1
+        ),
+        "stop_hits": stop_hits,
+    }
+    c = GOPHER_CAPS
+    keep = (
+        (sig["n_words"] >= c["min_words"])
+        & (sig["n_words"] <= c["max_words"])
+        & (sig["mean_word_len_permyriad"] >= c["min_mean_word_len_permyriad"])
+        & (sig["mean_word_len_permyriad"] <= c["max_mean_word_len_permyriad"])
+        & (sig["symbol_word_permyriad"] <= c["max_symbol_word_permyriad"])
+        & (sig["bullet_lines_permyriad"] <= c["max_bullet_lines_permyriad"])
+        & (sig["ellipsis_lines_permyriad"] <= c["max_ellipsis_lines_permyriad"])
+        & (sig["alpha_word_permyriad"] >= c["min_alpha_word_permyriad"])
+        & (sig["stop_hits"] >= c["min_stop_hits"])
+    )
+    return F.struct(
+        *[v.alias(k) for k, v in sig.items()],
+        keep.cast("long").alias("keep_flag"),
+    )
+
+
+def ddb_gopher_signals() -> dict[str, str]:
+    """DuckDB twins of :func:`gopher_signals`'s fields, generated from
+    the SAME constants. Expects a CTE exposing ``text``, ``words``
+    (whitespace tokens, empties dropped) and ``toks`` (tokenizer
+    contract) columns; returns {field: SQL} including keep_flag."""
+    stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+    nw1 = "greatest(len(words), 1)"
+    sig = {
+        "n_words": "CAST(len(words) AS BIGINT)",
+        "mean_word_len_permyriad": (
+            f"(10000 * length(regexp_replace(text, '\\s', '', 'g'))) // {nw1}"
+        ),
+        "alpha_word_permyriad": (
+            f"(10000 * len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))) // {nw1}"
+        ),
+        "bullet_lines_permyriad": (
+            f"(10000 * (len(regexp_extract_all(text, '{_BULLET_MID}'))"
+            f" + CASE WHEN regexp_matches(text, '{_BULLET_HEAD}') THEN 1 ELSE 0 END))"
+            f" // len(string_split(text, chr(10)))"
+        ),
+        "ellipsis_lines_permyriad": (
+            f"(10000 * (len(regexp_extract_all(text, '{_ELLIPSIS_MID}'))"
+            f" + CASE WHEN ends_with(text, '...') THEN 1 ELSE 0 END))"
+            f" // len(string_split(text, chr(10)))"
+        ),
+        "symbol_word_permyriad": (
+            f"(10000 * ((length(text) - length(replace(text, '#', '')))"
+            f" + len(regexp_extract_all(text, '\\.\\.\\.')))) // {nw1}"
+        ),
+        "stop_hits": (
+            f"CAST(len(list_filter([{stop_list}], s -> list_contains(toks, s))) AS BIGINT)"
+        ),
+    }
+    c = GOPHER_CAPS
+    keep = (
+        f"CASE WHEN {sig['n_words']} >= {c['min_words']}"
+        f" AND {sig['n_words']} <= {c['max_words']}"
+        f" AND {sig['mean_word_len_permyriad']} >= {c['min_mean_word_len_permyriad']}"
+        f" AND {sig['mean_word_len_permyriad']} <= {c['max_mean_word_len_permyriad']}"
+        f" AND {sig['symbol_word_permyriad']} <= {c['max_symbol_word_permyriad']}"
+        f" AND {sig['bullet_lines_permyriad']} <= {c['max_bullet_lines_permyriad']}"
+        f" AND {sig['ellipsis_lines_permyriad']} <= {c['max_ellipsis_lines_permyriad']}"
+        f" AND {sig['alpha_word_permyriad']} >= {c['min_alpha_word_permyriad']}"
+        f" AND {sig['stop_hits']} >= {c['min_stop_hits']}"
+        " THEN 1 ELSE 0 END"
+    )
+    out = {k: f"CAST({v} AS BIGINT)" for k, v in sig.items()}
+    out["keep_flag"] = f"CAST({keep} AS BIGINT)"
+    return out

@@ -28,7 +28,13 @@ from pyspark.sql import functions as F
 
 from alt_spark.functions.hashing import portable_hash60
 
-__all__ = ["PRECISION", "sample_bucket", "stratified_sample", "temperature_rates"]
+__all__ = [
+    "PRECISION",
+    "sample_bucket",
+    "stratified_sample",
+    "temperature_rates",
+    "token_budget_plan",
+]
 
 # Sampling rates are expressed in permyriad (1/10000) so the keep
 # decision stays in exact integer arithmetic in both engines.
@@ -138,4 +144,88 @@ def temperature_rates(
             ),
         )
         .select(stratum_col, "n", "rate")
+    )
+
+
+def token_budget_plan(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    budget_tokens: int,
+    epoch_cap_permyriad: int = 40_000,
+) -> DataFrame:
+    """Per-stratum training-token plan: how many tokens each source
+    contributes to a run with a global token budget and an epoch cap —
+    the curriculum-planning step between mixing weights and the actual
+    sampler (the LLaMA/Gopher data-mixture table: sources are tempered
+    by sqrt, oversampled up to an epoch cap, never beyond it).
+
+    Returns one row per stratum:
+
+    - ``n_docs``, ``avail_tok``  what the stratum has;
+    - ``weight``                 floor(sqrt(avail_tok)) — alpha = 0.5
+      tempering, same exactness argument as :func:`temperature_rates`;
+    - ``target_tok``             the budget share, (budget * w) div sum_w;
+    - ``epochs_permyriad``       min(cap, (10000 * target) div avail) —
+      how many passes over the stratum the plan implies, capped so a
+      tiny source is never repeated into memorization;
+    - ``planned_tok``            (avail * epochs_permyriad) div 10000 —
+      what the run will actually draw after the cap binds.
+
+    Integer arithmetic end-to-end (every column is oracle-exact). The
+    one corpus-scale product, budget * weight, runs in DECIMAL(38,0)
+    (`div` returns BIGINT; target <= budget fits long) — at 100 T
+    tokens x sqrt(1e14) weights the int64 product would wrap. Remaining
+    bound: avail_tok * epoch_cap must stay under 2^63 — holds to ~2e14
+    tokens PER STRATUM at the default cap; beyond that, plan on a
+    sampled count table (the plan only needs relative sizes).
+
+    Shape at 100 TB: one bounded groupBy for the per-stratum sums, a
+    1-row totals frame (broadcast), and a stratum-sized output — the
+    plan is a driver-readable table, not a data pass.
+    """
+    if budget_tokens < 0:
+        raise ValueError(f"budget_tokens must be >= 0, got {budget_tokens}")
+    if epoch_cap_permyriad < 0:
+        raise ValueError(
+            f"epoch_cap_permyriad must be >= 0, got {epoch_cap_permyriad}"
+        )
+    counts = df.groupBy(stratum_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col(tokens_col).cast("long")).alias("avail_tok"),
+    )
+    w = counts.withColumn(
+        "weight", F.floor(F.sqrt(F.col("avail_tok"))).cast("long")
+    )
+    tot = w.agg(F.sum("weight").alias("tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "target_tok",
+            F.expr(
+                f"(CAST({int(budget_tokens)} AS DECIMAL(38,0)) * weight) div tw"
+            ),
+        )
+        .withColumn(
+            "epochs_permyriad",
+            F.least(
+                F.lit(int(epoch_cap_permyriad)).cast("long"),
+                F.expr(
+                    f"({PRECISION} * target_tok) div greatest(avail_tok, 1)"
+                ),
+            ),
+        )
+        .withColumn(
+            "planned_tok",
+            F.expr(f"(avail_tok * epochs_permyriad) div {PRECISION}"),
+        )
+        .select(
+            stratum_col,
+            "n_docs",
+            "avail_tok",
+            "weight",
+            "target_tok",
+            "epochs_permyriad",
+            "planned_tok",
+        )
     )

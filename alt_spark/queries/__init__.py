@@ -133,6 +133,8 @@ _REPORT_TAIL = (
     # CI pass), parked in the tail as the newest entries; rotation
     # candidates for r7.
     "q73_neardup_clusters",
+    "q74_token_budget_plan",
+    "q75_gopher_signals",
 )
 
 

@@ -947,3 +947,149 @@ def q72(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+_PLAN_BUDGET = 50_000  # training-run token budget for the q74 plan
+_PLAN_EPOCH_CAP = 25_000  # permyriad: never draw a stratum more than 2.5x
+
+
+@query(
+    "q74_token_budget_plan",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, len({_DDB_TOKENS}) AS n_tok FROM documents
+), c AS (
+  SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS avail_tok
+  FROM t GROUP BY lang
+), w AS (
+  SELECT lang, n_docs, avail_tok,
+         CAST(floor(sqrt(avail_tok)) AS BIGINT) AS weight
+  FROM c
+), tot AS (
+  SELECT sum(weight) AS tw FROM w
+), plan AS (
+  SELECT lang, n_docs, avail_tok, weight,
+         ({_PLAN_BUDGET} * weight) // tw AS target_tok
+  FROM w, tot
+), ep AS (
+  SELECT *, least({_PLAN_EPOCH_CAP},
+                  (10000 * target_tok) // greatest(avail_tok, 1)) AS epochs_permyriad
+  FROM plan
+)
+SELECT lang, n_docs, avail_tok, weight,
+       CAST(target_tok AS BIGINT) AS target_tok,
+       CAST(epochs_permyriad AS BIGINT) AS epochs_permyriad,
+       CAST((avail_tok * epochs_permyriad) // 10000 AS BIGINT) AS planned_tok
+FROM ep
+ORDER BY lang
+""",
+)
+def q74(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-run token-budget plan per language: sqrt-tempered
+    budget shares with an epoch cap (operators/mixing.
+    token_budget_plan) — the curriculum table a run derives before any
+    sampling happens (the LLaMA/Gopher data-mixture step). Every column
+    is integer-exact, so the oracle pins the full plan: availability,
+    tempering weight, budget share, capped epochs, and the tokens the
+    run will actually draw.
+
+    Plan: one bounded groupBy + a broadcast 1-row totals frame — the
+    output is a stratum-sized table; at 100 TB this is a metadata
+    query, not a data pass.
+    """
+    from alt_spark.operators.mixing import token_budget_plan
+
+    docs = load_table(spark, sf, "documents")
+    sized = docs.select("lang", F.size(_tokens_col()).alias("n_tok"))
+    return token_budget_plan(
+        sized,
+        "lang",
+        "n_tok",
+        budget_tokens=_PLAN_BUDGET,
+        epoch_cap_permyriad=_PLAN_EPOCH_CAP,
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# Planted documents exercising each Gopher gate: the synthetic corpus is
+# clean prose, so bullet / ellipsis / symbol / stopword failures are
+# planted as deterministic literal rows identical in both engines (the
+# q29/q63 device).
+_GOPHER_EXTRA: tuple[tuple[int, str], ...] = (
+    # healthy: >=50 words, stopwords, no symbols
+    (300001, " ".join(["the quick brown fox jumps over that lazy dog with ease"] * 6)),
+    # bullet-led: every line starts with a bullet -> bullet gate fails
+    (300002, "\n".join(f"- item {i} of the list with that thing" for i in range(10))),
+    # ellipsis-heavy: every line trails off -> ellipsis gate fails
+    (300003, "\n".join(f"the story number {i} continues..." for i in range(10))),
+    # symbol spam: '#' per word ratio blows the symbol gate
+    (300004, " ".join(f"#tag{i}" for i in range(60)) + " the of and that with"),
+    # too short: under the 50-word floor
+    (300005, "the and of that with tiny"),
+    # no stopwords: keyword-stuffing shape, stop_hits gate fails
+    (300006, " ".join(f"keyword{i}" for i in range(80))),
+)
+
+
+def _gopher_values_sql() -> str:
+    rows = ", ".join(
+        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _GOPHER_EXTRA
+    )
+    return f"(VALUES {rows}) AS extra(doc_id, text)"
+
+
+def _q75_oracle() -> str:
+    from alt_spark.functions.text_analysis import ddb_gopher_signals
+
+    sig = ddb_gopher_signals()
+    cols = ",\n       ".join(f"{sql} AS {name}" for name, sql in sig.items())
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM {_gopher_values_sql()}
+), prepped AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+         {_DDB_TOKENS} AS toks
+  FROM corpus
+)
+SELECT doc_id,
+       {cols}
+FROM prepped
+"""
+
+
+@query("q75_gopher_signals", oracle=_q75_oracle())
+def q75(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style per-document quality signals (Rae et al. 2021 Table
+    A1, the integer-expressible subset): word count, mean word length,
+    letter-bearing word ratio, bullet-led and ellipsis-ended line
+    ratios, symbol-per-word ratio, distinct-stopword hits, and the
+    composed keep decision — every signal an exact permyriad the
+    oracle value-checks per document (planted rows fail each gate
+    individually). Complements q64 (repetition) and q27 (aggregate
+    quality): together they are the full heuristic gate family a
+    training pipeline runs before the learned classifier (q69).
+
+    Plan: one narrow projection over the scan (words/toks named once,
+    signals in-row, zero exchanges) — the 100 TB shape; plan-pinned in
+    tests/test_plans.py.
+    """
+    from alt_spark.functions.text_analysis import gopher_signals
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(list(_GOPHER_EXTRA), "doc_id long, text string")
+    corpus = docs.unionByName(extra)
+    prepped = corpus.select(
+        "doc_id",
+        "text",
+        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("words"),
+        _tokens_col().alias("toks"),
+    )
+    sig = prepped.select(
+        "doc_id",
+        gopher_signals(F.col("text"), F.col("words"), F.col("toks")).alias("g"),
+    )
+    return sig.select("doc_id", "g.*")

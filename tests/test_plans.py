@@ -36,6 +36,9 @@ _NESTED_LOOP_OK = {
     # 1-row model_total frame crossed onto the per-doc gate rows
     # (the composed quality pipeline reuses q65's LM stats-row device).
     "q72_quality_gate_pipeline",
+    # 1-row weight-total frame crossed onto the stratum-sized plan
+    # table (operators/mixing.token_budget_plan, q70's device).
+    "q74_token_budget_plan",
 }
 
 
@@ -254,3 +257,15 @@ def test_quality_gate_pipeline_fused_scan(spark):
     # groupBy, final orderBy. The r5 two-path plan had the rep⋈scored
     # join's exchanges on top of these.
     assert audit.shuffle_count(df) <= 5, phys
+
+
+def test_gopher_signals_shuffle_free(spark):
+    """q75's signals are in-row by design: the whole query must plan as
+    a narrow projection over the scan (plus the planted-row local union)
+    — zero exchanges, no Python."""
+    from alt_spark.queries import all_queries
+
+    df = all_queries()["q75_gopher_signals"](spark, SF)
+    plan = audit.physical_plan(df)
+    assert audit.shuffle_count(df) == 0, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

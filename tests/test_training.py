@@ -688,3 +688,57 @@ def test_q69_aggregate_surface_is_partition_invariant(spark):
     assert manifest(df.repartition(17)) == base
     assert manifest(df.repartition(1)) == base
     assert manifest(df.repartition(8, "source")) == base
+
+
+def test_token_budget_plan_invariants(spark):
+    """Plan-table invariants on randomized strata: budget shares never
+    exceed the budget in total, epochs respect the cap, planned tokens
+    equal the exact integer chain, and everything is order-insensitive
+    (pure arithmetic on one bounded aggregate)."""
+    import random
+
+    from alt_spark.operators.mixing import token_budget_plan
+
+    rng = random.Random(3)
+    rows = [
+        (f"s{i % 7}", rng.randint(1, 400)) for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "src string, n_tok long")
+    budget, cap = 100_000, 17_500
+    plan = {
+        r["src"]: r
+        for r in token_budget_plan(
+            df, "src", "n_tok", budget_tokens=budget, epoch_cap_permyriad=cap
+        ).collect()
+    }
+    assert len(plan) == 7
+    assert sum(r["target_tok"] for r in plan.values()) <= budget
+    for r in plan.values():
+        assert 0 <= r["epochs_permyriad"] <= cap
+        assert r["weight"] == int(r["avail_tok"] ** 0.5)
+        assert r["planned_tok"] == (
+            r["avail_tok"] * r["epochs_permyriad"]
+        ) // 10_000
+        # Uncapped strata draw their target up to the epoch-quantization
+        # loss: epochs are floored to permyriads, so planned can trail
+        # target by at most avail/10000 tokens (and never exceeds it).
+        if r["epochs_permyriad"] < cap:
+            assert 0 <= r["target_tok"] - r["planned_tok"] <= r["avail_tok"] // 10_000 + 1
+    # Repartitioning cannot change a pure aggregate plan.
+    again = {
+        r["src"]: tuple(r)
+        for r in token_budget_plan(
+            df.repartition(13), "src", "n_tok", budget, cap
+        ).collect()
+    }
+    assert again == {k: tuple(v) for k, v in plan.items()}
+
+
+def test_token_budget_plan_rejects_bad_args(spark):
+    from alt_spark.operators.mixing import token_budget_plan
+
+    df = spark.createDataFrame([("a", 5)], "src string, n_tok long")
+    with pytest.raises(ValueError):
+        token_budget_plan(df, "src", "n_tok", budget_tokens=-1)
+    with pytest.raises(ValueError):
+        token_budget_plan(df, "src", "n_tok", 10, epoch_cap_permyriad=-5)
