@@ -22,6 +22,7 @@ __all__ = [
     "random_walk_with_restart",
     "propagate_labels",
     "connected_components",
+    "connected_components_incremental",
 ]
 
 
@@ -105,6 +106,61 @@ def connected_components(
         )
     finally:
         und.unpersist()
+
+
+def connected_components_incremental(
+    new_pairs: DataFrame,
+    base_labels: DataFrame,
+    src: str = "id1",
+    dst: str = "id2",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Update cluster assignments for an INCREMENT of near-dup pairs
+    against a persisted component index — the daily-batch form of
+    cluster canonicalization, completing the incremental dedup family
+    (exact_dedup_incremental / lsh_incremental_pairs feed this).
+
+    ``base_labels`` is (id, comp) from a prior :func:`connected_components`
+    run (comp = component-min id). ``new_pairs`` is any pair frame —
+    typically ``lsh_incremental_pairs`` output (new-vs-base and
+    new-vs-new pairs). NULL-endpoint pairs are dropped.
+
+    The prior index compresses every old component into a STAR (member
+    → comp edges), so the increment never replays old pair generation:
+    only components ADJACENT to the increment are pulled from the
+    index (a keyed semi-join retrieval — work is proportional to
+    touched components plus the increment, never the base), their star
+    edges are unioned with the new pairs, and the closure runs on that
+    small graph. A new pair bridging two old components merges them to
+    the global min id, exactly as a full recompute would
+    (increment == full-recompute parity is pytest-enforced).
+
+    Returns (id, comp) for every node of a touched component plus the
+    increment's own nodes. Untouched base rows are ABSENT by design;
+    the caller's index update is::
+
+        base_labels.join(result, "id", "left_anti").unionByName(result)
+
+    Rerun-safe: duplicate/resubmitted pairs are idempotent under the
+    closure.
+    """
+    pairs = new_pairs.select(
+        F.col(src).alias("id1"), F.col(dst).alias("id2")
+    ).filter(F.col("id1").isNotNull() & F.col("id2").isNotNull())
+    nodes = (
+        pairs.select(F.col("id1").alias("id"))
+        .unionByName(pairs.select(F.col("id2").alias("id")))
+        .distinct()
+    )
+    touched = (
+        base_labels.join(nodes, "id").select("comp").distinct()
+    )
+    affected = base_labels.join(touched, "comp")
+    star = affected.filter(F.col("id") != F.col("comp")).select(
+        F.col("id").alias("id1"), F.col("comp").alias("id2")
+    )
+    merged = pairs.unionByName(star)
+    return connected_components(merged, "id1", "id2", max_iters)
 
 
 def normalize_edges(edges: DataFrame) -> DataFrame:

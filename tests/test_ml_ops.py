@@ -238,3 +238,63 @@ def test_connected_components_empty_edges(spark):
 
     pairs = spark.createDataFrame([], "id1 long, id2 long")
     assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_incremental_matches_full(spark):
+    """Daily-batch cluster maintenance: CC over (persisted index stars
+    + increment pairs) must equal a full recompute over ALL pairs —
+    including increments that bridge two old components and ones that
+    only add fresh nodes. Randomized over several base/increment
+    splits."""
+    import random
+
+    from alt_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    rng = random.Random(23)
+    for trial in range(3):
+        n = 50
+        all_edges = sorted(
+            {tuple(sorted(rng.sample(range(n), 2))) for _ in range(45)}
+        )
+        rng.shuffle(all_edges)
+        cut = len(all_edges) * 2 // 3
+        base_e, inc_e = sorted(all_edges[:cut]), sorted(all_edges[cut:])
+        if not base_e or not inc_e:
+            continue
+        mk = lambda es: spark.createDataFrame(
+            [(int(a), int(b)) for a, b in es], "id1 long, id2 long"
+        )
+        base_labels = connected_components(mk(base_e))
+        inc = connected_components_incremental(mk(inc_e), base_labels)
+        # Caller-side index update: untouched base rows + incremental result.
+        updated = base_labels.join(inc, "id", "left_anti").unionByName(inc)
+        got = {r["id"]: r["comp"] for r in updated.collect()}
+        full = {
+            r["id"]: r["comp"]
+            for r in connected_components(mk(base_e + inc_e)).collect()
+        }
+        assert got == full, f"trial {trial}"
+
+
+def test_connected_components_incremental_bridges_and_fresh_nodes(spark):
+    """Planted shapes: an increment edge that merges two old components
+    (result takes the GLOBAL min id) and an increment touching only
+    brand-new nodes (old index untouched, absent from the result)."""
+    from alt_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    base = connected_components(
+        spark.createDataFrame([(1, 2), (5, 6), (8, 9)], "id1 long, id2 long")
+    )
+    inc = spark.createDataFrame([(2, 5), (20, 21)], "id1 long, id2 long")
+    got = {r["id"]: r["comp"] for r in
+           connected_components_incremental(inc, base).collect()}
+    # Components {1,2} and {5,6} merged to min id 1; fresh pair got its
+    # own component; untouched {8,9} absent.
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 20: 20, 21: 20}
+    assert 8 not in got and 9 not in got
