@@ -387,7 +387,9 @@ GOPHER_CAPS = {
 # One source for the regex fragments both engines compile (Java + RE2
 # common subset; no $ anchors — Java's $ matches before a final
 # newline, RE2's does not, so line-end checks pair an explicit \n
-# pattern with an ends_with on the last line).
+# pattern with an ends_with on the last line; no \s — Java's includes
+# \x0B, RE2's does not, so whitespace is the explicit class below).
+GOPHER_WS = r"[ \t\n\f\r]"
 _BULLET_MID = r"\n[ \t]*[-*•]"
 _BULLET_HEAD = r"^[ \t]*[-*•]"
 _ELLIPSIS_MID = r"\.\.\.\n"
@@ -414,13 +416,20 @@ def gopher_signals(text: Column, words: Column, toks: Column) -> Column:
     repetition_metrics).
     """
     def _div(a: Column, b: Column) -> Column:
-        # Integer division on non-negative longs (floor matches `//`).
-        return F.floor(a / b).cast("long")
+        # Exact integer division on non-negative longs: subtract the
+        # remainder first, so the double division is of two exactly-
+        # representable operands with an exactly-integral quotient —
+        # IEEE correct rounding then returns the integer itself.
+        # Numerators here are 10000 * per-document counts, bounded by
+        # 10000 * 2^31 (JVM string length) << 2^53, so representability
+        # holds by construction; a naive floor(a / b) could round up
+        # across the integer boundary for quotients near an integer.
+        return ((a - a % b) / b).cast("long")
 
     long0 = F.lit(0).cast("long")
     n_words = F.size(words).cast("long")
     nw1 = F.greatest(n_words, F.lit(1).cast("long"))
-    word_chars = F.length(F.regexp_replace(text, r"\s", "")).cast("long")
+    word_chars = F.length(F.regexp_replace(text, GOPHER_WS, "")).cast("long")
     mean_len = _div(F.lit(10000).cast("long") * word_chars, nw1)
     alpha_words = F.size(
         F.filter(words, lambda w: w.rlike("[A-Za-z]"))
@@ -479,7 +488,7 @@ def ddb_gopher_signals() -> dict[str, str]:
     sig = {
         "n_words": "CAST(len(words) AS BIGINT)",
         "mean_word_len_permyriad": (
-            f"(10000 * length(regexp_replace(text, '\\s', '', 'g'))) // {nw1}"
+            f"(10000 * length(regexp_replace(text, '{GOPHER_WS}', '', 'g'))) // {nw1}"
         ),
         "alpha_word_permyriad": (
             f"(10000 * len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))) // {nw1}"

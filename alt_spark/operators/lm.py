@@ -57,9 +57,16 @@ _MODEL_CACHE_MAX = 4
 def _persist_model(model: DataFrame) -> DataFrame:
     key = model.semanticHash()
     cached = _MODEL_CACHE.get(key)
+    # semanticHash is 32-bit; confirm real plan equality on a hit so a
+    # collision can never hand back a DIFFERENT model's frame (Spark's
+    # own CacheManager compares full canonical plans for the same
+    # reason). On a collision, fall through: the newer model evicts the
+    # colliding entry — rare and correctness-neutral.
     if cached is not None:
-        _MODEL_CACHE.move_to_end(key)
-        return cached
+        if model.sameSemantics(cached):
+            _MODEL_CACHE.move_to_end(key)
+            return cached
+        cached.unpersist()  # collision: release before the slot is reused
     model = model.persist()
     _MODEL_CACHE[key] = model
     while len(_MODEL_CACHE) > _MODEL_CACHE_MAX:

@@ -202,8 +202,13 @@ def token_budget_plan(
         w.crossJoin(F.broadcast(tot))
         .withColumn(
             "target_tok",
+            # greatest(tw, 1): an all-empty corpus (every weight 0)
+            # must yield an all-zero plan identically in both engines —
+            # unguarded, Spark's div returns NULL (ANSI off) while
+            # DuckDB raises division-by-zero.
             F.expr(
-                f"(CAST({int(budget_tokens)} AS DECIMAL(38,0)) * weight) div tw"
+                f"(CAST({int(budget_tokens)} AS DECIMAL(38,0)) * weight)"
+                " div greatest(tw, 1)"
             ),
         )
         .withColumn(

@@ -24,13 +24,15 @@ from alt_spark.operators.dedup import tokens_col
 
 __all__ = ["bm25_rank", "tfidf_keywords", "rerank_topk"]
 
-# Default for rerank_topk's incoming_score_col. Kept as a module-level
-# sentinel so the function can tell "caller relied on the default" (the
-# column may legitimately be absent — silent no-score fallback) apart
-# from "caller NAMED a score column that isn't there" (a wiring bug:
-# the cap would silently switch to id-ascending and drop the best
-# candidates) — the latter raises.
+# Default for rerank_topk's incoming_score_col. The UNSET object lets
+# the function tell "caller relied on the default" (the column may
+# legitimately be absent — silent no-score fallback) apart from
+# "caller NAMED a score column that isn't there" (a wiring bug: the
+# cap would silently switch to id-ascending and drop the best
+# candidates) — the latter raises. A string sentinel could not make
+# that distinction for a caller explicitly passing "score".
 DEFAULT_SCORE_COL = "score"
+_UNSET_SCORE_COL = object()
 
 
 def _token_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -127,7 +129,7 @@ def rerank_topk(
     k: int = 10,
     max_candidates: int = 200,
     max_candidate_chars: int = 4000,
-    incoming_score_col: str | None = DEFAULT_SCORE_COL,
+    incoming_score_col: object = _UNSET_SCORE_COL,
 ) -> DataFrame:
     """Cross-encoder reranking of a retrieval candidate set (the
     reference's retrieval Stage 4: rag-orchestrator
@@ -157,17 +159,18 @@ def rerank_topk(
     # with different incoming scores/texts, and dropDuplicates would
     # keep an arbitrary one (run-to-run nondeterminism). Keep the
     # best-scored row per id, text as the final tiebreak.
-    if (
-        incoming_score_col is not None
-        and incoming_score_col != DEFAULT_SCORE_COL
-        and incoming_score_col not in candidates.columns
-    ):
+    explicit = incoming_score_col is not _UNSET_SCORE_COL
+    score_col = (
+        DEFAULT_SCORE_COL if not explicit else incoming_score_col
+    )
+    if explicit and score_col is not None and score_col not in candidates.columns:
         raise ValueError(
-            f"incoming_score_col {incoming_score_col!r} is not a column of the "
+            f"incoming_score_col {score_col!r} is not a column of the "
             f"candidate frame ({candidates.columns}); the score-based "
             "max_candidates cap cannot run. Pass incoming_score_col=None to "
             "opt into the id-ordered fallback explicitly."
         )
+    incoming_score_col = score_col
     has_score = bool(incoming_score_col) and incoming_score_col in candidates.columns
     order = (
         [F.desc(incoming_score_col), F.col(text_col)]

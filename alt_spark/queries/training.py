@@ -970,7 +970,7 @@ WITH t AS (
   SELECT sum(weight) AS tw FROM w
 ), plan AS (
   SELECT lang, n_docs, avail_tok, weight,
-         ({_PLAN_BUDGET} * weight) // tw AS target_tok
+         ({_PLAN_BUDGET} * weight) // greatest(tw, 1) AS target_tok
   FROM w, tot
 ), ep AS (
   SELECT *, least({_PLAN_EPOCH_CAP},
@@ -1040,6 +1040,7 @@ def _gopher_values_sql() -> str:
 
 
 def _q75_oracle() -> str:
+    from alt_spark.functions.text_analysis import GOPHER_WS as _GOPHER_WS
     from alt_spark.functions.text_analysis import ddb_gopher_signals
 
     sig = ddb_gopher_signals()
@@ -1051,7 +1052,7 @@ WITH corpus AS (
   SELECT doc_id, text FROM {_gopher_values_sql()}
 ), prepped AS (
   SELECT doc_id, text,
-         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS words,
+         list_filter(string_split_regex(text, '{_GOPHER_WS}+'), x -> x <> '') AS words,
          {_DDB_TOKENS} AS toks
   FROM corpus
 )
@@ -1077,6 +1078,7 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     signals in-row, zero exchanges) — the 100 TB shape; plan-pinned in
     tests/test_plans.py.
     """
+    from alt_spark.functions.text_analysis import GOPHER_WS as _GOPHER_WS
     from alt_spark.functions.text_analysis import gopher_signals
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
@@ -1085,7 +1087,12 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
     prepped = corpus.select(
         "doc_id",
         "text",
-        F.filter(F.split("text", r"\s+"), lambda x: x != "").alias("words"),
+        # GOPHER_WS, not \s: Java's \s includes \x0B, RE2's does not —
+        # the explicit class keeps word boundaries engine-identical on
+        # ANY regenerated corpus, not just clean ones.
+        F.filter(F.split("text", _GOPHER_WS + "+"), lambda x: x != "").alias(
+            "words"
+        ),
         _tokens_col().alias("toks"),
     )
     sig = prepped.select(

@@ -288,3 +288,17 @@ def test_rerank_explicit_missing_score_col_raises(spark):
         rerank_topk(df, "q", fake_reranker, k=1, incoming_score_col=None).count()
         == 1
     )
+
+
+def test_rerank_explicit_default_name_missing_also_raises(spark):
+    """Passing incoming_score_col='score' EXPLICITLY on a score-less
+    frame must raise too — the object sentinel distinguishes explicit
+    from defaulted even when the caller names the default column."""
+    import pytest as _pytest
+
+    from alt_spark.functions.llm import fake_reranker
+    from alt_spark.operators.search import rerank_topk
+
+    df = spark.createDataFrame([(1, "alpha")], "doc_id long, text string")
+    with _pytest.raises(ValueError, match="score"):
+        rerank_topk(df, "q", fake_reranker, k=1, incoming_score_col="score")

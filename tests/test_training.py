@@ -742,3 +742,17 @@ def test_token_budget_plan_rejects_bad_args(spark):
         token_budget_plan(df, "src", "n_tok", budget_tokens=-1)
     with pytest.raises(ValueError):
         token_budget_plan(df, "src", "n_tok", 10, epoch_cap_permyriad=-5)
+
+
+def test_token_budget_plan_all_zero_tokens(spark):
+    """Degenerate input (every stratum empty of tokens): the plan must
+    be all-zero rows, not NULLs or a division error — cross-engine the
+    oracle's greatest(tw, 1) mirrors this guard."""
+    from alt_spark.operators.mixing import token_budget_plan
+
+    df = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "src string, n_tok long"
+    )
+    rows = {r["src"]: r for r in token_budget_plan(df, "src", "n_tok", 1000).collect()}
+    for r in rows.values():
+        assert (r["weight"], r["target_tok"], r["epochs_permyriad"], r["planned_tok"]) == (0, 0, 0, 0)
