@@ -741,3 +741,69 @@ def test_streaming_corpus_prep_parity(spark):
     }
     assert got == want, (len(got), len(want))
     assert len(want) > 0
+
+
+def test_streaming_gopher_gate_parity(spark):
+    """The Gopher quality gate (q75's gopher_signals) is a stateless
+    in-row projection, so it must apply unchanged on a stream: the
+    keep-set of ids surviving the streamed gate equals the batch
+    gate's. Pins that the newest heuristic gate composes under
+    Structured Streaming like the rest of the corpus-prep family."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.functions.text_analysis import GOPHER_WS, gopher_signals
+    from alt_spark.operators.dedup import tokens_col
+
+    root = _fresh("gopher_gate_stream")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    t = pq.read_table(f"{SF}/documents.parquet").select(["doc_id", "text"])
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+            os.path.join(landing, f"chunk_{i:03d}.parquet"),
+        )
+
+    def gate(df):
+        prepped = df.select(
+            "doc_id",
+            "text",
+            F.filter(F.split("text", GOPHER_WS + "+"), lambda x: x != "").alias(
+                "words"
+            ),
+            tokens_col("text").alias("toks"),
+        )
+        sig = prepped.select(
+            "doc_id",
+            gopher_signals(F.col("text"), F.col("words"), F.col("toks")).alias("g"),
+        )
+        # The FULL signal surface, not just survivors: the synthetic
+        # corpus passes the composed gate only rarely (few genuine
+        # stopwords), and per-signal parity is the stronger claim.
+        return sig.select("doc_id", F.md5(F.to_json("g")).alias("sig_md5"))
+
+    src = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        gate(src)
+        .writeStream.format("memory")
+        .queryName("gopher_gate_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+    streamed = {
+        tuple(r)
+        for r in spark.sql("SELECT doc_id, sig_md5 FROM gopher_gate_out").collect()
+    }
+    batch = {tuple(r) for r in gate(spark.read.parquet(landing)).collect()}
+    assert streamed == batch and batch, (len(streamed), len(batch))
