@@ -1,4 +1,6 @@
-"""Q59-Q70 + Q72: training-data preparation queries (north-star pillar).
+"""Q59-Q70 + Q72 + Q74/Q75: training-data preparation queries
+(north-star pillar; Q71, the percentile twin, lives in relational.py;
+Q73, near-dup clustering, in pipeline_ops.py beside its pair chain).
 
 The ops between "clean corpus" and "token batches": deterministic data
 mixing (operators/mixing.py), context-window chunking and sequence

@@ -618,3 +618,37 @@ def test_quality_gate_pipeline_at_100k(spark):
         assert time.time() - t0 < 150, "composed q72 smoke exceeded budget"
     finally:
         corpus.unpersist()
+
+
+def test_connected_components_at_100k(spark):
+    """CC at 100k nodes with a wall-time bound: 20k planted 5-node
+    clusters (the near-dup shape) plus one 1k-node path (the
+    adversarial diameter shape) in ONE graph. Pointer jumping must
+    converge inside the default round budget and label every planted
+    cluster with its min id."""
+    import time
+
+    from alt_spark.operators.graph import connected_components
+
+    t0 = time.time()
+    n_clusters, k = 20_000, 5
+    # Cluster c = nodes [c*k, c*k+k): star edges to the min node.
+    stars = spark.range(n_clusters * k).selectExpr(
+        "id AS id1", f"(id div {k}) * {k} AS id2"
+    ).filter("id1 != id2")
+    base = 1_000_000
+    path = spark.range(999).selectExpr(
+        f"id + {base} AS id1", f"id + {base} + 1 AS id2"
+    )
+    labels = connected_components(stars.unionByName(path))
+    rows = labels.count()
+    assert rows == n_clusters * k + 1000
+    bad = labels.filter(
+        (F.col("id") < base) & (F.col("comp") != (F.col("id") / k).cast("long") * k)
+    ).count()
+    assert bad == 0
+    path_bad = labels.filter(
+        (F.col("id") >= base) & (F.col("comp") != base)
+    ).count()
+    assert path_bad == 0
+    assert time.time() - t0 < 120, "CC smoke exceeded budget"
