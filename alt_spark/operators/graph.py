@@ -67,6 +67,13 @@ def connected_components(
     labels = (
         und.select(F.col("a").alias("id")).distinct().withColumn("comp", F.col("id"))
     ).localCheckpoint()
+    # Convergence via the label-sum: every node's comp is monotonically
+    # non-increasing (least-of-neighbors, then label-of-label, and
+    # label(x) <= x holds inductively), so the rounds are at a fixpoint
+    # exactly when sum(comp) stops decreasing — one aggregate over the
+    # checkpointed label table per round, no join against the previous
+    # round's labels.
+    prev_sum = None
     try:
         for _ in range(max_iters):
             nbr_min = (
@@ -93,14 +100,15 @@ def connected_components(
                     F.coalesce("pcomp", "comp").alias("comp"),
                 )
             ).localCheckpoint()
-            changed = (
-                jumped.join(labels.withColumnRenamed("comp", "old"), "id")
-                .filter(F.col("comp") != F.col("old"))
-                .count()
-            )
+            # DECIMAL(38,0) keeps the sum exact at any id scale — an
+            # int64 wrap could in principle alias two distinct sums.
+            cur_sum = jumped.agg(
+                F.sum(F.col("comp").cast("decimal(38,0)"))
+            ).first()[0]
             labels = jumped
-            if changed == 0:
+            if cur_sum == prev_sum:
                 return labels
+            prev_sum = cur_sum
         raise RuntimeError(
             f"connected_components did not converge in {max_iters} rounds"
         )
