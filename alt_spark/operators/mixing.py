@@ -34,6 +34,9 @@ __all__ = [
     "stratified_sample",
     "temperature_rates",
     "token_budget_plan",
+    "cdf_buckets",
+    "split_assignment",
+    "ddb_split_assignment",
 ]
 
 # Sampling rates are expressed in permyriad (1/10000) so the keep
@@ -144,6 +147,116 @@ def temperature_rates(
             ),
         )
         .select(stratum_col, "n", "rate")
+    )
+
+
+def cdf_buckets(
+    counts: DataFrame,
+    score_col: str,
+    cnt_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Tie-coherent CDF buckets over PRE-AGGREGATED score counts:
+    appends ``bucket = (k * c_lt) div n`` in ``[0, k)``, where ``c_lt``
+    is the total count of rows scoring strictly below this row's score
+    and ``n`` the grand total — the RANGE-frame form of ntile(k).
+    Every row with the same score lands in the same bucket (unlike
+    ntile, which splits tie groups arbitrarily by physical row order —
+    non-deterministic under repartitioning), so bucket sizes deviate
+    from n/k exactly where ties straddle a cut, and nowhere else. This
+    is the CCNet head/middle/tail device: bucket docs by a
+    corpus-relative quality score without trusting any float threshold.
+
+    The input may carry MULTIPLE rows per score (e.g. per-(source,
+    score) partials): the RANGE frame sums counts by score value, so
+    sibling rows of a score see the same ``c_lt`` — callers keep their
+    other grouping columns and never need a separate histogram pass.
+
+    Integer arithmetic end-to-end, so a DuckDB oracle replays bucket
+    assignments exactly (``(k * c_lt) // n`` over the same window).
+    Overflow bound: ``k * c_lt < k * n`` — safe for any corpus
+    countable in int64.
+
+    Scale shape: the input is an aggregate (rows bounded by grouping
+    cardinality x distinct scores), so the single-partition window
+    here never touches corpus rows. Callers bucket on a BOUNDED score
+    — e.g. a permyriad in [0, 10000] — keeping the window provably
+    tiny at any corpus size; the corpus itself is never globally
+    sorted (the distributed exact-rank alternative for unbounded
+    scores is operators/rank.global_row_number).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(score_col)
+    c_lt = F.coalesce(
+        F.sum(cnt_col).over(w.rangeBetween(Window.unboundedPreceding, -1)),
+        F.lit(0).cast("long"),
+    )
+    n = F.sum(cnt_col).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return counts.withColumns(
+        {
+            "__kc": (F.lit(k).cast("long") * c_lt),
+            "__n": n.cast("long"),
+        }
+    ).withColumn("bucket", F.expr("__kc div __n")).drop("__kc", "__n")
+
+
+def _check_split_rates(train_permyriad: int, val_permyriad: int) -> None:
+    if train_permyriad < 0 or val_permyriad < 0:
+        raise ValueError("split rates must be non-negative")
+    if train_permyriad + val_permyriad > PRECISION:
+        raise ValueError(
+            f"train + val rates exceed {PRECISION}: "
+            f"{train_permyriad} + {val_permyriad}"
+        )
+
+
+def split_assignment(
+    group_col: Column | str,
+    salt: str = "split",
+    train_permyriad: int = 9000,
+    val_permyriad: int = 500,
+) -> Column:
+    """'train' / 'val' / 'test' assignment from a GROUP id's hash
+    bucket — the leakage-free split device: pass the near-dup CLUSTER
+    id (a connected-components label, or the doc's own id for
+    singletons) and every member of a cluster lands in the same split,
+    so no near-duplicate of a held-out document can reach the training
+    set. Splitting on raw doc ids — the naive form — leaks: near-dup
+    pairs straddle splits and the eval set is partially memorized.
+
+    Same determinism contract as :func:`sample_bucket` (retry-safe,
+    partitioning-independent, cross-engine exact); a NULL group id
+    yields a NULL split (callers coalesce the group id first).
+    ``ddb_split_assignment`` is the DuckDB twin.
+    """
+    _check_split_rates(train_permyriad, val_permyriad)
+    b = sample_bucket(group_col, salt)
+    return (
+        F.when(b < train_permyriad, F.lit("train"))
+        .when(b < train_permyriad + val_permyriad, F.lit("val"))
+        .when(b.isNotNull(), F.lit("test"))
+    )
+
+
+def ddb_split_assignment(
+    group_expr: str,
+    salt: str = "split",
+    train_permyriad: int = 9000,
+    val_permyriad: int = 500,
+) -> str:
+    """DuckDB SQL twin of :func:`split_assignment` (same hash, same
+    cuts, same NULL propagation)."""
+    _check_split_rates(train_permyriad, val_permyriad)
+    b = ddb_sample_bucket(group_expr, salt)
+    return (
+        f"(CASE WHEN {b} < {train_permyriad} THEN 'train'"
+        f" WHEN {b} < {train_permyriad + val_permyriad} THEN 'val'"
+        f" WHEN {b} IS NOT NULL THEN 'test' END)"
     )
 
 

@@ -135,6 +135,8 @@ _REPORT_TAIL = (
     "q73_neardup_clusters",
     "q74_token_budget_plan",
     "q75_gopher_signals",
+    "q76_ccnet_buckets",
+    "q77_leakage_free_splits",
 )
 
 

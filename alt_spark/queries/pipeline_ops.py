@@ -710,3 +710,93 @@ def q73(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+_SPLIT_SALT = "split-v1"
+
+
+def _q77_oracle() -> str:
+    from alt_spark.operators.mixing import ddb_split_assignment
+
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+pairs AS (
+  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.7
+), und AS (
+  SELECT id1 AS a, id2 AS b FROM pairs
+  UNION ALL
+  SELECT id2 AS a, id1 AS b FROM pairs
+), reach AS (
+  SELECT a AS id, a AS r FROM und
+  UNION
+  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
+), comp AS (
+  SELECT id, min(r) AS comp FROM reach GROUP BY id
+), grp AS (
+  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS gid
+  FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+), assigned AS (
+  SELECT doc_id, gid, {ddb_split_assignment('gid', _SPLIT_SALT)} AS split
+  FROM grp
+)
+SELECT split,
+       count(*) AS n_docs,
+       count(DISTINCT gid) AS n_groups,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+@query("q77_leakage_free_splits", oracle=_q77_oracle())
+def q77(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-free train/val/test assignment: split by near-dup
+    CLUSTER, not by document. Splitting on raw doc ids leaks — a
+    training doc's near-duplicate lands in the eval set and the
+    benchmark is partially memorized (the within-corpus sibling of
+    q62's benchmark decontamination). Here every document carries its
+    q73 connected-component label (its own id when unclustered), and
+    the salted-hash split (operators/mixing.split_assignment, 90/5/5)
+    is a function of the GROUP id — members of a cluster can never
+    straddle splits, pytest-enforced as a property over the actual
+    pair set.
+
+    The id_checksum pins exact split MEMBERSHIP cross-engine: the
+    oracle replays the closure (recursive CTE) and the md5 split
+    decision per group, so a wrong cluster merge or a doc-keyed (leaky)
+    split fails the hash even when split sizes look right.
+
+    Scale shape: pair generation and clustering are q73's (banded
+    equi-joins, O(log n) CC rounds); the split itself is one md5 per
+    row at scan speed, deterministic under retries, and the base-corpus
+    form composes with the incremental index
+    (graph.connected_components_incremental) so a daily batch re-splits
+    only touched components. Plan note: excluded from the plan-only
+    audit fixture alongside q73 — constructing the frame runs the CC
+    convergence loop.
+    """
+    from alt_spark.operators.graph import connected_components
+    from alt_spark.operators.mixing import split_assignment
+
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_near_dup(docs, threshold=0.7, portable=True)
+    cc = connected_components(pairs)
+    grp = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("comp", "doc_id").alias("gid"))
+    )
+    assigned = grp.select(
+        "doc_id", "gid", split_assignment("gid", _SPLIT_SALT).alias("split")
+    )
+    return (
+        assigned.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("gid").alias("n_groups"),
+            F.sum("doc_id").alias("id_checksum"),
+        )
+        .orderBy("split")
+    )

@@ -1102,3 +1102,111 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
         gopher_signals(F.col("text"), F.col("words"), F.col("toks")).alias("g"),
     )
     return sig.select("doc_id", "g.*")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q76_ccnet_buckets",
+    oracle=f"""
+WITH low AS (
+  SELECT doc_id, lower(text) AS t FROM documents
+), grams AS (
+  SELECT doc_id, substr(t, s, {_LM_N}) AS g
+  FROM (
+    SELECT doc_id, t, unnest(generate_series(1, length(t) - {_LM_N - 1})) AS s
+    FROM low WHERE length(t) >= {_LM_N}
+  )
+), model AS (
+  SELECT g, count(*) AS cnt FROM grams GROUP BY g
+  HAVING count(*) >= {_LM_MIN_COUNT}
+), sc AS (
+  SELECT gr.doc_id,
+         count(*) AS n_grams,
+         sum(CASE WHEN m.g IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM grams gr LEFT JOIN model m ON gr.g = m.g
+  GROUP BY gr.doc_id
+), perdoc AS (
+  SELECT d.doc_id, d.source,
+         CAST(CASE WHEN coalesce(sc.n_grams, 0) = 0 THEN 0
+                   ELSE (10000 * sc.n_oov) // sc.n_grams END AS BIGINT) AS score
+  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+), ranked AS (
+  SELECT doc_id, source, score,
+         count(*) OVER (ORDER BY score
+                        RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS c_lt,
+         count(*) OVER () AS n
+  FROM perdoc
+), bucketed AS (
+  SELECT doc_id, source, score,
+         CASE (3 * c_lt) // n WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+              ELSE 'tail' END AS bucket
+  FROM ranked
+)
+SELECT source, bucket,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       min(score) AS min_score,
+       max(score) AS max_score
+FROM bucketed
+GROUP BY source, bucket
+ORDER BY source, bucket
+""",
+)
+def q76(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet head/middle/tail corpus bucketing (Wenzek et al. 2019
+    §3.3): score every document against the corpus char-LM and cut the
+    corpus into terciles of the score distribution — head trains first,
+    tail is candidate-discard. The score is the OOV permyriad (q65's
+    integer perplexity proxy: rare-gram-heavy docs are boilerplate or
+    noise), so the whole chain — score, CDF, cut — is integer-exact and
+    the oracle replays per-bucket MEMBERSHIP (id checksum), not just
+    sizes. Buckets are tie-coherent (operators/mixing.cdf_bucket_map):
+    equal scores share a bucket, so the assignment is deterministic
+    under any partitioning, unlike ntile.
+
+    Plan shape at 100 TB: ONE corpus scoring pass collapsed to
+    (source, score) partials — score is a permyriad, so the partial
+    table is bounded by |sources| x 10001 regardless of corpus size;
+    the CDF window runs over the <= 10001-row histogram (never the
+    corpus), and the bucket map broadcasts back onto the partials. The
+    corpus is never globally sorted. Gramless (too-short) docs score 0
+    by q65's convention and ride the head bucket — a real pipeline
+    gates them out with q66's validity filter first.
+    """
+    from alt_spark.operators.lm import score_against_lm, train_char_lm
+    from alt_spark.operators.mixing import cdf_buckets
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    model = train_char_lm(docs, n=_LM_N, min_count=_LM_MIN_COUNT)
+    scored = score_against_lm(docs, model, n=_LM_N).select(
+        "doc_id", F.col("oov_permyriad").alias("score")
+    )
+    per = scored.join(docs.select("doc_id", "source"), "doc_id")
+    # (source, score) partials: the one corpus-width aggregation —
+    # everything below runs over |sources| x <=10001 rows. The CDF
+    # window rides these partials directly (the RANGE frame makes
+    # sibling sources of a score see the same c_lt), so the scoring
+    # lineage has exactly one consumer and executes once.
+    per_ss = per.groupBy("source", "score").agg(
+        F.count("*").alias("cnt"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+    bucketed = cdf_buckets(per_ss, "score", "cnt", k=3).withColumn(
+        "bucket",
+        F.when(F.col("bucket") == 0, F.lit("head"))
+        .when(F.col("bucket") == 1, F.lit("middle"))
+        .otherwise(F.lit("tail")),
+    )
+    return (
+        bucketed.groupBy("source", "bucket")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.sum("id_sum").alias("id_checksum"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("source", "bucket")
+    )

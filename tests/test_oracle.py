@@ -28,15 +28,15 @@ def test_oracle_parity(spark, ddb, qfn, sql):
 
 def _dtype_params():
     qs, os_ = all_queries(), all_oracles()
-    # q73 is excluded: CONSTRUCTING its frame runs the connected-
-    # components convergence loop (real executor work — same reason it
-    # is excluded from the plan-only audit fixture), which would defeat
-    # this test's fast-guard purpose. Its dtypes are still asserted
-    # inside compare_query during its parity run.
+    # q73/q77 are excluded: CONSTRUCTING their frames runs the
+    # connected-components convergence loop (real executor work — same
+    # reason they are excluded from the plan-only audit fixture), which
+    # would defeat this test's fast-guard purpose. Their dtypes are
+    # still asserted inside compare_query during their parity runs.
     return [
         pytest.param(qs[n], os_[n], id=n)
         for n in sorted(os_)
-        if n != "q73_neardup_clusters"
+        if n not in ("q73_neardup_clusters", "q77_leakage_free_splits")
     ]
 
 

@@ -540,3 +540,77 @@ def test_ivf_pq_composition(spark):
         assert len(exact & rerank) / 10 >= 0.5
     finally:
         enc.unpersist()
+
+
+# ------------------------------------------------------- leakage-free splits
+def test_split_assignment_rates_and_nulls(spark):
+    from alt_spark.operators.mixing import split_assignment
+
+    with pytest.raises(ValueError):
+        split_assignment("gid", train_permyriad=9900, val_permyriad=200)
+    with pytest.raises(ValueError):
+        split_assignment("gid", train_permyriad=-1)
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "gid long"
+    ).select("gid", split_assignment("gid", "s").alias("split"))
+    rows = {r["gid"]: r["split"] for r in df.collect()}
+    # NULL group id -> NULL split (never silently bucketed).
+    assert rows[None] is None
+    assert all(v in ("train", "val", "test") for k, v in rows.items() if k is not None)
+
+
+def test_split_assignment_deterministic_under_repartitioning(spark):
+    from alt_spark.operators.mixing import split_assignment
+
+    docs = load_table(spark, SF, "documents").select("doc_id")
+    a = {r["doc_id"]: r["split"] for r in docs.select(
+        "doc_id", split_assignment("doc_id").alias("split")).collect()}
+    b = {r["doc_id"]: r["split"] for r in docs.repartition(17).select(
+        "doc_id", split_assignment("doc_id").alias("split")).collect()}
+    assert a == b and len(set(a.values())) >= 2
+
+
+def test_q77_no_neardup_pair_straddles_splits(spark):
+    """The leakage property itself, checked against the ACTUAL pair
+    set: both endpoints of every near-dup pair receive the same split.
+    A doc-keyed split (the naive form) fails this on any corpus with
+    near-dup pairs — verified as the negative control."""
+    from alt_spark.operators.graph import connected_components
+    from alt_spark.operators.mixing import split_assignment
+    from alt_spark.queries.pipeline_ops import _SPLIT_SALT
+
+    docs = load_table(spark, SF, "documents")
+    pairs = dedup.minhash_near_dup(docs, threshold=0.7, portable=True).select(
+        "id1", "id2"
+    ).localCheckpoint()
+    assert pairs.count() > 0, "fixture needs near-dup pairs to test leakage"
+    cc = connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            split_assignment(
+                F.coalesce("comp", "doc_id"), _SPLIT_SALT
+            ).alias("split"),
+        )
+        .localCheckpoint()
+    )
+    def straddlers(assign_df):
+        s1 = assign_df.withColumnRenamed("doc_id", "id1").withColumnRenamed("split", "s1")
+        s2 = assign_df.withColumnRenamed("doc_id", "id2").withColumnRenamed("split", "s2")
+        return (
+            pairs.join(s1, "id1").join(s2, "id2")
+            .filter(F.col("s1") != F.col("s2"))
+            .count()
+        )
+    assert straddlers(assigned) == 0
+    # Negative control: doc-keyed assignment must leak somewhere on a
+    # salt sweep — otherwise this test couldn't detect the bug it polices.
+    leaked = 0
+    for salt in ("a", "b", "c", "d", "e"):
+        naive = docs.select(
+            "doc_id", split_assignment("doc_id", salt).alias("split")
+        )
+        leaked += straddlers(naive)
+    assert leaked > 0

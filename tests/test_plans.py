@@ -39,21 +39,29 @@ _NESTED_LOOP_OK = {
     # 1-row weight-total frame crossed onto the stratum-sized plan
     # table (operators/mixing.token_budget_plan, q70's device).
     "q74_token_budget_plan",
+    # 1-row model-total frame from the q65 scorer (q76 reuses the
+    # scoring chain; the cross join rides along even though the bucket
+    # query only consumes the OOV column).
+    "q76_ccnet_buckets",
 }
 
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    # q69 and q73 are excluded: constructing q69 FITS an MLlib model
-    # (Pipeline.fit is an action — percentile_cont pass + L-BFGS
-    # iterations) and q73 runs the connected-components convergence
+    # q69, q73 and q77 are excluded: constructing q69 FITS an MLlib
+    # model (Pipeline.fit is an action — percentile_cont pass + L-BFGS
+    # iterations); q73/q77 run the connected-components convergence
     # loop (one keyed join + count per round) — real executor work
     # inside what should be plan-only audits. Their scan/broadcast
     # invariants are covered by their own property tests.
     return {
         name: fn(spark, SF)
         for name, fn in all_queries().items()
-        if name not in ("q69_quality_classifier", "q73_neardup_clusters")
+        if name not in (
+            "q69_quality_classifier",
+            "q73_neardup_clusters",
+            "q77_leakage_free_splits",
+        )
     }
 
 

@@ -756,3 +756,81 @@ def test_token_budget_plan_all_zero_tokens(spark):
     rows = {r["src"]: r for r in token_budget_plan(df, "src", "n_tok", 1000).collect()}
     for r in rows.values():
         assert (r["weight"], r["target_tok"], r["epochs_permyriad"], r["planned_tok"]) == (0, 0, 0, 0)
+
+
+# ------------------------------------------------------------- CDF buckets
+def test_cdf_buckets_tie_coherent_terciles(spark):
+    """Tie groups share a bucket; bucket boundaries follow the exact
+    (k * c_lt) div n rule; buckets are monotone in score."""
+    from alt_spark.operators.mixing import cdf_buckets
+
+    # scores: 0 x4, 5 x2, 9 x3  (n=9; terciles cut at c_lt 3 and 6)
+    counts = spark.createDataFrame(
+        [(0, 4), (5, 2), (9, 3)], "score long, cnt long"
+    )
+    got = {r["score"]: r["bucket"] for r in cdf_buckets(counts, "score", "cnt").collect()}
+    # c_lt(0)=0 -> 0; c_lt(5)=4 -> (3*4) div 9 = 1; c_lt(9)=6 -> 2
+    assert got == {0: 0, 5: 1, 9: 2}
+
+
+def test_cdf_buckets_multi_row_per_score(spark):
+    """Per-(group, score) partials: sibling rows of a score must see
+    the SAME c_lt (the RANGE frame sums by score value, not row
+    position) and carry their grouping column through."""
+    from alt_spark.operators.mixing import cdf_buckets
+
+    counts = spark.createDataFrame(
+        [("a", 0, 2), ("b", 0, 2), ("a", 5, 2), ("b", 9, 3)],
+        "src string, score long, cnt long",
+    )
+    rows = cdf_buckets(counts, "score", "cnt").collect()
+    got = {(r["src"], r["score"]): r["bucket"] for r in rows}
+    # n=9: c_lt(0)=0 -> 0 for BOTH sources; c_lt(5)=4 -> 1; c_lt(9)=6 -> 2
+    assert got == {("a", 0): 0, ("b", 0): 0, ("a", 5): 1, ("b", 9): 2}
+
+
+def test_cdf_buckets_all_tied_single_bucket(spark):
+    """A fully tied distribution cannot be split: everything is head."""
+    from alt_spark.operators.mixing import cdf_buckets
+
+    counts = spark.createDataFrame([(7, 100)], "score long, cnt long")
+    assert cdf_buckets(counts, "score", "cnt", k=3).collect()[0]["bucket"] == 0
+
+
+def test_cdf_buckets_k_validation_and_k1(spark):
+    from alt_spark.operators.mixing import cdf_buckets
+
+    counts = spark.createDataFrame([(1, 1), (2, 1)], "score long, cnt long")
+    with pytest.raises(ValueError):
+        cdf_buckets(counts, "score", "cnt", k=0)
+    # k=1: one bucket, everything in it.
+    assert {
+        r["bucket"] for r in cdf_buckets(counts, "score", "cnt", k=1).collect()
+    } == {0}
+
+
+def test_q76_buckets_partition_and_cover(spark):
+    """q76's buckets cover every document exactly once, bucket count
+    deviation from n/3 is explained by ties only, and scores are
+    ordered head <= middle <= tail."""
+    from alt_spark.queries import all_queries
+
+    out = all_queries()["q76_ccnet_buckets"](spark, SF_SMOKE).collect()
+    docs = _docs(spark)
+    n = docs.count()
+    assert sum(r["n_docs"] for r in out) == n
+    id_sum = docs.agg(F.sum("doc_id")).first()[0]
+    assert sum(r["id_checksum"] for r in out) == id_sum
+    by_bucket: dict[str, list] = {}
+    for r in out:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    order = {"head": 0, "middle": 1, "tail": 2}
+    assert set(by_bucket) <= set(order)
+    # Score ranges must be disjoint and ordered across buckets.
+    ranges = sorted(
+        ((min(r["min_score"] for r in rows), max(r["max_score"] for r in rows), b)
+         for b, rows in by_bucket.items()),
+        key=lambda t: order[t[2]],
+    )
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges
