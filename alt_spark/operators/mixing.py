@@ -197,12 +197,17 @@ def cdf_buckets(
     n = F.sum(cnt_col).over(
         w.rangeBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
+    # greatest(__n, 1): a degenerate all-zero-count input must yield
+    # bucket 0 everywhere, not NULL buckets (Spark's div returns NULL on
+    # zero with ANSI off) — the token_budget_plan guard, same rationale.
     return counts.withColumns(
         {
             "__kc": (F.lit(k).cast("long") * c_lt),
             "__n": n.cast("long"),
         }
-    ).withColumn("bucket", F.expr("__kc div __n")).drop("__kc", "__n")
+    ).withColumn("bucket", F.expr("__kc div greatest(__n, 1)")).drop(
+        "__kc", "__n"
+    )
 
 
 def _check_split_rates(train_permyriad: int, val_permyriad: int) -> None:

@@ -644,15 +644,12 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _q73_oracle() -> str:
-    """q30's pair chain + recursive min-label closure: reach(id, r)
-    enumerates every (node, node-that-reaches-it) over the undirected
-    pair graph (UNION dedups, so recursion terminates), and min(r) per
-    node is the component's canonical id — the same representative the
-    Spark side's min-label propagation converges to."""
-    return f"""
-WITH RECURSIVE {_minhash_pair_ctes()},
-pairs AS (
+def _cc_closure_ctes() -> str:
+    """The connected-components closure over the `est` pair estimates
+    (pairs -> undirected edges -> recursive reach -> comp = min-label)
+    — shared verbatim by the q73 and q77 oracles so a threshold or
+    closure fix cannot silently diverge their cluster membership."""
+    return """pairs AS (
   SELECT id1, id2 FROM est WHERE est_jaccard >= 0.7
 ), und AS (
   SELECT id1 AS a, id2 AS b FROM pairs
@@ -664,7 +661,18 @@ pairs AS (
   SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
 ), comp AS (
   SELECT id, min(r) AS comp FROM reach GROUP BY id
-)
+)"""
+
+
+def _q73_oracle() -> str:
+    """q30's pair chain + recursive min-label closure: reach(id, r)
+    enumerates every (node, node-that-reaches-it) over the undirected
+    pair graph (UNION dedups, so recursion terminates), and min(r) per
+    node is the component's canonical id — the same representative the
+    Spark side's min-label propagation converges to."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+{_cc_closure_ctes()}
 SELECT comp AS cluster_id,
        count(*) AS n_docs,
        CAST(sum(id) AS BIGINT) AS id_checksum,
@@ -721,19 +729,7 @@ def _q77_oracle() -> str:
 
     return f"""
 WITH RECURSIVE {_minhash_pair_ctes()},
-pairs AS (
-  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.7
-), und AS (
-  SELECT id1 AS a, id2 AS b FROM pairs
-  UNION ALL
-  SELECT id2 AS a, id1 AS b FROM pairs
-), reach AS (
-  SELECT a AS id, a AS r FROM und
-  UNION
-  SELECT u.b AS id, reach.r FROM reach JOIN und u ON u.a = reach.id
-), comp AS (
-  SELECT id, min(r) AS comp FROM reach GROUP BY id
-), grp AS (
+{_cc_closure_ctes()}, grp AS (
   SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS gid
   FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
 ), assigned AS (

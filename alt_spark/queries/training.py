@@ -395,10 +395,13 @@ def q64(spark: SparkSession, sf: str) -> DataFrame:
 _LM_N, _LM_MIN_COUNT = 3, 5
 
 
-@query(
-    "q65_charlm_score",
-    oracle=f"""
-WITH low AS (
+def _lm_gram_ctes() -> str:
+    """The char-LM gram CTEs (lowered text -> one row per char n-gram)
+    shared verbatim by the q65 / q72 / q76 oracles — one definition of
+    the vocabulary window, so a guard or n change cannot silently
+    diverge the three oracles (the pipeline_ops._minhash_pair_ctes
+    pattern)."""
+    return f"""low AS (
   SELECT doc_id, lower(text) AS t FROM documents
 ), grams AS (
   SELECT doc_id, substr(t, s, {_LM_N}) AS g
@@ -406,10 +409,22 @@ WITH low AS (
     SELECT doc_id, t, unnest(generate_series(1, length(t) - {_LM_N - 1})) AS s
     FROM low WHERE length(t) >= {_LM_N}
   )
-), model AS (
+)"""
+
+
+def _lm_model_cte() -> str:
+    """The full-corpus model CTE (q65/q76; q72 trains on a sampled
+    slice and declares its own model over the same gram CTEs)."""
+    return f"""model AS (
   SELECT g, count(*) AS cnt FROM grams GROUP BY g
   HAVING count(*) >= {_LM_MIN_COUNT}
-), sc AS (
+)"""
+
+
+@query(
+    "q65_charlm_score",
+    oracle=f"""
+WITH {_lm_gram_ctes()}, {_lm_model_cte()}, sc AS (
   SELECT gr.doc_id,
          count(*) AS n_grams,
          sum(CASE WHEN m.g IS NULL THEN 1 ELSE 0 END) AS n_oov,
@@ -816,15 +831,7 @@ WITH tok AS (
   SELECT doc_id, max(c * length(gram)) AS t2
   FROM (SELECT doc_id, gram, count(*) AS c FROM g2 GROUP BY doc_id, gram)
   GROUP BY doc_id
-), low AS (
-  SELECT doc_id, lower(text) AS t FROM documents
-), grams AS (
-  SELECT doc_id, substr(t, s, {_LM_N}) AS g
-  FROM (
-    SELECT doc_id, t, unnest(generate_series(1, length(t) - {_LM_N - 1})) AS s
-    FROM low WHERE length(t) >= {_LM_N}
-  )
-), model AS (
+), {_lm_gram_ctes()}, model AS (
   SELECT g, count(*) AS cnt FROM grams
   WHERE doc_id IN (
     SELECT doc_id FROM documents
@@ -1108,18 +1115,7 @@ def q75(spark: SparkSession, sf: str) -> DataFrame:
 @query(
     "q76_ccnet_buckets",
     oracle=f"""
-WITH low AS (
-  SELECT doc_id, lower(text) AS t FROM documents
-), grams AS (
-  SELECT doc_id, substr(t, s, {_LM_N}) AS g
-  FROM (
-    SELECT doc_id, t, unnest(generate_series(1, length(t) - {_LM_N - 1})) AS s
-    FROM low WHERE length(t) >= {_LM_N}
-  )
-), model AS (
-  SELECT g, count(*) AS cnt FROM grams GROUP BY g
-  HAVING count(*) >= {_LM_MIN_COUNT}
-), sc AS (
+WITH {_lm_gram_ctes()}, {_lm_model_cte()}, sc AS (
   SELECT gr.doc_id,
          count(*) AS n_grams,
          sum(CASE WHEN m.g IS NULL THEN 1 ELSE 0 END) AS n_oov
@@ -1161,18 +1157,20 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
     integer perplexity proxy: rare-gram-heavy docs are boilerplate or
     noise), so the whole chain — score, CDF, cut — is integer-exact and
     the oracle replays per-bucket MEMBERSHIP (id checksum), not just
-    sizes. Buckets are tie-coherent (operators/mixing.cdf_bucket_map):
+    sizes. Buckets are tie-coherent (operators/mixing.cdf_buckets):
     equal scores share a bucket, so the assignment is deterministic
     under any partitioning, unlike ntile.
 
     Plan shape at 100 TB: ONE corpus scoring pass collapsed to
     (source, score) partials — score is a permyriad, so the partial
-    table is bounded by |sources| x 10001 regardless of corpus size;
-    the CDF window runs over the <= 10001-row histogram (never the
-    corpus), and the bucket map broadcasts back onto the partials. The
-    corpus is never globally sorted. Gramless (too-short) docs score 0
-    by q65's convention and ride the head bucket — a real pipeline
-    gates them out with q66's validity filter first.
+    table is bounded by |sources| x 10001 regardless of corpus size —
+    and the CDF window (operators/mixing.cdf_buckets) rides those
+    partials directly: its RANGE frame sums counts by score value, so
+    sibling sources of a score see the same c_lt and no separate
+    histogram pass or join-back exists. The corpus is never globally
+    sorted. Gramless (too-short) docs score 0 by q65's convention and
+    ride the head bucket — a real pipeline gates them out with q66's
+    validity filter first.
     """
     from alt_spark.operators.lm import score_against_lm, train_char_lm
     from alt_spark.operators.mixing import cdf_buckets

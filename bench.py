@@ -146,8 +146,11 @@ def main() -> int:
     # slot arrives its compiled classes have been evicted by the
     # intervening queries and it pays recompilation + C2 re-tiering
     # (measured ~1 s on the q48 parse chain at sf0.1 — an artifact of
-    # cycling 75 shapes in one JVM that a dedicated ingestion service
-    # never exhibits). Re-measure each ingestion query back-to-back:
+    # cycling every registered query shape in one JVM that a dedicated
+    # ingestion service never exhibits). Queries that already failed in
+    # the suite are skipped (suite_s stays a float); a failure unique
+    # to the re-run is recorded under "<name>:steady" in `failed`.
+    # Re-measure each ingestion query back-to-back:
     # one untimed warm run, then best-of-two timed runs of freshly-built
     # plans (rebuilt each time, so no shuffle/exchange reuse hides
     # map-stage work; min-of-2 because a single run is exposed to GC /
@@ -155,7 +158,7 @@ def main() -> int:
     # suite_seconds above keeps the in-suite numbers; both are reported.
     ingestion: dict[str, dict[str, float]] = {}
     for name, table in sorted(INGESTION_INPUT.items()):
-        if name not in queries or table not in input_meta:
+        if name not in timings or table not in input_meta:
             continue
         try:
             queries[name](spark, sf_dir).write.mode("overwrite").format(
@@ -171,7 +174,8 @@ def main() -> int:
                 runs.append(time.perf_counter() - t0)
                 spark.catalog.clearCache()
             steady = round(min(runs), 3)
-        except Exception:
+        except Exception as exc:
+            failed[f"{name}:steady"] = f"{type(exc).__name__}: {exc}"[:200]
             continue
         finally:
             spark.catalog.clearCache()

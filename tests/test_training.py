@@ -797,6 +797,16 @@ def test_cdf_buckets_all_tied_single_bucket(spark):
     assert cdf_buckets(counts, "score", "cnt", k=3).collect()[0]["bucket"] == 0
 
 
+def test_cdf_buckets_all_zero_counts_bucket0(spark):
+    """Degenerate input (every count 0): bucket 0 everywhere, never a
+    NULL bucket from the div-by-zero (greatest guard, like
+    token_budget_plan's)."""
+    from alt_spark.operators.mixing import cdf_buckets
+
+    counts = spark.createDataFrame([(1, 0), (2, 0)], "score long, cnt long")
+    assert [r["bucket"] for r in cdf_buckets(counts, "score", "cnt").collect()] == [0, 0]
+
+
 def test_cdf_buckets_k_validation_and_k1(spark):
     from alt_spark.operators.mixing import cdf_buckets
 
