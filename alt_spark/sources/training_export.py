@@ -1,0 +1,201 @@
+"""Training-corpus export sink: sharded parquet + audited manifest,
+published atomically as an immutable version (SURVEY.md §2.A ⊕).
+
+The last step of the training-data pipeline (mix → gate → dedup → chunk
+→ pack → shard → EXPORT): materialize the prepared corpus where a
+training job's data loader reads it. The reference's closest surface is
+the two-phase search-index publish (search-indexer
+app/usecase/index_articles.go:69-94); this sink keeps that ACK-after-
+durable-write / atomic-version contract but writes through Spark's
+native parquet path, because a 100 TB export must be written by the
+executors — never funneled through a driver-side client.
+
+Design:
+
+- **Stage distributed.** ``df.repartition(shard_col).write.partitionBy
+  (shard_col)`` into a hidden staging dir: each shard's rows are
+  co-located by the hash exchange, so a shard is one parquet file — the
+  unit a data-loader worker claims. All parallelism is Spark's own.
+- **Manifest from the staged bytes.** Per-shard row counts, token sums
+  and an order-insensitive content fingerprint (sum of xxhash64 over
+  the content columns) are aggregated by READING BACK the staged files
+  — the manifest certifies what readers will actually read, catching a
+  lost or truncated part file, not merely what the writer intended to
+  write. One column-pruned pass over the staged output; bounded result
+  (one row per shard).
+- **Publish atomically.** manifest.json lands inside the staging dir,
+  then a single ``os.rename`` moves it to ``v{n+1}`` — a concurrent
+  reader can never observe a half-written version, and a concurrent
+  exporter surfaces a version conflict instead of silently clobbering
+  (the index-writer contract). Published versions are immutable:
+  training runs pin a version and stay reproducible while the next
+  export builds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "export_packed_corpus",
+    "latest_export_version",
+    "read_export_manifest",
+    "read_export",
+]
+
+_MANIFEST = "manifest.json"
+
+
+def latest_export_version(out_dir: str) -> tuple[int, str | None]:
+    """(version, path) of the newest committed export; (-1, None) if
+    none. Staging dirs (``_staging_*``) are never selected."""
+    if not os.path.isdir(out_dir):
+        return -1, None
+    versions = sorted(
+        (int(d[1:]), os.path.join(out_dir, d))
+        for d in os.listdir(out_dir)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    return versions[-1] if versions else (-1, None)
+
+
+def read_export_manifest(out_dir: str, version: int | None = None) -> dict:
+    """The manifest of a committed version (latest by default)."""
+    if version is None:
+        version, path = latest_export_version(out_dir)
+    else:
+        path = os.path.join(out_dir, f"v{version}")
+    if version < 0 or path is None or not os.path.isdir(path):
+        raise FileNotFoundError(f"no committed export under {out_dir}")
+    with open(os.path.join(path, _MANIFEST)) as fh:
+        return json.load(fh)
+
+
+def read_export(
+    spark: SparkSession, out_dir: str, version: int | None = None
+) -> DataFrame:
+    """The data of a committed version (latest by default) — what a
+    training job's loader reads, shard column restored by partition
+    discovery."""
+    from pyspark.sql.types import StructType
+
+    manifest = read_export_manifest(out_dir, version)
+    # The manifest carries the writer's schema: an empty version (zero
+    # part files) is still readable, and readers never depend on
+    # inference agreeing with what was exported.
+    return spark.read.schema(
+        StructType.fromJson(manifest["schema"])
+    ).parquet(os.path.join(out_dir, f"v{manifest['version']}", "data"))
+
+
+def export_packed_corpus(
+    df: DataFrame,
+    out_dir: str,
+    shard_col: str = "shard",
+    token_col: str | None = None,
+) -> dict:
+    """Export a prepared corpus as one immutable sharded version and
+    return its manifest.
+
+    ``df`` is the pipeline output (e.g. q68's shuffle-sharded rows or
+    q61's packed bins relabeled as shards); ``shard_col`` names the
+    shard assignment, ``token_col`` (optional) a per-row token count to
+    account in the manifest. Every non-shard column is content: the
+    per-shard ``content_hash`` is the int64-wrapping sum of
+    ``xxhash64`` over all of them — order-insensitive, so it is stable
+    under any task layout, and disagreeing the moment any row is lost,
+    duplicated, or altered.
+
+    Returns the committed manifest::
+
+        {"version": N, "shard_col": ..., "schema": <Spark schema json>,
+         "n_shards": ..., "n_rows": ...,
+         "token_sum": ...,          # absent when token_col is None
+         "shards": [{"shard": ..., "n_rows": ..., "content_hash": ...,
+                     "token_sum": ...}, ...]}
+
+    An empty frame publishes an empty version (n_rows 0, no shards) —
+    an auditable "this run exported nothing", not a silent no-op.
+    Raises RuntimeError on a concurrent-publish conflict; the staging
+    dir is always cleaned up, win or lose.
+    """
+    if shard_col not in df.columns:
+        raise ValueError(f"shard column {shard_col!r} not in {df.columns}")
+    if token_col is not None and token_col not in df.columns:
+        raise ValueError(f"token column {token_col!r} not in {df.columns}")
+    spark = df.sparkSession
+    os.makedirs(out_dir, exist_ok=True)
+    staging = os.path.join(out_dir, f"_staging_{uuid.uuid4().hex[:8]}")
+    data_dir = os.path.join(staging, "data")
+    try:
+        # Stage: one hash exchange on the shard key co-locates each
+        # shard into a single task, so partitionBy emits one file per
+        # shard. Durable before anything is published.
+        df.repartition(F.col(shard_col)).write.mode("error").partitionBy(
+            shard_col
+        ).parquet(data_dir)
+
+        # Manifest from the staged bytes (column-pruned read-back; the
+        # explicit schema keeps an all-empty stage readable — zero part
+        # files infer nothing).
+        staged = spark.read.schema(df.schema).parquet(data_dir)
+        content_cols = [c for c in staged.columns if c != shard_col]
+        aggs = [
+            F.count("*").alias("n_rows"),
+            F.sum(F.xxhash64(*content_cols)).alias("content_hash"),
+        ]
+        if token_col is not None:
+            aggs.append(
+                F.sum(F.col(token_col).cast("long")).alias("token_sum")
+            )
+        per_shard = sorted(
+            (r.asDict() for r in staged.groupBy(shard_col).agg(*aggs).collect()),
+            key=lambda r: str(r[shard_col]),
+        )
+        prev_version, _ = latest_export_version(out_dir)
+        version = prev_version + 1
+        manifest: dict = {
+            "version": version,
+            "shard_col": shard_col,
+            "schema": df.schema.jsonValue(),
+            "n_shards": len(per_shard),
+            "n_rows": int(sum(r["n_rows"] for r in per_shard)),
+            "shards": [
+                {
+                    "shard": r[shard_col],
+                    "n_rows": int(r["n_rows"]),
+                    "content_hash": int(r["content_hash"]),
+                    **(
+                        {"token_sum": int(r["token_sum"])}
+                        if token_col is not None
+                        else {}
+                    ),
+                }
+                for r in per_shard
+            ],
+        }
+        if token_col is not None:
+            manifest["token_sum"] = int(
+                sum(r["token_sum"] for r in per_shard)
+            )
+        with open(os.path.join(staging, _MANIFEST), "w") as fh:
+            json.dump(manifest, fh, indent=1, default=str)
+
+        # Publish: one atomic rename; concurrent committers conflict
+        # loudly instead of last-committer-wins (index_writer contract).
+        try:
+            os.rename(staging, os.path.join(out_dir, f"v{version}"))
+        except OSError as exc:
+            raise RuntimeError(
+                f"training export version conflict: v{version} was "
+                "published concurrently; re-run against the new latest"
+            ) from exc
+        return manifest
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

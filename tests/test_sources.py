@@ -4,7 +4,9 @@ from __future__ import annotations
 
 import json
 
+import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 RSS_DOC = """<?xml version="1.0"?>
 <rss version="2.0"><channel><title>Feed One</title>
@@ -205,3 +207,132 @@ def test_searchindex_batch_writer_two_phase_commit(spark, tmp_path):
 
     assert sorted(d for d in os.listdir(idx) if d.startswith("v")) == ["v0", "v1"]
     assert not [d for d in os.listdir(idx) if d.startswith("_staging")]
+
+
+# ------------------------------------------------------- training export sink
+def _sharded_docs(spark):
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.packing import shuffle_shards
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    return shuffle_shards(docs, "doc_id", n_shards=4, salt="exp-t").withColumn(
+        "n_tok", F.size(F.split("text", r"\s+")).cast("long")
+    )
+
+
+def test_training_export_roundtrip_and_manifest(spark, tmp_path):
+    """The manifest must certify the staged bytes: totals and per-shard
+    content hashes match an independent recomputation from the INPUT,
+    and the read-back rows are exactly the input rows."""
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export,
+        read_export_manifest,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    manifest = export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    assert manifest["version"] == 0 and manifest == read_export_manifest(out)
+    expect = {
+        r["shard"]: r
+        for r in sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.xxhash64("doc_id", "text", "pos", "n_tok")).alias("h"),
+            F.sum("n_tok").alias("tok"),
+        )
+        .collect()
+    }
+    assert manifest["n_rows"] == sum(r["n_rows"] for r in expect.values())
+    assert manifest["token_sum"] == sum(r["tok"] for r in expect.values())
+    assert manifest["n_shards"] == len(expect) == 4
+    for s in manifest["shards"]:
+        e = expect[s["shard"]]
+        assert (s["n_rows"], s["content_hash"], s["token_sum"]) == (
+            e["n_rows"],
+            e["h"],
+            e["tok"],
+        )
+    back = read_export(spark, out)
+    assert sorted(back.columns) == sorted(sharded.columns)
+    assert (
+        back.select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+        == sharded.select("doc_id", "shard", "pos").orderBy("doc_id").collect()
+    )
+
+
+def test_training_export_versions_are_immutable(spark, tmp_path):
+    """A second export publishes v1 next to an untouched v0; the
+    content hash is layout-invariant (order-insensitive sum)."""
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export_manifest,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    m0 = export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    m1 = export_packed_corpus(
+        sharded.repartition(7), out, "shard", token_col="n_tok"
+    )
+    assert (m0["version"], m1["version"]) == (0, 1)
+    assert read_export_manifest(out, 0) == m0, "v0 untouched by v1"
+    assert m1["shards"] == m0["shards"], "content hash is layout-invariant"
+
+
+def test_training_export_conflict_and_cleanup(spark, tmp_path, monkeypatch):
+    """A competitor publishing between this exporter's version probe
+    and its rename must conflict loudly (never last-committer-wins),
+    and the loser's staging dir must not survive. The race window is
+    simulated by pinning the version probe while the v1 slot fills."""
+    import os
+
+    from alt_spark.sources import training_export as te
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    te.export_packed_corpus(sharded, out, "shard")
+
+    real_probe = te.latest_export_version
+
+    def stale_probe(d):
+        v, p = real_probe(d)
+        # The competitor lands v1 right after this exporter reads v0.
+        os.makedirs(os.path.join(out, "v1"), exist_ok=True)
+        with open(os.path.join(out, "v1", "manifest.json"), "w") as fh:
+            fh.write("{}")
+        return v, p
+
+    monkeypatch.setattr(te, "latest_export_version", stale_probe)
+    with pytest.raises(RuntimeError, match="version conflict"):
+        te.export_packed_corpus(sharded, out, "shard")
+    assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+    # A retry against the new latest succeeds at the next slot.
+    monkeypatch.setattr(te, "latest_export_version", real_probe)
+    assert te.export_packed_corpus(sharded, out, "shard")["version"] == 2
+
+
+def test_training_export_empty_frame_publishes_empty_version(spark, tmp_path):
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export,
+    )
+
+    out = str(tmp_path / "export")
+    empty = _sharded_docs(spark).filter(F.lit(False))
+    m = export_packed_corpus(empty, out, "shard", token_col="n_tok")
+    assert (m["n_rows"], m["n_shards"], m["shards"]) == (0, 0, [])
+    assert read_export(spark, out).count() == 0
+
+
+def test_training_export_validates_columns(spark, tmp_path):
+    from alt_spark.sources.training_export import export_packed_corpus
+
+    sharded = _sharded_docs(spark)
+    with pytest.raises(ValueError, match="shard column"):
+        export_packed_corpus(sharded, str(tmp_path / "x"), "nope")
+    with pytest.raises(ValueError, match="token column"):
+        export_packed_corpus(sharded, str(tmp_path / "x"), "shard", token_col="nope")
