@@ -652,3 +652,48 @@ def test_connected_components_at_100k(spark):
     ).count()
     assert path_bad == 0
     assert time.time() - t0 < 120, "CC smoke exceeded budget"
+
+
+def test_training_export_at_100k(spark, tmp_path):
+    """End-of-pipeline export at 100k rows / 64 shards: the staged
+    layout must be one parquet file per shard (the data-loader claim
+    unit — proves the repartition(shard) co-location held at volume),
+    and the manifest must certify exactly the input (totals + per-shard
+    fingerprints match an independent recompute)."""
+    import glob
+    import os
+    import time
+
+    from alt_spark.operators.packing import shuffle_shards
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export_manifest,
+    )
+
+    corpus = _big_corpus(spark)
+    sharded = shuffle_shards(corpus, n_shards=64).select(
+        "doc_id", "text", "shard"
+    )
+    out = str(tmp_path / "export100k")
+    t0 = time.time()
+    manifest = export_packed_corpus(sharded, out, "shard")
+    elapsed = time.time() - t0
+    assert manifest["n_rows"] == 100_000 and manifest["n_shards"] == 64
+    assert manifest == read_export_manifest(out)
+    # One file per shard: partitionBy after the shard repartition may
+    # not scatter a shard across tasks.
+    for d in glob.glob(os.path.join(out, "v0", "data", "shard=*")):
+        parts = [p for p in os.listdir(d) if p.endswith(".parquet")]
+        assert len(parts) == 1, (d, parts)
+    expect = {
+        r["shard"]: (r["n"], r["h"])
+        for r in sharded.groupBy("shard")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("doc_id", "text")).alias("h"),
+        )
+        .collect()
+    }
+    got = {s["shard"]: (s["n_rows"], s["content_hash"]) for s in manifest["shards"]}
+    assert got == expect
+    assert elapsed < 120, f"export took {elapsed:.1f}s"
