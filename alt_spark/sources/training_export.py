@@ -30,6 +30,14 @@ Design:
   (the index-writer contract). Published versions are immutable:
   training runs pin a version and stay reproducible while the next
   export builds.
+- **Incremental re-export.** With ``incremental=True`` a daily run
+  rewrites only the shards whose content fingerprint changed against
+  the previous version; unchanged shard files are hard-linked into the
+  new version (copy fallback), so the write cost is proportional to
+  the CHANGED data — the export-side sibling of the incremental dedup /
+  connected-components indexes. Versions stay self-contained and
+  immutable either way: a reader of v{n} never follows a pointer into
+  v{n-1} (hard links share bytes, not paths).
 """
 
 from __future__ import annotations
@@ -94,11 +102,57 @@ def read_export(
     ).parquet(os.path.join(out_dir, f"v{manifest['version']}", "data"))
 
 
+def _shard_stats(
+    df: DataFrame, shard_col: str, token_col: str | None
+) -> list[dict]:
+    """Per-shard (n_rows, content_hash[, token_sum]) rows, sorted by
+    shard. The content hash is the int64-wrapping sum of xxhash64 over
+    every non-shard column — order-insensitive, so it is stable under
+    any task layout, and disagreeing the moment any row is lost,
+    duplicated, or altered."""
+    content_cols = [c for c in df.columns if c != shard_col]
+    aggs = [
+        F.count("*").alias("n_rows"),
+        F.sum(F.xxhash64(*content_cols)).alias("content_hash"),
+    ]
+    if token_col is not None:
+        aggs.append(F.sum(F.col(token_col).cast("long")).alias("token_sum"))
+    return sorted(
+        (r.asDict() for r in df.groupBy(shard_col).agg(*aggs).collect()),
+        key=lambda r: str(r[shard_col]),
+    )
+
+
+def _entry(r: dict, shard_col: str, token_col: str | None) -> dict:
+    e = {
+        "shard": r[shard_col],
+        "n_rows": int(r["n_rows"]),
+        "content_hash": int(r["content_hash"]),
+    }
+    if token_col is not None:
+        e["token_sum"] = int(r["token_sum"])
+    return e
+
+
+def _link_shard_dir(src: str, dst: str) -> None:
+    """Hard-link every file of a committed shard dir into the staging
+    layout (same filesystem by construction — staging lives beside the
+    versions); copy is the cross-device fallback."""
+    os.makedirs(dst, exist_ok=True)
+    for name in os.listdir(src):
+        s, d = os.path.join(src, name), os.path.join(dst, name)
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copy2(s, d)
+
+
 def export_packed_corpus(
     df: DataFrame,
     out_dir: str,
     shard_col: str = "shard",
     token_col: str | None = None,
+    incremental: bool = False,
 ) -> dict:
     """Export a prepared corpus as one immutable sharded version and
     return its manifest.
@@ -106,19 +160,29 @@ def export_packed_corpus(
     ``df`` is the pipeline output (e.g. q68's shuffle-sharded rows or
     q61's packed bins relabeled as shards); ``shard_col`` names the
     shard assignment, ``token_col`` (optional) a per-row token count to
-    account in the manifest. Every non-shard column is content: the
-    per-shard ``content_hash`` is the int64-wrapping sum of
-    ``xxhash64`` over all of them — order-insensitive, so it is stable
-    under any task layout, and disagreeing the moment any row is lost,
-    duplicated, or altered.
+    account in the manifest.
 
     Returns the committed manifest::
 
         {"version": N, "shard_col": ..., "schema": <Spark schema json>,
          "n_shards": ..., "n_rows": ...,
-         "token_sum": ...,          # absent when token_col is None
+         "token_sum": ...,           # absent when token_col is None
+         "reused_shards": [...],     # incremental runs only
          "shards": [{"shard": ..., "n_rows": ..., "content_hash": ...,
                      "token_sum": ...}, ...]}
+
+    Full export (``incremental=False``): stage everything, aggregate
+    the manifest from the staged bytes, publish.
+
+    Incremental (``incremental=True``, requires a previous version with
+    the same schema and shard column — raises ValueError otherwise):
+    one bounded aggregation over the input computes per-shard stats;
+    shards whose stats equal the previous manifest are hard-linked from
+    the previous version (write cost ∝ changed data), the rest are
+    staged and then re-aggregated FROM the staged bytes, which must
+    reproduce the input stats (a write fault fails the export instead
+    of publishing a manifest that lies). Shards absent from the input
+    are dropped from the new version.
 
     An empty frame publishes an empty version (n_rows 0, no shards) —
     an auditable "this run exported nothing", not a silent no-op.
@@ -131,59 +195,107 @@ def export_packed_corpus(
         raise ValueError(f"token column {token_col!r} not in {df.columns}")
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
+
+    prev_manifest: dict | None = None
+    prev_path: str | None = None
+    if incremental:
+        prev_version, prev_path = latest_export_version(out_dir)
+        if prev_version < 0 or prev_path is None:
+            raise ValueError(
+                "incremental export requires a previously committed "
+                f"version under {out_dir}"
+            )
+        prev_manifest = read_export_manifest(out_dir, prev_version)
+        if prev_manifest["schema"] != df.schema.jsonValue() or (
+            prev_manifest["shard_col"] != shard_col
+        ):
+            raise ValueError(
+                "incremental export requires the previous version's "
+                "schema and shard column; run a full export instead"
+            )
+
     staging = os.path.join(out_dir, f"_staging_{uuid.uuid4().hex[:8]}")
     data_dir = os.path.join(staging, "data")
     try:
-        # Stage: one hash exchange on the shard key co-locates each
-        # shard into a single task, so partitionBy emits one file per
-        # shard. Durable before anything is published.
-        df.repartition(F.col(shard_col)).write.mode("error").partitionBy(
-            shard_col
-        ).parquet(data_dir)
-
-        # Manifest from the staged bytes (column-pruned read-back; the
-        # explicit schema keeps an all-empty stage readable — zero part
-        # files infer nothing).
-        staged = spark.read.schema(df.schema).parquet(data_dir)
-        content_cols = [c for c in staged.columns if c != shard_col]
-        aggs = [
-            F.count("*").alias("n_rows"),
-            F.sum(F.xxhash64(*content_cols)).alias("content_hash"),
-        ]
-        if token_col is not None:
-            aggs.append(
-                F.sum(F.col(token_col).cast("long")).alias("token_sum")
+        reused: list = []
+        if prev_manifest is None:
+            # Full export: stage everything (one hash exchange on the
+            # shard key co-locates each shard into a single task, so
+            # partitionBy emits one file per shard — durable before
+            # anything is published), then certify from the staged
+            # bytes. The explicit schema keeps an all-empty stage
+            # readable — zero part files infer nothing.
+            df.repartition(F.col(shard_col)).write.mode(
+                "error"
+            ).partitionBy(shard_col).parquet(data_dir)
+            staged = spark.read.schema(df.schema).parquet(data_dir)
+            per_shard = _shard_stats(staged, shard_col, token_col)
+            entries = [_entry(r, shard_col, token_col) for r in per_shard]
+        else:
+            # Incremental: bounded stats pass over the input decides the
+            # change set.
+            want = {
+                str(r[shard_col]): _entry(r, shard_col, token_col)
+                for r in _shard_stats(df, shard_col, token_col)
+            }
+            prev_entries = {
+                str(e["shard"]): e for e in prev_manifest["shards"]
+            }
+            changed = sorted(
+                k for k, e in want.items() if prev_entries.get(k) != e
             )
-        per_shard = sorted(
-            (r.asDict() for r in staged.groupBy(shard_col).agg(*aggs).collect()),
-            key=lambda r: str(r[shard_col]),
-        )
+            reused = sorted(set(want) - set(changed))
+            if changed:
+                changed_vals = [
+                    want[k]["shard"] for k in changed
+                ]  # original-typed values for the filter
+                df.filter(F.col(shard_col).isin(changed_vals)).repartition(
+                    F.col(shard_col)
+                ).write.mode("error").partitionBy(shard_col).parquet(
+                    data_dir
+                )
+                # Certify the changed shards from the staged bytes: the
+                # read-back must reproduce the input stats exactly.
+                staged = spark.read.schema(df.schema).parquet(data_dir)
+                got = {
+                    str(r[shard_col]): _entry(r, shard_col, token_col)
+                    for r in _shard_stats(staged, shard_col, token_col)
+                }
+                if got != {k: want[k] for k in changed}:
+                    raise RuntimeError(
+                        "staged bytes disagree with input stats for "
+                        f"shards {sorted(set(changed) ^ set(got))!r}; "
+                        "export aborted"
+                    )
+            else:
+                # Nothing changed: the staging write never ran, so the
+                # data dir (and its link targets) must exist regardless.
+                os.makedirs(data_dir, exist_ok=True)
+            for k in reused:
+                _link_shard_dir(
+                    os.path.join(prev_path, "data", f"{shard_col}={k}"),
+                    os.path.join(data_dir, f"{shard_col}={k}"),
+                )
+            entries = sorted(
+                (want[k] for k in want), key=lambda e: str(e["shard"])
+            )
+
         prev_version, _ = latest_export_version(out_dir)
         version = prev_version + 1
         manifest: dict = {
             "version": version,
             "shard_col": shard_col,
             "schema": df.schema.jsonValue(),
-            "n_shards": len(per_shard),
-            "n_rows": int(sum(r["n_rows"] for r in per_shard)),
-            "shards": [
-                {
-                    "shard": r[shard_col],
-                    "n_rows": int(r["n_rows"]),
-                    "content_hash": int(r["content_hash"]),
-                    **(
-                        {"token_sum": int(r["token_sum"])}
-                        if token_col is not None
-                        else {}
-                    ),
-                }
-                for r in per_shard
-            ],
+            "n_shards": len(entries),
+            "n_rows": int(sum(e["n_rows"] for e in entries)),
+            "shards": entries,
         }
         if token_col is not None:
             manifest["token_sum"] = int(
-                sum(r["token_sum"] for r in per_shard)
+                sum(e["token_sum"] for e in entries)
             )
+        if incremental:
+            manifest["reused_shards"] = reused
         with open(os.path.join(staging, _MANIFEST), "w") as fh:
             json.dump(manifest, fh, indent=1, default=str)
 

@@ -336,3 +336,119 @@ def test_training_export_validates_columns(spark, tmp_path):
         export_packed_corpus(sharded, str(tmp_path / "x"), "nope")
     with pytest.raises(ValueError, match="token column"):
         export_packed_corpus(sharded, str(tmp_path / "x"), "shard", token_col="nope")
+
+
+def test_training_export_incremental_reuses_unchanged_shards(spark, tmp_path):
+    """Daily-batch re-export: unchanged shards must be hard-linked from
+    the previous version (same inode — zero bytes rewritten), changed
+    shards rewritten and re-certified, and the new version must read
+    back as exactly the new corpus."""
+    import os
+
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export,
+        read_export_manifest,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    m0 = export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+
+    # Change exactly the rows of one shard.
+    victim = m0["shards"][0]["shard"]
+    changed = sharded.withColumn(
+        "text",
+        F.when(
+            F.col("shard") == victim, F.concat(F.col("text"), F.lit(" EDIT"))
+        ).otherwise(F.col("text")),
+    ).withColumn("n_tok", F.size(F.split("text", r"\s+")).cast("long"))
+    m1 = export_packed_corpus(
+        changed, out, "shard", token_col="n_tok", incremental=True
+    )
+    assert m1["version"] == 1
+    assert m1["reused_shards"] == sorted(
+        str(s["shard"]) for s in m0["shards"] if s["shard"] != victim
+    )
+    # Reused shard files share inodes with v0 (linked, not copied).
+    for s in m0["shards"]:
+        d0 = os.path.join(out, "v0", "data", f"shard={s['shard']}")
+        d1 = os.path.join(out, "v1", "data", f"shard={s['shard']}")
+        inodes0 = {f: os.stat(os.path.join(d0, f)).st_ino for f in os.listdir(d0)}
+        inodes1 = {
+            f: os.stat(os.path.join(d1, f)).st_ino
+            for f in os.listdir(d1)
+            if not f.startswith("_")
+        }
+        if s["shard"] == victim:
+            assert not set(inodes0.values()) & set(inodes1.values())
+        else:
+            assert inodes0 == {f: i for f, i in inodes1.items() if f in inodes0}
+    # Manifest: victim's hash changed, everything else carried.
+    h0 = {s["shard"]: s["content_hash"] for s in m0["shards"]}
+    h1 = {s["shard"]: s["content_hash"] for s in m1["shards"]}
+    assert h0[victim] != h1[victim]
+    assert {k: v for k, v in h0.items() if k != victim} == {
+        k: v for k, v in h1.items() if k != victim
+    }
+    # Read-back equals the new corpus; v0 still equals the old one.
+    cols = ["doc_id", "text", "pos", "n_tok", "shard"]
+    assert (
+        read_export(spark, out, 1).select(*cols).orderBy("doc_id").collect()
+        == changed.select(*cols).orderBy("doc_id").collect()
+    )
+    assert read_export_manifest(out, 0) == m0
+
+
+def test_training_export_incremental_identical_corpus_links_everything(
+    spark, tmp_path
+):
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    m0 = export_packed_corpus(sharded, out, "shard")
+    m1 = export_packed_corpus(
+        sharded.repartition(5), out, "shard", incremental=True
+    )
+    assert m1["reused_shards"] == sorted(str(s["shard"]) for s in m0["shards"])
+    assert m1["shards"] == m0["shards"]
+    assert read_export(spark, out).count() == sharded.count()
+
+
+def test_training_export_incremental_preconditions(spark, tmp_path):
+    from alt_spark.sources.training_export import export_packed_corpus
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    with pytest.raises(ValueError, match="previously committed"):
+        export_packed_corpus(sharded, out, "shard", incremental=True)
+    export_packed_corpus(sharded, out, "shard")
+    with pytest.raises(ValueError, match="schema"):
+        export_packed_corpus(
+            sharded.withColumn("extra", F.lit(1)), out, "shard", incremental=True
+        )
+
+
+def test_training_export_incremental_drops_absent_shards(spark, tmp_path):
+    """A shard absent from the input is absent from the new version —
+    retention runs compose with incremental export."""
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    m0 = export_packed_corpus(sharded, out, "shard")
+    victim = m0["shards"][0]["shard"]
+    pruned = sharded.filter(F.col("shard") != victim)
+    m1 = export_packed_corpus(pruned, out, "shard", incremental=True)
+    assert victim not in {s["shard"] for s in m1["shards"]}
+    assert m1["n_rows"] == m0["n_rows"] - m0["shards"][0]["n_rows"]
+    assert read_export(spark, out, 1).filter(
+        F.col("shard") == victim
+    ).count() == 0
