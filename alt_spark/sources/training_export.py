@@ -42,8 +42,10 @@ Design:
 
 from __future__ import annotations
 
+import errno
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -62,15 +64,12 @@ _MANIFEST = "manifest.json"
 
 def latest_export_version(out_dir: str) -> tuple[int, str | None]:
     """(version, path) of the newest committed export; (-1, None) if
-    none. Staging dirs (``_staging_*``) are never selected."""
-    if not os.path.isdir(out_dir):
-        return -1, None
-    versions = sorted(
-        (int(d[1:]), os.path.join(out_dir, d))
-        for d in os.listdir(out_dir)
-        if d.startswith("v") and d[1:].isdigit()
-    )
-    return versions[-1] if versions else (-1, None)
+    none. Staging dirs (``_staging_*``) are never selected. One probe
+    implementation for both versioned sinks — a fix to the version
+    semantics cannot drift between them."""
+    from alt_spark.sources.index_writer import _latest_version
+
+    return _latest_version(out_dir)
 
 
 def read_export_manifest(out_dir: str, version: int | None = None) -> dict:
@@ -114,13 +113,52 @@ def _shard_stats(
     aggs = [
         F.count("*").alias("n_rows"),
         F.sum(F.xxhash64(*content_cols)).alias("content_hash"),
+        # coalesce: an all-NULL token group sums to NULL, which would
+        # crash the int() in _entry after the staging write already ran.
     ]
     if token_col is not None:
-        aggs.append(F.sum(F.col(token_col).cast("long")).alias("token_sum"))
-    return sorted(
+        aggs.append(
+            F.coalesce(
+                F.sum(F.col(token_col).cast("long")), F.lit(0).cast("long")
+            ).alias("token_sum")
+        )
+    rows = sorted(
         (r.asDict() for r in df.groupBy(shard_col).agg(*aggs).collect()),
         key=lambda r: str(r[shard_col]),
     )
+    for r in rows:
+        _check_shard_value(r[shard_col])
+    return rows
+
+
+_SHARD_VALUE_RE = re.compile(r"^[A-Za-z0-9._-]+$")
+
+
+def _check_shard_value(v) -> None:
+    """Exportable shard values are non-NULL ints or path-plain strings.
+
+    NULL shards (e.g. shuffle_shards' NULL-id propagation) are an
+    upstream bug surfaced here, not silently exported: NULL breaks both
+    the incremental change-set filter (``isin([None])`` matches nothing
+    — SQL NULL semantics) and the reuse-link path (Spark writes NULL as
+    ``__HIVE_DEFAULT_PARTITION__``). Strings needing Hive partition-path
+    escaping (':', '%', '=', ...) would make the manifest key, the JSON
+    encoding, and the on-disk dir name three different spellings of one
+    shard — rejected for the same one-name-everywhere reason."""
+    if v is None:
+        raise ValueError(
+            "NULL shard value: assign or filter NULL-shard rows before "
+            "export (a NULL id upstream propagates to a NULL shard)"
+        )
+    if isinstance(v, bool) or not isinstance(v, (int, str)):
+        raise ValueError(
+            f"shard values must be int or string, got {type(v).__name__}"
+        )
+    if isinstance(v, str) and not _SHARD_VALUE_RE.match(v):
+        raise ValueError(
+            f"shard value {v!r} needs partition-path escaping; use "
+            "values matching [A-Za-z0-9._-]+"
+        )
 
 
 def _entry(r: dict, shard_col: str, token_col: str | None) -> dict:
@@ -232,8 +270,17 @@ def export_packed_corpus(
             per_shard = _shard_stats(staged, shard_col, token_col)
             entries = [_entry(r, shard_col, token_col) for r in per_shard]
         else:
-            # Incremental: bounded stats pass over the input decides the
-            # change set.
+            # Incremental: the input lineage is consumed twice (the
+            # stats pass deciding the change set, then the filtered
+            # staging write) — persist for the span so a deep pipeline
+            # DAG is computed once and, just as important, the staged
+            # bytes come from the SAME materialization the change-set
+            # stats saw (any nondeterministic lineage would otherwise
+            # legitimately fail the certify step). Callers at a scale
+            # where MEMORY_AND_DISK caching of the pipeline output is
+            # unacceptable should pre-materialize df themselves.
+            df = df.persist()
+            # Bounded stats pass over the input decides the change set.
             want = {
                 str(r[shard_col]): _entry(r, shard_col, token_col)
                 for r in _shard_stats(df, shard_col, token_col)
@@ -262,10 +309,13 @@ def export_packed_corpus(
                     for r in _shard_stats(staged, shard_col, token_col)
                 }
                 if got != {k: want[k] for k in changed}:
+                    bad = sorted(
+                        set(changed) ^ set(got)
+                        | {k for k in changed if got.get(k) != want[k]}
+                    )
                     raise RuntimeError(
                         "staged bytes disagree with input stats for "
-                        f"shards {sorted(set(changed) ^ set(got))!r}; "
-                        "export aborted"
+                        f"shards {bad!r}; export aborted"
                     )
             else:
                 # Nothing changed: the staging write never ran, so the
@@ -297,17 +347,30 @@ def export_packed_corpus(
         if incremental:
             manifest["reused_shards"] = reused
         with open(os.path.join(staging, _MANIFEST), "w") as fh:
-            json.dump(manifest, fh, indent=1, default=str)
+            # No default= fallback: shard values are validated int/str,
+            # so anything non-JSON-native here is a bug that must raise,
+            # not a silent stringification that would make the returned
+            # manifest disagree with the on-disk one (and mark every
+            # shard changed on the next incremental diff).
+            json.dump(manifest, fh, indent=1)
 
         # Publish: one atomic rename; concurrent committers conflict
         # loudly instead of last-committer-wins (index_writer contract).
         try:
             os.rename(staging, os.path.join(out_dir, f"v{version}"))
         except OSError as exc:
+            # Only an occupied target dir is a CONFLICT; an EACCES /
+            # EROFS / ENAMETOOLONG here is an environment fault and
+            # retrying against "the new latest" would loop forever on a
+            # misdiagnosis — let those surface as themselves.
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
             raise RuntimeError(
                 f"training export version conflict: v{version} was "
                 "published concurrently; re-run against the new latest"
             ) from exc
         return manifest
     finally:
+        if incremental:
+            df.unpersist()
         shutil.rmtree(staging, ignore_errors=True)

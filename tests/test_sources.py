@@ -452,3 +452,34 @@ def test_training_export_incremental_drops_absent_shards(spark, tmp_path):
     assert read_export(spark, out, 1).filter(
         F.col("shard") == victim
     ).count() == 0
+
+
+def test_training_export_rejects_null_and_unsafe_shards(spark, tmp_path):
+    """NULL shards (the shuffle_shards NULL-id propagation) and strings
+    needing Hive path escaping must be rejected loudly: NULL breaks the
+    incremental isin filter and both break the one-name-everywhere
+    manifest/dir-name contract."""
+    from alt_spark.sources.training_export import export_packed_corpus
+
+    base = spark.createDataFrame(
+        [(1, "a", 0), (2, "b", 1)], "doc_id long, text string, shard int"
+    )
+    with_null = base.withColumn(
+        "shard", F.when(F.col("doc_id") == 1, F.lit(None)).otherwise(F.col("shard"))
+    )
+    with pytest.raises(ValueError, match="NULL shard"):
+        export_packed_corpus(with_null, str(tmp_path / "a"), "shard")
+    unsafe = base.withColumn("shard", F.concat(F.lit("x:"), F.col("shard")))
+    with pytest.raises(ValueError, match="escaping"):
+        export_packed_corpus(unsafe, str(tmp_path / "b"), "shard")
+
+
+def test_training_export_all_null_token_sums_to_zero(spark, tmp_path):
+    from alt_spark.sources.training_export import export_packed_corpus
+
+    df = spark.createDataFrame(
+        [(1, "a", 0, None), (2, "b", 0, None)],
+        "doc_id long, text string, shard int, n_tok long",
+    )
+    m = export_packed_corpus(df, str(tmp_path / "e"), "shard", token_col="n_tok")
+    assert m["token_sum"] == 0 and m["shards"][0]["token_sum"] == 0
