@@ -137,6 +137,7 @@ _REPORT_TAIL = (
     "q75_gopher_signals",
     "q76_ccnet_buckets",
     "q77_leakage_free_splits",
+    "q78_target_domain_selection",
 )
 
 

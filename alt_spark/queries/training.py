@@ -1208,3 +1208,99 @@ def q76(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+_SEL_TARGET_SRC = "src0"  # the trusted target domain for q78
+_SEL_VOCAB_K = 100
+_SEL_TOP_PER_LANG = 10
+
+
+@query(
+    "q78_target_domain_selection",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, {_DDB_TOKENS} AS toks FROM documents
+), tv AS (
+  SELECT unnest(toks) AS t FROM tok WHERE source = '{_SEL_TARGET_SRC}'
+), vocab AS (
+  SELECT t, count(*) AS c FROM tv GROUP BY t
+  ORDER BY c DESC, t LIMIT {_SEL_VOCAB_K}
+), cand AS (
+  SELECT doc_id, unnest(toks) AS t FROM tok
+  WHERE source <> '{_SEL_TARGET_SRC}'
+), sc AS (
+  SELECT c.doc_id, count(*) AS score
+  FROM cand c JOIN vocab v ON c.t = v.t GROUP BY c.doc_id
+), scored AS (
+  SELECT k.doc_id, k.lang, coalesce(sc.score, 0) AS score
+  FROM (
+    SELECT doc_id, lang FROM tok WHERE source <> '{_SEL_TARGET_SRC}'
+  ) k LEFT JOIN sc ON k.doc_id = sc.doc_id
+), ranked AS (
+  SELECT lang, doc_id, score,
+         row_number() OVER (
+           PARTITION BY lang ORDER BY score DESC, doc_id
+         ) AS rn
+  FROM scored
+)
+SELECT lang, doc_id, CAST(score AS BIGINT) AS overlap_score
+FROM ranked WHERE rn <= {_SEL_TOP_PER_LANG}
+ORDER BY lang, overlap_score DESC, doc_id
+""",
+)
+def q78(spark: SparkSession, sf: str) -> DataFrame:
+    """Targeted data selection (the DSIR/importance-sampling family,
+    integer-exact proxy): rank the general corpus by vocabulary overlap
+    with a trusted TARGET domain and select the top documents per
+    language — "give me the web docs that look most like my curated
+    source". The score is the count (with multiplicity) of a doc's
+    tokens that fall in the target's top-K vocabulary; the vocabulary
+    cut and the per-language selection both break ties deterministically
+    (count desc, token) / (score desc, doc_id), so the oracle replays
+    the exact selected SET, not a lookalike.
+
+    Plan shape at 100 TB: the target vocabulary is a bounded groupBy +
+    per-partition top-K merge (TakeOrdered — no global sort, no
+    single-partition data exchange), broadcast to the candidate scan;
+    scoring is one explode + broadcast-hash join collapsed back to one
+    row per doc by partial aggregation; the selection window partitions
+    by language (hash exchange, per-partition sort). The corpus is
+    scanned once for candidates, once for the (tiny) target slice —
+    and a real deployment points the target side at a separate curated
+    table.
+    """
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "lang", _tokens_col().alias("toks")
+    )
+    target = docs.filter(F.col("source") == _SEL_TARGET_SRC)
+    vocab = (
+        target.select(F.explode("toks").alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(_SEL_VOCAB_K)
+    )
+    cand = docs.filter(F.col("source") != _SEL_TARGET_SRC)
+    hits = (
+        cand.select("doc_id", F.explode("toks").alias("t"))
+        .join(F.broadcast(vocab.select("t")), "t")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("score"))
+    )
+    scored = (
+        cand.select("doc_id", "lang")
+        .join(hits, "doc_id", "left")
+        .select(
+            "lang", "doc_id", F.coalesce("score", F.lit(0)).cast("long").alias("score")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("score"), "doc_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _SEL_TOP_PER_LANG)
+        .select("lang", "doc_id", F.col("score").alias("overlap_score"))
+        .orderBy("lang", F.desc("overlap_score"), "doc_id")
+    )
