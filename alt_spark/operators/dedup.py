@@ -29,6 +29,13 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from alt_spark.plans.dfcache import DataFramePlanCache
+
+# Pair frames keyed by (input plan, parameters): see minhash_near_dup.
+# Bounded: each entry pins one signature localCheckpoint (ids × 128
+# longs — megabytes at suite scale, a written table operationally).
+_PAIR_CACHE = DataFramePlanCache(max_entries=4)
+
 # Deterministic odd multipliers / offsets for the affine MinHash
 # permutation family (derived from md5 so they're reproducible and
 # library-version-independent). Values fit signed 64-bit.
@@ -336,7 +343,26 @@ def minhash_near_dup(
     Returns (id1, id2, est_jaccard). The verify step re-joins the two
     signatures and compares them with zip_with — still no raw-text
     comparison, so verification cost is O(candidates · num_perm).
+
+    Calls over a semantically identical input plan with identical
+    parameters return the SAME pair frame (``_PAIR_CACHE``): the eager
+    signature materialization below embeds a fresh RDD, so two
+    separately built pair frames can never canonicalize equal — without
+    this cache, every consumer of the same pair graph (q30's pair
+    report, q73's clustering, q77's splits) would re-sign the corpus.
+    Returning one shared frame also lets the downstream
+    connected-components label cache (operators/graph._CC_CACHE) hit:
+    its key is the pair frame's plan. At 100 TB both caches stand in
+    for what is operationally a WRITTEN signature/pair table reused
+    across dedup runs.
     """
+    params = (
+        "minhash_near_dup", text_col, id_col, float(threshold),
+        num_perm, bands, rows_per_band, shingle_k, bool(portable),
+    )
+    hit = _PAIR_CACHE.get(df, extra=params)
+    if hit is not None:
+        return hit
     # The signature table feeds three plan branches (banding + both sides
     # of the verify join); materialize it once (eager localCheckpoint) so
     # shingling/hashing runs once, with blocks auto-released on GC rather
@@ -357,12 +383,14 @@ def minhash_near_dup(
         ).cast("double")
         / num_perm
     )
-    return (
+    pairs = (
         cand.join(s1, "id1")
         .join(s2, "id2")
         .select("id1", "id2", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
+    _PAIR_CACHE.put(df, pairs, extra=params)
+    return pairs
 
 
 def simhash_bits(

@@ -33,45 +33,38 @@ in pytest instead.
 
 from __future__ import annotations
 
-from collections import OrderedDict
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from alt_spark.plans.dfcache import DataFramePlanCache
+
 __all__ = ["char_ngrams", "train_char_lm", "score_against_lm"]
 
-# Bounded registry of persisted model frames, keyed by canonical plan
-# (semanticHash). Spark's cache manager already dedupes persist() by
+# Bounded registry of persisted model frames, keyed by (session,
+# canonical plan). Spark's cache manager already dedupes persist() by
 # canonical plan, so re-scoring against the SAME model never adds an
 # entry — but a long session scoring against many DIFFERENT models
 # (pytest parametrization, notebook experimentation) would otherwise
 # accumulate one bounded-but-unreleased cache entry per model, with
 # unpersist delegated to callers who (q65/q72 included) never call it.
-# LRU-evicting here caps total cached-model state at _MODEL_CACHE_MAX
+# LRU-evicting caps total cached-model state at _MODEL_CACHE_MAX
 # entries of <= alphabet^n rows each; an evicted model that some lazy
 # frame still references is simply recomputed — correctness unaffected.
-_MODEL_CACHE: OrderedDict[int, DataFrame] = OrderedDict()
+# Session scoping, collision confirmation, and dead-session sweeping
+# live in the shared DataFramePlanCache (r6 ADVICE: a process-global
+# cache keyed only by plan semantics outlives its SparkSession).
 _MODEL_CACHE_MAX = 4
+_MODEL_CACHE = DataFramePlanCache(
+    max_entries=_MODEL_CACHE_MAX, unpersist_on_evict=True
+)
 
 
 def _persist_model(model: DataFrame) -> DataFrame:
-    key = model.semanticHash()
-    cached = _MODEL_CACHE.get(key)
-    # semanticHash is 32-bit; confirm real plan equality on a hit so a
-    # collision can never hand back a DIFFERENT model's frame (Spark's
-    # own CacheManager compares full canonical plans for the same
-    # reason). On a collision, fall through: the newer model evicts the
-    # colliding entry — rare and correctness-neutral.
+    cached = _MODEL_CACHE.get(model)
     if cached is not None:
-        if model.sameSemantics(cached):
-            _MODEL_CACHE.move_to_end(key)
-            return cached
-        cached.unpersist()  # collision: release before the slot is reused
+        return cached
     model = model.persist()
-    _MODEL_CACHE[key] = model
-    while len(_MODEL_CACHE) > _MODEL_CACHE_MAX:
-        _, old = _MODEL_CACHE.popitem(last=False)
-        old.unpersist()
+    _MODEL_CACHE.put(model, model)
     return model
 
 

@@ -99,6 +99,23 @@ _loaded = False
 #         q60/q61/q64/q66 oracles;
 #   q44 — rollup cascade; q56 (grouping sets / ROLLUP) stays in-window;
 #   q51 — I2 NFKC; q50 (HTML clean + sentence split) stays in-window.
+#   r7 rotation (VERDICT r6 item 1): q73-q78 — the r6 additions
+#         (CC cluster canonicalization, token-budget plan, Gopher
+#         signals, CCNet buckets, leakage-free splits, target-domain
+#         selection) — moved INTO the window to earn their first driver
+#         hash rows; six entries with SIX green driver rounds each
+#         (CORRECTNESS_r01-r06) and overlapping in-window §2 evidence
+#         rotated out in exchange:
+#   q01 — D1-D3 grouped agg/countIf/ratio; q02/q03 keep the D-family
+#         agg rows in-window;
+#   q04 — D4 exact percentiles; 6 green rounds + the q71 approx twin's
+#         error-bound pytest keep the evidence chain;
+#   q07 — C2 left join + aggregate; C-family keeps q03/q06/q08/q09;
+#   q10 — E1/G1/J9 (rank, UNION ALL, RRF); q36 (top-k window) and
+#         q57 (frame-spec windows) stay in-window, q40 carries J10;
+#   q11 — C8/E3/E4 lateral top-1-per-key; q36 per-group top-k stays;
+#   q15 — C1/D5 multi-way join + COUNT DISTINCT; q77 (rotating in)
+#         exercises countDistinct in-window, q03/q08/q09 keep joins.
 # The rotation ledger in COVERAGE.md tracks per-query driver-row
 # history across rounds.
 _REPORT_TAIL = (
@@ -122,6 +139,12 @@ _REPORT_TAIL = (
     "q28_token_stats",
     "q44_rollup_cascade",
     "q51_nfkc_normalize",
+    "q01_endpoint_stats",
+    "q04_latency_quantiles",
+    "q07_orders_item_counts",
+    "q10_rrf_suppliers",
+    "q11_latest_order_per_customer",
+    "q15_brand_order_counts",
     # q69 — trained quality classifier; rows-only by design (MLlib
     # L-BFGS is not SQL-expressible); AUC/separation/determinism
     # property-tested in tests/test_training.py.
@@ -129,15 +152,6 @@ _REPORT_TAIL = (
     # q71 — percentile_approx scale twin of q04; rows-only by design
     # (engine-specific sketch); error-bound pytest vs the exact form.
     "q71_latency_quantiles_approx",
-    # r6 additions — oracle-backed (test_oracle_parity runs them every
-    # CI pass), parked in the tail as the newest entries; rotation
-    # candidates for r7.
-    "q73_neardup_clusters",
-    "q74_token_budget_plan",
-    "q75_gopher_signals",
-    "q76_ccnet_buckets",
-    "q77_leakage_free_splits",
-    "q78_target_domain_selection",
 )
 
 

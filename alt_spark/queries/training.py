@@ -1024,20 +1024,27 @@ def q74(spark: SparkSession, sf: str) -> DataFrame:
 # Planted documents exercising each Gopher gate: the synthetic corpus is
 # clean prose, so bullet / ellipsis / symbol / stopword failures are
 # planted as deterministic literal rows identical in both engines (the
-# q29/q63 device).
+# q29/q63 device). Ids are NEGATIVE so they can never collide with
+# generated doc_ids at ANY scale factor (the generator emits
+# non-negative ids — canary-pinned by
+# tests/test_training.py::test_q75_planted_ids_cannot_collide; the r6
+# ADVICE finding: fixed positive ids would silently duplicate keys the
+# day the corpus grows past them). Deriving ids from max(doc_id)
+# instead would add an aggregate exchange + action at plan-build time,
+# breaking q75's zero-exchange plan pin.
 _GOPHER_EXTRA: tuple[tuple[int, str], ...] = (
     # healthy: >=50 words, stopwords, no symbols
-    (300001, " ".join(["the quick brown fox jumps over that lazy dog with ease"] * 6)),
+    (-1, " ".join(["the quick brown fox jumps over that lazy dog with ease"] * 6)),
     # bullet-led: every line starts with a bullet -> bullet gate fails
-    (300002, "\n".join(f"- item {i} of the list with that thing" for i in range(10))),
+    (-2, "\n".join(f"- item {i} of the list with that thing" for i in range(10))),
     # ellipsis-heavy: every line trails off -> ellipsis gate fails
-    (300003, "\n".join(f"the story number {i} continues..." for i in range(10))),
+    (-3, "\n".join(f"the story number {i} continues..." for i in range(10))),
     # symbol spam: '#' per word ratio blows the symbol gate
-    (300004, " ".join(f"#tag{i}" for i in range(60)) + " the of and that with"),
+    (-4, " ".join(f"#tag{i}" for i in range(60)) + " the of and that with"),
     # too short: under the 50-word floor
-    (300005, "the and of that with tiny"),
+    (-5, "the and of that with tiny"),
     # no stopwords: keyword-stuffing shape, stop_hits gate fails
-    (300006, " ".join(f"keyword{i}" for i in range(80))),
+    (-6, " ".join(f"keyword{i}" for i in range(80))),
 )
 
 

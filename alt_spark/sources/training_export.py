@@ -57,6 +57,7 @@ __all__ = [
     "latest_export_version",
     "read_export_manifest",
     "read_export",
+    "verify_export",
 ]
 
 _MANIFEST = "manifest.json"
@@ -172,6 +173,66 @@ def _entry(r: dict, shard_col: str, token_col: str | None) -> dict:
     return e
 
 
+def verify_export(
+    spark: SparkSession,
+    out_dir: str,
+    version: int | None = None,
+    shards: list | None = None,
+) -> dict:
+    """Re-certify a committed version FROM ITS DATA FILES: recompute
+    per-shard (n_rows, content_hash[, token_sum]) and diff against the
+    manifest. Returns the manifest on success; raises RuntimeError
+    naming the disagreeing shards.
+
+    The write-time manifest certifies what was staged; this is the
+    READ-side check a training job (or the incremental exporter, below)
+    runs before trusting a version it did not just write — bit-rot, a
+    partial restore, or manual tampering all surface here instead of
+    silently feeding a training run.
+
+    ``shards`` restricts verification to a subset (manifest-typed shard
+    values): the partitioned layout prunes the scan to exactly those
+    directories, so verifying k shards costs k shards of read — the
+    shape that lets the incremental exporter re-certify only what it is
+    about to reuse.
+    """
+    manifest = read_export_manifest(out_dir, version)
+    shard_col = manifest["shard_col"]
+    token_col = manifest.get("token_col")
+    want = {
+        str(e["shard"]): (
+            e if token_col is not None
+            else {k: v for k, v in e.items() if k != "token_sum"}
+        )
+        for e in manifest["shards"]
+    }
+    df = read_export(spark, out_dir, manifest["version"])
+    if shards is not None:
+        keys = sorted({str(s) for s in shards})
+        unknown = [k for k in keys if k not in want]
+        if unknown:
+            raise ValueError(
+                f"shards {unknown!r} not in the v{manifest['version']} manifest"
+            )
+        vals = [want[k]["shard"] for k in keys]
+        df = df.filter(F.col(shard_col).isin(vals))
+        want = {k: want[k] for k in keys}
+    got = {
+        str(r[shard_col]): _entry(r, shard_col, token_col)
+        for r in _shard_stats(df, shard_col, token_col)
+    }
+    if got != want:
+        bad = sorted(
+            (set(got) ^ set(want))
+            | {k for k in want if got.get(k) != want[k]}
+        )
+        raise RuntimeError(
+            f"export v{manifest['version']} fails verification for shards "
+            f"{bad!r}: data files disagree with the manifest"
+        )
+    return manifest
+
+
 def _link_shard_dir(src: str, dst: str) -> None:
     """Hard-link every file of a committed shard dir into the staging
     layout (same filesystem by construction — staging lives beside the
@@ -191,6 +252,7 @@ def export_packed_corpus(
     shard_col: str = "shard",
     token_col: str | None = None,
     incremental: bool = False,
+    verify_reused: bool = True,
 ) -> dict:
     """Export a prepared corpus as one immutable sharded version and
     return its manifest.
@@ -202,10 +264,11 @@ def export_packed_corpus(
 
     Returns the committed manifest::
 
-        {"version": N, "shard_col": ..., "schema": <Spark schema json>,
+        {"version": N, "shard_col": ..., "token_col": ...,
+         "schema": <Spark schema json>,
          "n_shards": ..., "n_rows": ...,
          "token_sum": ...,           # absent when token_col is None
-         "reused_shards": [...],     # incremental runs only
+         "reused_shards": [...],     # incremental runs only, manifest-typed
          "shards": [{"shard": ..., "n_rows": ..., "content_hash": ...,
                      "token_sum": ...}, ...]}
 
@@ -220,12 +283,23 @@ def export_packed_corpus(
     staged and then re-aggregated FROM the staged bytes, which must
     reproduce the input stats (a write fault fails the export instead
     of publishing a manifest that lies). Shards absent from the input
-    are dropped from the new version.
+    are dropped from the new version. With ``verify_reused`` (default),
+    the shards about to be hard-linked are first re-certified from the
+    PREVIOUS version's data files (:func:`verify_export`) — a corrupted
+    old shard fails the export instead of being silently propagated
+    into the new version. The cost is one pruned read pass over the
+    reused shards (reads, not writes — incrementality's write savings
+    stand); disable only when the previous version was itself just
+    verified.
 
     An empty frame publishes an empty version (n_rows 0, no shards) —
     an auditable "this run exported nothing", not a silent no-op.
     Raises RuntimeError on a concurrent-publish conflict; the staging
-    dir is always cleaned up, win or lose.
+    dir is always cleaned up, win or lose. The published version number
+    is pinned at the INITIAL probe (prev latest + 1), so a competing
+    publish that lands between probe and rename collides loudly on the
+    rename — an incremental diff can never be silently absorbed against
+    a base that is no longer the latest.
     """
     if shard_col not in df.columns:
         raise ValueError(f"shard column {shard_col!r} not in {df.columns}")
@@ -234,10 +308,16 @@ def export_packed_corpus(
     spark = df.sparkSession
     os.makedirs(out_dir, exist_ok=True)
 
+    # Pin the target version NOW: deciding it immediately before the
+    # rename would silently absorb a competitor that committed while
+    # this export ran (the r6 ADVICE finding) — an incremental diff
+    # would publish against a base that is no longer the latest. Pinned,
+    # the competitor's v{version} makes our rename collide and raise.
+    prev_version, prev_path = latest_export_version(out_dir)
+    version = prev_version + 1
+
     prev_manifest: dict | None = None
-    prev_path: str | None = None
     if incremental:
-        prev_version, prev_path = latest_export_version(out_dir)
         if prev_version < 0 or prev_path is None:
             raise ValueError(
                 "incremental export requires a previously committed "
@@ -321,6 +401,19 @@ def export_packed_corpus(
                 # Nothing changed: the staging write never ran, so the
                 # data dir (and its link targets) must exist regardless.
                 os.makedirs(data_dir, exist_ok=True)
+            if reused and verify_reused:
+                # Re-certify the shards about to be reused FROM the
+                # previous version's data files: the prev manifest
+                # certified them at write time, but bit-rot / partial
+                # restore / tampering since then would otherwise be
+                # hard-linked straight into the new version. Pruned
+                # read over exactly the reused shards.
+                verify_export(
+                    spark,
+                    out_dir,
+                    prev_version,
+                    shards=[want[k]["shard"] for k in reused],
+                )
             for k in reused:
                 _link_shard_dir(
                     os.path.join(prev_path, "data", f"{shard_col}={k}"),
@@ -330,11 +423,10 @@ def export_packed_corpus(
                 (want[k] for k in want), key=lambda e: str(e["shard"])
             )
 
-        prev_version, _ = latest_export_version(out_dir)
-        version = prev_version + 1
         manifest: dict = {
             "version": version,
             "shard_col": shard_col,
+            "token_col": token_col,
             "schema": df.schema.jsonValue(),
             "n_shards": len(entries),
             "n_rows": int(sum(e["n_rows"] for e in entries)),
@@ -345,7 +437,10 @@ def export_packed_corpus(
                 sum(e["token_sum"] for e in entries)
             )
         if incremental:
-            manifest["reused_shards"] = reused
+            # Original-typed shard values (an int-sharded export must
+            # not emit reused ["0","3"] next to shards 0/3 — the r6
+            # ADVICE consumer-comparison trap).
+            manifest["reused_shards"] = [want[k]["shard"] for k in reused]
         with open(os.path.join(staging, _MANIFEST), "w") as fh:
             # No default= fallback: shard values are validated int/str,
             # so anything non-JSON-native here is a bug that must raise,

@@ -240,6 +240,81 @@ def test_connected_components_empty_edges(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_connected_components_label_cache(spark):
+    """Re-clustering a semantically identical pair plan must hit the
+    converged-label cache — zero convergence rounds on the second call,
+    identical labels — while a DIFFERENT graph misses, and the registry
+    stays bounded (the lm._MODEL_CACHE contract, r6 VERDICT item 2).
+    Plans here are range-based: Range canonicalizes by value, unlike
+    createDataFrame's LogicalRDD (never semantically equal across
+    calls)."""
+    from alt_spark.operators import graph
+    from alt_spark.operators.graph import connected_components
+
+    graph._CC_CACHE.clear()
+
+    def mk(n):
+        return spark.range(n - 1).selectExpr("id AS id1", "id + 1 AS id2")
+
+    r1: list[int] = []
+    first = {
+        (r["id"], r["comp"])
+        for r in connected_components(mk(64), rounds_out=r1).collect()
+    }
+    assert len(r1) == 1 and r1[0] >= 1  # fresh run does real rounds
+    r2: list[int] = []
+    second = {
+        (r["id"], r["comp"])
+        for r in connected_components(mk(64), rounds_out=r2).collect()
+    }
+    assert r2 == [0], "identical pair plan must be a cache hit"
+    assert second == first
+    # A different graph is a miss (runs real rounds), and the cache
+    # never exceeds its bound no matter how many graphs are clustered.
+    for n in (8, 12, 16, 20, 24):
+        r3: list[int] = []
+        connected_components(mk(n), rounds_out=r3).count()
+        assert r3[0] >= 1
+    assert len(graph._CC_CACHE) <= 4
+    graph._CC_CACHE.clear()
+
+
+def test_minhash_pair_cache_feeds_cc_reuse(spark):
+    """The q73→q77 suite shape end-to-end: two independent
+    minhash_near_dup calls over the same parquet-backed docs plan with
+    the same parameters return the SAME pair frame (the signature
+    localCheckpoint embeds a fresh RDD, so without the cache the plans
+    could never canonicalize equal), and clustering the second
+    therefore hits the CC label cache — zero rounds. Different
+    parameters miss."""
+    from alt_spark.catalog import load_table
+    from alt_spark.operators import dedup, graph
+    from alt_spark.operators.graph import connected_components
+
+    dedup._PAIR_CACHE.clear()
+    graph._CC_CACHE.clear()
+    sf = "/root/testdata/sf0.001"
+    p1 = dedup.minhash_near_dup(
+        load_table(spark, sf, "documents"), threshold=0.7, portable=True
+    )
+    p2 = dedup.minhash_near_dup(
+        load_table(spark, sf, "documents"), threshold=0.7, portable=True
+    )
+    assert p2 is p1, "same input plan + params must return the cached frame"
+    other = dedup.minhash_near_dup(
+        load_table(spark, sf, "documents"), threshold=0.5, portable=True
+    )
+    assert other is not p1, "different params must not share an entry"
+    r1: list[int] = []
+    c1 = {(r["id"], r["comp"]) for r in connected_components(p1, rounds_out=r1).collect()}
+    r2: list[int] = []
+    c2 = {(r["id"], r["comp"]) for r in connected_components(p2, rounds_out=r2).collect()}
+    assert r1[0] >= 1 and r2 == [0], (r1, r2)
+    assert c1 == c2
+    dedup._PAIR_CACHE.clear()
+    graph._CC_CACHE.clear()
+
+
 def test_connected_components_incremental_matches_full(spark):
     """Daily-batch cluster maintenance: CC over (persisted index stars
     + increment pairs) must equal a full recompute over ALL pairs —

@@ -82,9 +82,9 @@ def test_report_window_contains_every_reportable_oracle():
 
     undocumented = [n for n in tail if n not in _REPORT_TAIL]
     assert not undocumented, f"undocumented tail entries: {undocumented}"
-    # The r5 rotations stay in-window, and the r6 rotation (VERDICT r5
-    # item 3) puts the full training-prep family inside the window so
-    # every one of its queries earns a driver hash row.
+    # The r5/r6 rotations stay in-window, and the r7 rotation (VERDICT
+    # r6 item 1) puts the r6 additions q73-q78 inside the window so
+    # every one of them earns its first driver hash row.
     for n in (
         "q56_grouping_sets_rollup",
         "q57_frame_spec_windows",
@@ -101,6 +101,12 @@ def test_report_window_contains_every_reportable_oracle():
         "q68_shuffle_shards",
         "q70_temperature_mixing",
         "q72_quality_gate_pipeline",
+        "q73_neardup_clusters",
+        "q74_token_budget_plan",
+        "q75_gopher_signals",
+        "q76_ccnet_buckets",
+        "q77_leakage_free_splits",
+        "q78_target_domain_selection",
     ):
         assert n in head, f"{n} must sit inside the driver report window"
     # No registry entry is lost by the ordering: compare against the raw

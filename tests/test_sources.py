@@ -367,9 +367,11 @@ def test_training_export_incremental_reuses_unchanged_shards(spark, tmp_path):
         changed, out, "shard", token_col="n_tok", incremental=True
     )
     assert m1["version"] == 1
-    assert m1["reused_shards"] == sorted(
-        str(s["shard"]) for s in m0["shards"] if s["shard"] != victim
-    )
+    # reused_shards carries ORIGINAL-typed shard values (r6 ADVICE: an
+    # int-sharded export must not emit ["0","3"] next to shards 0/3).
+    assert m1["reused_shards"] == [
+        s["shard"] for s in m0["shards"] if s["shard"] != victim
+    ]
     # Reused shard files share inodes with v0 (linked, not copied).
     for s in m0["shards"]:
         d0 = os.path.join(out, "v0", "data", f"shard={s['shard']}")
@@ -414,7 +416,7 @@ def test_training_export_incremental_identical_corpus_links_everything(
     m1 = export_packed_corpus(
         sharded.repartition(5), out, "shard", incremental=True
     )
-    assert m1["reused_shards"] == sorted(str(s["shard"]) for s in m0["shards"])
+    assert m1["reused_shards"] == [s["shard"] for s in m0["shards"]]
     assert m1["shards"] == m0["shards"]
     assert read_export(spark, out).count() == sharded.count()
 
@@ -472,6 +474,102 @@ def test_training_export_rejects_null_and_unsafe_shards(spark, tmp_path):
     unsafe = base.withColumn("shard", F.concat(F.lit("x:"), F.col("shard")))
     with pytest.raises(ValueError, match="escaping"):
         export_packed_corpus(unsafe, str(tmp_path / "b"), "shard")
+
+
+def _drop_one_row_from_shard(out, version, shard):
+    """Simulate bit-rot/tampering: rewrite one committed shard's part
+    file with its last row removed (still a VALID parquet file, so the
+    fault is only detectable by re-deriving stats — the case a footer
+    check can't catch)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    d = os.path.join(out, f"v{version}", "data", f"shard={shard}")
+    part = sorted(glob.glob(os.path.join(d, "*.parquet")))[0]
+    t = pq.read_table(part)
+    pq.write_table(t.slice(0, t.num_rows - 1), part)
+    # Drop Hadoop's LOCAL-FS-only .crc sidecars: they would flag the
+    # rewrite at read time, but object stores (the 100 TB deployment)
+    # have no sidecar — verify_export's stat diff must catch the fault
+    # itself, so the test simulates the sidecar-less environment.
+    for crc in glob.glob(os.path.join(d, ".*.crc")):
+        os.remove(crc)
+
+
+def test_verify_export_catches_tampered_shard(spark, tmp_path):
+    """verify_export re-derives per-shard stats from the data files: a
+    committed shard silently losing a row (valid parquet, wrong
+    content) must fail verification naming that shard, and a
+    shard-subset verify must prune to — and only check — the requested
+    shards."""
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        verify_export,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    m = export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    assert verify_export(spark, out) == m  # pristine version passes
+    victim = m["shards"][0]["shard"]
+    intact = m["shards"][1]["shard"]
+    _drop_one_row_from_shard(out, 0, victim)
+    with pytest.raises(RuntimeError, match=str(victim)):
+        verify_export(spark, out)
+    # Subset verify prunes the scan: the intact shard still certifies,
+    # the tampered one still fails.
+    assert verify_export(spark, out, shards=[intact])["version"] == 0
+    with pytest.raises(RuntimeError, match="fails verification"):
+        verify_export(spark, out, shards=[victim])
+    with pytest.raises(ValueError, match="not in the"):
+        verify_export(spark, out, shards=["no-such-shard"])
+
+
+def test_incremental_export_recertifies_reused_shards(spark, tmp_path):
+    """A corrupted UNCHANGED shard in the previous version must fail an
+    incremental export before hard-linking (the r6 VERDICT gap: write-
+    time certification can't see later bit-rot, so a reused shard would
+    silently propagate into every future version). verify_reused=False
+    documents the propagation path it exists to close."""
+    import os
+
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export_manifest,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    m0 = export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    victim = m0["shards"][0]["shard"]  # will change -> staged fresh
+    rotted = m0["shards"][1]["shard"]  # unchanged -> reuse candidate
+    _drop_one_row_from_shard(out, 0, rotted)
+    changed = sharded.withColumn(
+        "text",
+        F.when(
+            F.col("shard") == victim, F.concat(F.col("text"), F.lit(" EDIT"))
+        ).otherwise(F.col("text")),
+    ).withColumn("n_tok", F.size(F.split("text", r"\s+")).cast("long"))
+    with pytest.raises(RuntimeError, match="fails verification"):
+        export_packed_corpus(
+            changed, out, "shard", token_col="n_tok", incremental=True
+        )
+    # The failed export published nothing and left no staging residue.
+    assert not os.path.isdir(os.path.join(out, "v1"))
+    assert not [d for d in os.listdir(out) if d.startswith("_staging")]
+    # With verification disabled the rot propagates — the documented
+    # trade the flag's default exists to prevent.
+    m1 = export_packed_corpus(
+        changed,
+        out,
+        "shard",
+        token_col="n_tok",
+        incremental=True,
+        verify_reused=False,
+    )
+    assert m1["version"] == 1 and read_export_manifest(out, 1) == m1
 
 
 def test_training_export_all_null_token_sums_to_zero(spark, tmp_path):

@@ -658,6 +658,25 @@ def test_lm_model_cache_is_bounded_lru(spark):
     assert list(lm._MODEL_CACHE) == before
 
 
+def test_q75_planted_ids_cannot_collide(spark):
+    """q75's planted gate-failure rows use NEGATIVE doc_ids (r6 ADVICE:
+    fixed positive ids would silently collide with generated ids when
+    the corpus grows). Canary both halves of that invariant: every
+    planted id is negative, every generated id non-negative — at any
+    regenerated scale the q75 surface stays keyed by doc_id."""
+    from alt_spark.queries.training import _GOPHER_EXTRA
+    from tests.conftest import SF_ORACLE
+
+    assert all(i < 0 for i, _ in _GOPHER_EXTRA)
+    for sf in (SF_SMOKE, SF_ORACLE):
+        low = (
+            load_table(spark, sf, "documents")
+            .agg(F.min("doc_id").alias("mn"))
+            .first()["mn"]
+        )
+        assert low >= 0, f"{sf}: generator emitted a negative doc_id"
+
+
 def test_q69_aggregate_surface_is_partition_invariant(spark):
     """q69's manifest must not depend on partitioning (r5 advice: a
     float AVG's summation order could flip a rounded digit). The fixed
