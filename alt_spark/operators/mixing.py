@@ -37,6 +37,7 @@ __all__ = [
     "cdf_buckets",
     "split_assignment",
     "ddb_split_assignment",
+    "epoch_expand",
 ]
 
 # Sampling rates are expressed in permyriad (1/10000) so the keep
@@ -263,6 +264,99 @@ def ddb_split_assignment(
         f" WHEN {b} < {train_permyriad + val_permyriad} THEN 'val'"
         f" WHEN {b} IS NOT NULL THEN 'test' END)"
     )
+
+
+def epoch_expand(
+    df: DataFrame,
+    plan: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    tokens_col: str,
+    salt: str = "epoch",
+) -> DataFrame:
+    """MATERIALIZE a :func:`token_budget_plan`: emit each document once
+    per planned epoch, so the plan's ``planned_tok`` is actually drawn —
+    the step r6 left open (``epochs_permyriad`` can prescribe up to the
+    epoch cap, but ``stratified_sample`` can only keep <= 1x).
+
+    For a stratum with ``epochs_permyriad = e``:
+
+    - **Full copies**: every document is emitted ``e div 10000`` times
+      (``copy`` = 1..n_full) — a full epoch is a complete pass by
+      definition, so these are exact replicas, no sampling involved.
+    - **Fractional remainder**: the remaining
+      ``rem = planned_tok - n_full * avail_tok`` tokens are drawn as a
+      deterministic PREFIX of the stratum in ``(bucket, id)`` order
+      (bucket = the md5 sample bucket, a deterministic shuffle of the
+      stratum): a document joins copy ``n_full + 1`` iff the token sum
+      of all documents BEFORE it is still under ``rem``. The draw
+      therefore lands within one document of the plan:
+      ``planned_tok <= drawn_tok < planned_tok + max(doc tokens)``
+      (exactly ``planned_tok`` when rem = 0) — property-tested, and the
+      whole multiset is integer/hash-deterministic, so a DuckDB oracle
+      replays it row by row (q79).
+
+    Scale shape: the plan join is broadcast (stratum-sized). The prefix
+    cut never sorts a stratum in one partition: per-(stratum, bucket)
+    token partials (bounded by |strata| x 10001 — same device as
+    ``cdf_buckets``) give each bucket its tokens-before via a window
+    over partials; the row-level cumsum then partitions by (stratum,
+    bucket) — 10000x finer than the stratum, so no skewed partition
+    exists even for a 30 TB stratum. Deterministic under task retry
+    and repartitioning (no rand()); duplicate-id rows violate the
+    contract (ids must be unique within a stratum, NULL ids excluded
+    by the hash's NULL propagation).
+
+    Returns ``df``'s columns plus ``copy`` (long, 1-based). Strata
+    absent from the plan are dropped (a plan lists what it wants —
+    the ``stratified_sample`` convention).
+    """
+    nf = F.expr(f"epochs_permyriad div {PRECISION}")
+    p = plan.select(
+        stratum_col,
+        nf.alias("__nf"),
+        (F.col("planned_tok") - nf * F.col("avail_tok")).alias("__rem"),
+    )
+    joined = df.join(F.broadcast(p), stratum_col)
+    full = joined.filter(F.col("__nf") >= 1).select(
+        *df.columns,
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), F.col("__nf"))
+        ).alias("copy"),
+    )
+    from pyspark.sql.window import Window
+
+    tok = F.col(tokens_col).cast("long")
+    withb = joined.withColumn("__b", sample_bucket(id_col, salt))
+    bsum = withb.groupBy(stratum_col, "__b").agg(F.sum(tok).alias("__btok"))
+    wpart = (
+        Window.partitionBy(stratum_col)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bcum = bsum.select(
+        stratum_col,
+        "__b",
+        F.coalesce(F.sum("__btok").over(wpart), F.lit(0).cast("long")).alias(
+            "__cb"
+        ),
+    )
+    wrow = (
+        Window.partitionBy(stratum_col, "__b")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frac = (
+        withb.join(F.broadcast(bcum), [stratum_col, "__b"])
+        .withColumn(
+            "__before",
+            F.col("__cb")
+            + F.coalesce(F.sum(tok).over(wrow), F.lit(0).cast("long")),
+        )
+        .filter(F.col("__before") < F.col("__rem"))
+        .select(*df.columns, (F.col("__nf") + F.lit(1)).cast("long").alias("copy"))
+    )
+    return full.unionByName(frac)
 
 
 def token_budget_plan(

@@ -152,6 +152,10 @@ _REPORT_TAIL = (
     # q71 — percentile_approx scale twin of q04; rows-only by design
     # (engine-specific sketch); error-bound pytest vs the exact form.
     "q71_latency_quantiles_approx",
+    # r7 additions — oracle-backed (test_oracle_parity runs them every
+    # CI pass), parked in the tail as the newest entries; rotation
+    # candidates for r8.
+    "q79_epoch_expansion",
 )
 
 

@@ -963,11 +963,14 @@ _PLAN_BUDGET = 50_000  # training-run token budget for the q74 plan
 _PLAN_EPOCH_CAP = 25_000  # permyriad: never draw a stratum more than 2.5x
 
 
-@query(
-    "q74_token_budget_plan",
-    oracle=f"""
-WITH t AS (
-  SELECT lang, len({_DDB_TOKENS}) AS n_tok FROM documents
+def _plan_ctes() -> str:
+    """The token-budget-plan chain over per-document token counts —
+    shared verbatim by the q74 (plan table) and q79 (materialized
+    draw) oracles, so a tempering or cap fix cannot silently diverge
+    the plan a draw replays. ``planned`` ends with one row per lang
+    carrying the full plan including ``planned_tok``."""
+    return f"""t AS (
+  SELECT doc_id, lang, len({_DDB_TOKENS}) AS n_tok FROM documents
 ), c AS (
   SELECT lang, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS avail_tok
   FROM t GROUP BY lang
@@ -985,12 +988,20 @@ WITH t AS (
   SELECT *, least({_PLAN_EPOCH_CAP},
                   (10000 * target_tok) // greatest(avail_tok, 1)) AS epochs_permyriad
   FROM plan
-)
+), planned AS (
+  SELECT *, (avail_tok * epochs_permyriad) // 10000 AS planned_tok FROM ep
+)"""
+
+
+@query(
+    "q74_token_budget_plan",
+    oracle=f"""
+WITH {_plan_ctes()}
 SELECT lang, n_docs, avail_tok, weight,
        CAST(target_tok AS BIGINT) AS target_tok,
        CAST(epochs_permyriad AS BIGINT) AS epochs_permyriad,
-       CAST((avail_tok * epochs_permyriad) // 10000 AS BIGINT) AS planned_tok
-FROM ep
+       CAST(planned_tok AS BIGINT) AS planned_tok
+FROM planned
 ORDER BY lang
 """,
 )
@@ -1310,4 +1321,92 @@ def q78(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") <= _SEL_TOP_PER_LANG)
         .select("lang", "doc_id", F.col("score").alias("overlap_score"))
         .orderBy("lang", F.desc("overlap_score"), "doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+_EPOCH_SALT = "epoch-v1"
+
+
+def _q79_oracle() -> str:
+    b = ddb_sample_bucket("doc_id", _EPOCH_SALT)
+    return f"""
+WITH {_plan_ctes()}, fr AS (
+  SELECT t.lang, t.doc_id, t.n_tok,
+         p.epochs_permyriad // 10000 AS n_full,
+         p.planned_tok - (p.epochs_permyriad // 10000) * p.avail_tok AS rem,
+         {b} AS b
+  FROM t JOIN planned p USING (lang)
+), full_copies AS (
+  SELECT lang, doc_id, n_tok,
+         unnest(generate_series(1, CAST(n_full AS BIGINT))) AS copy
+  FROM fr
+), cum AS (
+  SELECT lang, doc_id, n_tok, n_full, rem,
+         coalesce(sum(n_tok) OVER (
+           PARTITION BY lang ORDER BY b, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+  FROM fr
+), frac AS (
+  SELECT lang, doc_id, n_tok, n_full + 1 AS copy
+  FROM cum WHERE before < rem
+), drawn AS (
+  SELECT lang, doc_id, n_tok, copy FROM full_copies
+  UNION ALL
+  SELECT lang, doc_id, n_tok, copy FROM frac
+)
+SELECT lang, CAST(copy AS BIGINT) AS copy,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum
+FROM drawn
+GROUP BY lang, copy
+ORDER BY lang, copy
+"""
+
+
+@query("q79_epoch_expansion", oracle=_q79_oracle())
+def q79(spark: SparkSession, sf: str) -> DataFrame:
+    """Multi-epoch draw MATERIALIZATION: execute the q74 token-budget
+    plan (operators/mixing.epoch_expand) — full epochs as exact copies,
+    the fractional remainder as a deterministic token-prefix draw in
+    (md5-bucket, id) order, landing within one document of
+    ``planned_tok``. This closes the plan→sampler loop r6 left open:
+    q74 could prescribe epochs up to 2.5x that nothing could draw.
+
+    The oracle replays the ENTIRE chain — plan (shared CTEs with q74),
+    per-copy membership (sum of doc_ids per (lang, copy)), and drawn
+    token sums — so a wrong epoch count, a wrong prefix cut, or a
+    different tie order fails the hash, not just a size check.
+
+    Scale shape: plan is broadcast; full copies are a scan-local
+    explode; the prefix cut rides per-(lang, bucket) token partials
+    (bounded by |langs| x 10001) with the row-level cumsum partitioned
+    by (lang, bucket) — 10000x finer than a stratum, so no
+    single-stratum sort exists at any corpus size (the cdf_buckets
+    device applied to sampling).
+    """
+    from alt_spark.operators.mixing import epoch_expand, token_budget_plan
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(_tokens_col()).alias("n_tok")
+    )
+    plan = token_budget_plan(
+        docs,
+        "lang",
+        "n_tok",
+        budget_tokens=_PLAN_BUDGET,
+        epoch_cap_permyriad=_PLAN_EPOCH_CAP,
+    )
+    drawn = epoch_expand(
+        docs, plan, "lang", "doc_id", "n_tok", salt=_EPOCH_SALT
+    )
+    return (
+        drawn.groupBy("lang", "copy")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").alias("id_checksum"),
+            F.sum("n_tok").alias("tok_sum"),
+        )
+        .orderBy("lang", "copy")
     )

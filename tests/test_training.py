@@ -658,6 +658,102 @@ def test_lm_model_cache_is_bounded_lru(spark):
     assert list(lm._MODEL_CACHE) == before
 
 
+def _epoch_fixture(spark):
+    """Skewed strata (8/30/100/262 docs) so sqrt tempering pushes the
+    small strata past 1 epoch while the big one stays fractional."""
+    import random
+
+    rng = random.Random(3)
+    rows, i = [], 0
+    for s, n in (("s0", 8), ("s1", 30), ("s2", 100), ("s3", 262)):
+        for _ in range(n):
+            rows.append((i, s, rng.randint(1, 40)))
+            i += 1
+    return spark.createDataFrame(rows, "doc_id long, stratum string, n_tok long")
+
+
+def test_epoch_expand_hits_planned_tokens_within_one_doc(spark):
+    """The draw must land within ONE document of the plan (VERDICT r6
+    item 3's Done-criterion): planned_tok <= drawn_tok < planned_tok +
+    max(doc tokens), exactly planned_tok when the remainder is zero —
+    for every stratum, including ones the epoch cap binds."""
+    from alt_spark.operators.mixing import epoch_expand, token_budget_plan
+
+    df = _epoch_fixture(spark)
+    plan = token_budget_plan(
+        df, "stratum", "n_tok", budget_tokens=5000, epoch_cap_permyriad=25000
+    )
+    pl = {r["stratum"]: r.asDict() for r in plan.collect()}
+    # The fixture must actually exercise both regimes.
+    assert any(p["epochs_permyriad"] > PRECISION for p in pl.values())
+    assert any(0 < p["epochs_permyriad"] < PRECISION for p in pl.values())
+    drawn = epoch_expand(df, plan, "stratum", "doc_id", "n_tok")
+    got = {
+        r["stratum"]: r["tok"]
+        for r in drawn.groupBy("stratum").agg(F.sum("n_tok").alias("tok")).collect()
+    }
+    mx = {
+        r["stratum"]: r["mx"]
+        for r in df.groupBy("stratum").agg(F.max("n_tok").alias("mx")).collect()
+    }
+    for s, p in pl.items():
+        d = got.get(s, 0)
+        if p["planned_tok"] == 0:
+            assert d == 0, s
+        else:
+            assert p["planned_tok"] <= d < p["planned_tok"] + mx[s], (
+                s, p["planned_tok"], d, mx[s],
+            )
+        # Full copies are complete passes: every copy below the epoch
+        # floor draws the whole stratum.
+        n_full = p["epochs_permyriad"] // PRECISION
+        if n_full >= 1:
+            per_copy = {
+                r["copy"]: (r["n"], r["ids"])
+                for r in drawn.filter(F.col("stratum") == s)
+                .groupBy("copy")
+                .agg(F.count("*").alias("n"), F.sum("doc_id").alias("ids"))
+                .collect()
+            }
+            whole = (p["n_docs"], None)
+            for c in range(1, n_full + 1):
+                assert per_copy[c][0] == p["n_docs"], (s, c, per_copy, whole)
+
+
+def test_epoch_expand_deterministic_under_repartitioning(spark):
+    """The drawn multiset is a pure function of (ids, plan, salt) —
+    identical under any physical layout (hash order + integer cumsum,
+    no rand())."""
+    from alt_spark.operators.mixing import epoch_expand, token_budget_plan
+
+    df = _epoch_fixture(spark)
+    plan = token_budget_plan(
+        df, "stratum", "n_tok", budget_tokens=5000, epoch_cap_permyriad=25000
+    )
+
+    def multiset(frame):
+        return sorted(
+            (r["stratum"], r["doc_id"], r["copy"])
+            for r in epoch_expand(
+                frame, plan, "stratum", "doc_id", "n_tok"
+            ).collect()
+        )
+
+    base = multiset(df)
+    assert base == multiset(df.repartition(13))
+    # A different salt draws a different fractional remainder (the full
+    # copies are salt-independent by definition).
+    from alt_spark.operators.mixing import epoch_expand as ee
+
+    other = sorted(
+        (r["stratum"], r["doc_id"], r["copy"])
+        for r in ee(
+            df, plan, "stratum", "doc_id", "n_tok", salt="other"
+        ).collect()
+    )
+    assert other != base
+
+
 def test_q75_planted_ids_cannot_collide(spark):
     """q75's planted gate-failure rows use NEGATIVE doc_ids (r6 ADVICE:
     fixed positive ids would silently collide with generated ids when
