@@ -156,6 +156,8 @@ _REPORT_TAIL = (
     # CI pass), parked in the tail as the newest entries; rotation
     # candidates for r8.
     "q79_epoch_expansion",
+    "q80_bpe_pair_counts",
+    "q81_cluster_representatives",
 )
 
 

@@ -796,3 +796,91 @@ def q77(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+def _q81_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+{_cc_closure_ctes()}, sized AS (
+  SELECT doc_id, len({_DDB_TOKENS}) AS n_tok FROM documents
+), member AS (
+  SELECT c.comp AS cluster_id, c.id AS doc_id, s.n_tok
+  FROM comp c JOIN sized s ON s.doc_id = c.id
+), ranked AS (
+  SELECT cluster_id, doc_id, n_tok,
+         row_number() OVER (
+           PARTITION BY cluster_id ORDER BY n_tok DESC, doc_id
+         ) AS rn
+  FROM member
+)
+SELECT cluster_id,
+       count(*) AS n_docs,
+       CAST(max(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS rep_id,
+       CAST(max(CASE WHEN rn = 1 THEN n_tok END) AS BIGINT) AS rep_tok,
+       CAST(sum(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS BIGINT)
+         AS dropped_tok
+FROM ranked
+GROUP BY cluster_id
+ORDER BY cluster_id
+"""
+
+
+@query("q81_cluster_representatives", oracle=_q81_oracle())
+def q81(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware cluster representative selection: within each
+    near-dup cluster (q73's connected components), KEEP the
+    highest-content member (most tokens; ties → lowest doc_id) instead
+    of the min-id member — the production dedup policy when members
+    differ (a syndicated copy may be truncated; min-id keeps whichever
+    arrived first, this keeps the fullest text). Reports per cluster
+    the representative, member count, and the token mass the drop
+    decision discards.
+
+    The oracle replays the full chain — pair graph, recursive-CTE
+    closure (shared verbatim with q73/q77), per-cluster argmax with the
+    same tie order — so a wrong merge OR a wrong representative fails
+    the hash.
+
+    Scale shape: the pair frame and converged labels are the CACHED
+    q73 artifacts (operators/dedup._PAIR_CACHE / graph._CC_CACHE — one
+    signing + closure per suite run); the selection itself is one
+    broadcast-scale join (labels are cluster members only) plus a
+    window partitioned by cluster id — clusters are near-dup groups,
+    bounded small by construction. Plan note: excluded from the
+    plan-only audit fixture alongside q73/q77 — constructing the frame
+    runs the CC convergence loop.
+    """
+    from alt_spark.operators.graph import connected_components
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_near_dup(docs, threshold=0.7, portable=True)
+    cc = connected_components(pairs)
+    sized = docs.select(
+        "doc_id", F.size(dedup.tokens_col("text")).alias("n_tok")
+    )
+    member = (
+        cc.select(
+            F.col("comp").alias("cluster_id"), F.col("id").alias("doc_id")
+        )
+        .join(sized, "doc_id")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n_tok"), "doc_id")
+    ranked = member.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("rep_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_tok")))
+            .cast("long")
+            .alias("rep_tok"),
+            F.sum(
+                F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("dropped_tok"),
+        )
+        .orderBy("cluster_id")
+    )

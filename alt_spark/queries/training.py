@@ -1410,3 +1410,65 @@ def q79(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "copy")
     )
+
+
+# ---------------------------------------------------------------------------
+_BPE_TOP_K = 30
+
+
+@query(
+    "q80_bpe_pair_counts",
+    oracle=f"""
+WITH tok AS (
+  SELECT {_DDB_TOKENS} AS toks FROM documents
+), pairs AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM tok, unnest(generate_series(1, len(toks) - 1)) AS g(i)
+)
+SELECT a, b, count(*) AS n
+FROM pairs
+GROUP BY a, b
+ORDER BY n DESC, a, b
+LIMIT {_BPE_TOP_K}
+""",
+)
+def q80(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-training statistics: adjacent token-pair frequencies —
+    one iteration of the BPE/WordPiece merge loop (Sennrich et al.
+    2016: the merge candidate IS the argmax adjacent pair; a vocabulary
+    trainer runs exactly this count over the corpus every round). Top-K
+    pairs with a total deterministic order (count desc, a, b), so the
+    oracle pins the exact merge candidates, not a lookalike set.
+
+    Scale shape at 100 TB: pair construction is IN-ROW (arrays_zip of
+    two slices of the already-materialized token array — no join, no
+    lambda HOF, the gram-rows doctrine), the pair groupBy collapses
+    map-side to near-vocabulary² cardinality in practice (natural-text
+    adjacency is Zipfian, so partial aggregation absorbs most
+    occurrences), and the top-K is a TakeOrdered per-partition merge —
+    the corpus is never globally sorted.
+    """
+    toks = _tokens_col()
+    # Layered projection (the q48 lesson): the token array is named
+    # once, the two shifted views are named once — arrays_zip then
+    # pairs attributes, and the zip inherits their field names. The
+    # greatest(…, 0) guard keeps slice lengths legal for 0/1-token
+    # docs (they zip to an empty array and explode to nothing).
+    lead = F.greatest(F.size("t") - 1, F.lit(0))
+    prepped = (
+        load_table(spark, sf, "documents")
+        .select(toks.alias("t"))
+        .select(
+            F.slice("t", 1, lead).alias("a1"),
+            F.slice("t", 2, lead).alias("a2"),
+        )
+    )
+    pairs = prepped.select(
+        F.explode(F.arrays_zip("a1", "a2")).alias("p")
+    ).select(F.col("p.a1").alias("a"), F.col("p.a2").alias("b"))
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "a", "b")
+        .limit(_BPE_TOP_K)
+    )

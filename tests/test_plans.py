@@ -39,6 +39,9 @@ _NESTED_LOOP_OK = {
     # 1-row weight-total frame crossed onto the stratum-sized plan
     # table (operators/mixing.token_budget_plan, q70's device).
     "q74_token_budget_plan",
+    # q79 materializes the q74 plan, so the same 1-row weight-total
+    # cross join rides inside its broadcast plan side.
+    "q79_epoch_expansion",
     # 1-row model-total frame from the q65 scorer (q76 reuses the
     # scoring chain; the cross join rides along even though the bucket
     # query only consumes the OOV column).
@@ -48,12 +51,13 @@ _NESTED_LOOP_OK = {
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    # q69, q73 and q77 are excluded: constructing q69 FITS an MLlib
-    # model (Pipeline.fit is an action — percentile_cont pass + L-BFGS
-    # iterations); q73/q77 run the connected-components convergence
-    # loop (one keyed join + count per round) — real executor work
-    # inside what should be plan-only audits. Their scan/broadcast
-    # invariants are covered by their own property tests.
+    # q69, q73, q77 and q81 are excluded: constructing q69 FITS an
+    # MLlib model (Pipeline.fit is an action — percentile_cont pass +
+    # L-BFGS iterations); q73/q77/q81 run the connected-components
+    # convergence loop (one keyed join + count per round) — real
+    # executor work inside what should be plan-only audits. Their
+    # scan/broadcast invariants are covered by their own property
+    # tests.
     return {
         name: fn(spark, SF)
         for name, fn in all_queries().items()
@@ -61,6 +65,7 @@ def dfs(spark):
             "q69_quality_classifier",
             "q73_neardup_clusters",
             "q77_leakage_free_splits",
+            "q81_cluster_representatives",
         )
     }
 
