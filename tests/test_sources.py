@@ -572,6 +572,48 @@ def test_incremental_export_recertifies_reused_shards(spark, tmp_path):
     assert m1["version"] == 1 and read_export_manifest(out, 1) == m1
 
 
+def test_plan_draw_shard_export_composition(spark, tmp_path):
+    """The full tail of the pipeline end-to-end: token-budget plan →
+    multi-epoch draw (epoch_expand) → deterministic shuffle-sharding of
+    the drawn COPIES (keyed by doc#copy, since a doc can legitimately
+    appear once per epoch) → versioned export. The manifest must
+    certify exactly the drawn multiset (token_sum == drawn tokens,
+    n_rows == drawn rows) and the read-back must reproduce it."""
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.dedup import tokens_col
+    from alt_spark.operators.mixing import epoch_expand, token_budget_plan
+    from alt_spark.operators.packing import shuffle_shards
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "lang", F.size(tokens_col("text")).cast("long").alias("n_tok")
+    )
+    plan = token_budget_plan(
+        docs, "lang", "n_tok", budget_tokens=20_000, epoch_cap_permyriad=25_000
+    )
+    drawn = epoch_expand(docs, plan, "lang", "doc_id", "n_tok")
+    keyed = drawn.withColumn(
+        "draw_id", F.concat_ws("#", F.col("doc_id"), F.col("copy"))
+    )
+    sharded = shuffle_shards(keyed, "draw_id", n_shards=8, salt="e2e")
+    out = str(tmp_path / "export")
+    m = export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    want_rows = drawn.count()
+    want_tok = drawn.agg(F.sum("n_tok")).collect()[0][0]
+    assert m["n_rows"] == want_rows and m["token_sum"] == want_tok
+    back = read_export(spark, out)
+    assert back.count() == want_rows
+    assert (
+        sorted(
+            (r["doc_id"], r["copy"]) for r in back.select("doc_id", "copy").collect()
+        )
+        == sorted((r["doc_id"], r["copy"]) for r in drawn.collect())
+    )
+
+
 def test_training_export_all_null_token_sums_to_zero(spark, tmp_path):
     from alt_spark.sources.training_export import export_packed_corpus
 
