@@ -158,6 +158,8 @@ _REPORT_TAIL = (
     "q79_epoch_expansion",
     "q80_bpe_pair_counts",
     "q81_cluster_representatives",
+    "q82_dataset_card",
+    "q83_contamination_audit",
 )
 
 

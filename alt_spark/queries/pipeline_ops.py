@@ -132,11 +132,15 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
 # q29's JA/ZH probe rows: the synthetic corpus is ASCII-only, so CJK
 # script voting is exercised by a deterministic literal extension of the
 # corpus, identical in both engines (VALUES there, createDataFrame here).
+# NEGATIVE ids — fixed positive ids would collide with generated
+# doc_ids once the corpus grows past them (the q75/r6-ADVICE hazard
+# class); the canary test_q75_planted_ids_cannot_collide pins generated
+# ids non-negative.
 _Q29_EXTRA: tuple[tuple[int, str], ...] = (
-    (100001, "これはテストです。日本語の文章を書いています。とても楽しいです。"),
-    (100002, "スパークで大規模なデータを処理します。速い処理が必要です。"),
-    (100003, "这是一个测试文档只有汉字没有假名所以是中文。"),
-    (100004, "ok"),
+    (-11, "これはテストです。日本語の文章を書いています。とても楽しいです。"),
+    (-12, "スパークで大規模なデータを処理します。速い処理が必要です。"),
+    (-13, "这是一个测试文档只有汉字没有假名所以是中文。"),
+    (-14, "ok"),
 )
 
 

@@ -236,12 +236,15 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Planted PII rows: the synthetic corpus is PII-free, so the scrub is
 # exercised by a deterministic literal extension identical in both
-# engines (same device as q29's CJK probe rows).
+# engines (same device as q29's CJK probe rows). NEGATIVE ids — fixed
+# positive ids would collide with generated doc_ids once the corpus
+# grows past them (the q75/r6-ADVICE hazard class); the canary
+# test_q75_planted_ids_cannot_collide pins generated ids non-negative.
 _PII_EXTRA: tuple[tuple[int, str], ...] = (
-    (200001, "contact me at alice@example.com or visit https://example.com/page?q=1 soon"),
-    (200002, "server at 192.168.1.10 called +1 (555) 123-4567 yesterday"),
-    (200003, "mirror https://a.b/c linked from bob.smith+x@mail.co today"),
-    (200004, "no identifiers here just ordinary words"),
+    (-21, "contact me at alice@example.com or visit https://example.com/page?q=1 soon"),
+    (-22, "server at 192.168.1.10 called +1 (555) 123-4567 yesterday"),
+    (-23, "mirror https://a.b/c linked from bob.smith+x@mail.co today"),
+    (-24, "no identifiers here just ordinary words"),
 )
 
 
@@ -1471,4 +1474,166 @@ def q80(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "a", "b")
         .limit(_BPE_TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q82_dataset_card",
+    oracle=f"""
+WITH base AS (
+  SELECT lang, source,
+         md5(text) AS h,
+         len({_DDB_TOKENS}) AS n_tok,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS alpha_chars
+  FROM documents
+)
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       CAST(grouping(lang) * 2 + grouping(source) AS INT) AS gid,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS tok_sum,
+       count(DISTINCT h) AS n_unique,
+       CAST((10000 * (count(*) - count(DISTINCT h))) // count(*) AS BIGINT)
+         AS dup_permyriad,
+       CAST((10000 * sum(alpha_chars)) // greatest(sum(n_chars), 1) AS BIGINT)
+         AS alpha_permyriad
+FROM base
+GROUP BY ROLLUP (lang, source)
+ORDER BY gid, lang, source
+""",
+)
+def q82(spark: SparkSession, sf: str) -> DataFrame:
+    """Dataset card: the corpus-release statistics table (per (lang,
+    source), per lang, and grand total in ONE rollup pass) — doc and
+    token counts, exact-duplicate rate from content hashes, and an
+    alphanumeric-density signal, every metric an exact integer
+    (permyriads via integer division). This is the datasheet a corpus
+    version ships with (Gebru et al. 2021, "Datasheets for Datasets");
+    composing it as one GROUPING SETS aggregate means one shuffle
+    produces all three granularities.
+
+    Scale shape: one scan computing per-doc narrow columns in-row, one
+    hash aggregate with rollup expansion (Spark plans all three sets in
+    a single pass, q56's device); the distinct-hash count is the only
+    wide statistic and rides the same aggregate.
+    """
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "lang",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(_tokens_col()).cast("long").alias("n_tok"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace("text", "[^A-Za-z0-9 ]", "")).alias(
+            "alpha_chars"
+        ),
+    )
+    agg = base.rollup("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("tok_sum"),
+        F.countDistinct("h").alias("n_unique"),
+        F.sum("alpha_chars").alias("__alpha"),
+        F.sum("n_chars").alias("__chars"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+    return (
+        agg.select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "gid",
+            "n_docs",
+            "tok_sum",
+            "n_unique",
+            F.expr("(10000 * (n_docs - n_unique)) div n_docs").alias(
+                "dup_permyriad"
+            ),
+            F.expr("(10000 * __alpha) div greatest(__chars, 1)").alias(
+                "alpha_permyriad"
+            ),
+        )
+        .orderBy("gid", "lang", "source")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q83_contamination_audit",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, {_DDB_TOKENS} AS toks FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, s + 1, s + {_DECON_N}), ' ') AS g
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, len(toks) - {_DECON_N}, 1)) AS s
+    FROM tok WHERE len(toks) >= {_DECON_N}
+  )
+), hits AS (
+  SELECT b.doc_id AS bench_id,
+         count(DISTINCT c.doc_id) AS n_docs_hit,
+         count(DISTINCT b.g) AS n_grams_hit
+  FROM grams b JOIN grams c ON b.g = c.g
+  WHERE b.doc_id % 50 = 0 AND c.doc_id % 50 <> 0
+  GROUP BY b.doc_id
+)
+SELECT d.doc_id AS bench_id,
+       CAST(coalesce(h.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+       CAST(coalesce(h.n_grams_hit, 0) AS BIGINT) AS n_grams_hit
+FROM documents d LEFT JOIN hits h ON h.bench_id = d.doc_id
+WHERE d.doc_id % 50 = 0
+ORDER BY bench_id
+""",
+)
+def q83(spark: SparkSession, sf: str) -> DataFrame:
+    """Contamination AUDIT — q62's complementary reporting surface: for
+    every benchmark document (the q62 convention: every 50th doc plays
+    the eval suite), how many corpus documents share at least one
+    {_DECON_N}-gram and how many of the benchmark doc's grams are
+    contaminated. q62 removes; this reports — the per-item overlap
+    table papers publish next to their decontamination rule, and the
+    audit a pipeline runs to decide whether a benchmark is even usable
+    against a crawl. Zero-overlap benchmark docs appear with zeros, so
+    the surface is complete per item.
+
+    Scale shape: the benchmark gram side is eval-suite-sized and
+    BROADCAST into the join against corpus gram rows (the corpus is
+    never shuffled by the probe — q62's decontaminate shape, reported
+    instead of anti-joined); only the hit rows (bounded by bench grams
+    x matching docs) reach the count-distinct aggregate.
+    """
+    from alt_spark.operators.dedup import shingle_rows
+
+    docs = load_table(spark, sf, "documents")
+    grams = shingle_rows(docs, "text", "doc_id", _DECON_N)
+    bg = grams.filter(F.col("id") % 50 == 0).select(
+        F.col("id").alias("bench_id"), "sh"
+    )
+    cg = grams.filter(F.col("id") % 50 != 0).select(
+        F.col("id").alias("corpus_id"), "sh"
+    )
+    hits = (
+        F.broadcast(bg)
+        .join(cg, "sh")
+        .groupBy("bench_id")
+        .agg(
+            F.countDistinct("corpus_id").alias("n_docs_hit"),
+            F.countDistinct("sh").alias("n_grams_hit"),
+        )
+    )
+    bench = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("bench_id")
+    )
+    return (
+        bench.join(hits, "bench_id", "left")
+        .select(
+            "bench_id",
+            F.coalesce("n_docs_hit", F.lit(0)).cast("long").alias("n_docs_hit"),
+            F.coalesce("n_grams_hit", F.lit(0))
+            .cast("long")
+            .alias("n_grams_hit"),
+        )
+        .orderBy("bench_id")
     )

@@ -755,15 +755,18 @@ def test_epoch_expand_deterministic_under_repartitioning(spark):
 
 
 def test_q75_planted_ids_cannot_collide(spark):
-    """q75's planted gate-failure rows use NEGATIVE doc_ids (r6 ADVICE:
-    fixed positive ids would silently collide with generated ids when
-    the corpus grows). Canary both halves of that invariant: every
-    planted id is negative, every generated id non-negative — at any
-    regenerated scale the q75 surface stays keyed by doc_id."""
-    from alt_spark.queries.training import _GOPHER_EXTRA
+    """Planted probe rows (q75 Gopher gates, q63 PII, q29 CJK) use
+    NEGATIVE doc_ids (r6 ADVICE: fixed positive ids would silently
+    collide with generated ids when the corpus grows). Canary both
+    halves of that invariant: every planted id in every device is
+    negative, every generated id non-negative — at any regenerated
+    scale the per-document surfaces stay keyed by doc_id."""
+    from alt_spark.queries.pipeline_ops import _Q29_EXTRA
+    from alt_spark.queries.training import _GOPHER_EXTRA, _PII_EXTRA
     from tests.conftest import SF_ORACLE
 
-    assert all(i < 0 for i, _ in _GOPHER_EXTRA)
+    for extra in (_GOPHER_EXTRA, _PII_EXTRA, _Q29_EXTRA):
+        assert all(i < 0 for i, _ in extra)
     for sf in (SF_SMOKE, SF_ORACLE):
         low = (
             load_table(spark, sf, "documents")
