@@ -34,6 +34,10 @@ __all__ = [
     "scrub_pii",
     "ddb_scrub_pii",
     "PII_PATTERNS",
+    "c4_page_stats",
+    "ddb_c4_page_stats",
+    "C4_MIN_LINE_WORDS",
+    "C4_MIN_SENTENCES",
 ]
 
 
@@ -155,3 +159,94 @@ def ddb_scrub_pii(text_expr: str) -> str:
         p = pat.replace("'", "''")
         out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
     return out
+
+
+# ------------------------------------------------------------- C4 heuristics
+# The C4 page-cleaning rules (Raffel et al. 2020, "Exploring the Limits
+# of Transfer Learning", §2.2) — the line/page gates every web-crawl
+# training pipeline applies before heavier quality models. Constants are
+# shared by the Spark expression and the DuckDB twin so the engines
+# cannot drift; all patterns are ASCII-class, lookahead-free (the
+# Java-regex/RE2 portability discipline of PII_PATTERNS).
+C4_MIN_LINE_WORDS = 5  # a line survives only with >= 5 words ...
+C4_MIN_SENTENCES = 3  # ... and a page only with >= 3 kept sentences
+_C4_TERMINAL = '[.!?"] *$'  # line must end in terminal punctuation
+_C4_WORD = "[A-Za-z0-9]+"
+_C4_SENT = "[.!?]+"
+_C4_LINE_BAD = "javascript"  # boilerplate cookie/JS-warning lines
+_C4_PAGE_BAD = "lorem ipsum"  # placeholder pages are dropped whole
+_C4_BRACE = "{"  # code pages are dropped whole
+
+
+def c4_page_stats(text: Column) -> Column:
+    """C4 line filtering + page gating as ONE in-row struct:
+    ``(n_lines, n_kept, page_kept, clean_text)``.
+
+    Line gates (each line of the page): terminal punctuation, at least
+    ``C4_MIN_LINE_WORDS`` words, and no 'javascript' (the cookie-warning
+    heuristic). Page gates (the whole page): no 'lorem ipsum', no curly
+    brace, and at least ``C4_MIN_SENTENCES`` sentences surviving in the
+    kept text. ``clean_text`` is the kept lines rejoined in order —
+    content and order are both pinned by the q84 oracle's md5.
+
+    Scale shape: entirely in-row (split / filter / array_join over the
+    line array — no explode, no shuffle); the HOF lambdas run
+    interpreted rather than codegen'd, but per-line regexes on a
+    bounded line count beat exploding a 100 TB corpus into a
+    line-grain shuffle by construction.
+    """
+    lines = F.split(text, "\n")
+
+    def _keep(line: Column) -> Column:
+        return (
+            line.rlike(_C4_TERMINAL)
+            & (
+                F.size(F.regexp_extract_all(line, F.lit(_C4_WORD), F.lit(0)))
+                >= C4_MIN_LINE_WORDS
+            )
+            & (F.instr(F.lower(line), _C4_LINE_BAD) == 0)
+        )
+
+    kept = F.filter(lines, _keep)
+    clean = F.array_join(kept, "\n")
+    page_kept = (
+        (F.instr(F.lower(text), _C4_PAGE_BAD) == 0)
+        & (F.instr(text, _C4_BRACE) == 0)
+        & (
+            F.size(F.regexp_extract_all(clean, F.lit(_C4_SENT), F.lit(0)))
+            >= C4_MIN_SENTENCES
+        )
+    )
+    return F.struct(
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        page_kept.cast("long").alias("page_kept"),
+        clean.alias("clean_text"),
+    )
+
+
+def ddb_c4_page_stats(text_expr: str) -> dict[str, str]:
+    """DuckDB twin of :func:`c4_page_stats`: expression strings for
+    each struct field, generated from the SAME constants."""
+    lines = f"string_split({text_expr}, chr(10))"
+    keep = (
+        f"regexp_matches(l, '{_C4_TERMINAL}') AND "
+        f"len(regexp_extract_all(l, '{_C4_WORD}')) >= {C4_MIN_LINE_WORDS} AND "
+        f"NOT contains(lower(l), '{_C4_LINE_BAD}')"
+    )
+    kept = f"list_filter({lines}, l -> {keep})"
+    # coalesce: DuckDB array_to_string([]) is NULL where Spark
+    # array_join([]) is '' — without it every fully-filtered page
+    # NULLs its md5 and page gate (measured, not hypothetical).
+    clean = f"coalesce(array_to_string({kept}, chr(10)), '')"
+    page = (
+        f"(NOT contains(lower({text_expr}), '{_C4_PAGE_BAD}') AND "
+        f"NOT contains({text_expr}, '{_C4_BRACE}') AND "
+        f"len(regexp_extract_all({clean}, '{_C4_SENT}')) >= {C4_MIN_SENTENCES})"
+    )
+    return {
+        "n_lines": f"CAST(len({lines}) AS BIGINT)",
+        "n_kept": f"CAST(len({kept}) AS BIGINT)",
+        "page_kept": f"CAST({page} AS BIGINT)",
+        "clean_text": clean,
+    }

@@ -28,6 +28,12 @@ __all__ = [
     "winnowing_fingerprints",
     "ngram_strings",
     "repetition_metrics",
+    "pan_candidates",
+    "luhn_ok",
+    "ddb_pan_candidates",
+    "ddb_luhn_ok",
+    "flesch_milli",
+    "ddb_flesch_milli",
 ]
 
 # Marker/script tables are DATA (functions/lang_data.py): adding a
@@ -527,3 +533,131 @@ def ddb_gopher_signals() -> dict[str, str]:
     out = {k: f"CAST({v} AS BIGINT)" for k, v in sig.items()}
     out["keep_flag"] = f"CAST({keep} AS BIGINT)"
     return out
+
+
+# ---------------------------------------------------------------- PAN / Luhn
+# Payment-card detection with checksum VALIDATION — the PII class the
+# regex scrub (functions/cleaning.PII_PATTERNS) cannot express: a
+# 16-digit run is only a card number if it passes the Luhn mod-10 check
+# (ISO/IEC 7812), and a compliance audit must distinguish validated
+# hits from digit-run lookalikes. Candidate pattern and checksum are
+# shared by the Spark expression and the DuckDB twin; the pattern is
+# ASCII-class, lookahead-free (Java-regex/RE2-portable).
+_PAN_RE = "[0-9](?:[ -]?[0-9]){12,18}"  # 13-19 digits, single separators
+
+
+def pan_candidates(text: Column) -> Column:
+    """array<string> of PAN-shaped digit runs (13-19 digits allowing
+    single space/dash separators), separators stripped — the candidate
+    set :func:`luhn_ok` then validates. In-row, codegen regex scan."""
+    return F.transform(
+        F.regexp_extract_all(text, F.lit(_PAN_RE), F.lit(0)),
+        lambda m: F.replace(F.replace(m, F.lit(" "), F.lit("")), F.lit("-"), F.lit("")),
+    )
+
+
+def luhn_ok(digits: Column) -> Column:
+    """Luhn mod-10 checksum over a pure-digit string: from the RIGHT,
+    every second digit doubles (minus 9 past 9); the sum must be
+    ≡ 0 (mod 10). Pure integer Column expression (no UDF): reverse the
+    string once, then one transform/aggregate pass over its digits."""
+    rev = F.reverse(digits)
+    contrib = F.transform(
+        F.sequence(F.lit(1), F.length(rev)),
+        lambda i: F.when(
+            i % 2 == 1, F.substr(rev, i, F.lit(1)).cast("int")
+        ).otherwise(
+            2 * F.substr(rev, i, F.lit(1)).cast("int")
+            - F.when(F.substr(rev, i, F.lit(1)).cast("int") > 4, 9).otherwise(0)
+        ),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda acc, x: acc + x)
+    return total % 10 == 0
+
+
+def ddb_pan_candidates(text_expr: str) -> str:
+    """DuckDB twin of :func:`pan_candidates` (same pattern constant)."""
+    return (
+        f"list_transform(regexp_extract_all({text_expr}, '{_PAN_RE}'), "
+        "m -> replace(replace(m, ' ', ''), '-', ''))"
+    )
+
+
+def ddb_luhn_ok(digits_expr: str) -> str:
+    """DuckDB twin of :func:`luhn_ok` over a digit-string expression
+    (``d`` must be a bare identifier or simple expression — it is
+    spliced several times)."""
+    d = digits_expr
+    dig = f"CAST({d}[length({d}) - i + 1] AS INTEGER)"
+    return (
+        f"(list_sum(list_transform(generate_series(1, length({d})), i -> "
+        f"CASE WHEN i % 2 = 1 THEN {dig} "
+        f"WHEN {dig} > 4 THEN 2 * {dig} - 9 "
+        f"ELSE 2 * {dig} END)) % 10 = 0)"
+    )
+
+
+# ------------------------------------------------------------- readability
+# Flesch reading-ease (Flesch 1948) as an exact-integer milli-score:
+# 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words), all three
+# ratios in integer milli arithmetic with identical floor division in
+# both engines. Syllables are approximated as vowel GROUPS (the
+# standard dictionary-free estimator); sentences as terminal-punct
+# runs, floored at 1 so a fragment scores rather than divides by zero.
+_FLESCH_WORD = "[a-z0-9]+"
+_FLESCH_SENT = "[.!?]+"
+_FLESCH_VOWELS = "[aeiouy]+"
+
+
+def flesch_milli(text: Column) -> Column:
+    """struct(n_words, n_sentences, n_syllables, score_milli) — the
+    Flesch reading-ease components and score as exact integers
+    (milli-points; 206835 = a perfect 206.835). In-row, three codegen
+    regex counts and integer arithmetic — scan-speed at 100 TB."""
+    low = F.lower(text)
+    w = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit(_FLESCH_WORD), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    s = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit(_FLESCH_SENT), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    y = F.greatest(
+        F.size(F.regexp_extract_all(low, F.lit(_FLESCH_VOWELS), F.lit(0))),
+        F.lit(1),
+    ).cast("long")
+    score = (
+        F.lit(206835).cast("long")
+        - _idiv(1015 * w, s)
+        - _idiv(84600 * y, w)
+    )
+    return F.struct(
+        w.alias("n_words"),
+        s.alias("n_sentences"),
+        y.alias("n_syllables"),
+        score.alias("score_milli"),
+    )
+
+
+def _idiv(num: Column, den: Column) -> Column:
+    """Integer floor division for non-negative operands (Spark's `div`
+    operator as a Column expression)."""
+    return F.floor(num / den).cast("long")
+
+
+def ddb_flesch_milli() -> dict[str, str]:
+    """DuckDB twin of :func:`flesch_milli` over the `text` column of
+    the current row (same pattern constants, same integer floors)."""
+    w = f"greatest(len(regexp_extract_all(lower(text), '{_FLESCH_WORD}')), 1)"
+    s = f"greatest(len(regexp_extract_all(lower(text), '{_FLESCH_SENT}')), 1)"
+    y = f"greatest(len(regexp_extract_all(lower(text), '{_FLESCH_VOWELS}')), 1)"
+    return {
+        "n_words": f"CAST({w} AS BIGINT)",
+        "n_sentences": f"CAST({s} AS BIGINT)",
+        "n_syllables": f"CAST({y} AS BIGINT)",
+        "score_milli": (
+            f"CAST(206835 - (1015 * {w}) // {s}"
+            f" - (84600 * {y}) // {w} AS BIGINT)"
+        ),
+    }

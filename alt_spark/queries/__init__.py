@@ -43,6 +43,7 @@ def _load_all_modules() -> None:
     from alt_spark.queries import coverage_q  # noqa: F401
     from alt_spark.queries import events_q  # noqa: F401
     from alt_spark.queries import pipeline_ops  # noqa: F401
+    from alt_spark.queries import quality  # noqa: F401
     from alt_spark.queries import relational  # noqa: F401
     from alt_spark.queries import relational_ext  # noqa: F401
     from alt_spark.queries import text  # noqa: F401
@@ -160,6 +161,9 @@ _REPORT_TAIL = (
     "q81_cluster_representatives",
     "q82_dataset_card",
     "q83_contamination_audit",
+    "q84_c4_filters",
+    "q85_pan_luhn_audit",
+    "q86_readability_bands",
 )
 
 
