@@ -194,8 +194,14 @@ def c4_page_stats(text: Column) -> Column:
     interpreted rather than codegen'd, but per-line regexes on a
     bounded line count beat exploding a 100 TB corpus into a
     line-grain shuffle by construction.
+
+    Lines split on ``\\r?\\n`` in BOTH engines: web-crawl pages are
+    routinely CRLF, and a bare-LF split would leave ``\\r`` on every
+    line — where Java's ``$`` matches before it but RE2's does not,
+    silently diverging the engines (found by review, planted row -37
+    pins it).
     """
-    lines = F.split(text, "\n")
+    lines = F.split(text, r"\r?\n")
 
     def _keep(line: Column) -> Column:
         return (
@@ -228,7 +234,7 @@ def c4_page_stats(text: Column) -> Column:
 def ddb_c4_page_stats(text_expr: str) -> dict[str, str]:
     """DuckDB twin of :func:`c4_page_stats`: expression strings for
     each struct field, generated from the SAME constants."""
-    lines = f"string_split({text_expr}, chr(10))"
+    lines = f"string_split_regex({text_expr}, '\\r?\\n')"
     keep = (
         f"regexp_matches(l, '{_C4_TERMINAL}') AND "
         f"len(regexp_extract_all(l, '{_C4_WORD}')) >= {C4_MIN_LINE_WORDS} AND "

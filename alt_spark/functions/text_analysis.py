@@ -401,6 +401,20 @@ _BULLET_HEAD = r"^[ \t]*[-*•]"
 _ELLIPSIS_MID = r"\.\.\.\n"
 
 
+def exact_idiv(a: Column, b: Column) -> Column:
+    """Exact integer division on non-negative longs: subtract the
+    remainder first, so the double division is of two exactly-
+    representable operands with an exactly-integral quotient — IEEE
+    correct rounding then returns the integer itself. Numerators in
+    this module are 10000-ish scalings of per-document counts, bounded
+    by ~10000 * 2^31 (JVM string length) << 2^53, so representability
+    holds by construction; a naive floor(a / b) could round up across
+    the integer boundary for quotients near an integer. The ONE
+    integer-division idiom for the module (gopher_signals and
+    flesch_milli both route here)."""
+    return ((a - a % b) / b).cast("long")
+
+
 def gopher_signals(text: Column, words: Column, toks: Column) -> Column:
     """Gopher-style per-document quality signals as a struct of exact
     integers (permyriads), plus the composed keep decision.
@@ -421,17 +435,7 @@ def gopher_signals(text: Column, words: Column, toks: Column) -> Column:
     runs at scan speed on 100 TB (same plan contract as
     repetition_metrics).
     """
-    def _div(a: Column, b: Column) -> Column:
-        # Exact integer division on non-negative longs: subtract the
-        # remainder first, so the double division is of two exactly-
-        # representable operands with an exactly-integral quotient —
-        # IEEE correct rounding then returns the integer itself.
-        # Numerators here are 10000 * per-document counts, bounded by
-        # 10000 * 2^31 (JVM string length) << 2^53, so representability
-        # holds by construction; a naive floor(a / b) could round up
-        # across the integer boundary for quotients near an integer.
-        return ((a - a % b) / b).cast("long")
-
+    _div = exact_idiv
     long0 = F.lit(0).cast("long")
     n_words = F.size(words).cast("long")
     nw1 = F.greatest(n_words, F.lit(1).cast("long"))
@@ -543,16 +547,47 @@ def ddb_gopher_signals() -> dict[str, str]:
 # hits from digit-run lookalikes. Candidate pattern and checksum are
 # shared by the Spark expression and the DuckDB twin; the pattern is
 # ASCII-class, lookahead-free (Java-regex/RE2-portable).
-_PAN_RE = "[0-9](?:[ -]?[0-9]){12,18}"  # 13-19 digits, single separators
+#
+# Candidate generation is two-stage because regex alone cannot decide
+# adjacency (no lookaround in RE2): first MAXIMAL separator-joined
+# digit runs, then per run either (a) the whole run if its digit count
+# is card-shaped (13-19 — handles '4111 1111 1111 1111' as ONE card),
+# or (b) a split on spaces with card-shaped segments kept (handles two
+# adjacent cards separated by a space, each surfacing individually —
+# the greedy-merge false negative a bounded-quantifier pattern has).
+# Residual ambiguity, accepted and documented: internally-SPACED cards
+# that are ALSO space-adjacent to other digits split into non-card
+# fragments and are missed — undecidable without semantic context.
+_PAN_RUN = "[0-9](?:[ -]?[0-9])*"  # maximal run, single separators
+_PAN_MIN, _PAN_MAX = 13, 19
 
 
 def pan_candidates(text: Column) -> Column:
-    """array<string> of PAN-shaped digit runs (13-19 digits allowing
-    single space/dash separators), separators stripped — the candidate
-    set :func:`luhn_ok` then validates. In-row, codegen regex scan."""
-    return F.transform(
-        F.regexp_extract_all(text, F.lit(_PAN_RE), F.lit(0)),
-        lambda m: F.replace(F.replace(m, F.lit(" "), F.lit("")), F.lit("-"), F.lit("")),
+    """array<string> of PAN-shaped digit candidates (13-19 digits,
+    single space/dash separators allowed), separators stripped, in
+    match order — the candidate set :func:`luhn_ok` then validates.
+    In-row: one codegen regex scan plus bounded per-run transforms."""
+
+    def _cands(run: Column) -> Column:
+        whole = F.replace(
+            F.replace(run, F.lit(" "), F.lit("")), F.lit("-"), F.lit("")
+        )
+        segs = F.filter(
+            F.transform(
+                F.split(run, " "),
+                lambda s: F.replace(s, F.lit("-"), F.lit("")),
+            ),
+            lambda s: (F.length(s) >= _PAN_MIN) & (F.length(s) <= _PAN_MAX),
+        )
+        return F.when(
+            (F.length(whole) >= _PAN_MIN) & (F.length(whole) <= _PAN_MAX),
+            F.array(whole),
+        ).otherwise(segs)
+
+    return F.flatten(
+        F.transform(
+            F.regexp_extract_all(text, F.lit(_PAN_RUN), F.lit(0)), _cands
+        )
     )
 
 
@@ -576,10 +611,18 @@ def luhn_ok(digits: Column) -> Column:
 
 
 def ddb_pan_candidates(text_expr: str) -> str:
-    """DuckDB twin of :func:`pan_candidates` (same pattern constant)."""
+    """DuckDB twin of :func:`pan_candidates` (same constants, same
+    two-stage run logic)."""
+    whole = "replace(replace(r, ' ', ''), '-', '')"
+    segs = (
+        "list_filter(list_transform(string_split(r, ' '), "
+        "s -> replace(s, '-', '')), "
+        f"s -> length(s) BETWEEN {_PAN_MIN} AND {_PAN_MAX})"
+    )
     return (
-        f"list_transform(regexp_extract_all({text_expr}, '{_PAN_RE}'), "
-        "m -> replace(replace(m, ' ', ''), '-', ''))"
+        f"flatten(list_transform(regexp_extract_all({text_expr}, '{_PAN_RUN}'), "
+        f"r -> CASE WHEN length({whole}) BETWEEN {_PAN_MIN} AND {_PAN_MAX} "
+        f"THEN [{whole}] ELSE {segs} END))"
     )
 
 
@@ -629,8 +672,8 @@ def flesch_milli(text: Column) -> Column:
     ).cast("long")
     score = (
         F.lit(206835).cast("long")
-        - _idiv(1015 * w, s)
-        - _idiv(84600 * y, w)
+        - exact_idiv(1015 * w, s)
+        - exact_idiv(84600 * y, w)
     )
     return F.struct(
         w.alias("n_words"),
@@ -638,12 +681,6 @@ def flesch_milli(text: Column) -> Column:
         y.alias("n_syllables"),
         score.alias("score_milli"),
     )
-
-
-def _idiv(num: Column, den: Column) -> Column:
-    """Integer floor division for non-negative operands (Spark's `div`
-    operator as a Column expression)."""
-    return F.floor(num / den).cast("long")
 
 
 def ddb_flesch_milli() -> dict[str, str]:

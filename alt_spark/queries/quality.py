@@ -43,13 +43,7 @@ from alt_spark.functions.text_analysis import (
     pan_candidates,
 )
 from alt_spark.queries import query
-
-
-def _values_sql(rows: tuple[tuple[int, str], ...], cols: str) -> str:
-    body = ", ".join(
-        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in rows
-    )
-    return f"(VALUES {body}) AS extra({cols})"
+from alt_spark.queries.planted import values_sql as _values_sql
 
 
 # ---------------------------------------------------------------------------
@@ -89,6 +83,9 @@ _C4_EXTRA: tuple[tuple[int, str], ...] = (
     (-35, "\n".join(_GOOD_LINES[:2])),
     # degenerate: empty page
     (-36, ""),
+    # CRLF page (the web-crawl norm): must behave exactly like -31 —
+    # pins the \r?\n split against the Java-$-before-\r vs RE2 drift
+    (-37, "\r\n".join(_GOOD_LINES)),
 )
 
 
@@ -151,6 +148,13 @@ _PAN_EXTRA: tuple[tuple[int, str], ...] = (
     (-44, "call 5551234567 for details soon."),
     (-45, "amex 378282246310005 works too."),
     (-46, "two cards 4111111111111111 and 5555555555554444 appear here."),
+    # ADJACENT cards separated only by a space: the run is 32 digits,
+    # so the space-split branch must surface each card individually
+    # (the greedy-merge false negative, pinned by review finding 2)
+    (-47, "adjacent 4111111111111111 5555555555554444 cards."),
+    # internally-spaced single card: the whole 16-digit run is ONE
+    # candidate, not four 4-digit fragments
+    (-48, "spaced 4111 1111 1111 1111 card."),
 )
 
 

@@ -35,6 +35,7 @@ from alt_spark.operators.dedup import tokens_col
 from alt_spark.operators.mixing import ddb_sample_bucket, stratified_sample
 from alt_spark.operators.packing import chunk_tokens, pack_contiguous
 from alt_spark.queries import query
+from alt_spark.queries.planted import values_sql
 
 # The mixing config under test: permyriad keep-rates per language.
 _RATES = {"en": 8000, "de": 5000, "fr": 2500, "es": 2500, "zh": 1000}
@@ -249,10 +250,7 @@ _PII_EXTRA: tuple[tuple[int, str], ...] = (
 
 
 def _pii_values_sql() -> str:
-    rows = ", ".join(
-        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _PII_EXTRA
-    )
-    return f"(VALUES {rows}) AS extra(doc_id, text)"
+    return values_sql(_PII_EXTRA)
 
 
 @query(
@@ -1063,10 +1061,7 @@ _GOPHER_EXTRA: tuple[tuple[int, str], ...] = (
 
 
 def _gopher_values_sql() -> str:
-    rows = ", ".join(
-        "({}, '{}')".format(i, t.replace("'", "''")) for i, t in _GOPHER_EXTRA
-    )
-    return f"(VALUES {rows}) AS extra(doc_id, text)"
+    return values_sql(_GOPHER_EXTRA)
 
 
 def _q75_oracle() -> str:

@@ -42,6 +42,10 @@ def test_c4_planted_gates(spark):
     # empty page: one empty line, nothing kept
     assert rows[-36]["n_lines"] == 1 and rows[-36]["n_kept"] == 0
     assert rows[-36]["page_kept"] == 0
+    # CRLF page behaves exactly like its LF twin -31 (same clean_md5:
+    # \r?\n split + LF rejoin normalizes the line endings away)
+    assert rows[-37]["n_kept"] == 4 and rows[-37]["page_kept"] == 1
+    assert rows[-37]["clean_md5"] == rows[-31]["clean_md5"]
 
 
 def test_c4_kept_text_is_order_preserving(spark):
@@ -115,6 +119,12 @@ def test_pan_planted_expectations(spark):
     # two cards, match order preserved
     assert rows[-46]["n_candidates"] == 2 and rows[-46]["n_valid"] == 2
     assert rows[-46]["valid_last4"] == "1111|4444"
+    # space-ADJACENT cards: the 32-digit run splits back into both
+    assert rows[-47]["n_candidates"] == 2 and rows[-47]["n_valid"] == 2
+    assert rows[-47]["valid_last4"] == "1111|4444"
+    # internally-spaced card: one candidate, not 4-digit fragments
+    assert rows[-48]["n_candidates"] == 1 and rows[-48]["n_valid"] == 1
+    assert rows[-48]["valid_last4"] == "1111"
 
 
 def test_pan_natural_corpus_has_no_digit_runs(spark):
