@@ -58,6 +58,9 @@ __all__ = [
     "read_export_manifest",
     "read_export",
     "verify_export",
+    "diff_exports",
+    "gc_exports",
+    "committed_export_versions",
 ]
 
 _MANIFEST = "manifest.json"
@@ -231,6 +234,96 @@ def verify_export(
             f"{bad!r}: data files disagree with the manifest"
         )
     return manifest
+
+
+def diff_exports(out_dir: str, v_old: int, v_new: int) -> dict:
+    """Manifest-only diff between two committed versions: which shards
+    were added / removed / changed (content fingerprint, row count, or
+    token sum), plus corpus-level row/token deltas.
+
+    This is the release-note a data team publishes next to a new
+    corpus version, and the pre-flight a training job runs before
+    switching versions ("what exactly moved?"). It reads two JSON
+    manifests and NOTHING else — at 100 TB the answer costs two file
+    reads, which is the point of certifying shard stats at write time.
+    Shard values are reported manifest-typed (an int-sharded export
+    diffs as ints, never str-ified — the reused_shards lesson)."""
+    mo = read_export_manifest(out_dir, v_old)
+    mn = read_export_manifest(out_dir, v_new)
+    if mo["shard_col"] != mn["shard_col"]:
+        raise ValueError(
+            f"shard columns differ: v{v_old} partitioned by "
+            f"{mo['shard_col']!r}, v{v_new} by {mn['shard_col']!r} — "
+            "a shard-level diff is meaningless across layouts"
+        )
+    so = {str(e["shard"]): e for e in mo["shards"]}
+    sn = {str(e["shard"]): e for e in mn["shards"]}
+    changed = {
+        k
+        for k in so.keys() & sn.keys()
+        if {kk: vv for kk, vv in so[k].items() if kk != "shard"}
+        != {kk: vv for kk, vv in sn[k].items() if kk != "shard"}
+    }
+    out = {
+        "from_version": mo["version"],
+        "to_version": mn["version"],
+        "shard_col": mn["shard_col"],
+        "added": [sn[k]["shard"] for k in sorted(sn.keys() - so.keys())],
+        "removed": [so[k]["shard"] for k in sorted(so.keys() - sn.keys())],
+        "changed": [sn[k]["shard"] for k in sorted(changed)],
+        "unchanged": [
+            sn[k]["shard"]
+            for k in sorted((so.keys() & sn.keys()) - changed)
+        ],
+        "row_delta": int(mn["n_rows"]) - int(mo["n_rows"]),
+    }
+    if "token_sum" in mo and "token_sum" in mn:
+        out["token_delta"] = int(mn["token_sum"]) - int(mo["token_sum"])
+    return out
+
+
+_VDIR_RE = re.compile(r"^v(\d+)$")
+
+
+def committed_export_versions(out_dir: str) -> list[int]:
+    """Sorted version numbers of every COMMITTED export under
+    ``out_dir`` (a version is committed iff its manifest exists —
+    staging dirs are ``_staging_*`` and never match)."""
+    if not os.path.isdir(out_dir):
+        return []
+    out = []
+    for name in os.listdir(out_dir):
+        m = _VDIR_RE.match(name)
+        if m and os.path.isfile(os.path.join(out_dir, name, _MANIFEST)):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def gc_exports(out_dir: str, keep_last: int = 2, dry_run: bool = False) -> dict:
+    """Retention for the version chain: delete committed versions older
+    than the newest ``keep_last``. Returns ``{"removed": [...],
+    "kept": [...]}`` (version numbers; with ``dry_run`` nothing is
+    deleted and "removed" lists what WOULD go).
+
+    Safe against the incremental sink BY CONSTRUCTION: reused shards
+    are hard links, which share bytes but not directory entries — a
+    kept version owns its own links, so unlinking any older version
+    can never invalidate a kept one (the filesystem frees a shard's
+    bytes only when its last version is gone). Staging dirs of an
+    in-flight export live under ``_staging_*`` and are never touched.
+
+    ``keep_last`` must be >= 1: the newest version is never collected
+    (a training job may be pinned to it, and the incremental exporter
+    diffs against it)."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (never collect the newest)")
+    versions = committed_export_versions(out_dir)
+    kept = versions[-keep_last:]
+    doomed = versions[: -keep_last] if keep_last < len(versions) else []
+    if not dry_run:
+        for v in doomed:
+            shutil.rmtree(os.path.join(out_dir, f"v{v}"))
+    return {"removed": doomed, "kept": kept}
 
 
 def _link_shard_dir(src: str, dst: str) -> None:

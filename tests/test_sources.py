@@ -623,3 +623,136 @@ def test_training_export_all_null_token_sums_to_zero(spark, tmp_path):
     )
     m = export_packed_corpus(df, str(tmp_path / "e"), "shard", token_col="n_tok")
     assert m["token_sum"] == 0 and m["shards"][0]["token_sum"] == 0
+
+
+def test_diff_exports_classifies_shards(spark, tmp_path):
+    """The manifest-only diff must agree with what the incremental run
+    actually did: the changed shard surfaces as changed, the reused
+    ones as unchanged, and row/token deltas match the edit."""
+    from alt_spark.sources.training_export import (
+        diff_exports,
+        export_packed_corpus,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    m0 = export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    victim = m0["shards"][0]["shard"]
+    changed = sharded.withColumn(
+        "text",
+        F.when(
+            F.col("shard") == victim, F.concat(F.col("text"), F.lit(" EDIT"))
+        ).otherwise(F.col("text")),
+    ).withColumn("n_tok", F.size(F.split("text", r"\s+")).cast("long"))
+    m1 = export_packed_corpus(
+        changed, out, "shard", token_col="n_tok", incremental=True
+    )
+
+    d = diff_exports(out, 0, 1)
+    assert d["from_version"] == 0 and d["to_version"] == 1
+    assert d["added"] == [] and d["removed"] == []
+    assert d["changed"] == [victim]
+    # diff's unchanged == the incremental run's reused set, both
+    # manifest-typed (ints stay ints)
+    assert sorted(map(str, d["unchanged"])) == sorted(
+        map(str, m1["reused_shards"])
+    )
+    assert all(type(s) is not bool for s in d["changed"] + d["unchanged"])
+    assert d["row_delta"] == 0  # edit changed content, not cardinality
+    # " EDIT" appends one whitespace token per row of the victim shard
+    victim_rows = next(
+        e["n_rows"] for e in m0["shards"] if e["shard"] == victim
+    )
+    assert d["token_delta"] == victim_rows
+
+
+def test_diff_exports_added_removed_and_layout_guard(spark, tmp_path):
+    from alt_spark.sources.training_export import (
+        diff_exports,
+        export_packed_corpus,
+        read_export_manifest,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    # v1 drops a shard entirely (non-incremental publish of a subset)
+    kept = [e["shard"] for e in read_export_manifest(out, 0)["shards"]][1:]
+    subset = sharded.filter(F.col("shard").isin(kept))
+    export_packed_corpus(subset, out, "shard", token_col="n_tok")
+    d = diff_exports(out, 0, 1)
+    assert len(d["removed"]) == 1 and d["added"] == []
+    assert d["row_delta"] < 0
+    # diff across different shard layouts must refuse
+    relabeled = sharded.withColumn("shard2", F.col("shard"))
+    export_packed_corpus(
+        relabeled.drop("shard"), out, "shard2", token_col="n_tok"
+    )
+    with pytest.raises(ValueError, match="shard columns differ"):
+        diff_exports(out, 1, 2)
+
+
+def test_gc_exports_keeps_hardlinked_chain_valid(spark, tmp_path):
+    """The retention contract: collect old versions under an
+    incremental chain, then prove the surviving newest version still
+    READS and RE-CERTIFIES — reused shards are hard links, so deleting
+    the version they were linked from must not invalidate them."""
+    from alt_spark.sources.training_export import (
+        committed_export_versions,
+        export_packed_corpus,
+        gc_exports,
+        read_export,
+        verify_export,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    # two incremental generations, each editing one (different) shard
+    cur = sharded
+    for gen in range(2):
+        victim = sorted(
+            r["shard"] for r in cur.select("shard").distinct().collect()
+        )[gen]
+        cur = cur.withColumn(
+            "text",
+            F.when(
+                F.col("shard") == victim,
+                F.concat(F.col("text"), F.lit(f" GEN{gen}")),
+            ).otherwise(F.col("text")),
+        ).withColumn("n_tok", F.size(F.split("text", r"\s+")).cast("long"))
+        export_packed_corpus(
+            cur, out, "shard", token_col="n_tok", incremental=True
+        )
+    assert committed_export_versions(out) == [0, 1, 2]
+
+    # dry run reports without deleting
+    plan = gc_exports(out, keep_last=1, dry_run=True)
+    assert plan == {"removed": [0, 1], "kept": [2]}
+    assert committed_export_versions(out) == [0, 1, 2]
+
+    res = gc_exports(out, keep_last=1)
+    assert res == {"removed": [0, 1], "kept": [2]}
+    assert committed_export_versions(out) == [2]
+    # v2 reused shards hard-linked from v1 (itself linking from v0):
+    # both sources are gone, yet v2 must read back the full corpus and
+    # re-certify byte-for-byte.
+    verify_export(spark, out, 2)
+    got = {
+        (r["doc_id"], r["text"])
+        for r in read_export(spark, out, 2).collect()
+    }
+    want = {(r["doc_id"], r["text"]) for r in cur.collect()}
+    assert got == want
+
+
+def test_gc_exports_guards(tmp_path):
+    from alt_spark.sources.training_export import gc_exports
+
+    with pytest.raises(ValueError, match="keep_last"):
+        gc_exports(str(tmp_path), keep_last=0)
+    # nothing committed: nothing to do, no error
+    assert gc_exports(str(tmp_path / "nowhere"), keep_last=3) == {
+        "removed": [],
+        "kept": [],
+    }
