@@ -807,3 +807,75 @@ def test_streaming_gopher_gate_parity(spark):
     }
     batch = {tuple(r) for r in gate(spark.read.parquet(landing)).collect()}
     assert streamed == batch and batch, (len(streamed), len(batch))
+
+
+def test_streaming_quality_gates_parity(spark):
+    """The r7 heuristic gates (C4 page stats, Luhn PAN audit, Flesch
+    score) are pure in-row projections, so they MUST compose under
+    Structured Streaming unchanged — this pins that contract: a future
+    edit that sneaks an aggregate or window into one of these
+    functions breaks here first, in streaming, where it would matter
+    most (the gates run inside a streaming corpus-prep job)."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.functions.cleaning import c4_page_stats
+    from alt_spark.functions.text_analysis import (
+        flesch_milli,
+        luhn_ok,
+        pan_candidates,
+    )
+
+    root = _fresh("quality_gates_stream")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    t = pq.read_table(f"{SF}/documents.parquet").select(["doc_id", "text"])
+    n = t.num_rows
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3),
+            os.path.join(landing, f"chunk_{i:03d}.parquet"),
+        )
+
+    def gates(df):
+        st = c4_page_stats(F.col("text"))
+        fl = flesch_milli(F.col("text"))
+        return df.select(
+            "doc_id",
+            st["page_kept"].alias("page_kept"),
+            F.md5(st["clean_text"]).alias("clean_md5"),
+            F.size(F.filter(pan_candidates(F.col("text")), luhn_ok)).alias(
+                "n_valid_pan"
+            ),
+            fl["score_milli"].alias("score_milli"),
+        )
+
+    src = spark.readStream.schema("doc_id long, text string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(landing)
+    q = (
+        gates(src)
+        .writeStream.format("memory")
+        .queryName("quality_gates_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    got = {
+        tuple(r)
+        for r in spark.sql("SELECT * FROM quality_gates_out").collect()
+    }
+    want = {
+        tuple(r)
+        for r in gates(
+            spark.read.parquet(f"{SF}/documents.parquet").select(
+                "doc_id", "text"
+            )
+        ).collect()
+    }
+    assert got == want
