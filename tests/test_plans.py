@@ -13,6 +13,8 @@ from __future__ import annotations
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from alt_spark.plans import audit
 from alt_spark.queries import all_queries
 
@@ -282,3 +284,40 @@ def test_gopher_signals_shuffle_free(spark):
     plan = audit.physical_plan(df)
     assert audit.shuffle_count(df) == 0, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_footer_stats_pushes_aggregate_to_parquet_metadata(spark):
+    """COUNT/MIN/MAX from footer statistics: the scoped DSv2 scan must
+    carry PushedAggregation (zero data pages), values must equal a real
+    scan, and the session's v1 parquet default must be restored so
+    every other plan audit keeps its v1 shape."""
+    from alt_spark.sources.metadata_scan import _V1_KEY, footer_stats
+
+    before = spark.conf.get(_V1_KEY)
+    path = f"{SF}/documents.parquet"
+    st = footer_stats(spark, path, minmax_cols=("doc_id", "n_chars"))
+    assert st["pushed"] is True
+    real = spark.read.parquet(path).agg(
+        F.count(F.lit(1)), F.min("doc_id"), F.max("doc_id"),
+        F.min("n_chars"), F.max("n_chars"),
+    ).first()
+    assert st["n_rows"] == real[0]
+    assert (st["min"]["doc_id"], st["max"]["doc_id"]) == (real[1], real[2])
+    assert (st["min"]["n_chars"], st["max"]["n_chars"]) == (real[3], real[4])
+    assert spark.conf.get(_V1_KEY) == before, "session conf must be restored"
+
+
+def test_footer_stats_refuses_silent_fallback(spark):
+    """A column without statistics pushdown support must raise under
+    require_pushdown (the caller asked for metadata cost), and still
+    return correct values when the fallback is accepted explicitly."""
+    from alt_spark.sources.metadata_scan import footer_stats
+
+    path = f"{SF}/documents.parquet"
+    with pytest.raises(RuntimeError, match="not pushed"):
+        footer_stats(spark, path, minmax_cols=("text",))
+    st = footer_stats(
+        spark, path, minmax_cols=("text",), require_pushdown=False
+    )
+    assert st["pushed"] is False and st["n_rows"] > 0
+    assert st["min"]["text"] is not None
