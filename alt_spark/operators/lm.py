@@ -58,6 +58,12 @@ _MODEL_CACHE = DataFramePlanCache(
     max_entries=_MODEL_CACHE_MAX, unpersist_on_evict=True
 )
 
+# Converged per-document score frames, keyed on their own plan — see
+# the reuse note at the end of score_against_lm. Two entries cover the
+# suite's live shapes (the shared q65/q76 corpus scoring + q72's fused
+# carry= variant) while bounding cached state.
+_SCORE_CACHE = DataFramePlanCache(max_entries=2, unpersist_on_evict=True)
+
 
 def _persist_model(model: DataFrame) -> DataFrame:
     cached = _MODEL_CACHE.get(model)
@@ -221,7 +227,7 @@ def score_against_lm(
         # Fused shape: every input row is contracted to produce grams,
         # so the scored frame already has one row per doc — no
         # join-back scan. The 1-row total frame still broadcasts.
-        return scored.crossJoin(F.broadcast(total)).select(
+        out = scored.crossJoin(F.broadcast(total)).select(
             F.col(id_col),
             *[F.col(c) for c in carry],
             F.col("n_grams").cast("long").alias("n_grams"),
@@ -236,26 +242,46 @@ def score_against_lm(
         )
     # Left join back so short/gramless docs keep a scored row; the
     # 1-row total frame broadcasts (same device as the BM25 stats row).
-    return (
-        docs.select(F.col(id_col))
-        .join(scored, id_col, "left")
-        .crossJoin(F.broadcast(total))
-        .select(
-            F.col(id_col),
-            F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
-            F.when(
-                F.coalesce("n_grams", F.lit(0)) == 0, F.lit(0).cast("long")
+    else:
+        out = (
+            docs.select(F.col(id_col))
+            .join(scored, id_col, "left")
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.col(id_col),
+                F.coalesce("n_grams", F.lit(0)).cast("long").alias("n_grams"),
+                F.when(
+                    F.coalesce("n_grams", F.lit(0)) == 0,
+                    F.lit(0).cast("long"),
+                )
+                .otherwise(F.expr("(10000 * n_oov) div n_grams"))
+                .alias("oov_permyriad"),
+                F.coalesce("freq_checksum", F.lit(0))
+                .cast("long")
+                .alias("freq_checksum"),
+                F.when(
+                    F.coalesce("_n_hit", F.lit(0)) > 0,
+                    F.log(F.col("model_total").cast("double"))
+                    - F.col("_log_sum") / F.col("_n_hit"),
+                ).alias("avg_surprisal"),
+                F.col("model_total").cast("long").alias("model_total"),
             )
-            .otherwise(F.expr("(10000 * n_oov) div n_grams"))
-            .alias("oov_permyriad"),
-            F.coalesce("freq_checksum", F.lit(0))
-            .cast("long")
-            .alias("freq_checksum"),
-            F.when(
-                F.coalesce("_n_hit", F.lit(0)) > 0,
-                F.log(F.col("model_total").cast("double"))
-                - F.col("_log_sum") / F.col("_n_hit"),
-            ).alias("avg_surprisal"),
-            F.col("model_total").cast("long").alias("model_total"),
         )
-    )
+    # Scored-frame reuse (the _persist_model pattern one level up):
+    # several suite queries score the SAME corpus against the SAME
+    # model (q65's per-doc report, q76's CDF bucketing) — without
+    # this, each consumer replays the gram explode + broadcast join +
+    # per-doc fold, the most expensive scan shape in the training
+    # family. Keyed on the OUTPUT plan itself (sameSemantics-confirmed,
+    # session-scoped, LRU-bounded, evictees unpersisted); the persist
+    # is lazy, so constructing a query frame stays a plan-only step
+    # (the plan-audit suite builds without executing). Entries are
+    # per-document narrow rows — operationally the scored table a
+    # production pipeline writes once and reads many times (the
+    # _PAIR_CACHE budget argument).
+    hit = _SCORE_CACHE.get(out)
+    if hit is not None:
+        return hit
+    out = out.persist()
+    _SCORE_CACHE.put(out, out)
+    return out

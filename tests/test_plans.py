@@ -254,6 +254,12 @@ def test_quality_gate_pipeline_fused_scan(spark):
     for cached in lm._MODEL_CACHE.values():
         cached.unpersist()
     lm._MODEL_CACHE.clear()
+    # Same hermetic treatment for the r7 scored-frame registry: a
+    # cached score frame substitutes as InMemoryRelation and the plan
+    # printer repeats its lineage inside every consumer.
+    for cached in lm._SCORE_CACHE.values():
+        cached.unpersist()
+    lm._SCORE_CACHE.clear()
     df = all_queries()["q72_quality_gate_pipeline"](spark, SF)
     opt = audit.optimized_plan(df)
     # repetition_metrics sorts the gram array in-row; if CollapseProject

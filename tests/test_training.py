@@ -962,3 +962,34 @@ def test_q76_buckets_partition_and_cover(spark):
     )
     for (lo1, hi1, _), (lo2, hi2, _) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, ranges
+
+
+def test_lm_score_cache_is_bounded_and_reuses(spark):
+    """The scored-frame registry (q65/q76 reuse): a second identical
+    scoring call returns the SAME cached frame (no gram-explode
+    replay); distinct scoring shapes stay bounded at the LRU cap with
+    evictees unpersisted; and a cached frame still scores correctly."""
+    from alt_spark.operators import lm
+    from alt_spark.operators.lm import score_against_lm, train_char_lm
+
+    lm._SCORE_CACHE.clear()
+    docs = _docs(spark).select("doc_id", "text").limit(50)
+    m = train_char_lm(docs, n=3, min_count=2)
+    first = score_against_lm(docs, m, n=3)
+    n0 = first.count()
+    again = score_against_lm(docs, m, n=3)
+    assert again is first, "identical scoring call must be a cache hit"
+    assert again.count() == n0
+
+    # Distinct shapes (different n / different doc slices) evict oldest.
+    for lim in (40, 30, 20):
+        d = _docs(spark).select("doc_id", "text").limit(lim)
+        score_against_lm(
+            d, train_char_lm(d, n=3, min_count=2), n=3
+        ).count()
+    assert len(lm._SCORE_CACHE) <= 2
+    assert all(df.storageLevel.useMemory for df in lm._SCORE_CACHE.values())
+    # The evicted first frame still computes correct values (persist
+    # gone -> plain recompute, correctness unaffected).
+    assert first.count() == n0
+    lm._SCORE_CACHE.clear()
