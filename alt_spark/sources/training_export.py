@@ -326,6 +326,26 @@ def gc_exports(out_dir: str, keep_last: int = 2, dry_run: bool = False) -> dict:
     return {"removed": doomed, "kept": kept}
 
 
+def _stage_frame(
+    df: DataFrame, shard_col: str, order: tuple[str, ...]
+) -> DataFrame:
+    """The staging layout: one hash exchange on the shard key
+    co-locates each shard into a single task (partitionBy then emits
+    one file per shard). With ``order`` non-empty the task's rows are
+    additionally sorted by (shard, *order) BEFORE the write, so every
+    shard file carries rows in that order — at 100 TB this is the
+    data-layout lever: parquet page/row-group min-max statistics on
+    the order columns become selective, so a downstream filtered read
+    prunes instead of scanning, and ordered loaders (curriculum
+    schedules keyed on a quality score) read sequentially. Content
+    fingerprints are order-insensitive, so layout choice never
+    perturbs the incremental change-set decision."""
+    out = df.repartition(F.col(shard_col))
+    if order:
+        out = out.sortWithinPartitions(shard_col, *order)
+    return out
+
+
 def _link_shard_dir(src: str, dst: str) -> None:
     """Hard-link every file of a committed shard dir into the staging
     layout (same filesystem by construction — staging lives beside the
@@ -346,6 +366,7 @@ def export_packed_corpus(
     token_col: str | None = None,
     incremental: bool = False,
     verify_reused: bool = True,
+    order_within_shard: tuple[str, ...] = (),
 ) -> dict:
     """Export a prepared corpus as one immutable sharded version and
     return its manifest.
@@ -353,7 +374,12 @@ def export_packed_corpus(
     ``df`` is the pipeline output (e.g. q68's shuffle-sharded rows or
     q61's packed bins relabeled as shards); ``shard_col`` names the
     shard assignment, ``token_col`` (optional) a per-row token count to
-    account in the manifest.
+    account in the manifest. ``order_within_shard`` (optional) sorts
+    each shard file's rows by the named columns at write time — the
+    parquet min-max / sequential-read layout lever (see
+    :func:`_stage_frame`); recorded in the manifest, applies to newly
+    written shards (reused shards keep their writing version's
+    layout).
 
     Returns the committed manifest::
 
@@ -396,6 +422,11 @@ def export_packed_corpus(
     """
     if shard_col not in df.columns:
         raise ValueError(f"shard column {shard_col!r} not in {df.columns}")
+    missing_order = [c for c in order_within_shard if c not in df.columns]
+    if missing_order:
+        raise ValueError(
+            f"order_within_shard columns {missing_order!r} not in {df.columns}"
+        )
     if token_col is not None and token_col not in df.columns:
         raise ValueError(f"token column {token_col!r} not in {df.columns}")
     spark = df.sparkSession
@@ -436,7 +467,7 @@ def export_packed_corpus(
             # anything is published), then certify from the staged
             # bytes. The explicit schema keeps an all-empty stage
             # readable — zero part files infer nothing.
-            df.repartition(F.col(shard_col)).write.mode(
+            _stage_frame(df, shard_col, order_within_shard).write.mode(
                 "error"
             ).partitionBy(shard_col).parquet(data_dir)
             staged = spark.read.schema(df.schema).parquet(data_dir)
@@ -469,8 +500,10 @@ def export_packed_corpus(
                 changed_vals = [
                     want[k]["shard"] for k in changed
                 ]  # original-typed values for the filter
-                df.filter(F.col(shard_col).isin(changed_vals)).repartition(
-                    F.col(shard_col)
+                _stage_frame(
+                    df.filter(F.col(shard_col).isin(changed_vals)),
+                    shard_col,
+                    order_within_shard,
                 ).write.mode("error").partitionBy(shard_col).parquet(
                     data_dir
                 )
@@ -520,6 +553,12 @@ def export_packed_corpus(
             "version": version,
             "shard_col": shard_col,
             "token_col": token_col,
+            # Recorded layout promise for NEWLY WRITTEN shards; a
+            # reused (hard-linked) shard keeps the layout of the
+            # version that wrote it — readers needing a strict global
+            # ordering guarantee across an incremental chain should
+            # check the writing version's manifest per shard.
+            "order_within_shard": list(order_within_shard),
             "schema": df.schema.jsonValue(),
             "n_shards": len(entries),
             "n_rows": int(sum(e["n_rows"] for e in entries)),

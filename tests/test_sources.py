@@ -756,3 +756,49 @@ def test_gc_exports_guards(tmp_path):
         "removed": [],
         "kept": [],
     }
+
+
+def test_training_export_order_within_shard(spark, tmp_path):
+    """Layout lever: with order_within_shard, every shard FILE carries
+    rows sorted by the order columns (verified per file, not per
+    frame), the manifest records the promise, content certification is
+    unaffected (fingerprints are order-insensitive), and missing order
+    columns are refused before anything is written."""
+    import os
+
+    import pyarrow.parquet as _pq
+
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    m = export_packed_corpus(
+        sharded, out, "shard", token_col="n_tok",
+        order_within_shard=("doc_id",),
+    )
+    assert m["order_within_shard"] == ["doc_id"]
+    data = os.path.join(out, "v0", "data")
+    n_files = 0
+    for shard_dir in sorted(os.listdir(data)):
+        d = os.path.join(data, shard_dir)
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            ids = _pq.read_table(os.path.join(d, f)).column(
+                "doc_id"
+            ).to_pylist()
+            assert ids == sorted(ids), f"{shard_dir}/{f} not ordered"
+            n_files += 1
+    assert n_files == m["n_shards"]
+    # Round trip still exact.
+    got = {r["doc_id"] for r in read_export(spark, out).collect()}
+    assert got == {r["doc_id"] for r in sharded.collect()}
+    with pytest.raises(ValueError, match="order_within_shard"):
+        export_packed_corpus(
+            sharded, out, "shard", order_within_shard=("nope",)
+        )
