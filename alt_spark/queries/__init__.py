@@ -164,6 +164,11 @@ _REPORT_TAIL = (
     "q84_c4_filters",
     "q85_pan_luhn_audit",
     "q86_readability_bands",
+    # q87 — full BPE merge-loop training; rows-only by design (the
+    # round-i argmax feeds round i+1 — not one-query SQL-expressible);
+    # merge-sequence exactness pinned vs a reference implementation in
+    # tests/test_ml_ops.py.
+    "q87_bpe_vocab_learning",
 )
 
 

@@ -1637,3 +1637,33 @@ def q83(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bench_id")
     )
+
+
+# ---------------------------------------------------------------------------
+_BPE_K = 6
+
+
+@query("q87_bpe_vocab_learning")
+def q87(spark: SparkSession, sf: str) -> DataFrame:
+    """Full BPE vocabulary TRAINING (operators/bpe.py — Sennrich et al.
+    2016): q80 reports one round's pair statistics; this runs the
+    actual k-round merge loop and returns the learned merge table
+    (step, left, right, pair_count) in merge order.
+
+    Rows-only by design: round i's argmax feeds round i+1's
+    tokenization, which no single SQL query (recursive CTEs cannot
+    aggregate over the recursive term) can express — the q69/q71
+    footing. Exactness is pinned in pytest against a reference Python
+    implementation of the published algorithm with the identical
+    tie-break (tests/test_ml_ops.py::test_bpe_merges_match_reference).
+
+    Scale shape: the corpus is aggregated ONCE into the Zipf-bounded
+    word-type table; all k rounds (weighted pair count, 1-row argmax
+    collect, in-row merge fold) iterate on that table with per-round
+    lineage truncation — tokenizer training at 100 TB costs one corpus
+    shuffle plus k bounded-table passes.
+    """
+    from alt_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    return learn_bpe_merges(docs, k=_BPE_K).orderBy("step")

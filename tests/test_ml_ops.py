@@ -373,3 +373,138 @@ def test_connected_components_incremental_bridges_and_fresh_nodes(spark):
     # own component; untouched {8,9} absent.
     assert got == {1: 1, 2: 1, 5: 1, 6: 1, 20: 20, 21: 20}
     assert 8 not in got and 9 not in got
+
+
+# -------------------------------------------------------------- BPE learning
+def _ref_bpe(word_counts: dict, k: int, min_pair_count: int = 2):
+    """Reference implementation of the published algorithm (Sennrich
+    2016 Fig. 1 semantics) with the operator's exact tie-break
+    (count desc, then pair lexicographic)."""
+    vocab: dict = {}
+    for w, c in word_counts.items():
+        key = tuple(list(w) + ["</w>"])
+        vocab[key] = vocab.get(key, 0) + c
+    merges = []
+    for step in range(1, k + 1):
+        pairs: dict = {}
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + c
+        if not pairs:
+            break
+        (a, b), n = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if n < min_pair_count:
+            break
+        merges.append((step, a, b, n))
+        nxt: dict = {}
+        for syms, c in vocab.items():
+            out: list = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            nxt[tuple(out)] = nxt.get(tuple(out), 0) + c
+        vocab = nxt
+    return merges
+
+
+def _ref_word_counts(texts):
+    import re
+
+    counts: dict = {}
+    for t in texts:
+        for w in re.split(r"\W+", t.lower()):
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    return counts
+
+
+def test_bpe_merges_match_reference(spark):
+    """The distributed merge loop must reproduce the reference
+    algorithm's merge SEQUENCE exactly — order, symbols, and weighted
+    pair counts — on real corpus text."""
+    from alt_spark.operators.bpe import learn_bpe_merges
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(120)
+    got = [
+        (r["step"], r["left"], r["right"], r["pair_count"])
+        for r in learn_bpe_merges(docs, k=6).orderBy("step").collect()
+    ]
+    texts = [r["text"] for r in docs.collect()]
+    want = _ref_bpe(_ref_word_counts(texts), k=6)
+    assert got == want
+    # Merges must actually chain: later merges may consume earlier
+    # merge products (the reason one pair-count pass — q80 — is not a
+    # trainer). Multi-char symbols prove at least one did.
+    assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in got[1:]) or len(
+        got
+    ) <= 1
+
+
+def test_bpe_apply_matches_reference_segmentation(spark):
+    """apply_bpe_merges segments with the learned vocabulary: per-doc
+    subword counts equal the reference segmentation's, and the
+    checksum surface is deterministic across invocations."""
+    from alt_spark.operators.bpe import apply_bpe_merges, learn_bpe_merges
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(40)
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(docs, k=5).orderBy("step").collect()
+    ]
+    out = {
+        r["id"]: (r["n_subwords"], r["subword_checksum"])
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+
+    def seg_len(word):
+        syms = list(word) + ["</w>"]
+        for a, b in merges:
+            nxt: list = []
+            for s in syms:
+                if nxt and nxt[-1] == a and s == b:
+                    nxt[-1] = a + b
+                else:
+                    nxt.append(s)
+            syms = nxt
+        return len(syms)
+
+    import re
+
+    for r in docs.collect():
+        words = [w for w in re.split(r"\W+", r["text"].lower()) if w]
+        want_n = sum(seg_len(w) for w in words)
+        assert out[r["doc_id"]][0] == want_n, r["doc_id"]
+    again = {
+        r["id"]: (r["n_subwords"], r["subword_checksum"])
+        for r in apply_bpe_merges(docs, merges).collect()
+    }
+    assert again == out
+
+
+def test_bpe_early_stop_below_min_pair_count(spark):
+    """A corpus whose pairs fall under min_pair_count after a few
+    merges yields FEWER than k merges — the trainer never memorizes
+    singleton junk."""
+    from alt_spark.operators.bpe import learn_bpe_merges
+
+    docs = spark.createDataFrame(
+        [(1, "aa aa aa"), (2, "aa aa")], ["doc_id", "text"]
+    )
+    rows = learn_bpe_merges(docs, k=10, min_pair_count=2).collect()
+    # Every word is 'aa' -> symbols (a, a, </w>): pairs (a,a) and
+    # (a,</w>) tie at 5, the lexicographic tie-break picks (a,</w>)
+    # ('<' < 'a'), then (a, a</w>) merges, then NO pair remains — the
+    # loop stops at 2 of the requested 10 merges.
+    got = [(r["left"], r["right"]) for r in rows]
+    assert got == [("a", "</w>"), ("a", "a</w>")]
+    assert _ref_bpe({"aa": 5}, k=10) == [
+        (1, "a", "</w>", 5),
+        (2, "a", "a</w>", 5),
+    ]
