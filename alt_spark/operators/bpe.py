@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from alt_spark.operators.dedup import tokens_col
 
-__all__ = ["word_type_table", "learn_bpe_merges", "apply_bpe_merges"]
+__all__ = [
+    "word_type_table",
+    "learn_bpe_merges",
+    "apply_bpe_merges",
+    "PINNED_MERGES",
+    "segment_symbol_string",
+    "ddb_segment_symbol_string",
+]
 
 _EOW = "</w>"  # end-of-word marker: final subwords stay distinct
 
@@ -182,3 +189,81 @@ def apply_bpe_merges(
             F.lit(0).cast("long"),
         ).alias("subword_checksum"),
     )
+
+
+# ----------------------------------------------------- pinned segmentation
+# Subword segmentation with a PINNED merge table — the deploy-side
+# twin of learn_bpe_merges: a production tokenizer is a versioned
+# artifact applied unchanged to every corpus version, so the merge
+# list here is a constant (learned once at sf0.1 by q87, then frozen),
+# and segmentation becomes fully oracle-checkable (q88).
+#
+# Formulation: each word renders as a sentinel-delimited symbol string
+# ("\x01c\x02" per symbol, symbols separated by one space, words by
+# \x03), and one merge (a, b) is ONE literal string replace of
+# "\x01a\x02 \x01b\x02" with "\x01ab\x02". Literal replace scans left
+# to right non-overlapping — exactly the greedy merge fold's
+# semantics (pytest pins the two formulations equal) — and literal
+# replace exists identically in Spark and DuckDB, which is what makes
+# the oracle possible where the iterative LEARNER (q87) is rows-only.
+# Sentinels cannot appear in tokens (the tokenizer strips non-word
+# chars), so a pattern can never match from the middle of a symbol.
+PINNED_MERGES: tuple[tuple[str, str], ...] = (
+    ("e", "</w>"),
+    ("e", "r"),
+    ("i", "n"),
+    ("o", "r"),
+    ("s", "t"),
+    ("er", "</w>"),  # consumes merge 2's product: chaining exercised
+)
+_S1, _S2, _SW = "\x01", "\x02", "\x03"
+
+
+def _sym(s: str) -> str:
+    return f"{_S1}{s}{_S2}"
+
+
+def segment_symbol_string(text: Column) -> Column:
+    """The document's full segmentation as one sentinel symbol string
+    after applying PINNED_MERGES in order. In-row: a regex char-wrap
+    per word, an array_join, and k literal replaces — scan-speed."""
+    word = F.transform(
+        tokens_col_for_bpe(text),
+        lambda t: F.concat(
+            F.regexp_replace(t, "(.)", f"{_S1}$1{_S2} "),
+            F.lit(_sym(_EOW)),
+        ),
+    )
+    s = F.array_join(word, _SW)
+    for a, b in PINNED_MERGES:
+        s = F.replace(
+            s, F.lit(f"{_sym(a)} {_sym(b)}"), F.lit(_sym(a + b))
+        )
+    return s
+
+
+def tokens_col_for_bpe(text: Column) -> Column:
+    """The engine tokenizer contract (operators/dedup.tokens_col),
+    re-exported so segmentation and learning share one definition."""
+    return tokens_col(text)
+
+
+def ddb_segment_symbol_string(text_expr: str = "text") -> str:
+    """DuckDB twin of :func:`segment_symbol_string`, generated from the
+    SAME merge table and sentinel constants. coalesce: DuckDB
+    array_to_string([]) is NULL where Spark array_join([]) is ''."""
+    from alt_spark.functions.text_analysis import DDB_TOKENS
+
+    toks = DDB_TOKENS.replace("lower(text)", f"lower({text_expr})")
+    c1, c2, c3 = "chr(1)", "chr(2)", "chr(3)"
+    word = (
+        f"list_transform({toks}, t -> "
+        f"regexp_replace(t, '(.)', {c1} || '\\1' || {c2} || ' ', 'g')"
+        f" || {c1} || '{_EOW}' || {c2})"
+    )
+    s = f"coalesce(array_to_string({word}, {c3}), '')"
+    for a, b in PINNED_MERGES:
+        pat = f"{c1} || '{a}' || {c2} || ' ' || {c1} || '{b}' || {c2}"
+        rep = f"{c1} || '{a + b}' || {c2}"
+        s = f"replace({s}, {pat}, {rep})"
+    return s

@@ -169,6 +169,7 @@ _REPORT_TAIL = (
     # merge-sequence exactness pinned vs a reference implementation in
     # tests/test_ml_ops.py.
     "q87_bpe_vocab_learning",
+    "q88_bpe_segmentation",
 )
 
 

@@ -1667,3 +1667,57 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
     return learn_bpe_merges(docs, k=_BPE_K).orderBy("step")
+
+
+# ---------------------------------------------------------------------------
+def _q88_oracle() -> str:
+    from alt_spark.operators.bpe import ddb_segment_symbol_string
+
+    seg = ddb_segment_symbol_string("text")
+    return f"""
+WITH segd AS (
+  SELECT doc_id, {seg} AS s FROM documents
+)
+SELECT doc_id,
+       CAST(length(s) - length(replace(s, chr(1), '')) AS BIGINT)
+         AS n_subwords,
+       md5(s) AS seg_md5
+FROM segd
+ORDER BY doc_id
+"""
+
+
+@query("q88_bpe_segmentation", oracle=_q88_oracle())
+def q88(spark: SparkSession, sf: str) -> DataFrame:
+    """Subword segmentation with the PINNED merge table
+    (operators/bpe.PINNED_MERGES — the deploy-side twin of q87's
+    learner: a tokenizer is a frozen, versioned artifact). The md5 of
+    each document's sentinel symbol string pins the EXACT segmentation
+    — symbol boundaries, merge order effects, chained merges — not
+    just subword counts; the sentinel-string formulation is what makes
+    the oracle possible (one literal replace per merge, identical
+    greedy left-to-right semantics in both engines), and pytest pins
+    it equivalent to the learner-side array fold
+    (tests/test_ml_ops.py::test_pinned_segmentation_matches_fold).
+
+    Plan: in-row — a regex char-wrap per word, an array_join, and k
+    literal replaces; the only exchange is the presentation sort.
+    Tokenizing 100 TB with a frozen vocabulary is scan-speed.
+    """
+    from alt_spark.operators.bpe import segment_symbol_string
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    s = segment_symbol_string(F.col("text"))
+    return (
+        docs.select(
+            "doc_id",
+            (
+                F.length(s)
+                - F.length(F.replace(s, F.lit("\x01"), F.lit("")))
+            )
+            .cast("long")
+            .alias("n_subwords"),
+            F.md5(s).alias("seg_md5"),
+        )
+        .orderBy("doc_id")
+    )

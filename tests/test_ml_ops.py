@@ -508,3 +508,44 @@ def test_bpe_early_stop_below_min_pair_count(spark):
         (1, "a", "</w>", 5),
         (2, "a", "a</w>", 5),
     ]
+
+
+def test_pinned_segmentation_matches_fold(spark):
+    """The sentinel-string formulation (q88's oracle-able path) and
+    the learner-side array fold must produce the SAME segmentation:
+    per-doc subword counts equal under PINNED_MERGES on real corpus
+    text plus adjacency edge cases (repeated pairs, chained merges)."""
+    from alt_spark.operators.bpe import (
+        PINNED_MERGES,
+        apply_bpe_merges,
+        segment_symbol_string,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    ).limit(60).unionByName(
+        spark.createDataFrame(
+            [
+                (-61, "erer erer er e"),  # chained merge products adjoin
+                (-62, "ee ee ee"),  # repeated pair inside a word
+                (-63, ""),  # empty doc
+            ],
+            ["doc_id", "text"],
+        )
+    )
+    s = segment_symbol_string(F.col("text"))
+    via_string = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id",
+            (
+                F.length(s) - F.length(F.replace(s, F.lit("\x01"), F.lit("")))
+            ).alias("n"),
+        ).collect()
+    }
+    via_fold = {
+        r["id"]: r["n_subwords"]
+        for r in apply_bpe_merges(docs, list(PINNED_MERGES)).collect()
+    }
+    assert via_string == via_fold
+    assert via_string[-63] == 0

@@ -20,6 +20,24 @@ from alt_spark.queries import all_queries
 
 SF = "/root/testdata/sf0.01"
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _raw_scoring_lineage():
+    """Plan audits assert properties of the RAW LM-scoring lineage
+    (fused-scan shape, exchange counts, the 1-row cross-join
+    allowlist); the production scored-frame registry would wrap it in
+    a checkpoint barrier and make every such pin vacuous. Audit with
+    materialization off, module-wide."""
+    from alt_spark.operators import lm
+
+    prev = lm.SCORE_MATERIALIZE
+    lm.SCORE_MATERIALIZE = False
+    lm._SCORE_CACHE.clear()
+    try:
+        yield
+    finally:
+        lm.SCORE_MATERIALIZE = prev
+
 # Queries allowed to contain a broadcast nested-loop (1-row cursor /
 # corpus-stat cross joins — bounded by construction).
 _NESTED_LOOP_OK = {
@@ -254,12 +272,8 @@ def test_quality_gate_pipeline_fused_scan(spark):
     for cached in lm._MODEL_CACHE.values():
         cached.unpersist()
     lm._MODEL_CACHE.clear()
-    # Same hermetic treatment for the r7 scored-frame registry: a
-    # cached score frame substitutes as InMemoryRelation and the plan
-    # printer repeats its lineage inside every consumer.
-    for cached in lm._SCORE_CACHE.values():
-        cached.unpersist()
-    lm._SCORE_CACHE.clear()
+    # (The r7 scored-frame registry is already disabled module-wide by
+    # the _raw_scoring_lineage fixture — this audit sees raw lineage.)
     df = all_queries()["q72_quality_gate_pipeline"](spark, SF)
     opt = audit.optimized_plan(df)
     # repetition_metrics sorts the gram array in-row; if CollapseProject
