@@ -228,7 +228,7 @@ def segment_symbol_string(text: Column) -> Column:
     after applying PINNED_MERGES in order. In-row: a regex char-wrap
     per word, an array_join, and k literal replaces — scan-speed."""
     word = F.transform(
-        tokens_col_for_bpe(text),
+        tokens_col(text),
         lambda t: F.concat(
             F.regexp_replace(t, "(.)", f"{_S1}$1{_S2} "),
             F.lit(_sym(_EOW)),
@@ -240,12 +240,6 @@ def segment_symbol_string(text: Column) -> Column:
             s, F.lit(f"{_sym(a)} {_sym(b)}"), F.lit(_sym(a + b))
         )
     return s
-
-
-def tokens_col_for_bpe(text: Column) -> Column:
-    """The engine tokenizer contract (operators/dedup.tokens_col),
-    re-exported so segmentation and learning share one definition."""
-    return tokens_col(text)
 
 
 def ddb_segment_symbol_string(text_expr: str = "text") -> str:

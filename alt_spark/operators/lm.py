@@ -295,6 +295,10 @@ def score_against_lm(
     # _SCORE_CACHE declaration).
     if not SCORE_MATERIALIZE:
         return out
+    # Staleness guard lives in DataFramePlanCache: the key includes an
+    # input-file fingerprint, so in-place regeneration of the corpus
+    # files (same paths, new bytes) misses instead of serving stale
+    # checkpointed scores.
     hit = _SCORE_CACHE.get(out)
     if hit is not None:
         return hit

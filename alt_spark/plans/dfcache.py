@@ -26,10 +26,18 @@ Design points, each one a past review finding:
   at ``max_entries`` frames; evictees are optionally unpersisted
   (persisted-frame caches) — an evicted frame some lazy plan still
   references is simply recomputed, correctness unaffected.
+- **Input-file fingerprint in the key (r7 review).** ``semanticHash``
+  keys on scan PATHS, so overwriting a dataset in place between two
+  calls would otherwise serve stale derived frames. The key folds in a
+  digest of the concrete input files (path, size, mtime where stat-able)
+  so any regeneration is a clean miss; unlistable inputs make the frame
+  uncacheable for that call instead of risking staleness.
 """
 
 from __future__ import annotations
 
+import hashlib
+import os
 from collections import OrderedDict
 from collections.abc import Iterator
 
@@ -43,6 +51,43 @@ def _session_alive(s: SparkSession) -> bool:
         return False
 
 
+# Cap on per-file stat calls when fingerprinting a plan's inputs: the
+# suite's corpora are a handful of part files; a pathological listing
+# degrades to path-names-only for the overflow (still catches most
+# regeneration — parquet part names carry a fresh writer UUID per
+# write job) instead of paying N driver-side stats.
+_FP_MAX_STAT = 256
+
+
+def _input_fingerprint(df: DataFrame) -> str | None:
+    """Digest of the plan's concrete input files (path, size, mtime).
+
+    A plan's ``semanticHash`` keys on the PATHS in its scan relations,
+    so a dataset overwritten in place between two calls would hit a
+    plan-keyed cache with stale results (the r7 review finding against
+    the LM score cache). Folding the driver-side file listing — plus a
+    local ``stat`` when the scheme allows — into the key turns any
+    regeneration into a clean miss. Remote schemes fall back to path
+    names; a listing failure returns None (caller disables caching for
+    that frame rather than risking staleness)."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return None
+    parts = []
+    for i, p in enumerate(files):
+        if i < _FP_MAX_STAT and (p.startswith("file:") or p.startswith("/")):
+            local = p.split(":", 1)[1] if p.startswith("file:") else p
+            try:
+                st = os.stat(local)
+                parts.append(f"{p}|{st.st_size}|{st.st_mtime_ns}")
+                continue
+            except OSError:
+                pass
+        parts.append(p)
+    return hashlib.md5("\n".join(parts).encode()).hexdigest()
+
+
 class DataFramePlanCache:
     """Bounded per-session LRU: KEY DataFrame's canonical plan -> a
     derived VALUE DataFrame (possibly the key itself, persisted).
@@ -51,14 +96,32 @@ class DataFramePlanCache:
     ``values()``, ``clear()``) is exposed for tests and plan audits.
     """
 
-    def __init__(self, max_entries: int = 4, unpersist_on_evict: bool = False):
+    def __init__(
+        self,
+        max_entries: int = 4,
+        unpersist_on_evict: bool = False,
+        fingerprint_inputs: bool = True,
+    ):
         # key -> (session, key_df, value_df);
-        # key = (id(session), semanticHash, extra-params tuple)
+        # key = (id(session), semanticHash, extra-params tuple
+        #        [+ input-file fingerprint when enabled])
         self._d: OrderedDict[
             tuple, tuple[SparkSession, DataFrame, DataFrame]
         ] = OrderedDict()
         self._max = max_entries
         self._unpersist = unpersist_on_evict
+        self._fingerprint = fingerprint_inputs
+
+    def _key(self, key_df: DataFrame, extra: tuple) -> tuple | None:
+        """None ⇒ this frame is uncacheable right now (its inputs could
+        not be fingerprinted): get() misses and put() no-ops, which is
+        always safe — the caller just recomputes."""
+        if self._fingerprint:
+            fp = _input_fingerprint(key_df)
+            if fp is None:
+                return None
+            extra = extra + (fp,)
+        return (id(key_df.sparkSession), key_df.semanticHash(), extra)
 
     def _drop(self, k: tuple) -> None:
         sess, _kdf, vdf = self._d.pop(k)
@@ -79,8 +142,9 @@ class DataFramePlanCache:
         parameters) — two calls over the same input plan with different
         parameters must not share an entry."""
         self._sweep_dead()
-        sess = key_df.sparkSession
-        k = (id(sess), key_df.semanticHash(), extra)
+        k = self._key(key_df, extra)
+        if k is None:
+            return None
         ent = self._d.get(k)
         if ent is None:
             return None
@@ -93,11 +157,12 @@ class DataFramePlanCache:
 
     def put(self, key_df: DataFrame, value_df: DataFrame, extra: tuple = ()) -> None:
         self._sweep_dead()
-        sess = key_df.sparkSession
-        k = (id(sess), key_df.semanticHash(), extra)
+        k = self._key(key_df, extra)
+        if k is None:
+            return
         if k in self._d:
             self._drop(k)
-        self._d[k] = (sess, key_df, value_df)
+        self._d[k] = (key_df.sparkSession, key_df, value_df)
         while len(self._d) > self._max:
             self._drop(next(iter(self._d)))
 

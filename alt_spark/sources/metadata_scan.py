@@ -18,6 +18,7 @@ scanning marks).
 
 from __future__ import annotations
 
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -28,24 +29,48 @@ __all__ = ["footer_stats"]
 _V1_KEY = "spark.sql.sources.useV1SourceList"
 _AGG_KEY = "spark.sql.parquet.aggregatePushdown"
 
+# Session conf is process-visible state: without a guard, nested or
+# concurrent scopes would capture each other's modified values as the
+# "old" conf and leave the session permanently on v2 parquet (r7
+# review). The RLock serializes scopes (metadata queries are
+# driver-side and cheap — serialization is free), and the depth
+# counter makes nesting restore only at the outermost exit. Plans
+# built by OTHER threads of the same session during a scope still see
+# the v2 conf — inherent to session-level conf; the engine's own
+# paths never build plans concurrently with a footer_stats call.
+_SCOPE_LOCK = threading.RLock()
+_SCOPE_DEPTH = 0
+_SCOPE_SAVED: tuple[str, str] | None = None
+
 
 @contextmanager
 def _v2_parquet_agg_pushdown(spark: SparkSession):
     """Temporarily plan parquet through DSv2 with aggregate pushdown.
     Conf is restored even on error; only plans BUILT AND EXECUTED
-    inside the scope are affected (the utility collects inside)."""
-    old_v1 = spark.conf.get(_V1_KEY)
-    old_agg = spark.conf.get(_AGG_KEY)
-    v1_rest = ",".join(
-        s for s in old_v1.split(",") if s.strip() and s.strip() != "parquet"
-    )
-    spark.conf.set(_V1_KEY, v1_rest)
-    spark.conf.set(_AGG_KEY, "true")
-    try:
-        yield
-    finally:
-        spark.conf.set(_V1_KEY, old_v1)
-        spark.conf.set(_AGG_KEY, old_agg)
+    inside the scope are affected (the utility collects inside).
+    Reentrant and serialized across threads (see _SCOPE_LOCK)."""
+    global _SCOPE_DEPTH, _SCOPE_SAVED
+    with _SCOPE_LOCK:
+        if _SCOPE_DEPTH == 0:
+            old_v1 = spark.conf.get(_V1_KEY)
+            old_agg = spark.conf.get(_AGG_KEY)
+            _SCOPE_SAVED = (old_v1, old_agg)
+            v1_rest = ",".join(
+                s
+                for s in old_v1.split(",")
+                if s.strip() and s.strip() != "parquet"
+            )
+            spark.conf.set(_V1_KEY, v1_rest)
+            spark.conf.set(_AGG_KEY, "true")
+        _SCOPE_DEPTH += 1
+        try:
+            yield
+        finally:
+            _SCOPE_DEPTH -= 1
+            if _SCOPE_DEPTH == 0 and _SCOPE_SAVED is not None:
+                spark.conf.set(_V1_KEY, _SCOPE_SAVED[0])
+                spark.conf.set(_AGG_KEY, _SCOPE_SAVED[1])
+                _SCOPE_SAVED = None
 
 
 def footer_stats(

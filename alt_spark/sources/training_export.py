@@ -176,6 +176,20 @@ def _entry(r: dict, shard_col: str, token_col: str | None) -> dict:
     return e
 
 
+def _content_key(e: dict, with_tokens: bool) -> tuple:
+    """The CONTENT identity of a shard entry — what change-set and
+    verification comparisons look at. Deliberately excludes ``shard``
+    (the dict key), ``order`` (physical layout, not content: a reused
+    hard-linked shard keeps its writing version's layout without being
+    "changed"), and ``token_sum`` unless BOTH sides carry token
+    accounting (a version exported with token_col next to one without
+    must not read as total churn when the bytes are identical)."""
+    key: tuple = (int(e["n_rows"]), int(e["content_hash"]))
+    if with_tokens:
+        key += (int(e["token_sum"]),)
+    return key
+
+
 def verify_export(
     spark: SparkSession,
     out_dir: str,
@@ -202,13 +216,10 @@ def verify_export(
     manifest = read_export_manifest(out_dir, version)
     shard_col = manifest["shard_col"]
     token_col = manifest.get("token_col")
-    want = {
-        str(e["shard"]): (
-            e if token_col is not None
-            else {k: v for k, v in e.items() if k != "token_sum"}
-        )
-        for e in manifest["shards"]
-    }
+    # Compare CONTENT keys, not raw entry dicts: manifest entries carry
+    # layout metadata (per-shard ``order``) that recomputed stats never
+    # have and that verification must not be sensitive to.
+    want = {str(e["shard"]): e for e in manifest["shards"]}
     df = read_export(spark, out_dir, manifest["version"])
     if shards is not None:
         keys = sorted({str(s) for s in shards})
@@ -224,10 +235,17 @@ def verify_export(
         str(r[shard_col]): _entry(r, shard_col, token_col)
         for r in _shard_stats(df, shard_col, token_col)
     }
-    if got != want:
+    tok = token_col is not None
+    if set(got) != set(want) or any(
+        _content_key(got[k], tok) != _content_key(want[k], tok) for k in want
+    ):
         bad = sorted(
             (set(got) ^ set(want))
-            | {k for k in want if got.get(k) != want[k]}
+            | {
+                k
+                for k in set(want) & set(got)
+                if _content_key(got[k], tok) != _content_key(want[k], tok)
+            }
         )
         raise RuntimeError(
             f"export v{manifest['version']} fails verification for shards "
@@ -258,11 +276,15 @@ def diff_exports(out_dir: str, v_old: int, v_new: int) -> dict:
         )
     so = {str(e["shard"]): e for e in mo["shards"]}
     sn = {str(e["shard"]): e for e in mn["shards"]}
+    # Content keys only: token_sum participates only when BOTH versions
+    # carry token accounting (an export with token_col diffed against a
+    # byte-identical one without must read as unchanged, not total
+    # churn), and per-shard ``order`` (layout, not content) never does.
+    tok = mo.get("token_col") is not None and mn.get("token_col") is not None
     changed = {
         k
         for k in so.keys() & sn.keys()
-        if {kk: vv for kk, vv in so[k].items() if kk != "shard"}
-        != {kk: vv for kk, vv in sn[k].items() if kk != "shard"}
+        if _content_key(so[k], tok) != _content_key(sn[k], tok)
     }
     out = {
         "from_version": mo["version"],
@@ -377,9 +399,12 @@ def export_packed_corpus(
     account in the manifest. ``order_within_shard`` (optional) sorts
     each shard file's rows by the named columns at write time — the
     parquet min-max / sequential-read layout lever (see
-    :func:`_stage_frame`); recorded in the manifest, applies to newly
-    written shards (reused shards keep their writing version's
-    layout).
+    :func:`_stage_frame`). The layout actually carried by each shard's
+    files is recorded PER SHARD (entry field ``order``): newly written
+    shards record this call's ordering, hard-linked reused shards
+    inherit the ordering of the version that wrote their files — the
+    newest manifest is self-contained even after :func:`gc_exports`
+    removes the writing version's own manifest.
 
     Returns the committed manifest::
 
@@ -388,8 +413,9 @@ def export_packed_corpus(
          "n_shards": ..., "n_rows": ...,
          "token_sum": ...,           # absent when token_col is None
          "reused_shards": [...],     # incremental runs only, manifest-typed
+         "order_within_shard": [...],  # this call's argument (new shards)
          "shards": [{"shard": ..., "n_rows": ..., "content_hash": ...,
-                     "token_sum": ...}, ...]}
+                     "token_sum": ..., "order": [...]}, ...]}
 
     Full export (``incremental=False``): stage everything, aggregate
     the manifest from the staged bytes, publish.
@@ -473,6 +499,8 @@ def export_packed_corpus(
             staged = spark.read.schema(df.schema).parquet(data_dir)
             per_shard = _shard_stats(staged, shard_col, token_col)
             entries = [_entry(r, shard_col, token_col) for r in per_shard]
+            for e in entries:
+                e["order"] = list(order_within_shard)
         else:
             # Incremental: the input lineage is consumed twice (the
             # stats pass deciding the change set, then the filtered
@@ -492,8 +520,20 @@ def export_packed_corpus(
             prev_entries = {
                 str(e["shard"]): e for e in prev_manifest["shards"]
             }
+            # Content comparison (not raw dict equality): prev entries
+            # carry layout metadata (``order``) the fresh stats lack,
+            # and token accounting participates only when both versions
+            # have it — raw != would mark every shard changed.
+            tok_cmp = (
+                token_col is not None
+                and prev_manifest.get("token_col") is not None
+            )
             changed = sorted(
-                k for k, e in want.items() if prev_entries.get(k) != e
+                k
+                for k, e in want.items()
+                if k not in prev_entries
+                or _content_key(prev_entries[k], tok_cmp)
+                != _content_key(e, tok_cmp)
             )
             reused = sorted(set(want) - set(changed))
             if changed:
@@ -545,6 +585,23 @@ def export_packed_corpus(
                     os.path.join(prev_path, "data", f"{shard_col}={k}"),
                     os.path.join(data_dir, f"{shard_col}={k}"),
                 )
+            # Per-shard layout truth: a freshly staged shard carries
+            # THIS call's ordering; a hard-linked shard keeps (and
+            # records) the layout of the version that wrote its files,
+            # inherited through the chain — so the newest manifest is
+            # self-contained and an ordered reader never needs an older
+            # manifest that gc_exports may have deleted.
+            changed_set = set(changed)
+            for k, e in want.items():
+                if k in changed_set:
+                    e["order"] = list(order_within_shard)
+                else:
+                    e["order"] = list(
+                        prev_entries[k].get(
+                            "order",
+                            prev_manifest.get("order_within_shard", []),
+                        )
+                    )
             entries = sorted(
                 (want[k] for k in want), key=lambda e: str(e["shard"])
             )
@@ -553,11 +610,11 @@ def export_packed_corpus(
             "version": version,
             "shard_col": shard_col,
             "token_col": token_col,
-            # Recorded layout promise for NEWLY WRITTEN shards; a
-            # reused (hard-linked) shard keeps the layout of the
-            # version that wrote it — readers needing a strict global
-            # ordering guarantee across an incremental chain should
-            # check the writing version's manifest per shard.
+            # Echo of this call's argument — the layout of NEWLY
+            # WRITTEN shards only. The per-shard truth (including
+            # hard-linked shards that keep an older version's layout)
+            # is each shard entry's "order" field; readers wanting an
+            # ordering guarantee must check it per shard, never this.
             "order_within_shard": list(order_within_shard),
             "schema": df.schema.jsonValue(),
             "n_shards": len(entries),

@@ -410,12 +410,19 @@ def _ref_bpe(word_counts: dict, k: int, min_pair_count: int = 2):
     return merges
 
 
+# Java's default \W is ASCII-only ([^a-zA-Z0-9_]) while Python's is
+# Unicode-aware — the reference tokenizer must mirror the ENGINE
+# contract (dedup.tokens_col → Spark split on \W+), not Python's
+# locale: "café" engine-tokenizes to ["caf"], é is a separator.
+_ASCII_NONWORD = r"[^a-zA-Z0-9_]+"
+
+
 def _ref_word_counts(texts):
     import re
 
     counts: dict = {}
     for t in texts:
-        for w in re.split(r"\W+", t.lower()):
+        for w in re.split(_ASCII_NONWORD, t.lower()):
             if w:
                 counts[w] = counts.get(w, 0) + 1
     return counts
@@ -443,6 +450,24 @@ def test_bpe_merges_match_reference(spark):
     assert any(len(a) > 1 or len(b) > 1 for _, a, b, _ in got[1:]) or len(
         got
     ) <= 1
+
+
+def test_bpe_reference_tokenizer_matches_engine_on_non_ascii(spark):
+    """The Python reference tokenizer and the engine tokenizer must
+    agree OFF the ASCII fixture too: Java's \\W splits on accented
+    letters, so 'café' → 'caf' in both (the r7 review finding — a
+    Unicode-aware reference regex would only coincidentally match)."""
+    from alt_spark.operators.bpe import word_type_table
+
+    texts = ["Café au lait — naïve RÉSUMÉ über_alles", "café caf é"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["word"]: r["cnt"] for r in word_type_table(docs, "text").collect()
+    }
+    assert got == _ref_word_counts(texts)
+    assert "caf" in got and "café" not in got  # é really is a separator
 
 
 def test_bpe_apply_matches_reference_segmentation(spark):
@@ -478,7 +503,7 @@ def test_bpe_apply_matches_reference_segmentation(spark):
     import re
 
     for r in docs.collect():
-        words = [w for w in re.split(r"\W+", r["text"].lower()) if w]
+        words = [w for w in re.split(_ASCII_NONWORD, r["text"].lower()) if w]
         want_n = sum(seg_len(w) for w in words)
         assert out[r["doc_id"]][0] == want_n, r["doc_id"]
     again = {

@@ -71,12 +71,14 @@ _NESTED_LOOP_OK = {
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    # q69, q73, q77 and q81 are excluded: constructing q69 FITS an
+    # q69, q73, q77, q81 and q87 are excluded: constructing q69 FITS an
     # MLlib model (Pipeline.fit is an action — percentile_cont pass +
     # L-BFGS iterations); q73/q77/q81 run the connected-components
-    # convergence loop (one keyed join + count per round) — real
-    # executor work inside what should be plan-only audits. Their
-    # scan/broadcast invariants are covered by their own property
+    # convergence loop (one keyed join + count per round); q87 runs the
+    # full BPE merge loop (pair-count + argmax + collect per round) and
+    # returns a driver-local frame any plan audit would pass vacuously
+    # — real executor work inside what should be plan-only audits.
+    # Their scan/broadcast invariants are covered by their own property
     # tests.
     return {
         name: fn(spark, SF)
@@ -86,6 +88,7 @@ def dfs(spark):
             "q73_neardup_clusters",
             "q77_leakage_free_splits",
             "q81_cluster_representatives",
+            "q87_bpe_vocab_learning",
         )
     }
 

@@ -301,6 +301,8 @@ def test_charlm_at_100k(spark):
     from alt_spark.operators.lm import score_against_lm, train_char_lm
     from alt_spark.plans import audit
 
+    import alt_spark.operators.lm as lm_mod
+
     docs = load_table(spark, SF, "documents").select("doc_id", "text")
     reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
     corpus = docs.crossJoin(reps).select(
@@ -312,9 +314,17 @@ def test_charlm_at_100k(spark):
         model = train_char_lm(corpus, min_count=5)
         n_vocab = model.count()
         assert 0 < n_vocab < 50_000, n_vocab
+        # Plan pin needs the RAW scoring lineage: the production path
+        # returns a localCheckpoint-backed frame whose plan is an
+        # opaque ExistingRDD scan (the test_plans hermetic switch).
+        prev = lm_mod.SCORE_MATERIALIZE
+        lm_mod.SCORE_MATERIALIZE = False
+        try:
+            raw = score_against_lm(corpus, model)
+            assert "BroadcastHashJoin" in audit.physical_plan(raw)
+        finally:
+            lm_mod.SCORE_MATERIALIZE = prev
         scored = score_against_lm(corpus, model)
-        plan = audit.physical_plan(scored)
-        assert "BroadcastHashJoin" in plan
         joined = scored.join(
             corpus.select("doc_id", "src_id"), "doc_id"
         )

@@ -802,3 +802,71 @@ def test_training_export_order_within_shard(spark, tmp_path):
         export_packed_corpus(
             sharded, out, "shard", order_within_shard=("nope",)
         )
+
+
+def test_export_per_shard_order_survives_incremental_reuse(spark, tmp_path):
+    """The r7 review finding: the version-level order_within_shard is a
+    promise hard-linked shards cannot keep. Per-shard ``order`` must
+    record each shard's TRUE layout — reused shards inherit the writing
+    version's ordering through the chain, so the newest manifest stays
+    truthful even after gc removes the writing version."""
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        gc_exports,
+        read_export_manifest,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    # v0: UNordered layout.
+    m0 = export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    assert all(s["order"] == [] for s in m0["shards"])
+    # v1: incremental with an ordering promise; only the victim shard
+    # changes, everything else is hard-linked (and stays unordered).
+    victim = m0["shards"][0]["shard"]
+    changed = sharded.withColumn(
+        "text",
+        F.when(
+            F.col("shard") == victim, F.concat(F.col("text"), F.lit(" v1"))
+        ).otherwise(F.col("text")),
+    ).withColumn("n_tok", F.size(F.split("text", r"\s+")).cast("long"))
+    m1 = export_packed_corpus(
+        changed, out, "shard", token_col="n_tok",
+        incremental=True, order_within_shard=("doc_id",),
+    )
+    per_shard = {s["shard"]: s["order"] for s in m1["shards"]}
+    assert per_shard[victim] == ["doc_id"]  # freshly staged: new layout
+    assert all(
+        per_shard[s["shard"]] == [] for s in m0["shards"] if s["shard"] != victim
+    ), "hard-linked shards must record their writing version's layout"
+    # v2: nothing changes; inheritance carries BOTH layouts forward and
+    # the chain stays truthful after the writing versions are gc'd.
+    m2 = export_packed_corpus(
+        changed, out, "shard", token_col="n_tok",
+        incremental=True, order_within_shard=("doc_id",),
+    )
+    assert {s["shard"]: s["order"] for s in m2["shards"]} == per_shard
+    gc_exports(out, keep_last=1)
+    assert {
+        s["shard"]: s["order"] for s in read_export_manifest(out)["shards"]
+    } == per_shard
+
+
+def test_diff_exports_token_accounting_presence_is_not_churn(spark, tmp_path):
+    """A version exported WITH token accounting diffed against a
+    byte-identical one WITHOUT must read as unchanged (the r7 review
+    finding: entry-dict comparison marked every shard changed)."""
+    from alt_spark.sources.training_export import (
+        diff_exports,
+        export_packed_corpus,
+    )
+
+    out = str(tmp_path / "export")
+    sharded = _sharded_docs(spark)
+    export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    export_packed_corpus(sharded, out, "shard", token_col=None)
+    d = diff_exports(out, 0, 1)
+    assert d["changed"] == [] and d["added"] == [] and d["removed"] == []
+    assert len(d["unchanged"]) == 4
+    assert "token_delta" not in d  # only one side carries accounting
+    assert d["row_delta"] == 0

@@ -1004,3 +1004,31 @@ def test_lm_score_cache_is_bounded_and_reuses(spark):
     # reference dropped -> blocks reclaimable; results unaffected).
     assert first.count() == n0
     lm._SCORE_CACHE.clear()
+
+
+def test_plan_cache_misses_on_in_place_regeneration(spark, tmp_path):
+    """semanticHash keys on scan PATHS, so overwriting a dataset in
+    place (same path, same file name, new bytes) must MISS via the
+    input-file fingerprint in the cache key — the r7 review staleness
+    finding against the score cache, pinned at the shared-cache level."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alt_spark.plans.dfcache import DataFramePlanCache
+
+    p = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "x": [10, 20]}), p)
+    cache = DataFramePlanCache(max_entries=2)
+    df1 = spark.read.parquet(p)
+    derived = df1.groupBy().sum("x")
+    cache.put(df1, derived)
+    assert cache.get(spark.read.parquet(p)) is derived  # warm, same bytes
+
+    # Same path, SAME file name, different content: a plan-only key
+    # would hit here and serve the stale derived frame.
+    pq.write_table(
+        pa.table({"doc_id": [1, 2, 3], "x": [10, 20, 999]}), p
+    )
+    assert cache.get(spark.read.parquet(p)) is None, (
+        "in-place regeneration must invalidate plan-keyed cache entries"
+    )
