@@ -888,3 +888,66 @@ def q81(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+def _q90_oracle() -> str:
+    return f"""
+WITH {_minhash_pair_ctes()}, pairs AS (
+  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.7
+), src AS (
+  SELECT doc_id, source FROM documents
+)
+SELECT least(s1.source, s2.source) AS source_a,
+       greatest(s1.source, s2.source) AS source_b,
+       count(*)::BIGINT AS n_pairs,
+       sum(p.id1 + p.id2)::BIGINT AS pair_id_checksum
+FROM pairs p
+JOIN src s1 ON s1.doc_id = p.id1
+JOIN src s2 ON s2.doc_id = p.id2
+GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+"""
+
+
+@query("q90_cross_source_dup_matrix", oracle=_q90_oracle())
+def q90(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source duplication matrix: near-duplicate pair counts
+    aggregated by canonically-ordered source pair — the corpus
+    governance report behind licensing audits ("which feeds syndicate
+    which") and mixing decisions (a source pair with massive overlap
+    double-counts its weight in q59/q74 plans). The id-sum checksum
+    pins the exact pair SET per cell, not just its size.
+
+    Scale shape: rides the SAME MinHash pair frame as q30/q73/q77 —
+    the banded equi-join runs once per session (operators/dedup
+    _PAIR_CACHE, input-fingerprint keyed) and this query adds only two
+    doc_id equi-joins against a two-column source projection plus a
+    |sources|^2-bounded aggregate. At 100 TB the matrix is a metadata
+    query over the already-materialized pair table.
+    """
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_near_dup(docs, threshold=0.7, portable=True).select(
+        "id1", "id2"
+    )
+    src1 = docs.select(
+        F.col("doc_id").alias("id1"), F.col("source").alias("s1")
+    )
+    src2 = docs.select(
+        F.col("doc_id").alias("id2"), F.col("source").alias("s2")
+    )
+    return (
+        pairs.join(src1, "id1")
+        .join(src2, "id2")
+        .select(
+            F.least("s1", "s2").alias("source_a"),
+            F.greatest("s1", "s2").alias("source_b"),
+            (F.col("id1") + F.col("id2")).alias("psum"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("psum").cast("long").alias("pair_id_checksum"),
+        )
+        .orderBy("source_a", "source_b")
+    )

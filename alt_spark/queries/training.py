@@ -1721,3 +1721,98 @@ def q88(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+_VOCAB_LADDER = (100, 300, 1000, 3000, 10000)
+
+
+@query(
+    "q89_vocab_coverage",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_DDB_TOKENS}) AS word FROM documents
+), wc AS (
+  SELECT word, count(*) AS cnt FROM tok GROUP BY word
+), total AS (
+  SELECT sum(cnt) AS tot FROM wc
+), ranked AS (
+  SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS r FROM wc
+), mem AS (
+  SELECT k.vocab_size, cnt
+  FROM (SELECT * FROM ranked WHERE r <= {max(_VOCAB_LADDER)}) top,
+       unnest([{", ".join(str(k) for k in _VOCAB_LADDER)}]) k(vocab_size)
+  WHERE k.vocab_size >= top.r
+)
+SELECT vocab_size,
+       count(*)::BIGINT AS n_types,
+       sum(cnt)::BIGINT AS covered_occurrences,
+       ((SELECT tot FROM total) - sum(cnt))::BIGINT AS oov_occurrences,
+       ((10000 * sum(cnt)) // (SELECT tot FROM total))::BIGINT
+         AS coverage_permyriad
+FROM mem
+GROUP BY vocab_size
+ORDER BY vocab_size
+""",
+)
+def q89(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary coverage curve: for each candidate vocabulary size K
+    (top-K word types by corpus frequency, ties broken by word), the
+    exact count of token occurrences covered vs OOV — the curve a
+    tokenizer designer reads to pick a vocab size, and the acceptance
+    gate on a learned vocabulary (q87) before freezing it (q88). All
+    integers; coverage reported in permyriad via integer division.
+
+    Scale shape at 100 TB: ONE explode+groupBy over the corpus
+    (Zipf-bounded type table, map-side partials — the word_type_table
+    argument, operators/bpe.py:43); the ranking then runs on a frame
+    already cut to max(ladder)=10k rows by a TakeOrdered limit, so the
+    global row_number window is single-partition over a provably
+    bounded input (the PQ-codebook boundedness device, not a corpus
+    sort). Ladder membership is an in-row array filter + explode
+    (<= |ladder| rows per type, no theta join / NLJ); the 1-row total
+    frame broadcasts (the BM25 stats-row device).
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    words = (
+        docs.select(F.explode(_tokens_col()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = words.agg(F.sum("cnt").alias("tot"))
+    top = words.orderBy(F.desc("cnt"), "word").limit(max(_VOCAB_LADDER))
+    ranked = top.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cnt"), "word"))
+        .alias("r"),
+    )
+    ladder = F.array(*[F.lit(k) for k in _VOCAB_LADDER])
+    mem = ranked.select(
+        "cnt",
+        F.explode(F.filter(ladder, lambda k: k >= F.col("r"))).alias(
+            "vocab_size"
+        ),
+    )
+    return (
+        mem.groupBy("vocab_size")
+        .agg(
+            F.count("*").cast("long").alias("n_types"),
+            F.sum("cnt").cast("long").alias("covered_occurrences"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "vocab_size",
+            "n_types",
+            "covered_occurrences",
+            (F.col("tot") - F.col("covered_occurrences"))
+            .cast("long")
+            .alias("oov_occurrences"),
+            F.expr("(10000 * covered_occurrences) div tot")
+            .cast("long")
+            .alias("coverage_permyriad"),
+        )
+        .orderBy("vocab_size")
+    )

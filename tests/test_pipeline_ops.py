@@ -614,3 +614,21 @@ def test_q77_no_neardup_pair_straddles_splits(spark):
         )
         leaked += straddlers(naive)
     assert leaked > 0
+
+
+def test_q90_matrix_accounts_for_every_pair(spark):
+    """The cross-source matrix must partition the EXACT q30 pair set:
+    cell counts sum to the total pair count, the id-sum checksums sum
+    to the all-pairs id sum, and every cell is canonically ordered
+    (source_a <= source_b)."""
+    from alt_spark.queries import all_queries
+
+    qs = all_queries()
+    pairs = qs["q30_minhash_neardup"](spark, SF).select("id1", "id2")
+    matrix = qs["q90_cross_source_dup_matrix"](spark, SF).collect()
+    n_pairs = pairs.count()
+    id_sum = pairs.selectExpr("sum(id1 + id2) AS s").first()["s"] or 0
+    assert sum(r["n_pairs"] for r in matrix) == n_pairs
+    assert sum(r["pair_id_checksum"] for r in matrix) == id_sum
+    assert all(r["source_a"] <= r["source_b"] for r in matrix)
+    assert n_pairs > 0, "fixture must contain near-dup pairs"

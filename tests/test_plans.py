@@ -66,6 +66,10 @@ _NESTED_LOOP_OK = {
     # scoring chain; the cross join rides along even though the bucket
     # query only consumes the OOV column).
     "q76_ccnet_buckets",
+    # 1-row corpus-token-total frame crossed onto the |ladder|-sized
+    # coverage table (the BM25/LM stats-row device; left side is
+    # bounded by the vocab ladder, right side is 1 row).
+    "q89_vocab_coverage",
 }
 
 

@@ -1032,3 +1032,32 @@ def test_plan_cache_misses_on_in_place_regeneration(spark, tmp_path):
     assert cache.get(spark.read.parquet(p)) is None, (
         "in-place regeneration must invalidate plan-keyed cache entries"
     )
+
+
+def test_q89_coverage_curve_invariants(spark):
+    """Vocabulary coverage curve: one row per ladder size, coverage
+    monotone nondecreasing in K, covered+oov == the corpus token total
+    at every K, n_types <= K, and permyriad bounded."""
+    from alt_spark.queries import all_queries
+    from alt_spark.queries.training import _VOCAB_LADDER
+
+    rows = all_queries()["q89_vocab_coverage"](spark, SF_SMOKE).collect()
+    assert [r["vocab_size"] for r in rows] == sorted(_VOCAB_LADDER)
+    total = _docs(spark).selectExpr(
+        "sum(size(filter(split(lower(text), '\\\\W+'), x -> x != ''))) AS t"
+    ).first()["t"]
+    prev = -1
+    for r in rows:
+        assert r["covered_occurrences"] + r["oov_occurrences"] == total
+        assert r["n_types"] <= r["vocab_size"]
+        assert 0 <= r["coverage_permyriad"] <= 10000
+        assert r["covered_occurrences"] >= prev
+        prev = r["covered_occurrences"]
+    # The largest ladder step dominates the smallest whenever the
+    # vocabulary actually exceeds the smallest rung (at the sf0.001
+    # smoke fixture the whole vocabulary can fit inside K=100, in
+    # which case every rung must agree exactly instead).
+    if rows[-1]["n_types"] > rows[0]["n_types"]:
+        assert rows[-1]["covered_occurrences"] > rows[0]["covered_occurrences"]
+    else:
+        assert rows[-1]["covered_occurrences"] == rows[0]["covered_occurrences"]
