@@ -73,7 +73,13 @@ def _input_fingerprint(df: DataFrame) -> str | None:
     try:
         files = sorted(df.inputFiles())
     except Exception:
-        return None
+        # One retry: a transient Py4J hiccup under heavy load must not
+        # silently mark the frame uncacheable (observed once as a
+        # spurious cache miss in a fully-loaded suite run).
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:
+            return None
     parts = []
     for i, p in enumerate(files):
         if i < _FP_MAX_STAT and (p.startswith("file:") or p.startswith("/")):
@@ -111,6 +117,10 @@ class DataFramePlanCache:
         self._max = max_entries
         self._unpersist = unpersist_on_evict
         self._fingerprint = fingerprint_inputs
+        # Why the most recent get() missed — purely diagnostic, read by
+        # tests chasing intermittent misses (a miss is always SAFE —
+        # recompute — but an unexplained one hides a key-stability bug).
+        self.last_miss: str | None = None
 
     def _key(self, key_df: DataFrame, extra: tuple) -> tuple | None:
         """None ⇒ this frame is uncacheable right now (its inputs could
@@ -144,15 +154,21 @@ class DataFramePlanCache:
         self._sweep_dead()
         k = self._key(key_df, extra)
         if k is None:
+            self.last_miss = "uncacheable: inputFiles() listing failed"
             return None
         ent = self._d.get(k)
         if ent is None:
+            self.last_miss = (
+                f"no entry for key={k!r}; cached keys={list(self._d)!r}"
+            )
             return None
         _, kdf, vdf = ent
         if not key_df.sameSemantics(kdf):
             self._drop(k)  # 32-bit collision: release before slot reuse
+            self.last_miss = f"semanticHash collision on key={k!r}"
             return None
         self._d.move_to_end(k)
+        self.last_miss = None
         return vdf
 
     def put(self, key_df: DataFrame, value_df: DataFrame, extra: tuple = ()) -> None:

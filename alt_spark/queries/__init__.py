@@ -170,6 +170,9 @@ _REPORT_TAIL = (
     # tests/test_ml_ops.py.
     "q87_bpe_vocab_learning",
     "q88_bpe_segmentation",
+    # q89/q90 — oracle-backed r7 additions (vocab coverage curve;
+    # cross-source dup matrix riding the q30 pair cache), r8 rotation
+    # candidates with the rest of the r7 family.
     "q89_vocab_coverage",
     "q90_cross_source_dup_matrix",
 )

@@ -879,3 +879,81 @@ def test_streaming_quality_gates_parity(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_streaming_incremental_export_versions(spark):
+    """Continuous corpus refresh: a streaming job whose foreachBatch
+    accumulates each micro-batch into the landing corpus and publishes
+    a NEW immutable export version per trigger — full export on the
+    first batch, incremental afterwards. Composition contract across
+    the streaming pillar and the export sink: every version is
+    manifest-certified, untouched shards are hard-linked (reused), and
+    the final version reads back as exactly the accumulated corpus.
+    Shards are assigned per landing chunk so each trigger provably
+    touches one shard and reuses the rest."""
+    from alt_spark.sources.training_export import (
+        committed_export_versions,
+        export_packed_corpus,
+        read_export,
+        read_export_manifest,
+        verify_export,
+    )
+
+    root = _fresh("stream_export")
+    landing = os.path.join(root, "landing")
+    accum = os.path.join(root, "accum")
+    out = os.path.join(root, "export")
+    os.makedirs(landing, exist_ok=True)
+    t = pq.read_table(f"{SF}/documents.parquet").select(["doc_id", "text"])
+    n = t.num_rows
+    expected: dict[int, int] = {}
+    for i in range(3):
+        chunk = t.slice(i * n // 3, (i + 1) * n // 3 - i * n // 3)
+        chunk = chunk.append_column(
+            "shard", pa.array([i] * chunk.num_rows, pa.int64())
+        )
+        for d in chunk.column("doc_id").to_pylist():
+            expected[d] = i
+        pq.write_table(chunk, os.path.join(landing, f"chunk_{i:03d}.parquet"))
+
+    def publish(batch_df, epoch_id):
+        s = batch_df.sparkSession
+        batch_df.write.mode("append").parquet(accum)
+        corpus = s.read.parquet(accum)
+        export_packed_corpus(
+            corpus,
+            out,
+            "shard",
+            incremental=bool(committed_export_versions(out)),
+        )
+
+    src = (
+        spark.readStream.schema("doc_id long, text string, shard long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = (
+        src.writeStream.foreachBatch(publish)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    _drain(q)
+
+    versions = committed_export_versions(out)
+    assert len(versions) == 3, versions
+    for v in versions:
+        verify_export(spark, out, v)  # raises on any disagreement
+    # Every incremental version reused at least one untouched shard,
+    # and the newest version reused every shard but the one its
+    # trigger's chunk landed in.
+    last = read_export_manifest(out, versions[-1])
+    assert last["n_shards"] == 3
+    assert len(last["reused_shards"]) == 2, last["reused_shards"]
+    for v in versions[1:]:
+        assert read_export_manifest(out, v)["reused_shards"], v
+    # Final read-back == the accumulated corpus, exactly.
+    got = {
+        (r["doc_id"], r["shard"])
+        for r in read_export(spark, out).select("doc_id", "shard").collect()
+    }
+    assert got == set(expected.items())
