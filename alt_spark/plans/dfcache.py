@@ -26,12 +26,24 @@ Design points, each one a past review finding:
   at ``max_entries`` frames; evictees are optionally unpersisted
   (persisted-frame caches) — an evicted frame some lazy plan still
   references is simply recomputed, correctness unaffected.
-- **Input-file fingerprint in the key (r7 review).** ``semanticHash``
-  keys on scan PATHS, so overwriting a dataset in place between two
-  calls would otherwise serve stale derived frames. The key folds in a
-  digest of the concrete input files (path, size, mtime where stat-able)
-  so any regeneration is a clean miss; unlistable inputs make the frame
-  uncacheable for that call instead of risking staleness.
+- **Input-file fingerprint in the ENTRY, tri-state matched (r7
+  review, revised after a suite-order bug).** ``semanticHash`` keys on
+  scan PATHS, so overwriting a dataset in place between two calls
+  would otherwise serve stale derived frames; each entry therefore
+  carries a digest of the concrete input files (path, size, mtime
+  where stat-able) and a hit requires digests to AGREE — regeneration
+  drops the entry and misses. The digest must not live in the KEY:
+  ``Dataset.inputFiles`` reflects CACHE SUBSTITUTION, returning []
+  whenever any ancestor of the scan is block-cached (and the empty
+  answer is memoized per Dataset even past clearCache), so one
+  fingerprint-in-key design made the key flip with unrelated tests'
+  ``.cache()``/``clearCache()`` calls — the suite-order-dependent miss
+  CORRECTNESS hunted in r7. An empty listing is recorded as the
+  OPAQUE state and matches any digest: while a subtree is served from
+  Spark's block cache, Spark itself would serve pre-rewrite data for
+  the same plan, so honoring the entry is exactly Spark's own cache
+  semantics. A listing that raises (twice) keeps the frame
+  uncacheable for that call — recompute, never stale.
 """
 
 from __future__ import annotations
@@ -59,27 +71,36 @@ def _session_alive(s: SparkSession) -> bool:
 _FP_MAX_STAT = 256
 
 
+# Sentinel fingerprint: the listing came back EMPTY, which in practice
+# means cache substitution hid the file scans (see module docstring) —
+# treated as matching any digest at lookup time.
+_FP_OPAQUE = "<opaque>"
+
+
 def _input_fingerprint(df: DataFrame) -> str | None:
     """Digest of the plan's concrete input files (path, size, mtime).
 
     A plan's ``semanticHash`` keys on the PATHS in its scan relations,
     so a dataset overwritten in place between two calls would hit a
     plan-keyed cache with stale results (the r7 review finding against
-    the LM score cache). Folding the driver-side file listing — plus a
-    local ``stat`` when the scheme allows — into the key turns any
-    regeneration into a clean miss. Remote schemes fall back to path
-    names; a listing failure returns None (caller disables caching for
-    that frame rather than risking staleness)."""
+    the LM score cache). The driver-side file listing — plus a local
+    ``stat`` when the scheme allows — turns any regeneration into a
+    detectable change. Remote schemes fall back to path names; a
+    listing failure returns None (caller disables caching for that
+    frame rather than risking staleness); an EMPTY listing returns
+    ``_FP_OPAQUE`` (cache-substituted subtree — see module docstring,
+    matches any stored digest)."""
     try:
         files = sorted(df.inputFiles())
     except Exception:
         # One retry: a transient Py4J hiccup under heavy load must not
-        # silently mark the frame uncacheable (observed once as a
-        # spurious cache miss in a fully-loaded suite run).
+        # silently mark the frame uncacheable.
         try:
             files = sorted(df.inputFiles())
         except Exception:
             return None
+    if not files:
+        return _FP_OPAQUE
     parts = []
     for i, p in enumerate(files):
         if i < _FP_MAX_STAT and (p.startswith("file:") or p.startswith("/")):
@@ -108,11 +129,13 @@ class DataFramePlanCache:
         unpersist_on_evict: bool = False,
         fingerprint_inputs: bool = True,
     ):
-        # key -> (session, key_df, value_df);
-        # key = (id(session), semanticHash, extra-params tuple
-        #        [+ input-file fingerprint when enabled])
+        # key -> (session, key_df, value_df, input-file fingerprint);
+        # key = (id(session), semanticHash, extra-params tuple).
+        # The fingerprint is entry STATE, not key material — see the
+        # module docstring for why (cache substitution makes the
+        # listing session-state-dependent).
         self._d: OrderedDict[
-            tuple, tuple[SparkSession, DataFrame, DataFrame]
+            tuple, tuple[SparkSession, DataFrame, DataFrame, str]
         ] = OrderedDict()
         self._max = max_entries
         self._unpersist = unpersist_on_evict
@@ -122,19 +145,19 @@ class DataFramePlanCache:
         # recompute — but an unexplained one hides a key-stability bug).
         self.last_miss: str | None = None
 
-    def _key(self, key_df: DataFrame, extra: tuple) -> tuple | None:
-        """None ⇒ this frame is uncacheable right now (its inputs could
-        not be fingerprinted): get() misses and put() no-ops, which is
-        always safe — the caller just recomputes."""
-        if self._fingerprint:
-            fp = _input_fingerprint(key_df)
-            if fp is None:
-                return None
-            extra = extra + (fp,)
+    def _key(self, key_df: DataFrame, extra: tuple) -> tuple:
         return (id(key_df.sparkSession), key_df.semanticHash(), extra)
 
+    def _fp(self, key_df: DataFrame) -> str | None:
+        """Current fingerprint state; None ⇒ the frame is uncacheable
+        right now (listing raised): get() misses and put() no-ops,
+        which is always safe — the caller just recomputes."""
+        if not self._fingerprint:
+            return _FP_OPAQUE
+        return _input_fingerprint(key_df)
+
     def _drop(self, k: tuple) -> None:
-        sess, _kdf, vdf = self._d.pop(k)
+        sess, _kdf, vdf, _fp = self._d.pop(k)
         if self._unpersist and _session_alive(sess):
             try:
                 vdf.unpersist()
@@ -142,7 +165,9 @@ class DataFramePlanCache:
                 pass
 
     def _sweep_dead(self) -> None:
-        dead = [k for k, (s, _, _) in self._d.items() if not _session_alive(s)]
+        dead = [
+            k for k, (s, _, _, _) in self._d.items() if not _session_alive(s)
+        ]
         for k in dead:
             # Dead session: its blocks are already gone; never call into it.
             self._d.pop(k)
@@ -152,20 +177,34 @@ class DataFramePlanCache:
         parameters) — two calls over the same input plan with different
         parameters must not share an entry."""
         self._sweep_dead()
-        k = self._key(key_df, extra)
-        if k is None:
+        fp = self._fp(key_df)
+        if fp is None:
             self.last_miss = "uncacheable: inputFiles() listing failed"
             return None
+        k = self._key(key_df, extra)
         ent = self._d.get(k)
         if ent is None:
             self.last_miss = (
                 f"no entry for key={k!r}; cached keys={list(self._d)!r}"
             )
             return None
-        _, kdf, vdf = ent
+        _, kdf, vdf, stored_fp = ent
         if not key_df.sameSemantics(kdf):
             self._drop(k)  # 32-bit collision: release before slot reuse
             self.last_miss = f"semanticHash collision on key={k!r}"
+            return None
+        # Digest-vs-digest disagreement means the input files were
+        # regenerated in place: the entry is stale — drop it. The
+        # OPAQUE state (listing hidden by cache substitution, on either
+        # side) matches any digest: Spark's own block cache would serve
+        # the same pre-rewrite data for this plan.
+        if (
+            stored_fp != _FP_OPAQUE
+            and fp != _FP_OPAQUE
+            and stored_fp != fp
+        ):
+            self._drop(k)
+            self.last_miss = f"input files changed under key={k!r}"
             return None
         self._d.move_to_end(k)
         self.last_miss = None
@@ -173,12 +212,13 @@ class DataFramePlanCache:
 
     def put(self, key_df: DataFrame, value_df: DataFrame, extra: tuple = ()) -> None:
         self._sweep_dead()
-        k = self._key(key_df, extra)
-        if k is None:
+        fp = self._fp(key_df)
+        if fp is None:
             return
+        k = self._key(key_df, extra)
         if k in self._d:
             self._drop(k)
-        self._d[k] = (key_df.sparkSession, key_df, value_df)
+        self._d[k] = (key_df.sparkSession, key_df, value_df, fp)
         while len(self._d) > self._max:
             self._drop(next(iter(self._d)))
 
@@ -190,7 +230,7 @@ class DataFramePlanCache:
         return iter(self._d)
 
     def values(self) -> list[DataFrame]:
-        return [vdf for (_, _, vdf) in self._d.values()]
+        return [vdf for (_, _, vdf, _) in self._d.values()]
 
     def clear(self) -> None:
         for k in list(self._d):

@@ -1015,8 +1015,8 @@ def test_lm_score_cache_is_bounded_and_reuses(spark):
 def test_plan_cache_misses_on_in_place_regeneration(spark, tmp_path):
     """semanticHash keys on scan PATHS, so overwriting a dataset in
     place (same path, same file name, new bytes) must MISS via the
-    input-file fingerprint in the cache key — the r7 review staleness
-    finding against the score cache, pinned at the shared-cache level."""
+    entry's input-file fingerprint — the r7 review staleness finding
+    against the score cache, pinned at the shared-cache level."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -1038,6 +1038,39 @@ def test_plan_cache_misses_on_in_place_regeneration(spark, tmp_path):
     assert cache.get(spark.read.parquet(p)) is None, (
         "in-place regeneration must invalidate plan-keyed cache entries"
     )
+
+
+def test_plan_cache_survives_cache_substitution_flip(spark, tmp_path):
+    """Dataset.inputFiles() returns [] while any ancestor of the scan
+    is block-cached (cache substitution), and the empty answer is
+    memoized per Dataset even past clearCache(). The suite-order bug
+    this pins: put() under a block-cached subtree, unrelated
+    clearCache(), then an identical get() — the fingerprint flips
+    empty→real, and a fingerprint-IN-KEY design misses forever. The
+    opaque entry state must match any digest, so the second call HITS."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alt_spark.plans.dfcache import DataFramePlanCache
+
+    p = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "x": [10, 20]}), p)
+    base = spark.read.parquet(p)
+    base.cache()
+    base.count()
+    try:
+        df1 = spark.read.parquet(p)
+        assert df1.inputFiles() == [], (
+            "precondition drifted: cache substitution no longer hides "
+            "inputFiles — revisit the opaque-fingerprint design"
+        )
+        cache = DataFramePlanCache(max_entries=2)
+        derived = df1.groupBy().sum("x")
+        cache.put(df1, derived)  # stored with the OPAQUE fingerprint
+    finally:
+        spark.catalog.clearCache()
+    # Fresh identical plan, real file listing this time: must still hit.
+    assert cache.get(spark.read.parquet(p)) is derived, cache.last_miss
 
 
 def test_q89_coverage_curve_invariants(spark):
