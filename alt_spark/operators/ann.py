@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_sim",
+    "embedding_near_dup",
     "brute_force_topk",
     "hyperplane_buckets",
     "lsh_topk",
@@ -67,6 +68,86 @@ def brute_force_topk(
         corpus.select(F.col(id_col).alias("id"), sim.alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), "id")
         .limit(k)
+    )
+
+
+def embedding_near_dup(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    band_bits: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS: every (id_a < id_b) whose
+    cosine similarity rounds to >= ``threshold``, found by sign-band
+    blocking instead of an all-pairs scan.
+
+    Reference semantics: the embedding-similarity dedup mode of the
+    recap pipeline (recap-subworker clusterer.py FAISS neighborhoods;
+    pgvector `<=>` in rag-orchestrator hybrid_search_repo.go:72-76) —
+    re-expressed as the corpus-governance variant: all near-identical
+    vector pairs, not top-k of one query.
+
+    Blocking is sign-random-projection LSH (Charikar 2002) with the
+    CANONICAL basis as the hyperplane set: band j's key is the sign
+    pattern of dimensions [j*band_bits, (j+1)*band_bits). Two vectors
+    are candidates iff they agree on at least one full band — the
+    classic MinHash banding layout, but over sign bits, so the key is
+    computable IN-ROW (one `transform` over the array, no per-plane
+    dot products) and is portable to the SQL oracle (`val >= 0`).
+    Candidates are then verified with the exact rounded cosine.
+
+    Scale shape (100 TB): the corpus is never self-joined — the join is
+    a banded EQUI-join on (band, key), the same shape as the MinHash
+    LSH path in operators/dedup.py, so it hash-partitions cleanly;
+    near-constant vectors that flood one sign bucket are the documented
+    skew case (operators/skew.py salting applies). Verification joins
+    the BOUNDED candidate pair set back to the vectors (two hash joins)
+    and computes the cosine in-row via zip_with/aggregate — no explode,
+    no shuffle of vector payloads beyond the two joins. Recall is the
+    standard banding trade-off: a true pair is missed only if EVERY
+    band has a flipped sign bit; tests pin blocked == brute-force on
+    the planted-duplicate corpus, where perturbed dims all fall in one
+    band by construction.
+
+    Returns (id_a, id_b, cos_sim) with cos_sim rounded to
+    ``round_digits`` BEFORE the threshold compare, so an engine-twin
+    oracle filtering on the same rounded value agrees exactly.
+    """
+    v = F.expr(f"transform({vec_col}, x -> cast(x AS double))")
+    base = vecs.select(F.col(id_col).alias("_id"), v.alias("_v"))
+    # Interpreted-HOF note: the lambdas here run per-row on ~dim values;
+    # at the suite's scale they are scan-cheap, and they keep the whole
+    # key derivation in-row (the alternative — posexplode + groupBy —
+    # costs a corpus-wide shuffle before blocking even starts).
+    bands = base.select(
+        "_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(size(_v) / {band_bits}) - 1), "
+                f"j -> array_join(transform(slice(_v, j * {band_bits} + 1, "
+                f"{band_bits}), x -> IF(x >= 0D, '1', '0')), ''))"
+            )
+        ).alias("band", "key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    sim = F.round(
+        cosine_sim(F.col("_va"), F.col("_vb")), round_digits
+    ).alias("cos_sim")
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim)
+        .filter(F.col("cos_sim") >= threshold)
     )
 
 

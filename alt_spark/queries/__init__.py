@@ -175,6 +175,10 @@ _REPORT_TAIL = (
     # candidates with the rest of the r7 family.
     "q89_vocab_coverage",
     "q90_cross_source_dup_matrix",
+    # q91 — embedding-cosine near-dup (sign-band LSH blocking + exact
+    # verify over planted perturbed duplicates); oracle-backed, r8
+    # rotation candidate with the rest of the r7 family.
+    "q91_embedding_neardup_lsh",
 )
 
 

@@ -303,3 +303,88 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("true_label", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q91_embedding_neardup_lsh",
+    oracle=f"""
+WITH ex0 AS (
+  SELECT vec_id AS id, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+), ex AS (
+  SELECT id, idx, val FROM ex0
+  UNION ALL
+  SELECT id + 100000, idx, val + CASE WHEN idx <= 8 THEN 0.02 ELSE 0 END
+  FROM ex0 WHERE id < 10
+), bands AS (
+  SELECT id, CAST((idx - 1) // 8 AS INT) AS band,
+         string_agg(CASE WHEN val >= 0 THEN '1' ELSE '0' END, '' ORDER BY idx) AS key
+  FROM ex GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), dots AS (
+  SELECT c.id_a, c.id_b,
+         round(sum(ea.val * eb.val)
+               / (sqrt(sum(ea.val * ea.val)) * sqrt(sum(eb.val * eb.val))),
+               6) AS cos_sim
+  FROM cand c
+  JOIN ex ea ON ea.id = c.id_a
+  JOIN ex eb ON eb.id = c.id_b AND eb.idx = ea.idx
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, cos_sim
+FROM dots
+WHERE cos_sim >= 0.99
+ORDER BY id_a, id_b
+""",
+)
+def q91(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-band LSH (the
+    embedding-space dedup mode of the near-dup family: I8-I10 are
+    token-space, this is J8's vector space turned on the corpus
+    itself). q32 is the label-blocked sibling — blocking there needs a
+    semantic key; this is the content-blind SRP-banded form q32's
+    docstring names as the 100 TB path, plus planted TRUE near-dups so
+    the verify stage separates a real pair (0.998) from the densest
+    false candidate (0.467) instead of ranking loosely-similar vectors.
+
+    Reference: recap-subworker clusterer.py:20-51 (FAISS neighborhood
+    construction) + the pgvector `<=>` operator the reference uses for
+    similarity (hybrid_search_repo.go:72-76) — as a governance query:
+    every pair of near-identical vectors, found by sign-band LSH
+    blocking + exact verification (operators/ann.embedding_near_dup).
+
+    The synthetic embeddings are unit-normalized with max pairwise
+    cosine ~0.51, so true near-dups are PLANTED exactly as in q75's
+    pattern: vectors 0-9 reappear as id+100000 with +0.02 on their
+    first 8 dimensions (double arithmetic on both engines -> identical
+    bits; cosine ~0.9984 vs next candidate 0.467, so the 0.99 threshold
+    sits in a ~0.53-wide margin — no float-boundary risk). All
+    perturbed dims fall inside band 0, so bands 1-7 guarantee recall:
+    the blocked result provably equals brute force here, and
+    tests/test_ann.py pins exactly that.
+    """
+    from alt_spark.operators.ann import embedding_near_dup
+
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias(
+            "embedding"
+        ),
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " cast(x AS double) + IF(i < 8, 0.02D, 0D))"
+        ).alias("embedding"),
+    )
+    allv = base.unionByName(planted)
+    return embedding_near_dup(
+        allv, id_col="vec_id", vec_col="embedding", threshold=0.99
+    ).orderBy("id_a", "id_b")

@@ -632,3 +632,53 @@ def test_q90_matrix_accounts_for_every_pair(spark):
     assert sum(r["pair_id_checksum"] for r in matrix) == id_sum
     assert all(r["source_a"] <= r["source_b"] for r in matrix)
     assert n_pairs > 0, "fixture must contain near-dup pairs"
+
+
+def _q91_corpus(spark):
+    """The q91 input: embeddings plus perturbed copies of vectors 0-9
+    (id+100000, +0.02 on the first 8 dims) — the planted near-dups."""
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("embedding"),
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " cast(x AS double) + IF(i < 8, 0.02D, 0D))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
+
+def test_embedding_near_dup_blocked_equals_brute_force(spark):
+    """Sign-band blocking loses NOTHING on the planted-duplicate corpus:
+    the blocked pair set (candidates sharing >=1 band, then verified)
+    equals the exact all-pairs result — every perturbed dim lives in
+    band 0, so bands 1-7 guarantee each true pair a shared band. Also
+    pins the expected pair identities: exactly (i, i+100000) for i<10."""
+    allv = _q91_corpus(spark)
+    blocked = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in ann.embedding_near_dup(
+            allv, id_col="vec_id", vec_col="embedding", threshold=0.99
+        ).collect()
+    }
+    # Brute force: all pairs, same in-row rounded cosine, same threshold.
+    a = allv.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = allv.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    brute = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ann.cosine_sim(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.99)
+        .collect()
+    }
+    assert blocked == brute
+    assert set(blocked) == {(i, i + 100000) for i in range(10)}
+    assert all(s >= 0.99 for s in blocked.values())
