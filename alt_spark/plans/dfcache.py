@@ -39,11 +39,11 @@ Design points, each one a past review finding:
   fingerprint-in-key design made the key flip with unrelated tests'
   ``.cache()``/``clearCache()`` calls — the suite-order-dependent miss
   CORRECTNESS hunted in r7. An empty listing is recorded as the
-  OPAQUE state and matches any digest: while a subtree is served from
-  Spark's block cache, Spark itself would serve pre-rewrite data for
-  the same plan, so honoring the entry is exactly Spark's own cache
-  semantics. A listing that raises (twice) keeps the frame
-  uncacheable for that call — recompute, never stale.
+  OPAQUE state; matching is asymmetric (rationale at the rule in
+  ``get``): a stored-opaque entry matches any later state, while a
+  stored digest that cannot be re-verified (current listing opaque)
+  misses and recomputes. A listing that raises (twice) keeps the
+  frame uncacheable for that call — recompute, never stale.
 """
 
 from __future__ import annotations
@@ -193,16 +193,29 @@ class DataFramePlanCache:
             self._drop(k)  # 32-bit collision: release before slot reuse
             self.last_miss = f"semanticHash collision on key={k!r}"
             return None
-        # Digest-vs-digest disagreement means the input files were
-        # regenerated in place: the entry is stale — drop it. The
-        # OPAQUE state (listing hidden by cache substitution, on either
-        # side) matches any digest: Spark's own block cache would serve
-        # the same pre-rewrite data for this plan.
-        if (
-            stored_fp != _FP_OPAQUE
-            and fp != _FP_OPAQUE
-            and stored_fp != fp
-        ):
+        # Fingerprint match rule (asymmetric by design):
+        # - digest == digest: inputs unchanged — hit.
+        # - digest != digest: in-place regeneration — drop, miss.
+        # - stored OPAQUE (entry was built while cache substitution hid
+        #   the listing): matches any current state — during that epoch
+        #   Spark's own block cache served the same snapshot, so the
+        #   entry is exactly as fresh as Spark's answer was; this arm
+        #   is what makes an unrelated .cache()/clearCache() pair a
+        #   non-event instead of a permanent miss (the r7 suite bug).
+        # - stored digest but current OPAQUE: the digest cannot be
+        #   re-verified right now — miss WITHOUT dropping (files are
+        #   probably unchanged; the recompute's put refreshes the entry
+        #   under the opaque state). Costs one recompute per
+        #   digest→substituted epoch transition and closes the masked-
+        #   regeneration window where files were rewritten just before
+        #   the subtree was block-cached.
+        if stored_fp != fp and stored_fp != _FP_OPAQUE:
+            if fp == _FP_OPAQUE:
+                self.last_miss = (
+                    "inputs hidden by cache substitution; stored digest "
+                    f"unverifiable under key={k!r}"
+                )
+                return None
             self._drop(k)
             self.last_miss = f"input files changed under key={k!r}"
             return None

@@ -1073,6 +1073,42 @@ def test_plan_cache_survives_cache_substitution_flip(spark, tmp_path):
     assert cache.get(spark.read.parquet(p)) is derived, cache.last_miss
 
 
+def test_plan_cache_digest_entry_unverifiable_under_substitution(spark, tmp_path):
+    """The asymmetric arm of the fingerprint rule: an entry stored with
+    a real digest MISSES (without being dropped) while cache
+    substitution hides the listing — the digest can't be re-verified,
+    so the cache refuses to vouch for it and the caller recomputes;
+    the recompute's put() re-keys the entry under the opaque state and
+    the NEXT call in the same epoch hits."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alt_spark.plans.dfcache import DataFramePlanCache
+
+    p = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "x": [10, 20]}), p)
+    cache = DataFramePlanCache(max_entries=2)
+    df1 = spark.read.parquet(p)
+    derived = df1.groupBy().sum("x")
+    cache.put(df1, derived)  # stored with a REAL digest
+    base = spark.read.parquet(p)
+    base.cache()
+    base.count()
+    try:
+        df2 = spark.read.parquet(p)
+        assert df2.inputFiles() == []  # substitution epoch active
+        assert cache.get(df2) is None, "unverifiable digest must miss"
+        assert "unverifiable" in cache.last_miss
+        assert len(cache) == 1, "the entry must not be dropped"
+        # The caller's recompute re-puts under the opaque state; a
+        # further call in the same epoch now hits.
+        derived2 = df2.groupBy().sum("x")
+        cache.put(df2, derived2)
+        assert cache.get(spark.read.parquet(p)) is derived2, cache.last_miss
+    finally:
+        spark.catalog.clearCache()
+
+
 def test_q89_coverage_curve_invariants(spark):
     """Vocabulary coverage curve: one row per ladder size, coverage
     monotone nondecreasing in K, covered+oov == the corpus token total
