@@ -18,7 +18,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "cosine_sim",
+    "embedding_band_rows",
     "embedding_near_dup",
+    "embedding_near_dup_incremental",
     "brute_force_topk",
     "hyperplane_buckets",
     "lsh_topk",
@@ -115,27 +117,16 @@ def embedding_near_dup(
     ``round_digits`` BEFORE the threshold compare, so an engine-twin
     oracle filtering on the same rounded value agrees exactly.
     """
-    v = F.expr(f"transform({vec_col}, x -> cast(x AS double))")
-    base = vecs.select(F.col(id_col).alias("_id"), v.alias("_v"))
-    # Interpreted-HOF note: the lambdas here run per-row on ~dim values;
-    # at the suite's scale they are scan-cheap, and they keep the whole
-    # key derivation in-row (the alternative — posexplode + groupBy —
-    # costs a corpus-wide shuffle before blocking even starts).
-    bands = base.select(
-        "_id",
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(0, int(size(_v) / {band_bits}) - 1), "
-                f"j -> array_join(transform(slice(_v, j * {band_bits} + 1, "
-                f"{band_bits}), x -> IF(x >= 0D, '1', '0')), ''))"
-            )
-        ).alias("band", "key"),
+    base = vecs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("_v"),
     )
+    bands = embedding_band_rows(vecs, id_col, vec_col, band_bits)
     cand = (
         bands.alias("a")
         .join(bands.alias("b"), ["band", "key"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
     va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
@@ -147,6 +138,125 @@ def embedding_near_dup(
         cand.join(va, "id_a")
         .join(vb, "id_b")
         .select("id_a", "id_b", sim)
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_band_rows(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    band_bits: int = 8,
+) -> DataFrame:
+    """(id, band, key) sign-band rows for an embedding table — the
+    persistable blocking index of ``embedding_near_dup`` (the
+    embedding-space sibling of ``dedup.band_rows``): band j's key is
+    the sign pattern of dimensions [j*band_bits, (j+1)*band_bits).
+    Derived fully IN-ROW (no per-plane dot products, no explode-side
+    shuffle); at 100 TB this table is written once per corpus snapshot
+    and each daily batch equi-joins against it
+    (``embedding_near_dup_incremental``)."""
+    # Interpreted-HOF note: the lambdas here run per-row on ~dim values;
+    # at the suite's scale they are scan-cheap, and they keep the whole
+    # key derivation in-row (the alternative — posexplode + groupBy —
+    # costs a corpus-wide shuffle before blocking even starts).
+    return vecs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(size({vec_col}) / {band_bits}) - 1), "
+                f"j -> array_join(transform(slice(transform({vec_col}, "
+                f"x -> cast(x AS double)), j * {band_bits} + 1, "
+                f"{band_bits}), x -> IF(x >= 0D, '1', '0')), ''))"
+            )
+        ).alias("band", "key"),
+    )
+
+
+def embedding_near_dup_incremental(
+    new_vecs: DataFrame,
+    base_bands: DataFrame,
+    base_vecs: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    band_bits: int = 8,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs for an INCREMENT against a persisted
+    sign-band index — the daily-batch form of ``embedding_near_dup``
+    at 100 TB, mirroring ``dedup.lsh_incremental_pairs``: the base
+    corpus is banded ONCE (``embedding_band_rows`` written to
+    storage); each new batch bands only its own vectors and equi-joins
+    them against the stored index, then verifies candidates with the
+    exact rounded cosine (``base_vecs`` supplies the stored vectors
+    for the base side of the verify join). Nothing about the base is
+    recomputed or rescanned beyond the candidate equi-join + the
+    verify join on candidate ids.
+
+    ``base_bands`` must be (id, band, key) produced with the SAME
+    band_bits. Returns (new_id, match_id, in_base, cos_sim):
+    in_base=true rows pair a new vector with a base vector; false rows
+    pair two new vectors (new_id < match_id there, so each in-batch
+    pair appears once). Rerun-safe like the MinHash form: batch ids
+    present in the stored index are excluded from the base side, so a
+    retried batch cannot pair a vector with its own stale index rows.
+    """
+    nv = new_vecs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("_v"),
+    )
+    nb = embedding_band_rows(new_vecs, id_col, vec_col, band_bits)
+    base = base_bands.join(
+        F.broadcast(nb.select("id").distinct()), "id", "left_anti"
+    )
+    vs_base = (
+        nb.alias("a")
+        .join(
+            base.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key")),
+        )
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("match_id"),
+            F.lit(True).alias("in_base"),
+        )
+        .distinct()
+    )
+    within = (
+        nb.alias("a")
+        .join(nb.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("new_id"),
+            F.col("b.id").alias("match_id"),
+            F.lit(False).alias("in_base"),
+        )
+        .distinct()
+    )
+    cand = vs_base.unionByName(within)
+    bv = base_vecs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("_v"),
+    )
+    left = nv.select(F.col("_id").alias("new_id"), F.col("_v").alias("_va"))
+    # The match side may be a base vector or another batch vector; a
+    # retried batch id present in BOTH sides counts as batch-only (the
+    # same anti-join rule as the band index above), or the verify join
+    # would emit duplicate rows per candidate.
+    right = (
+        bv.join(F.broadcast(nv.select("_id").distinct()), "_id", "left_anti")
+        .unionByName(nv)
+        .select(F.col("_id").alias("match_id"), F.col("_v").alias("_vb"))
+    )
+    sim = F.round(
+        cosine_sim(F.col("_va"), F.col("_vb")), round_digits
+    ).alias("cos_sim")
+    return (
+        cand.join(left, "new_id")
+        .join(right, "match_id")
+        .select("new_id", "match_id", "in_base", sim)
         .filter(F.col("cos_sim") >= threshold)
     )
 

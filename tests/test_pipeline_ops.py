@@ -682,3 +682,52 @@ def test_embedding_near_dup_blocked_equals_brute_force(spark):
     assert blocked == brute
     assert set(blocked) == {(i, i + 100000) for i in range(10)}
     assert all(s >= 0.99 for s in blocked.values())
+
+
+def test_embedding_near_dup_incremental_matches_full(spark):
+    """The daily-batch form: band the base ONCE, join only the batch
+    against the stored index. On the q91 corpus (base = the 500
+    originals, batch = the 10 planted perturbed copies) the
+    incremental result must be exactly the full run's pair set, every
+    pair flagged in_base (a planted copy pairs with its base source,
+    never with another planted copy), with identical similarities.
+    Rerun safety: re-submitting a batch whose ids are already in the
+    stored index must not pair a vector against its own stale rows."""
+    emb = load_table(spark, SF, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("embedding"),
+    )
+    new = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " cast(x AS double) + IF(i < 8, 0.02D, 0D))"
+        ).alias("embedding"),
+    )
+    idx = ann.embedding_band_rows(base)
+    got = {
+        (r.new_id, r.match_id, r.in_base): r.cos_sim
+        for r in ann.embedding_near_dup_incremental(
+            new, idx, base, threshold=0.99
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in ann.embedding_near_dup(
+            _q91_corpus(spark), id_col="vec_id", vec_col="embedding", threshold=0.99
+        ).collect()
+    }
+    assert {(m, n): s for (n, m, b), s in got.items()} == full
+    assert all(b for (_, _, b) in got)
+
+    # Rerun: the batch's ids are in the index already (union) — the
+    # result must be unchanged, not polluted by self-pairs.
+    idx2 = ann.embedding_band_rows(base.unionByName(new))
+    rerun = {
+        (r.new_id, r.match_id, r.in_base): r.cos_sim
+        for r in ann.embedding_near_dup_incremental(
+            new, idx2, base.unionByName(new), threshold=0.99
+        ).collect()
+    }
+    assert rerun == got
