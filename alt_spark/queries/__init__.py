@@ -179,6 +179,10 @@ _REPORT_TAIL = (
     # verify over planted perturbed duplicates); oracle-backed, r8
     # rotation candidate with the rest of the r7 family.
     "q91_embedding_neardup_lsh",
+    # q92/q93 — gate-attrition funnel and intra-document sentence
+    # dedup; oracle-backed r7 additions, r8 rotation candidates.
+    "q92_gate_funnel",
+    "q93_sentence_dedup",
 )
 
 
