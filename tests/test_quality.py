@@ -1,8 +1,9 @@
-"""q84-q86 heuristic-quality operators: planted-gate expectations
-(each C4 gate, Luhn validation vs lookalikes, readability extremes),
-a hypothesis cross-check of the Luhn Column expression against a
-reference Python implementation, and plan pins (the in-row ops must
-never shuffle). Oracle parity itself runs via test_oracle.py's
+"""q84-q86/q92/q93 heuristic-quality operators: planted-gate
+expectations (each C4 gate, Luhn validation vs lookalikes, readability
+extremes, one-gate-per-planted-page funnel attrition, sentence-dedup
+edge shapes), a hypothesis cross-check of the Luhn Column expression
+against a reference Python implementation, and plan pins (the in-row
+ops must never shuffle). Oracle parity itself runs via test_oracle.py's
 all_oracles() parametrization."""
 
 from __future__ import annotations
@@ -201,4 +202,111 @@ def test_q86_single_aggregate_plan(spark):
     plan = audit.physical_plan(df)
     assert audit.shuffle_count(df) <= 2, plan
     assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ------------------------------------------------------------ q92 gate funnel
+def test_funnel_planted_rows_each_fail_one_stage(spark):
+    """The planted page set is a basis for the gate chain: one page
+    passes everything and each other page fails exactly one labelled
+    gate, so the cumulative columns must drop by exactly one document
+    per stage."""
+    row = (
+        all_queries()["q92_gate_funnel"](spark, SF_SMOKE)
+        .filter(F.col("source") == "planted")
+        .first()
+    )
+    assert row["n_docs"] == 5
+    assert row["v_docs"] == 4  # -75 fails the length floors
+    assert row["vg_docs"] == 3  # -73 fails Gopher (ellipsis/symbol caps)
+    assert row["vgc_docs"] == 2  # -74 fails C4 (no terminal punctuation)
+    assert row["kept_docs"] == 1  # -72 fails the PAN gate; -71 survives
+    # standalone gate counts: -75 fails gopher+c4 too, -72 only PAN
+    assert row["gopher_pass"] == 3  # -71, -72, -74
+    assert row["c4_pass"] == 3  # -71, -72, -73
+    assert row["pan_free"] == 4  # all but -72
+
+
+def test_funnel_is_monotone_in_docs_and_tokens(spark):
+    """Cumulative stage columns can only shrink — per source, docs and
+    tokens both: n >= valid >= +gopher >= +c4 >= kept."""
+    for r in all_queries()["q92_gate_funnel"](spark, SF_SMOKE).collect():
+        assert (
+            r["n_docs"] >= r["v_docs"] >= r["vg_docs"]
+            >= r["vgc_docs"] >= r["kept_docs"]
+        ), r
+        assert (
+            r["tok_sum"] >= r["v_toks"] >= r["vg_toks"]
+            >= r["vgc_toks"] >= r["kept_toks"]
+        ), r
+        assert r["kept_docs"] >= 0 and r["kept_toks"] >= 0
+
+
+def test_q92_single_aggregate_plan(spark):
+    """Every gate flag is an in-row Column over one corpus scan; the
+    plan is one hash aggregate on source plus the presentation sort —
+    no join, no Python eval."""
+    df = all_queries()["q92_gate_funnel"](spark, SF_SMOKE)
+    plan = audit.physical_plan(df)
+    assert audit.shuffle_count(df) <= 2, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# -------------------------------------------------------- q93 sentence dedup
+def test_sentence_dedup_planted_shapes(spark):
+    import hashlib
+
+    rows = _by_id(
+        all_queries()["q93_sentence_dedup"](spark, SF_SMOKE)
+        .filter(F.col("doc_id") < 0)
+        .collect()
+    )
+    # triple repetition: first occurrence survives, order preserved
+    assert rows[-81]["n_sent"] == 5 and rows[-81]["n_uniq"] == 4
+    assert rows[-81]["saved_permyriad"] == 10000 * 1 // 5
+    survivors = "We go now.|We stay here.|We go now!|The end is near."
+    assert (
+        rows[-81]["dedup_md5"]
+        == hashlib.md5(survivors.encode()).hexdigest()
+    )
+    # no duplicates: everything survives, zero savings
+    assert rows[-82]["n_sent"] == 3 and rows[-82]["n_uniq"] == 3
+    assert rows[-82]["saved_permyriad"] == 0
+    # unterminated run and empty page: zero sentences, guarded division
+    for did in (-83, -84):
+        assert rows[did]["n_sent"] == 0 and rows[did]["n_uniq"] == 0
+        assert rows[did]["saved_permyriad"] == 0
+    # terminator matters: 'We go.' vs 'We go!' are distinct sentences
+    assert rows[-85]["n_sent"] == 3 and rows[-85]["n_uniq"] == 2
+    assert rows[-85]["saved_permyriad"] == 10000 // 3
+
+
+def test_sentence_dedup_constructed_corpus_duplication(spark):
+    """The constructed pages inject a duplicate sentence for doc_id%2==0
+    and doc_id%3==0: those documents MUST save at least one sentence,
+    and documents divisible by neither must save nothing (their three
+    sentences carry distinct terminators even when the words collide)."""
+    out = (
+        all_queries()["q93_sentence_dedup"](spark, SF_SMOKE)
+        .filter(F.col("doc_id") >= 0)
+        .select("doc_id", "n_sent", "n_uniq")
+        .collect()
+    )
+    assert out, "natural corpus must be present"
+    for r in out:
+        dup_injected = r["doc_id"] % 2 == 0 or r["doc_id"] % 3 == 0
+        if dup_injected:
+            assert r["n_sent"] - r["n_uniq"] >= 1, r
+        else:
+            assert r["n_sent"] == r["n_uniq"] == 3, r
+
+
+def test_q93_shuffle_free(spark):
+    """Segmentation + first-occurrence keep are both in-row; only the
+    presentation sort may exchange, and nothing drops to Python."""
+    df = all_queries()["q93_sentence_dedup"](spark, SF_SMOKE)
+    plan = audit.physical_plan(df)
+    assert audit.shuffle_count(df) <= 1, plan
+    assert "hashpartitioning" not in plan.lower(), plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
