@@ -38,6 +38,7 @@ __all__ = [
     "split_assignment",
     "ddb_split_assignment",
     "epoch_expand",
+    "exact_k_sample",
 ]
 
 # Sampling rates are expressed in permyriad (1/10000) so the keep
@@ -446,3 +447,105 @@ def token_budget_plan(
             "planned_tok",
         )
     )
+
+
+def exact_k_sample(
+    df: DataFrame,
+    k: int,
+    stratum_col: str,
+    id_col: str = "doc_id",
+    salt: str = "holdout",
+    oversample: float | None = 4.0,
+) -> DataFrame:
+    """Exactly min(k, n) rows per stratum, deterministically: the k
+    smallest rows under the total order (hash bucket, id) within each
+    stratum. The eval-carve complement of :func:`stratified_sample` —
+    a fractional rate cannot promise "exactly 25 held-out docs per
+    language", this does, and re-runs/retries/repartitioning always
+    select the same rows. Returns the selected rows plus ``bucket``
+    and ``rank`` (1-based within the stratum).
+
+    Scale shape (``oversample`` set, the default): a window over a
+    whole 100 TB stratum is one task, so first prune with a per-stratum
+    bucket threshold ``ceil(PRECISION * oversample * k / n)`` (from one
+    bounded count aggregate, broadcast back); every pruned row sorts
+    AFTER every survivor — bucket is the leading sort key — so the
+    top-k of the ~oversample*k survivors equals the global top-k
+    whenever >= min(k, n) rows survive. Survival is Binomial(n,
+    ~oversample*k/n): at oversample 4 the deficit probability is
+    < e^-k per stratum (Chernoff), and deficit is never silent — a
+    1-row guard aggregate (the allowlisted broadcast-crossJoin device)
+    raises through ``assert_true`` at action time, naming the stratum;
+    re-run with a larger ``oversample``. ``oversample=None`` skips the
+    prefilter entirely (exact by construction, single-task-per-stratum
+    window — the small-data path).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if oversample is not None and oversample <= 0:
+        raise ValueError(f"oversample must be positive, got {oversample}")
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(F.col("bucket").asc(), F.col(id_col).asc())
+    )
+    ranked_cols = df.columns + ["bucket", "rank"]
+    if oversample is None:
+        ranked = df.withColumn("bucket", sample_bucket(id_col, salt)).withColumn(
+            "rank", F.row_number().over(w)
+        )
+        return ranked.filter(F.col("rank") <= k).select(*ranked_cols)
+
+    target = max(1, int(PRECISION * oversample * k))
+    counts = df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
+    thresholds = counts.withColumn(
+        "__t",
+        F.when(F.col("__n") * PRECISION <= target, F.lit(PRECISION)).otherwise(
+            F.expr(f"least({PRECISION}, ({target} + __n - 1) div __n)")
+        ),
+    )
+    survivors = (
+        df.withColumn("bucket", sample_bucket(id_col, salt))
+        .join(F.broadcast(thresholds), stratum_col)
+        .filter(F.col("bucket") < F.col("__t"))
+    )
+    ranked = survivors.withColumn("rank", F.row_number().over(w))
+    selected = ranked.filter(F.col("rank") <= k)
+    # Loud lazy deficit guard: evaluated at action time for EVERY
+    # stratum (including ones with zero survivors, which produce no
+    # output row to carry a per-row check). counts left-join survivor
+    # counts -> one assert_true per stratum, attached as a UNION branch
+    # that emits zero rows when healthy — a union child always executes
+    # (a joined guard would be skipped by AQE's empty-side join
+    # elimination exactly when the starved side IS empty).
+    surv_counts = survivors.groupBy(stratum_col).agg(
+        F.count("*").alias("__m")
+    )
+    out = selected.select(*ranked_cols)
+    guard_rows = (
+        counts.join(surv_counts, stratum_col, "left")
+        .filter(
+            F.assert_true(
+                F.coalesce(F.col("__m"), F.lit(0))
+                >= F.least(F.lit(k).cast("long"), F.col("__n")),
+                F.concat(
+                    F.lit(
+                        "exact_k_sample bucket prefilter starved stratum "
+                    ),
+                    F.col(stratum_col).cast("string"),
+                    F.lit(
+                        f" (oversample={oversample}); re-run with a larger"
+                        " oversample or oversample=None"
+                    ),
+                ),
+            ).isNotNull()
+        )
+        .select(
+            *[
+                F.lit(None).cast(out.schema[c].dataType).alias(c)
+                for c in ranked_cols
+            ]
+        )
+    )
+    return out.unionByName(guard_rows)

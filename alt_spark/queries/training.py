@@ -1816,3 +1816,57 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+_HOLDOUT_K, _HOLDOUT_SALT = 25, "holdout-v1"
+
+
+@query(
+    "q94_exact_k_holdout",
+    oracle=f"""
+WITH b AS (
+  SELECT lang, doc_id, {ddb_sample_bucket('doc_id', _HOLDOUT_SALT)} AS bucket
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, bucket,
+         row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rank
+  FROM b
+)
+SELECT lang,
+       CAST(rank AS BIGINT) AS rank,
+       doc_id,
+       CAST(bucket AS BIGINT) AS bucket
+FROM ranked WHERE rank <= {_HOLDOUT_K}
+ORDER BY lang, rank
+""",
+)
+def q94(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact-k deterministic eval carve: exactly min(k, n) held-out
+    documents per language — the k smallest under the (hash bucket,
+    doc_id) total order — with their within-stratum rank. A fractional
+    mixing rate (q59) cannot promise a fixed-size eval set; this is the
+    operator that carves one, reproducibly across runs, retries, and
+    cluster sizes, and the oracle pins exact MEMBERSHIP AND ORDER of
+    every selected row (the plain-window SQL twin of the pruned path).
+
+    Plan (operators/mixing.exact_k_sample): one bounded per-stratum
+    count, a broadcast bucket-threshold prefilter inside the scan stage
+    (~oversample*k survivors per stratum — every pruned row provably
+    sorts after every survivor), then the exact rank window over the
+    pruned remnant; a 1-row guard aggregate raises loudly if the
+    prefilter ever starves a stratum (< e^-k probability). Carving a
+    100 TB corpus costs one scan + one tiny window.
+    """
+    from alt_spark.operators.mixing import exact_k_sample
+
+    docs = load_table(spark, sf, "documents").select("lang", "doc_id")
+    sel = exact_k_sample(
+        docs, _HOLDOUT_K, "lang", "doc_id", salt=_HOLDOUT_SALT
+    )
+    return sel.select(
+        "lang",
+        F.col("rank").cast("long").alias("rank"),
+        "doc_id",
+        F.col("bucket").cast("long").alias("bucket"),
+    ).orderBy("lang", "rank")

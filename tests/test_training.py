@@ -1136,3 +1136,79 @@ def test_q89_coverage_curve_invariants(spark):
         assert rows[-1]["covered_occurrences"] > rows[0]["covered_occurrences"]
     else:
         assert rows[-1]["covered_occurrences"] == rows[0]["covered_occurrences"]
+
+
+# ----------------------------------------------------------- exact-k sampling
+def test_exact_k_pruned_equals_plain_window(spark):
+    """The bucket-threshold prefilter path must select the IDENTICAL
+    rows (membership, rank, and bucket) as the plain-window path — the
+    pruning is provably order-prefix-safe, so any divergence is a bug."""
+    from alt_spark.operators.mixing import exact_k_sample
+
+    docs = _docs(spark).select("lang", "doc_id")
+    cols = ("lang", "rank", "doc_id", "bucket")
+    pruned = {
+        tuple(r) for r in exact_k_sample(docs, 7, "lang").select(*cols).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in exact_k_sample(docs, 7, "lang", oversample=None)
+        .select(*cols)
+        .collect()
+    }
+    assert pruned == plain and pruned
+
+
+def test_exact_k_counts_ranks_and_determinism(spark):
+    from alt_spark.operators.mixing import exact_k_sample
+
+    docs = _docs(spark).select("lang", "doc_id")
+    per_lang = dict(docs.groupBy("lang").count().collect())
+    k = 9
+    sel = exact_k_sample(docs, k, "lang").collect()
+    got = {}
+    for r in sel:
+        got.setdefault(r["lang"], []).append(r["rank"])
+    for lang, n in per_lang.items():
+        ranks = sorted(got.get(lang, []))
+        assert ranks == list(range(1, min(k, n) + 1)), lang
+    # physical layout cannot change the carve
+    again = {
+        (r["lang"], r["rank"], r["doc_id"])
+        for r in exact_k_sample(
+            docs.repartition(13), k, "lang"
+        ).collect()
+    }
+    assert again == {(r["lang"], r["rank"], r["doc_id"]) for r in sel}
+    # k beyond the stratum size keeps the whole stratum, exactly once
+    all_of_it = exact_k_sample(docs, 10**6, "lang")
+    assert all_of_it.count() == docs.count()
+    assert all_of_it.select("doc_id").distinct().count() == docs.count()
+
+
+def test_exact_k_starved_prefilter_raises(spark):
+    """A deliberately starved oversample must fail LOUDLY at action
+    time (the 1-row assert_true guard), never silently under-select.
+    The frame is built to contain no bucket-0 row, so a threshold of 1
+    bucket value provably strands every stratum."""
+    from alt_spark.operators.mixing import PRECISION, exact_k_sample, sample_bucket
+
+    base = spark.range(1, 400).select(
+        F.lit("en").alias("lang"), F.col("id").alias("doc_id")
+    )
+    nonzero = base.filter(sample_bucket("doc_id", "holdout") != 0).limit(100)
+    df = spark.createDataFrame(nonzero.collect(), "lang string, doc_id long")
+    with pytest.raises(Exception, match="starved stratum en"):
+        exact_k_sample(df, 5, "lang", oversample=1e-9).collect()
+    # sanity: the same frame carves fine at the default oversample
+    assert exact_k_sample(df, 5, "lang").count() == 5
+
+
+def test_exact_k_rejects_bad_args(spark):
+    from alt_spark.operators.mixing import exact_k_sample
+
+    docs = _docs(spark).select("lang", "doc_id")
+    with pytest.raises(ValueError):
+        exact_k_sample(docs, 0, "lang")
+    with pytest.raises(ValueError):
+        exact_k_sample(docs, 5, "lang", oversample=-1.0)
