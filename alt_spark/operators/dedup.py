@@ -70,6 +70,8 @@ __all__ = [
     "decontaminate",
     "segment_rows",
     "segment_dedup",
+    "sliding_gram_rows",
+    "duplicate_span_coverage",
 ]
 
 
@@ -669,4 +671,115 @@ def exact_dedup_incremental(
     )
     return in_batch.join(
         base_hashes.select("h").distinct(), "h", "left_anti"
+    )
+
+
+def sliding_gram_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """(id, n_tok, pos, gram) rows: EVERY ``width``-token window at
+    stride 1 — the overlapping-window sibling of :func:`segment_rows`
+    (stride = width). Documents shorter than ``width`` tokens yield no
+    rows (the ``when`` guard keeps ``sequence`` from counting down).
+    In-row: one tokenizer layer, one transform, one posexplode — no
+    shuffle."""
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks")
+    )
+    toks = F.col("__toks")
+    grams = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - width),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select(
+        "id",
+        F.size(toks).alias("n_tok"),
+        F.posexplode(grams).alias("pos", "gram"),
+    )
+
+
+def duplicate_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """Substring-grain duplication audit (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token position is DUPLICATED if it lies inside any ``width``-token
+    window whose exact text occurs >= ``min_count`` times in the corpus
+    — total occurrences, not distinct documents, so intra-document
+    boilerplate repetition counts too. Returns the complete per-document
+    surface (id, n_tok, n_dup_windows, dup_tokens) where ``dup_tokens``
+    is the EXACT size of the union of that document's duplicated
+    windows: overlapping windows are merged by the classic
+    running-max-end marginal — sorted by start, each window contributes
+    ``end - max(prev_max_end, start - 1)`` new tokens, so the sum is
+    the interval-union size without materializing islands.
+
+    This is the signal document-level (I8) and segment-level (CCNet,
+    ``segment_dedup``) hashing cannot give: the fraction of a document
+    that is copied from ANYWHERE else, the number Lee et al. threshold
+    to drop or trim documents.
+
+    Shape for 100 TB: windows explode in-row; the duplicate set is one
+    groupBy on the gram key; membership is a key-equi semi-join; the
+    interval merge is a per-document window bounded by document length;
+    the final zero-filled surface is one id equi-join. Never pairwise.
+    ``hash_grams`` (default) keys the shuffle on ``xxhash64(gram)``
+    longs instead of width-token strings (~10x narrower shuffle rows);
+    pass False for the string form a DuckDB oracle replays verbatim —
+    equality of the two forms is test-enforced.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    grams = sliding_gram_rows(df, text_col, id_col, width).select(
+        "id", "n_tok", "pos", key(F.col("gram")).alias("k")
+    )
+    dup = (
+        grams.groupBy("k")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("k")
+    )
+    hits = grams.join(dup, "k", "left_semi")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + F.lit(width - 1)
+    prev_end = F.coalesce(
+        F.max(F.col("pos") + F.lit(width - 1)).over(w), F.lit(-1)
+    )
+    marginal = end - F.greatest(prev_end, F.col("pos") - 1)
+    per_doc = (
+        hits.withColumn("__m", marginal)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sum("__m").alias("dup_tokens"),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), F.size(tokens_col(text_col)).alias("n_tok")
+    )
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+            "n_dup_windows"
+        ),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
     )

@@ -21,6 +21,7 @@ from alt_spark.functions.hashing import DDB_U64 as _u64
 from alt_spark.functions.text_analysis import DDB_TOKENS as _DDB_TOKENS
 from alt_spark.operators import dedup
 from alt_spark.queries import query
+from alt_spark.queries.planted import values_sql as _values_sql
 _EN = "('the','and','of','to','is','in','that','with')"
 
 
@@ -950,4 +951,106 @@ def q90(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("psum").cast("long").alias("pair_id_checksum"),
         )
         .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95: substring-grain duplication coverage (Lee et al. 2021). The
+# natural corpus carries the generator's planted near-duplicates;
+# negative-id rows pin the exact merge shapes: a 12-token run shared
+# by two docs (overlapping windows must merge to 12, not 5*8), an
+# intra-document repeat (two disjoint islands), a sub-width page, and
+# a fully unique page.
+_SPAN_W = 8
+_SPAN12 = " ".join(f"wq{i}" for i in range(1, 13))
+_REP8 = " ".join(f"rp{i}" for i in range(1, 9))
+_SPAN_EXTRA: tuple[tuple[int, str], ...] = (
+    (-91, f"qq91a qq91b qq91c {_SPAN12} qq91d qq91e"),
+    (-92, f"qq92a {_SPAN12} qq92b qq92c qq92d qq92e qq92f"),
+    (-93, f"{_REP8} qq93a qq93b {_REP8}"),
+    (-94, "sv1 sv2 sv3 sv4 sv5 sv6 sv7"),
+    (-95, " ".join(f"uu{i}" for i in range(1, 31))),
+)
+
+
+def _q95_oracle() -> str:
+    w = _SPAN_W
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM {_values_sql(_SPAN_EXTRA)}
+), tok AS (
+  SELECT doc_id, {_DDB_TOKENS} AS toks FROM corpus
+), starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - {w})) AS pos
+  FROM tok WHERE len(toks) >= {w}
+), grams AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos + 1, pos + {w}), ' ') AS g
+  FROM starts
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), cov AS (
+  SELECT doc_id,
+         pos + {w - 1} - greatest(coalesce(max(pos + {w - 1}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+             pos - 1) AS m
+  FROM grams WHERE g IN (SELECT g FROM dup)
+), agg AS (
+  SELECT doc_id, count(*) AS nw, sum(m) AS dt FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tok,
+       CAST(coalesce(a.nw, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(a.dt, 0) AS BIGINT) AS dup_tokens,
+       CAST((10000 * coalesce(a.dt, 0))
+            // greatest(len(t.toks), 1) AS BIGINT) AS dup_permyriad
+FROM tok t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@query("q95_dup_span_coverage", oracle=_q95_oracle())
+def q95(spark: SparkSession, sf: str) -> DataFrame:
+    """Substring-grain duplication audit (Lee et al. 2021): for every
+    document, the EXACT number of tokens lying inside any 8-token
+    window whose text occurs >= 2 times anywhere in the corpus —
+    overlapping duplicated windows merged to their interval union —
+    plus the window count and the permyriad fraction Lee et al.
+    threshold to drop or trim documents. The grain document-level
+    hashing (q17) and fixed-segment dedup (q67) cannot see: partial
+    copying, quotation, and template reuse inside otherwise-unique
+    pages.
+
+    Plan (operators/dedup.duplicate_span_coverage): in-row stride-1
+    window explosion, one groupBy on the gram key, one semi-join back,
+    a per-document running-max window (bounded by document length) for
+    the interval-union marginals, one id equi-join for the zero-filled
+    complete surface. Never pairwise; every exchange is key-bucketed.
+    The oracle replays windows, the duplicate set, and the union merge
+    verbatim (string gram keys; the xxhash64-keyed production form is
+    equality-pinned in tests).
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        list(_SPAN_EXTRA), "doc_id long, text string"
+    )
+    corpus = docs.unionByName(extra)
+    cov = dedup.duplicate_span_coverage(
+        corpus, width=_SPAN_W, hash_grams=False
+    )
+    return (
+        cov.select(
+            F.col("id").alias("doc_id"),
+            "n_tok",
+            "n_dup_windows",
+            "dup_tokens",
+            F.expr("(10000 * dup_tokens) div greatest(n_tok, 1)")
+            .cast("long")
+            .alias("dup_permyriad"),
+        )
+        .orderBy("doc_id")
     )

@@ -731,3 +731,77 @@ def test_embedding_near_dup_incremental_matches_full(spark):
         ).collect()
     }
     assert rerun == got
+
+
+# -------------------------------------------------- q95 duplicate-span coverage
+def test_span_coverage_planted_shapes(spark):
+    """Interval-union exactness on the planted shapes: overlapping
+    windows over a shared 12-token run merge to 12 covered tokens (not
+    5 windows x 8), an intra-document repeat yields two disjoint
+    islands of 8, sub-width and unique pages report zeros."""
+    from alt_spark.queries import all_queries
+    from pyspark.sql import functions as F
+
+    rows = {
+        r["doc_id"]: r
+        for r in all_queries()["q95_dup_span_coverage"](spark, SF)
+        .filter(F.col("doc_id") < 0)
+        .collect()
+    }
+    assert (
+        rows[-91]["n_tok"],
+        rows[-91]["n_dup_windows"],
+        rows[-91]["dup_tokens"],
+    ) == (17, 5, 12)
+    assert (rows[-92]["n_dup_windows"], rows[-92]["dup_tokens"]) == (5, 12)
+    # intra-document repetition counts (occurrences, not distinct docs)
+    assert (
+        rows[-93]["n_tok"],
+        rows[-93]["n_dup_windows"],
+        rows[-93]["dup_tokens"],
+    ) == (18, 2, 16)
+    for did in (-94, -95):
+        assert rows[did]["n_dup_windows"] == 0
+        assert rows[did]["dup_tokens"] == 0
+    assert rows[-91]["dup_permyriad"] == 10000 * 12 // 17
+
+
+def test_span_coverage_hash_form_equals_string_form(spark):
+    """The xxhash64-keyed production shuffle must select the identical
+    duplicated windows as the oracle-replayable string form."""
+    from alt_spark.operators.dedup import duplicate_span_coverage
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    cols = ("id", "n_tok", "n_dup_windows", "dup_tokens")
+    a = {tuple(r) for r in duplicate_span_coverage(docs, hash_grams=True).select(*cols).collect()}
+    b = {tuple(r) for r in duplicate_span_coverage(docs, hash_grams=False).select(*cols).collect()}
+    assert a == b
+
+
+def test_span_coverage_invariants(spark):
+    """dup_tokens is an interval-union size: bounded by n_tok above and
+    by the window count (each window adds >= 1 and <= width tokens)."""
+    from alt_spark.operators.dedup import duplicate_span_coverage
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    out = duplicate_span_coverage(docs, width=8).collect()
+    assert len(out) == docs.count(), "complete surface: one row per doc"
+    for r in out:
+        assert 0 <= r["dup_tokens"] <= r["n_tok"], r
+        if r["n_dup_windows"]:
+            # n distinct-start width-8 windows cover at least n-1+8
+            # tokens (stride-1 chain) and at most 8n (disjoint).
+            assert r["dup_tokens"] >= r["n_dup_windows"] + 7, r
+            assert r["dup_tokens"] <= 8 * r["n_dup_windows"], r
+        else:
+            assert r["dup_tokens"] == 0, r
+
+
+def test_span_coverage_rejects_bad_args(spark):
+    from alt_spark.operators.dedup import duplicate_span_coverage
+
+    docs = load_table(spark, SF, "documents")
+    with pytest.raises(ValueError):
+        duplicate_span_coverage(docs, width=1)
+    with pytest.raises(ValueError):
+        duplicate_span_coverage(docs, min_count=1)

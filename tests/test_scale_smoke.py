@@ -773,3 +773,28 @@ def test_training_export_at_100k(spark, tmp_path):
     got = {s["shard"]: (s["n_rows"], s["content_hash"]) for s in manifest["shards"]}
     assert got == expect
     assert elapsed < 120, f"export took {elapsed:.1f}s"
+
+
+def test_span_coverage_at_100k(spark):
+    """Substring-grain coverage at 100k docs: every replicated document
+    shares all interior 8-token windows with its siblings, so coverage
+    must be near-total for every row, the surface must stay complete
+    (one row per doc), and the plan must complete at volume without an
+    all-pairs stage (window explosion is in-row; the duplicate set is
+    one key-bucketed groupBy)."""
+    corpus = _big_corpus(spark).persist()
+    try:
+        n = corpus.count()
+        cov = dedup.duplicate_span_coverage(corpus, width=8)
+        stats = cov.agg(
+            F.count("*").alias("rows"),
+            F.min(
+                F.expr("(10000 * dup_tokens) div greatest(n_tok, 1)")
+            ).alias("min_pm"),
+        ).first()
+        assert stats["rows"] == n
+        # every doc is a replica: at minimum the windows clear of the
+        # trailing variant tokens are shared -> coverage stays high
+        assert stats["min_pm"] >= 8000, stats
+    finally:
+        corpus.unpersist()
