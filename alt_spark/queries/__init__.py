@@ -57,7 +57,7 @@ _loaded = False
 # (r3 evidence: 55 registered, exactly positions 50-54 of dict order
 # absent from CORRECTNESS_r03; documented in VERDICT.md r4 §Next and
 # COVERAGE.md — the cap-dependence is deliberate and externally visible,
-# not a code-comment secret). With 95 registered queries, 45 must sit
+# not a code-comment secret). With 96 registered queries, 46 must sit
 # past the window; order the registry so the reported 50 are the
 # strongest evidence: oracle-backed queries in numeric order first,
 # then entries whose correctness is already carried by other green
@@ -189,6 +189,9 @@ _REPORT_TAIL = (
     # q95 — substring-grain duplication coverage (Lee et al. 2021);
     # oracle replays windows, duplicate set, and interval-union merge.
     "q95_dup_span_coverage",
+    # q96 — per-language tokenizer fertility under the pinned BPE
+    # vocabulary; integer-exact metric surfaces.
+    "q96_tokenizer_fertility",
 )
 
 

@@ -1870,3 +1870,89 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.col("bucket").cast("long").alias("bucket"),
     ).orderBy("lang", "rank")
+
+
+# ---------------------------------------------------------------------------
+def _q96_oracle() -> str:
+    from alt_spark.operators.bpe import ddb_segment_symbol_string
+
+    seg = ddb_segment_symbol_string("text")
+    return f"""
+WITH seg AS (
+  SELECT lang,
+         len({_DDB_TOKENS}) AS words,
+         length(coalesce(array_to_string({_DDB_TOKENS}, ''), '')) AS chars,
+         {seg} AS s
+  FROM documents
+), sym AS (
+  SELECT lang, words, chars,
+         length(s) - length(replace(s, chr(1), '')) AS symbols
+  FROM seg
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(words) AS BIGINT) AS words,
+       CAST(sum(chars) AS BIGINT) AS chars,
+       CAST(sum(symbols) AS BIGINT) AS symbols,
+       CAST((10000 * sum(symbols)) // greatest(sum(words), 1) AS BIGINT)
+         AS fertility_permyriad,
+       CAST((1000 * sum(chars)) // greatest(sum(symbols), 1) AS BIGINT)
+         AS chars_per_symbol_milli
+FROM sym
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("q96_tokenizer_fertility", oracle=_q96_oracle())
+def q96(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language tokenizer fertility under the PINNED BPE vocabulary
+    (q88's frozen merge table): subword symbols per word (fertility,
+    permyriad) and characters per symbol (compression, milli) — the
+    acceptance metrics a tokenizer release tracks per language. A
+    language with outsized fertility is underserved by the vocabulary
+    (its words shatter into characters), which inflates its effective
+    sequence lengths and training cost; this query is how that shows up
+    BEFORE a training run does. Completes the tokenizer family: q87
+    learns, q88 applies, q89 sizes the vocab by coverage, q96 prices it
+    per language.
+
+    Plan: segmentation is the q88 in-row sentinel-string form; the
+    symbol count is one length difference (no parsing); one bounded
+    hash aggregate on lang — pricing a tokenizer on 100 TB costs one
+    corpus scan. Exact-integer surfaces end-to-end.
+    """
+    from alt_spark.operators.bpe import segment_symbol_string
+
+    docs = load_table(spark, sf, "documents").select("lang", "text")
+    toks = tokens_col("text")
+    seg = docs.select(
+        "lang",
+        F.size(toks).alias("words"),
+        F.length(F.concat_ws("", toks)).alias("chars"),
+        segment_symbol_string(F.col("text")).alias("s"),
+    )
+    sym = seg.select(
+        "lang",
+        "words",
+        "chars",
+        (
+            F.length("s") - F.length(F.replace(F.col("s"), F.lit("\x01")))
+        ).alias("symbols"),
+    )
+    return (
+        sym.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("words").cast("long").alias("words"),
+            F.sum("chars").cast("long").alias("chars"),
+            F.sum("symbols").cast("long").alias("symbols"),
+            F.expr("(10000 * sum(symbols)) div greatest(sum(words), 1)")
+            .cast("long")
+            .alias("fertility_permyriad"),
+            F.expr("(1000 * sum(chars)) div greatest(sum(symbols), 1)")
+            .cast("long")
+            .alias("chars_per_symbol_milli"),
+        )
+        .orderBy("lang")
+    )

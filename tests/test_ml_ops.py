@@ -574,3 +574,35 @@ def test_pinned_segmentation_matches_fold(spark):
     }
     assert via_string == via_fold
     assert via_string[-63] == 0
+
+
+def test_fertility_known_value(spark):
+    """Hand-computed pin for the q96 symbol count: 'ster' under
+    PINNED_MERGES folds s t e r </w> -> (e,r)-> s t er </w> ->
+    (s,t)-> st er </w> -> (er,</w>)-> st er</w> = 2 symbols, 1 word,
+    4 chars."""
+    from alt_spark.operators.bpe import segment_symbol_string
+
+    row = (
+        spark.range(1)
+        .select(segment_symbol_string(F.lit("ster")).alias("s"))
+        .select(
+            (F.length("s") - F.length(F.replace(F.col("s"), F.lit("\x01"))))
+            .alias("symbols")
+        )
+        .first()
+    )
+    assert row["symbols"] == 2
+
+
+def test_q96_single_aggregate_plan(spark):
+    """Fertility pricing is one in-row segmentation + one hash
+    aggregate on lang: no join, no Python, <= 2 exchanges."""
+    from alt_spark.plans import audit
+    from alt_spark.queries import all_queries
+
+    df = all_queries()["q96_tokenizer_fertility"](spark, SF)
+    plan = audit.physical_plan(df)
+    assert audit.shuffle_count(df) <= 2, plan
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
