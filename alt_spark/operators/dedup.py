@@ -72,6 +72,8 @@ __all__ = [
     "segment_dedup",
     "sliding_gram_rows",
     "duplicate_span_coverage",
+    "span_gram_counts",
+    "duplicate_span_coverage_incremental",
 ]
 
 
@@ -704,6 +706,52 @@ def sliding_gram_rows(
     )
 
 
+def _span_surface(
+    src: DataFrame,
+    grams: DataFrame,
+    dup: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int,
+) -> DataFrame:
+    """Shared tail of the full and incremental span-coverage forms:
+    semi-join the duplicated gram keys back onto the positional rows,
+    merge overlapping windows per document via the running-max-end
+    marginal (sum of ``end - max(prev_end, start - 1)`` over the
+    start-sorted rows = interval-union size), and zero-fill the
+    complete per-document surface from ``src``."""
+    hits = grams.join(dup, "k", "left_semi")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + F.lit(width - 1)
+    prev_end = F.coalesce(
+        F.max(F.col("pos") + F.lit(width - 1)).over(w), F.lit(-1)
+    )
+    marginal = end - F.greatest(prev_end, F.col("pos") - 1)
+    per_doc = (
+        hits.withColumn("__m", marginal)
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_dup_windows"),
+            F.sum("__m").alias("dup_tokens"),
+        )
+    )
+    base = src.select(
+        F.col(id_col).alias("id"), F.size(tokens_col(text_col)).alias("n_tok")
+    )
+    return base.join(per_doc, "id", "left").select(
+        "id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
+            "n_dup_windows"
+        ),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+    )
+
+
 def duplicate_span_coverage(
     df: DataFrame,
     text_col: str = "text",
@@ -753,33 +801,70 @@ def duplicate_span_coverage(
         .filter(F.col("__c") >= min_count)
         .select("k")
     )
-    hits = grams.join(dup, "k", "left_semi")
-    w = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    return _span_surface(df, grams, dup, text_col, id_col, width)
+
+
+def span_gram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """(k, c) occurrence counts of every ``width``-token window — the
+    persisted index for :func:`duplicate_span_coverage_incremental`
+    (the span-grain member of the incremental-index family: exact
+    hash / LSH band / CC cluster / export shard / embedding band).
+    Write this at snapshot time; merge a new batch in by unioning the
+    batch's counts and summing per key — the base corpus is never
+    rescanned."""
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    return (
+        sliding_gram_rows(df, text_col, id_col, width)
+        .select(key(F.col("gram")).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("c"))
     )
-    end = F.col("pos") + F.lit(width - 1)
-    prev_end = F.coalesce(
-        F.max(F.col("pos") + F.lit(width - 1)).over(w), F.lit(-1)
+
+
+def duplicate_span_coverage_incremental(
+    new_df: DataFrame,
+    base_counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """:func:`duplicate_span_coverage` for a NEW batch against a stored
+    gram-count index: a batch window is duplicated iff its occurrences
+    in the batch plus the stored base count reach ``min_count`` —
+    byte-identical to what a full recompute over (base ∪ batch) reports
+    for the batch's rows (parity test-enforced), without rescanning the
+    base. Mirrors the incremental dedup contract (``exact_dedup_
+    incremental``, ``lsh_incremental_pairs``): the base corpus's own
+    surfaces are fixed at snapshot time; only the increment is scored.
+
+    ``base_counts`` needs columns (k, c) as written by
+    :func:`span_gram_counts` with the same ``width``/``hash_grams``.
+
+    Shape: the batch explodes in-row; the index join is one key-equi
+    LEFT join (batch-gram-count sized, not corpus sized); the interval
+    merge and zero-filled surface are the batch-bounded stages of the
+    full form. A daily increment costs ~increment, never ~corpus.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    grams = sliding_gram_rows(new_df, text_col, id_col, width).select(
+        "id", "n_tok", "pos", key(F.col("gram")).alias("k")
     )
-    marginal = end - F.greatest(prev_end, F.col("pos") - 1)
-    per_doc = (
-        hits.withColumn("__m", marginal)
-        .groupBy("id")
-        .agg(
-            F.count("*").alias("n_dup_windows"),
-            F.sum("__m").alias("dup_tokens"),
-        )
+    batch_counts = grams.groupBy("k").agg(F.count("*").alias("__cn"))
+    dup = (
+        batch_counts.join(base_counts.select("k", "c"), "k", "left")
+        .filter(F.col("__cn") + F.coalesce(F.col("c"), F.lit(0)) >= min_count)
+        .select("k")
     )
-    base = df.select(
-        F.col(id_col).alias("id"), F.size(tokens_col(text_col)).alias("n_tok")
-    )
-    return base.join(per_doc, "id", "left").select(
-        "id",
-        F.col("n_tok").cast("long").alias("n_tok"),
-        F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias(
-            "n_dup_windows"
-        ),
-        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
-    )
+    return _span_surface(new_df, grams, dup, text_col, id_col, width)

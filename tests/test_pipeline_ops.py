@@ -805,3 +805,53 @@ def test_span_coverage_rejects_bad_args(spark):
         duplicate_span_coverage(docs, width=1)
     with pytest.raises(ValueError):
         duplicate_span_coverage(docs, min_count=1)
+
+
+def test_span_coverage_incremental_matches_full(spark):
+    """Incremental contract: a new batch scored against the stored
+    gram-count index reports BYTE-IDENTICAL rows to a full recompute
+    over (base UNION batch) restricted to the batch ids — including
+    batch-internal repeats, base-batch cross duplication, and
+    batch-unique pages — and an empty index degrades to the plain
+    batch-only form."""
+    from alt_spark.operators.dedup import (
+        duplicate_span_coverage,
+        duplicate_span_coverage_incremental,
+        span_gram_counts,
+    )
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    run12 = " ".join(f"ib{i}" for i in range(1, 13))
+    batch = docs.filter(F.col("doc_id") % 3 == 0).unionByName(
+        spark.createDataFrame(
+            [
+                # duplicates a BASE doc's opening run? no — copies a
+                # batch sibling AND itself: intra-batch + self shapes
+                (-101, f"x1 x2 x3 {run12} x4 x5"),
+                (-102, f"y1 {run12} y2 y3 y4 y5 y6"),
+                (-103, " ".join(f"zz{i}" for i in range(1, 20))),
+            ],
+            "doc_id long, text string",
+        )
+    )
+    index = span_gram_counts(base)
+    inc = {
+        tuple(r)
+        for r in duplicate_span_coverage_incremental(batch, index).collect()
+    }
+    full = {
+        tuple(r)
+        for r in duplicate_span_coverage(base.unionByName(batch))
+        .join(batch.select(F.col("doc_id").alias("id")), "id", "left_semi")
+        .collect()
+    }
+    assert inc == full and inc
+    # empty index == plain coverage of the batch alone
+    empty = spark.createDataFrame([], "k long, c long")
+    alone = {
+        tuple(r)
+        for r in duplicate_span_coverage_incremental(batch, empty).collect()
+    }
+    plain = {tuple(r) for r in duplicate_span_coverage(batch).collect()}
+    assert alone == plain
