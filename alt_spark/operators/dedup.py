@@ -74,6 +74,7 @@ __all__ = [
     "duplicate_span_coverage",
     "span_gram_counts",
     "duplicate_span_coverage_incremental",
+    "trim_duplicate_spans",
 ]
 
 
@@ -868,3 +869,71 @@ def duplicate_span_coverage_incremental(
         .select("k")
     )
     return _span_surface(new_df, grams, dup, text_col, id_col, width)
+
+
+def trim_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_count: int = 2,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """EXECUTE the Lee et al. 2021 span-dedup policy that
+    :func:`duplicate_span_coverage` only reports: drop every token
+    lying inside a duplicated ``width``-token window and reassemble the
+    unique remainder in order. Returns the complete surface
+    (id, n_tok, kept_tok, trimmed_text) — ``trimmed_text`` is the
+    surviving tokens joined by single spaces (tokenizer-normalized,
+    like ``segment_dedup``'s ``clean_text``).
+
+    This differs from ``segment_dedup`` (fixed non-overlapping
+    segments, distinct-doc criterion) in grain and criterion: stride-1
+    windows catch duplicated runs at ANY alignment, and total
+    occurrences >= ``min_count`` catches intra-document boilerplate.
+
+    Shape: the duplicated-window starts per document are collected
+    into one bounded array (<= n_tok ints — document-sized, like
+    ``segment_dedup``'s reassembly list), and the keep decision is an
+    in-row nested-lambda filter: token i survives iff no duplicated
+    window start s satisfies s <= i <= s+width-1. O(n_tok * |starts|)
+    per row, never cross-row. Same exchange set as the coverage form
+    plus nothing — trimming 100 TB costs the audit plus one in-row
+    filter.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    grams = sliding_gram_rows(df, text_col, id_col, width).select(
+        "id", "pos", key(F.col("gram")).alias("k")
+    )
+    dup = (
+        grams.groupBy("k")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("k")
+    )
+    starts = (
+        grams.join(dup, "k", "left_semi")
+        .groupBy("id")
+        .agg(F.collect_list("pos").alias("__ss"))
+    )
+    base = df.select(
+        F.col(id_col).alias("id"), tokens_col(text_col).alias("__toks")
+    )
+    joined = base.join(starts, "id", "left")
+    ss = F.coalesce(F.col("__ss"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("__toks"),
+        lambda t, i: ~F.exists(
+            ss, lambda s: (s <= i) & (i <= s + F.lit(width - 1))
+        ),
+    )
+    return joined.select(
+        "id",
+        F.size("__toks").cast("long").alias("n_tok"),
+        F.size(kept).cast("long").alias("kept_tok"),
+        F.concat_ws(" ", kept).alias("trimmed_text"),
+    )

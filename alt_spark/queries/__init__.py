@@ -57,7 +57,7 @@ _loaded = False
 # (r3 evidence: 55 registered, exactly positions 50-54 of dict order
 # absent from CORRECTNESS_r03; documented in VERDICT.md r4 §Next and
 # COVERAGE.md — the cap-dependence is deliberate and externally visible,
-# not a code-comment secret). With 96 registered queries, 46 must sit
+# not a code-comment secret). With 97 registered queries, 47 must sit
 # past the window; order the registry so the reported 50 are the
 # strongest evidence: oracle-backed queries in numeric order first,
 # then entries whose correctness is already carried by other green
@@ -192,6 +192,9 @@ _REPORT_TAIL = (
     # q96 — per-language tokenizer fertility under the pinned BPE
     # vocabulary; integer-exact metric surfaces.
     "q96_tokenizer_fertility",
+    # q97 — span-trim execution of the q95 audit (Lee et al. 2021);
+    # oracle replays the per-position keep decision verbatim.
+    "q97_span_trim",
 )
 
 

@@ -1054,3 +1054,79 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+def _q97_oracle() -> str:
+    w = _SPAN_W
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM {_values_sql(_SPAN_EXTRA)}
+), tok AS (
+  SELECT doc_id, {_DDB_TOKENS} AS toks FROM corpus
+), starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - {w})) AS pos
+  FROM tok WHERE len(toks) >= {w}
+), grams AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos + 1, pos + {w}), ' ') AS g
+  FROM starts
+), dup AS (
+  SELECT g FROM grams GROUP BY g HAVING count(*) >= 2
+), hitlists AS (
+  SELECT doc_id, list(pos) AS ss
+  FROM grams WHERE g IN (SELECT g FROM dup) GROUP BY doc_id
+), kept AS (
+  SELECT t.doc_id, t.toks,
+         CASE WHEN h.ss IS NULL THEN t.toks
+              ELSE list_filter(t.toks, (x, i) ->
+                   len(list_filter(h.ss, s ->
+                       s <= i - 1 AND i - 1 <= s + {w - 1})) = 0)
+         END AS kt
+  FROM tok t LEFT JOIN hitlists h USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tok,
+       CAST(len(kt) AS BIGINT) AS kept_tok,
+       md5(coalesce(array_to_string(kt, ' '), '')) AS trimmed_md5
+FROM kept
+ORDER BY doc_id
+"""
+
+
+@query("q97_span_trim", oracle=_q97_oracle())
+def q97(spark: SparkSession, sf: str) -> DataFrame:
+    """EXECUTES the span-dedup policy q95 audits (Lee et al. 2021):
+    drop every token inside a duplicated 8-token window, keep the
+    unique remainder in order, and pin the exact surviving TEXT per
+    document with an md5 — content, order, and both token counts, not
+    just sizes. The trim-not-drop policy keeps the unique half of a
+    partially-copied page where document-level dedup would discard or
+    keep it whole.
+
+    Plan (operators/dedup.trim_duplicate_spans): the q95 exchange set
+    (in-row window explosion, gram-key groupBy, semi-join) plus one
+    document-bounded collect_list and an in-row nested-lambda keep
+    filter — trimming is audit cost plus a scan-local filter. The
+    oracle replays windows, the duplicate set, AND the per-position
+    keep decision verbatim (1-based DuckDB lambda index vs 0-based
+    Spark, both normalized to token position).
+    """
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    extra = spark.createDataFrame(
+        list(_SPAN_EXTRA), "doc_id long, text string"
+    )
+    corpus = docs.unionByName(extra)
+    out = dedup.trim_duplicate_spans(corpus, width=_SPAN_W, hash_grams=False)
+    return (
+        out.select(
+            F.col("id").alias("doc_id"),
+            "n_tok",
+            "kept_tok",
+            F.md5("trimmed_text").alias("trimmed_md5"),
+        )
+        .orderBy("doc_id")
+    )

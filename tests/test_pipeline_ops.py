@@ -855,3 +855,49 @@ def test_span_coverage_incremental_matches_full(spark):
     }
     plain = {tuple(r) for r in duplicate_span_coverage(batch).collect()}
     assert alone == plain
+
+
+def test_span_trim_planted_content_and_coverage_consistency(spark):
+    """The trim must keep EXACTLY the tokens outside the q95 interval
+    union: kept_tok == n_tok - dup_tokens for every document (planted
+    and natural), and the planted shared-run page keeps precisely its
+    unique frame tokens in order."""
+    from alt_spark.operators.dedup import (
+        duplicate_span_coverage,
+        trim_duplicate_spans,
+    )
+    from alt_spark.queries.pipeline_ops import _SPAN_EXTRA
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        spark.createDataFrame(list(_SPAN_EXTRA), "doc_id long, text string")
+    )
+    trim = trim_duplicate_spans(corpus, width=8)
+    cov = duplicate_span_coverage(corpus, width=8).select(
+        "id", F.col("dup_tokens").alias("dt")
+    )
+    bad = (
+        trim.join(cov, "id")
+        .filter(F.col("kept_tok") != F.col("n_tok") - F.col("dt"))
+        .count()
+    )
+    assert bad == 0
+    by_id = {r["id"]: r for r in trim.filter(F.col("id") < 0).collect()}
+    assert by_id[-91]["trimmed_text"] == "qq91a qq91b qq91c qq91d qq91e"
+    assert by_id[-93]["trimmed_text"] == "qq93a qq93b"
+    assert by_id[-95]["kept_tok"] == 30  # untouched page survives whole
+
+
+def test_span_trim_hash_form_equals_string_form(spark):
+    from alt_spark.operators.dedup import trim_duplicate_spans
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    a = {
+        tuple(r)
+        for r in trim_duplicate_spans(docs, hash_grams=True).collect()
+    }
+    b = {
+        tuple(r)
+        for r in trim_duplicate_spans(docs, hash_grams=False).collect()
+    }
+    assert a == b
