@@ -36,6 +36,13 @@ from alt_spark.plans.dfcache import DataFramePlanCache
 # longs — megabytes at suite scale, a written table operationally).
 _PAIR_CACHE = DataFramePlanCache(max_entries=4)
 
+# Duplicated-span gram keys keyed by (input plan, parameters): see
+# _dup_gram_keys. Bounded: each entry pins one localCheckpoint of the
+# DUPLICATED gram keys only (the aggregate, not the positional rows) —
+# operationally the written "duplicate n-grams" table a span-dedup run
+# shares between its audit (q95) and its trim (q97) passes.
+_SPAN_DUP_CACHE = DataFramePlanCache(max_entries=4)
+
 # Deterministic odd multipliers / offsets for the affine MinHash
 # permutation family (derived from md5 so they're reproducible and
 # library-version-independent). Values fit signed 64-bit.
@@ -707,6 +714,43 @@ def sliding_gram_rows(
     )
 
 
+def _dup_gram_keys(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    width: int,
+    min_count: int,
+    hash_grams: bool,
+) -> tuple[DataFrame, DataFrame]:
+    """(grams, dup): the positional gram rows and the duplicated gram
+    KEYS for a corpus. The dup-key aggregate — the one shuffle the
+    span family shares — is materialized once per (input plan,
+    parameters) via ``_SPAN_DUP_CACHE`` (the ``_PAIR_CACHE`` pattern),
+    so the audit (:func:`duplicate_span_coverage`) and the trim
+    (:func:`trim_duplicate_spans`) of the same corpus pay for it once.
+    ``grams`` is rebuilt per call: it is in-row scan work with no
+    exchange, and callers consume different column subsets of it."""
+    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
+    grams = sliding_gram_rows(df, text_col, id_col, width).select(
+        "id", "n_tok", "pos", key(F.col("gram")).alias("k")
+    )
+    params = (
+        "span_dup_keys", text_col, id_col, int(width), int(min_count),
+        bool(hash_grams),
+    )
+    dup = _SPAN_DUP_CACHE.get(df, extra=params)
+    if dup is None:
+        dup = (
+            grams.groupBy("k")
+            .agg(F.count("*").alias("__c"))
+            .filter(F.col("__c") >= min_count)
+            .select("k")
+            .localCheckpoint(eager=True)
+        )
+        _SPAN_DUP_CACHE.put(df, dup, extra=params)
+    return grams, dup
+
+
 def _span_surface(
     src: DataFrame,
     grams: DataFrame,
@@ -792,15 +836,8 @@ def duplicate_span_coverage(
         raise ValueError(f"width must be >= 2, got {width}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    grams = sliding_gram_rows(df, text_col, id_col, width).select(
-        "id", "n_tok", "pos", key(F.col("gram")).alias("k")
-    )
-    dup = (
-        grams.groupBy("k")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("k")
+    grams, dup = _dup_gram_keys(
+        df, text_col, id_col, width, min_count, hash_grams
     )
     return _span_surface(df, grams, dup, text_col, id_col, width)
 
@@ -905,15 +942,8 @@ def trim_duplicate_spans(
         raise ValueError(f"width must be >= 2, got {width}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    key = (lambda c: F.xxhash64(c)) if hash_grams else (lambda c: c)
-    grams = sliding_gram_rows(df, text_col, id_col, width).select(
-        "id", "pos", key(F.col("gram")).alias("k")
-    )
-    dup = (
-        grams.groupBy("k")
-        .agg(F.count("*").alias("__c"))
-        .filter(F.col("__c") >= min_count)
-        .select("k")
+    grams, dup = _dup_gram_keys(
+        df, text_col, id_col, width, min_count, hash_grams
     )
     starts = (
         grams.join(dup, "k", "left_semi")

@@ -973,6 +973,26 @@ _SPAN_EXTRA: tuple[tuple[int, str], ...] = (
 )
 
 
+# One planted-extras frame PER SESSION: two createDataFrame calls over
+# identical rows canonicalize to DIFFERENT plans (fresh LocalRelation
+# attribute ids), which would split q95's and q97's corpus plans and
+# defeat the shared _SPAN_DUP_CACHE entry. Reusing the same DataFrame
+# object keeps both queries' union plans semantically equal, so the
+# duplicated-gram-key aggregate runs once per suite. Staleness-safe:
+# the rows are module literals.
+_SPAN_EXTRA_MEMO: dict[int, DataFrame] = {}
+
+
+def _span_extra_df(spark: SparkSession) -> DataFrame:
+    df = _SPAN_EXTRA_MEMO.get(id(spark))
+    if df is None or df.sparkSession is not spark:
+        df = spark.createDataFrame(
+            list(_SPAN_EXTRA), "doc_id long, text string"
+        )
+        _SPAN_EXTRA_MEMO[id(spark)] = df
+    return df
+
+
 def _q95_oracle() -> str:
     w = _SPAN_W
     return f"""
@@ -1035,10 +1055,7 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
     equality-pinned in tests).
     """
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(
-        list(_SPAN_EXTRA), "doc_id long, text string"
-    )
-    corpus = docs.unionByName(extra)
+    corpus = docs.unionByName(_span_extra_df(spark))
     cov = dedup.duplicate_span_coverage(
         corpus, width=_SPAN_W, hash_grams=False
     )
@@ -1116,10 +1133,7 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
     Spark, both normalized to token position).
     """
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
-    extra = spark.createDataFrame(
-        list(_SPAN_EXTRA), "doc_id long, text string"
-    )
-    corpus = docs.unionByName(extra)
+    corpus = docs.unionByName(_span_extra_df(spark))
     out = dedup.trim_duplicate_spans(corpus, width=_SPAN_W, hash_grams=False)
     return (
         out.select(

@@ -901,3 +901,19 @@ def test_span_trim_hash_form_equals_string_form(spark):
         for r in trim_duplicate_spans(docs, hash_grams=False).collect()
     }
     assert a == b
+
+
+def test_span_dup_cache_shared_between_audit_and_trim(spark):
+    """q95 and q97 must share ONE duplicated-gram-key entry: the
+    per-session planted-extras memo keeps their corpus plans
+    semantically equal (fresh createDataFrame LocalRelations would
+    split the key — the _SPAN_EXTRA_MEMO rationale), so the gram
+    aggregate runs once per suite."""
+    from alt_spark.operators.dedup import _SPAN_DUP_CACHE
+    from alt_spark.queries import all_queries
+
+    _SPAN_DUP_CACHE.clear()
+    all_queries()["q95_dup_span_coverage"](spark, SF)
+    assert len(_SPAN_DUP_CACHE._d) == 1
+    all_queries()["q97_span_trim"](spark, SF)
+    assert len(_SPAN_DUP_CACHE._d) == 1, _SPAN_DUP_CACHE.last_miss
