@@ -80,6 +80,7 @@ __all__ = [
     "sliding_gram_rows",
     "duplicate_span_coverage",
     "span_gram_counts",
+    "merge_span_gram_counts",
     "duplicate_span_coverage_incremental",
     "trim_duplicate_spans",
 ]
@@ -966,4 +967,17 @@ def trim_duplicate_spans(
         F.size("__toks").cast("long").alias("n_tok"),
         F.size(kept).cast("long").alias("kept_tok"),
         F.concat_ws(" ", kept).alias("trimmed_text"),
+    )
+
+
+def merge_span_gram_counts(base: DataFrame, batch: DataFrame) -> DataFrame:
+    """Fold a batch's gram counts into the stored index: union + one
+    key-bucketed sum. The daily index-maintenance step between
+    :func:`duplicate_span_coverage_incremental` runs — cost ∝ the
+    union's key cardinality, never a corpus rescan."""
+    return (
+        base.select("k", "c")
+        .unionByName(batch.select("k", "c"))
+        .groupBy("k")
+        .agg(F.sum("c").alias("c"))
     )

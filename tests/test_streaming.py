@@ -957,3 +957,102 @@ def test_streaming_incremental_export_versions(spark):
         for r in read_export(spark, out).select("doc_id", "shard").collect()
     }
     assert got == set(expected.items())
+
+
+def test_streaming_incremental_span_coverage_parity(spark):
+    """Span-grain dedup composes under streaming with an EVOLVING
+    index: each micro-batch is scored against the index as of its
+    arrival (duplicate_span_coverage_incremental), then its gram
+    counts are folded in (merge_span_gram_counts). Parity is asserted
+    against the observed batch order: every batch's rows must equal a
+    full recompute over (base ∪ batches seen so far) restricted to
+    that batch's ids — the incremental contract, per batch, across
+    batch boundaries."""
+    import pyarrow as _pa
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.dedup import (
+        duplicate_span_coverage,
+        duplicate_span_coverage_incremental,
+        merge_span_gram_counts,
+        span_gram_counts,
+    )
+
+    root = _fresh("span_cov_stream")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+
+    t = pq.read_table(f"{SF}/documents.parquet").select(["doc_id", "text"])
+    n = t.num_rows
+    base_t, rest = t.slice(0, n // 2), t.slice(n // 2)
+    m = rest.num_rows
+    chunks = [rest.slice(0, m // 2), rest.slice(m // 2)]
+    # Redeliver base rows with NEW ids inside chunk 1: their spans
+    # duplicate the base index, so the incremental scorer must flag
+    # near-total coverage for them.
+    redeliver = base_t.slice(0, 5).set_column(
+        0, "doc_id", _pa.array([10**9 + i for i in range(5)], _pa.int64())
+    )
+    chunks[1] = _pa.concat_tables([redeliver, chunks[1]])
+    for i, c in enumerate(chunks):
+        pq.write_table(c, os.path.join(landing, f"chunk_{i:03d}.parquet"))
+
+    base = spark.createDataFrame(base_t.to_pandas())
+    state = {"index": span_gram_counts(base).localCheckpoint(eager=True)}
+    seen: list[tuple[int, list, set]] = []  # (batch_id, ids, coverage rows)
+
+    def score(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        bdf = bdf.localCheckpoint(eager=True)
+        cov = duplicate_span_coverage_incremental(bdf, state["index"])
+        seen.append(
+            (
+                batch_id,
+                [r["doc_id"] for r in bdf.select("doc_id").collect()],
+                {tuple(r) for r in cov.collect()},
+            )
+        )
+        state["index"] = merge_span_gram_counts(
+            state["index"], span_gram_counts(bdf)
+        ).localCheckpoint(eager=True)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(score)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    assert sum(len(ids) for _, ids, _ in seen) == rest.num_rows + 5
+    # Replay the observed prefix order in batch: each batch's rows must
+    # match the full recompute over everything seen up to and incl. it.
+    all_docs = spark.createDataFrame(rest.to_pandas()).unionByName(
+        spark.createDataFrame(redeliver.to_pandas())
+    )
+    prefix_ids: list[int] = []
+    found_high_coverage = False
+    for _bid, ids, got in sorted(seen, key=lambda x: x[0]):
+        prefix_ids.extend(ids)
+        corpus = base.unionByName(
+            all_docs.filter(F.col("doc_id").isin(prefix_ids))
+        )
+        want = {
+            tuple(r)
+            for r in duplicate_span_coverage(corpus)
+            .filter(F.col("id").isin(ids))
+            .collect()
+        }
+        assert got == want, (len(got), len(want))
+        for r in got:
+            if r[0] >= 10**9:
+                found_high_coverage = True
+                assert r[3] >= r[1] - 7, r  # redelivered text: near-total
+    assert found_high_coverage

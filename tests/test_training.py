@@ -1191,7 +1191,7 @@ def test_exact_k_starved_prefilter_raises(spark):
     time (the 1-row assert_true guard), never silently under-select.
     The frame is built to contain no bucket-0 row, so a threshold of 1
     bucket value provably strands every stratum."""
-    from alt_spark.operators.mixing import PRECISION, exact_k_sample, sample_bucket
+    from alt_spark.operators.mixing import exact_k_sample, sample_bucket
 
     base = spark.range(1, 400).select(
         F.lit("en").alias("lang"), F.col("id").alias("doc_id")
