@@ -917,3 +917,45 @@ def test_span_dup_cache_shared_between_audit_and_trim(spark):
     assert len(_SPAN_DUP_CACHE._d) == 1
     all_queries()["q97_span_trim"](spark, SF)
     assert len(_SPAN_DUP_CACHE._d) == 1, _SPAN_DUP_CACHE.last_miss
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    starts=st.sets(st.integers(min_value=0, max_value=60), max_size=15),
+    width=st.integers(min_value=2, max_value=9),
+)
+def test_interval_union_marginal_matches_reference(starts, width):
+    """The running-max-end marginal used by _span_surface (sum of
+    end - max(prev_max_end, start-1) over start-sorted windows) must
+    equal the true interval-union size for ARBITRARY window start sets
+    — the algebraic core the oracle replays, pinned against a direct
+    Python union."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from alt_spark.session import get_session
+
+    spark = get_session("alt_spark-tests", shuffle_partitions=8)
+    want = len({i for s in starts for i in range(s, s + width)})
+    if not starts:
+        assert want == 0
+        return
+    df = spark.createDataFrame([(1, s) for s in starts], "id long, pos long")
+    w = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + F.lit(width - 1)
+    prev_end = F.coalesce(
+        F.max(F.col("pos") + F.lit(width - 1)).over(w), F.lit(-1)
+    )
+    got = (
+        df.withColumn("m", end - F.greatest(prev_end, F.col("pos") - 1))
+        .agg(F.sum("m"))
+        .first()[0]
+    )
+    assert got == want, (sorted(starts), width, got, want)
