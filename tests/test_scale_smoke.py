@@ -798,3 +798,41 @@ def test_span_coverage_at_100k(spark):
         assert stats["min_pm"] >= 8000, stats
     finally:
         corpus.unpersist()
+
+
+def test_exact_k_sample_at_100k(spark):
+    """Exact-k carve at 100k rows: the bucket prefilter must hold the
+    rank window to ~oversample*k survivors per stratum (asserted via
+    the selected buckets all sitting under the tiny threshold), return
+    exactly k rows per stratum, and agree with itself under
+    repartitioning."""
+    from alt_spark.operators.mixing import exact_k_sample
+
+    corpus = _big_corpus(spark).withColumn(
+        "stratum", (F.col("doc_id") % 4).cast("string")
+    ).persist()
+    try:
+        k = 50
+        sel = exact_k_sample(corpus, k, "stratum", "doc_id").persist()
+        try:
+            counts = dict(
+                (r["stratum"], r["n"])
+                for r in sel.groupBy("stratum")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            )
+            assert set(counts) == {"0", "1", "2", "3"}
+            assert all(v == k for v in counts.values()), counts
+            # prefilter actually pruned: k smallest of ~25k rows per
+            # stratum sit FAR below the full bucket range
+            assert sel.agg(F.max("bucket")).first()[0] < 500
+            again = exact_k_sample(
+                corpus.repartition(17), k, "stratum", "doc_id"
+            )
+            a = {tuple(r) for r in sel.select("stratum", "rank", "doc_id").collect()}
+            b = {tuple(r) for r in again.select("stratum", "rank", "doc_id").collect()}
+            assert a == b
+        finally:
+            sel.unpersist()
+    finally:
+        corpus.unpersist()
