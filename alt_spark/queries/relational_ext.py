@@ -342,3 +342,82 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("which")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q98_join_key_skew_audit",
+    oracle="""
+WITH per_key AS (
+  SELECT l_partkey AS key, count(*) AS cnt FROM lineitem GROUP BY 1
+), summary AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         CAST(max(cnt) AS BIGINT) AS max_key_rows
+  FROM per_key
+), top AS (
+  SELECT key, CAST(cnt AS BIGINT) AS cnt,
+         CAST(row_number() OVER (ORDER BY cnt DESC, key) AS BIGINT) AS rank
+  FROM per_key
+  ORDER BY cnt DESC, key LIMIT 5
+)
+SELECT t.rank, t.key, t.cnt,
+       s.n_rows, s.n_keys, s.max_key_rows,
+       CAST((10000 * t.cnt * s.n_keys) // s.n_rows AS BIGINT)
+         AS key_vs_mean_permyriad
+FROM top t CROSS JOIN summary s
+ORDER BY t.rank
+""",
+)
+def q98(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-key skew audit: the shuffle-planning diagnostic a 100 TB
+    job runs BEFORE keying a join or aggregation — the top heavy keys
+    of a candidate shuffle key with each key's load expressed against
+    the mean key (permyriad), plus the global row/key/max counts that
+    size AQE skew thresholds and salting fan-out. A key at 50x mean
+    means one reducer drags the stage; this query names it while the
+    plan is still on the whiteboard (the operators/skew.py salting
+    helpers consume exactly this information).
+
+    Plan: one map-side-combinable groupBy on the key, then everything
+    is key-cardinality-scale — a 1-row summary aggregate crossJoined
+    (allowlisted broadcast 1-row pattern) onto a TakeOrdered top-5.
+    The corpus is never globally sorted.
+    """
+    per_key = (
+        load_table(spark, sf, "lineitem")
+        .groupBy(F.col("l_partkey").alias("key"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    summary = per_key.agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_key_rows"),
+    )
+    top = (
+        per_key.orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(5)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), F.asc("key")))
+            .cast("long")
+            .alias("rank"),
+            "key",
+            F.col("cnt").cast("long").alias("cnt"),
+        )
+    )
+    return (
+        top.crossJoin(F.broadcast(summary))
+        .select(
+            "rank",
+            "key",
+            "cnt",
+            "n_rows",
+            "n_keys",
+            "max_key_rows",
+            F.expr("(10000 * cnt * n_keys) div n_rows")
+            .cast("long")
+            .alias("key_vs_mean_permyriad"),
+        )
+        .orderBy("rank")
+    )

@@ -70,6 +70,10 @@ _NESTED_LOOP_OK = {
     # coverage table (the BM25/LM stats-row device; left side is
     # bounded by the vocab ladder, right side is 1 row).
     "q89_vocab_coverage",
+    # 1-row summary frame (n_rows/n_keys/max) crossed onto the
+    # TakeOrdered top-5 heavy keys — both sides bounded by
+    # construction (the skew-audit report surface).
+    "q98_join_key_skew_audit",
 }
 
 
