@@ -16,6 +16,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from alt_spark.plans.dfcache import DataFramePlanCache
+
+# Scored sign-band candidate pairs keyed by (input plan, parameters):
+# the threshold is applied AFTER this frame, so the near-dup query
+# (q91) and its threshold-calibration histogram (q99) — or any two
+# thresholds over one corpus snapshot — share one banding join + one
+# exact-verify pass. Operationally the written candidate-pair table a
+# vector-dedup run keeps next to its embedding snapshot.
+_SCORED_PAIR_CACHE = DataFramePlanCache(max_entries=4)
+
 __all__ = [
     "cosine_sim",
     "embedding_band_rows",
@@ -117,29 +127,40 @@ def embedding_near_dup(
     ``round_digits`` BEFORE the threshold compare, so an engine-twin
     oracle filtering on the same rounded value agrees exactly.
     """
-    base = vecs.select(
-        F.col(id_col).alias("_id"),
-        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("_v"),
+    params = (
+        "embedding_scored_pairs", id_col, vec_col, int(band_bits),
+        int(round_digits),
     )
-    bands = embedding_band_rows(vecs, id_col, vec_col, band_bits)
-    cand = (
-        bands.alias("a")
-        .join(bands.alias("b"), ["band", "key"])
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-    sim = F.round(
-        cosine_sim(F.col("_va"), F.col("_vb")), round_digits
-    ).alias("cos_sim")
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select("id_a", "id_b", sim)
-        .filter(F.col("cos_sim") >= threshold)
-    )
+    scored = _SCORED_PAIR_CACHE.get(vecs, extra=params)
+    if scored is None:
+        base = vecs.select(
+            F.col(id_col).alias("_id"),
+            F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("_v"),
+        )
+        bands = embedding_band_rows(vecs, id_col, vec_col, band_bits)
+        cand = (
+            bands.alias("a")
+            .join(bands.alias("b"), ["band", "key"])
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct()
+        )
+        va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+        vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+        sim = F.round(
+            cosine_sim(F.col("_va"), F.col("_vb")), round_digits
+        ).alias("cos_sim")
+        # Materialize (the _PAIR_CACHE pattern): a lazily shared plan
+        # would re-run the banding join per consumer; the scored pair
+        # set is candidate-bounded, so the checkpoint is small.
+        scored = (
+            cand.join(va, "id_a")
+            .join(vb, "id_b")
+            .select("id_a", "id_b", sim)
+            .localCheckpoint(eager=True)
+        )
+        _SCORED_PAIR_CACHE.put(vecs, scored, extra=params)
+    return scored.filter(F.col("cos_sim") >= threshold)
 
 
 def embedding_band_rows(

@@ -57,7 +57,7 @@ _loaded = False
 # (r3 evidence: 55 registered, exactly positions 50-54 of dict order
 # absent from CORRECTNESS_r03; documented in VERDICT.md r4 §Next and
 # COVERAGE.md — the cap-dependence is deliberate and externally visible,
-# not a code-comment secret). With 98 registered queries, 48 must sit
+# not a code-comment secret). With 99 registered queries, 49 must sit
 # past the window; order the registry so the reported 50 are the
 # strongest evidence: oracle-backed queries in numeric order first,
 # then entries whose correctness is already carried by other green
@@ -198,6 +198,9 @@ _REPORT_TAIL = (
     # q98 — join-key skew audit (shuffle-planning diagnostic feeding
     # the operators/skew.py salting helpers).
     "q98_join_key_skew_audit",
+    # q99 — near-dup threshold calibration histogram riding q91's
+    # scored-candidate cache (one banding join serves cut + audit).
+    "q99_neardup_threshold_histogram",
 )
 
 

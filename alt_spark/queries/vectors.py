@@ -305,6 +305,30 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+
+def _neardup_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """The q91/q99 vector corpus: the embeddings table plus the planted
+    perturbed duplicates (ids 0-9 re-landed as id+100000 with +0.02 on
+    the first 8 dims). One construction shared by both queries so their
+    plans canonicalize EQUAL and the scored-candidate cache in
+    operators/ann.embedding_near_dup serves both from one banding
+    join."""
+    emb = load_table(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias(
+            "embedding"
+        ),
+    )
+    planted = emb.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) ->"
+            " cast(x AS double) + IF(i < 8, 0.02D, 0D))"
+        ).alias("embedding"),
+    )
+    return base.unionByName(planted)
+
 # ---------------------------------------------------------------------------
 @query(
     "q91_embedding_neardup_lsh",
@@ -370,21 +394,91 @@ def q91(spark: SparkSession, sf: str) -> DataFrame:
     """
     from alt_spark.operators.ann import embedding_near_dup
 
-    emb = load_table(spark, sf, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x AS double))").alias(
-            "embedding"
-        ),
-    )
-    planted = emb.filter(F.col("vec_id") < 10).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
-        F.expr(
-            "transform(embedding, (x, i) ->"
-            " cast(x AS double) + IF(i < 8, 0.02D, 0D))"
-        ).alias("embedding"),
-    )
-    allv = base.unionByName(planted)
     return embedding_near_dup(
-        allv, id_col="vec_id", vec_col="embedding", threshold=0.99
+        _neardup_corpus(spark, sf),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=0.99,
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q99_neardup_threshold_histogram",
+    oracle=f"""
+WITH ex0 AS (
+  SELECT vec_id AS id, CAST(unnest(embedding) AS DOUBLE) AS val,
+         generate_subscripts(embedding, 1) AS idx
+  FROM embeddings
+), ex AS (
+  SELECT id, idx, val FROM ex0
+  UNION ALL
+  SELECT id + 100000, idx, val + CASE WHEN idx <= 8 THEN 0.02 ELSE 0 END
+  FROM ex0 WHERE id < 10
+), bands AS (
+  SELECT id, CAST((idx - 1) // 8 AS INT) AS band,
+         string_agg(CASE WHEN val >= 0 THEN '1' ELSE '0' END, '' ORDER BY idx) AS key
+  FROM ex GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.key = b.key AND a.id < b.id
+), dots AS (
+  SELECT c.id_a, c.id_b,
+         round(sum(ea.val * eb.val)
+               / (sqrt(sum(ea.val * ea.val)) * sqrt(sum(eb.val * eb.val))),
+               6) AS cos_sim
+  FROM cand c
+  JOIN ex ea ON ea.id = c.id_a
+  JOIN ex eb ON eb.id = c.id_b AND eb.idx = ea.idx
+  GROUP BY 1, 2
+)
+SELECT CAST(floor(cos_sim * 20) AS BIGINT) AS bucket,
+       count(*) AS n_pairs,
+       round(min(cos_sim), 6) AS lo,
+       round(max(cos_sim), 6) AS hi
+FROM dots
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q99(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup threshold calibration: the cosine-similarity histogram
+    (0.05-wide buckets) of EVERY sign-band candidate pair, unfiltered —
+    the distribution an operator inspects to SET q91's threshold (the
+    planted duplicates sit isolated in the top bucket; the dense false
+    candidates pile below ~0.5, so the knee is visible). Running the
+    audit before the cut is how a production vector-dedup chooses its
+    threshold per embedding model rather than hard-coding one.
+
+    Plan: identical machinery to q91 with threshold -1 — and literally
+    the SAME materialized scored-candidate frame (operators/ann.
+    _SCORED_PAIR_CACHE; the corpus construction is shared via
+    _neardup_corpus so the plans canonicalize equal): one banding join
+    per suite serves both the cut and its calibration. The histogram
+    is one bounded groupBy on a 41-value bucket key. The bucket floor
+    runs on the 6-digit ROUNDED cosine (bit-identical doubles in both
+    engines — the q91 device), so bucket edges carry no float-boundary
+    risk.
+    """
+    from alt_spark.operators.ann import embedding_near_dup
+
+    pairs = embedding_near_dup(
+        _neardup_corpus(spark, sf),
+        id_col="vec_id",
+        vec_col="embedding",
+        threshold=-1.0,
+    )
+    return (
+        pairs.select(
+            F.floor(F.col("cos_sim") * 20).cast("long").alias("bucket"),
+            "cos_sim",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.min("cos_sim"), 6).alias("lo"),
+            F.round(F.max("cos_sim"), 6).alias("hi"),
+        )
+        .orderBy("bucket")
+    )

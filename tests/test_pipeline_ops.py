@@ -959,3 +959,19 @@ def test_interval_union_marginal_matches_reference(starts, width):
         .first()[0]
     )
     assert got == want, (sorted(starts), width, got, want)
+
+
+def test_embedding_scored_pair_cache_shared_between_cut_and_histogram(spark):
+    """q91 (threshold cut) and q99 (calibration histogram) must share
+    ONE scored-candidate entry: the threshold applies AFTER the cached
+    frame, and _neardup_corpus keeps their corpus plans canonically
+    equal."""
+    from alt_spark.operators import ann
+    from alt_spark.queries import all_queries
+    from tests.conftest import SF_ORACLE
+
+    ann._SCORED_PAIR_CACHE.clear()
+    all_queries()["q91_embedding_neardup_lsh"](spark, SF_ORACLE)
+    assert len(ann._SCORED_PAIR_CACHE._d) == 1
+    all_queries()["q99_neardup_threshold_histogram"](spark, SF_ORACLE)
+    assert len(ann._SCORED_PAIR_CACHE._d) == 1, ann._SCORED_PAIR_CACHE.last_miss
