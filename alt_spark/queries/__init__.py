@@ -57,7 +57,7 @@ _loaded = False
 # (r3 evidence: 55 registered, exactly positions 50-54 of dict order
 # absent from CORRECTNESS_r03; documented in VERDICT.md r4 §Next and
 # COVERAGE.md — the cap-dependence is deliberate and externally visible,
-# not a code-comment secret). With 99 registered queries, 49 must sit
+# not a code-comment secret). With 100 registered queries, 50 must sit
 # past the window; order the registry so the reported 50 are the
 # strongest evidence: oracle-backed queries in numeric order first,
 # then entries whose correctness is already carried by other green
@@ -201,6 +201,9 @@ _REPORT_TAIL = (
     # q99 — near-dup threshold calibration histogram riding q91's
     # scored-candidate cache (one banding join serves cut + audit).
     "q99_neardup_threshold_histogram",
+    # q100 — corpus-release capstone: span trim → trimmed-text validity
+    # → exact-k eval carve → per-(lang, split) release table.
+    "q100_release_pipeline",
 )
 
 

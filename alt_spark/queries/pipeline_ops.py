@@ -1074,7 +1074,11 @@ def q95(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _q97_oracle() -> str:
+def _span_kept_ctes() -> str:
+    """The shared WITH-body of the q97/q100 oracles: corpus (documents
+    + planted span shapes) through per-document surviving-token arrays
+    ``kt`` after the duplicated-span trim — the SQL twin of
+    operators/dedup.trim_duplicate_spans."""
     w = _SPAN_W
     return f"""
 WITH corpus AS (
@@ -1104,7 +1108,11 @@ WITH corpus AS (
                        s <= i - 1 AND i - 1 <= s + {w - 1})) = 0)
          END AS kt
   FROM tok t LEFT JOIN hitlists h USING (doc_id)
-)
+)"""
+
+
+def _q97_oracle() -> str:
+    return f"""{_span_kept_ctes()}
 SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tok,
        CAST(len(kt) AS BIGINT) AS kept_tok,
@@ -1143,4 +1151,107 @@ def q97(spark: SparkSession, sf: str) -> DataFrame:
             F.md5("trimmed_text").alias("trimmed_md5"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+_REL_MIN_TOKS, _REL_MIN_CHARS, _REL_EVAL_K, _REL_SALT = 20, 100, 10, "release-v1"
+
+
+def _q100_oracle() -> str:
+    from alt_spark.operators.mixing import ddb_sample_bucket
+
+    return f"""{_span_kept_ctes()}
+, langd AS (
+  SELECT k.doc_id, d.lang,
+         CAST(len(k.kt) AS BIGINT) AS kept_tok,
+         length(coalesce(array_to_string(k.kt, ' '), '')) AS n_chars
+  FROM kept k JOIN documents d USING (doc_id)
+), valid AS (
+  SELECT * FROM langd
+  WHERE kept_tok >= {_REL_MIN_TOKS} AND n_chars >= {_REL_MIN_CHARS}
+), ranked AS (
+  SELECT doc_id, lang, kept_tok, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {ddb_sample_bucket('doc_id', _REL_SALT)}, doc_id
+         ) AS rn
+  FROM valid
+)
+SELECT lang,
+       CASE WHEN rn <= {_REL_EVAL_K} THEN 'eval' ELSE 'train' END AS split,
+       count(*) AS n_docs,
+       CAST(sum(kept_tok) AS BIGINT) AS tok_sum,
+       CAST(sum(n_chars) AS BIGINT) AS char_sum,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum
+FROM ranked
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query("q100_release_pipeline", oracle=_q100_oracle())
+def q100(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-release capstone composing the r7 span family END TO END
+    in one plan: trim duplicated spans (q97's policy) → re-gate
+    validity on the TRIMMED text (a page can fall under the floors
+    only after its copied half is removed — gating before trimming
+    would ship boilerplate-only pages) → carve exactly k eval documents
+    per language from the survivors (q94's deterministic carve) →
+    report per-(lang, split) document/token/char counts with an id
+    checksum pinning exact split membership. This is the table a
+    corpus release publishes next to its shards: what survived, how
+    big, and which rows are held out.
+
+    Plan: rides the SAME _SPAN_DUP_CACHE entry as q95/q97 (identical
+    corpus construction via _span_extra_df), one lang equi-join, the
+    exact-k carve's broadcast-threshold prefilter + tiny rank window,
+    one bounded (lang, split) aggregate. The planted span rows flow
+    through the trim and drop at the lang join (they are not documents
+    rows) — exercising the trim without touching the release stats.
+    """
+    from alt_spark.operators.mixing import exact_k_sample
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(_span_extra_df(spark))
+    trimmed = dedup.trim_duplicate_spans(corpus, width=_SPAN_W, hash_grams=False)
+    langd = (
+        trimmed.withColumnRenamed("id", "doc_id")
+        .join(
+            load_table(spark, sf, "documents").select("doc_id", "lang"),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "lang",
+            F.col("kept_tok"),
+            F.length("trimmed_text").cast("long").alias("n_chars"),
+        )
+    )
+    valid = langd.filter(
+        (F.col("kept_tok") >= _REL_MIN_TOKS)
+        & (F.col("n_chars") >= _REL_MIN_CHARS)
+    )
+    carve = exact_k_sample(
+        valid, _REL_EVAL_K, "lang", "doc_id", salt=_REL_SALT
+    ).select("doc_id", F.lit(True).alias("__eval"))
+    return (
+        valid.join(F.broadcast(carve), "doc_id", "left")
+        .select(
+            "lang",
+            F.when(F.col("__eval").isNotNull(), F.lit("eval"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+            "kept_tok",
+            "n_chars",
+            "doc_id",
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("kept_tok").cast("long").alias("tok_sum"),
+            F.sum("n_chars").cast("long").alias("char_sum"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("lang", "split")
     )

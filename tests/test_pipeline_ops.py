@@ -917,6 +917,8 @@ def test_span_dup_cache_shared_between_audit_and_trim(spark):
     assert len(_SPAN_DUP_CACHE._d) == 1
     all_queries()["q97_span_trim"](spark, SF)
     assert len(_SPAN_DUP_CACHE._d) == 1, _SPAN_DUP_CACHE.last_miss
+    all_queries()["q100_release_pipeline"](spark, SF)
+    assert len(_SPAN_DUP_CACHE._d) == 1, _SPAN_DUP_CACHE.last_miss
 
 
 from hypothesis import given, settings
