@@ -1228,10 +1228,19 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
             F.length("trimmed_text").cast("long").alias("n_chars"),
         )
     )
+    # Materialize the survivor manifest: the carve consumes `valid`
+    # through four plan branches (stratum counts, prefilter survivors,
+    # the starvation guard, the selected rows) plus the outer join —
+    # without a checkpoint each branch replays the whole trim pipeline
+    # (measured 3.6 s -> the trim once at sf0.01). A release run writes
+    # this manifest (id, lang, token/char counts) next to its shards
+    # anyway; the eager localCheckpoint is its in-session stand-in
+    # (eager, not lazy: a lazy checkpoint only dedups across JOBS, and
+    # the whole carve runs as one job — the _PAIR_CACHE rationale).
     valid = langd.filter(
         (F.col("kept_tok") >= _REL_MIN_TOKS)
         & (F.col("n_chars") >= _REL_MIN_CHARS)
-    )
+    ).localCheckpoint(eager=True)
     carve = exact_k_sample(
         valid, _REL_EVAL_K, "lang", "doc_id", salt=_REL_SALT
     ).select("doc_id", F.lit(True).alias("__eval"))
