@@ -870,3 +870,53 @@ def test_diff_exports_token_accounting_presence_is_not_churn(spark, tmp_path):
     assert len(d["unchanged"]) == 4
     assert "token_delta" not in d  # only one side carries accounting
     assert d["row_delta"] == 0
+
+
+def test_release_pipeline_to_export_composition(spark, tmp_path):
+    """End-to-end release: the q100 chain's SURVIVOR DOCUMENTS (span-
+    trimmed text, validity re-gated) shard through shuffle_shards and
+    publish through the versioned export sink; the committed version
+    re-certifies from its own data files and reads back the exact
+    surviving set — the full trim → gate → shard → export → verify
+    story in one run."""
+    from alt_spark.operators.dedup import trim_duplicate_spans
+    from alt_spark.operators.packing import shuffle_shards
+    from alt_spark.queries.pipeline_ops import (
+        _REL_MIN_CHARS,
+        _REL_MIN_TOKS,
+        _SPAN_W,
+    )
+    from alt_spark.sources.training_export import (
+        export_packed_corpus,
+        read_export,
+        verify_export,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    trimmed = trim_duplicate_spans(docs, width=_SPAN_W)
+    survivors = trimmed.filter(
+        (F.col("kept_tok") >= _REL_MIN_TOKS)
+        & (F.length("trimmed_text") >= _REL_MIN_CHARS)
+    ).select(
+        F.col("id").alias("doc_id"),
+        F.col("trimmed_text").alias("text"),
+        F.col("kept_tok").alias("n_tok"),
+    )
+    sharded = shuffle_shards(survivors, "doc_id", n_shards=4, salt="rel-t")
+    out = str(tmp_path / "release")
+    manifest = export_packed_corpus(sharded, out, "shard", token_col="n_tok")
+    assert manifest["n_rows"] == survivors.count() > 0
+    assert manifest["token_sum"] == survivors.agg(F.sum("n_tok")).first()[0]
+    # verify_export raises on any disagreement and returns the manifest
+    assert verify_export(spark, out, manifest["version"])["version"] == manifest["version"]
+    back = read_export(spark, out)
+    want = {
+        (r["doc_id"], r["text"], r["n_tok"]) for r in survivors.collect()
+    }
+    got = {
+        (r["doc_id"], r["text"], r["n_tok"])
+        for r in back.select("doc_id", "text", "n_tok").collect()
+    }
+    assert got == want
