@@ -43,6 +43,13 @@ _PAIR_CACHE = DataFramePlanCache(max_entries=4)
 # shares between its audit (q95) and its trim (q97) passes.
 _SPAN_DUP_CACHE = DataFramePlanCache(max_entries=4)
 
+# Trimmed-corpus surfaces keyed by (input plan, parameters): see
+# trim_duplicate_spans. Each entry pins the full trimmed corpus
+# (id, counts, trimmed_text) — operationally the WRITTEN trimmed
+# corpus a release run materializes before sharding, shared here
+# between the trim report (q97) and the release capstone (q100).
+_TRIM_CACHE = DataFramePlanCache(max_entries=2)
+
 # Deterministic odd multipliers / offsets for the affine MinHash
 # permutation family (derived from md5 so they're reproducible and
 # library-version-independent). Values fit signed 64-bit.
@@ -943,6 +950,13 @@ def trim_duplicate_spans(
         raise ValueError(f"width must be >= 2, got {width}")
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
+    params = (
+        "trim_duplicate_spans", text_col, id_col, int(width),
+        int(min_count), bool(hash_grams),
+    )
+    hit = _TRIM_CACHE.get(df, extra=params)
+    if hit is not None:
+        return hit
     grams, dup = _dup_gram_keys(
         df, text_col, id_col, width, min_count, hash_grams
     )
@@ -962,12 +976,14 @@ def trim_duplicate_spans(
             ss, lambda s: (s <= i) & (i <= s + F.lit(width - 1))
         ),
     )
-    return joined.select(
+    out = joined.select(
         "id",
         F.size("__toks").cast("long").alias("n_tok"),
         F.size(kept).cast("long").alias("kept_tok"),
         F.concat_ws(" ", kept).alias("trimmed_text"),
-    )
+    ).localCheckpoint(eager=True)
+    _TRIM_CACHE.put(df, out, extra=params)
+    return out
 
 
 def merge_span_gram_counts(base: DataFrame, batch: DataFrame) -> DataFrame:
