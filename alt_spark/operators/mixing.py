@@ -458,67 +458,86 @@ def exact_k_sample(
     oversample: float | None = 4.0,
 ) -> DataFrame:
     """Exactly min(k, n) rows per stratum, deterministically: the k
-    smallest rows under the total order (hash bucket, id) within each
-    stratum. The eval-carve complement of :func:`stratified_sample` —
-    a fractional rate cannot promise "exactly 25 held-out docs per
-    language", this does, and re-runs/retries/repartitioning always
-    select the same rows. Returns the selected rows plus ``bucket``
-    and ``rank`` (1-based within the stratum).
+    smallest rows under the total order (60-bit portable hash of
+    ``salt:id``, id) within each stratum. The eval-carve complement of
+    :func:`stratified_sample` — a fractional rate cannot promise
+    "exactly 25 held-out docs per language", this does, and re-runs/
+    retries/repartitioning always select the same rows. Returns the
+    selected rows plus ``hkey`` (the hash sort key — oracle twin
+    ``DDB_H60``) and ``rank`` (1-based within the stratum). Rows with a
+    NULL id or NULL stratum are excluded up front in BOTH paths (a NULL
+    id has no hash, a NULL stratum no carve — the ``sample_bucket``
+    NULL story), keeping the pruned and plain paths row-identical.
 
     Scale shape (``oversample`` set, the default): a window over a
     whole 100 TB stratum is one task, so first prune with a per-stratum
-    bucket threshold ``ceil(PRECISION * oversample * k / n)`` (from one
-    bounded count aggregate, broadcast back); every pruned row sorts
-    AFTER every survivor — bucket is the leading sort key — so the
-    top-k of the ~oversample*k survivors equals the global top-k
-    whenever >= min(k, n) rows survive. Survival is Binomial(n,
-    ~oversample*k/n): at oversample 4 the deficit probability is
-    < e^-k per stratum (Chernoff), and deficit is never silent — a
-    1-row guard aggregate (the allowlisted broadcast-crossJoin device)
-    raises through ``assert_true`` at action time, naming the stratum;
-    re-run with a larger ``oversample``. ``oversample=None`` skips the
-    prefilter entirely (exact by construction, single-task-per-stratum
-    window — the small-data path).
+    hash threshold ``~2^60 * oversample*k / n`` (from one bounded count
+    aggregate, broadcast back); every pruned row sorts AFTER every
+    survivor — the hash is the leading sort key — so the top-k of the
+    ~oversample*k survivors equals the global top-k whenever
+    >= min(k, n) rows survive. The threshold cuts in the full 60-bit
+    hash space (an earlier permyriad-bucket form floored at n/10000
+    survivors for billion-row strata — review finding), computed in
+    double precision: the ~1e-16 relative error is absorbed by the
+    oversample margin, and exactness never depends on it — survival is
+    Binomial(n, ~oversample*k/n), the deficit probability at
+    oversample 4 is < e^-k per stratum (Chernoff), and a deficit is
+    never silent: a per-stratum ``assert_true`` guard, attached as a
+    UNION branch that emits zero rows when healthy, raises at action
+    time naming the stratum (a JOINED guard would be skipped by AQE's
+    empty-side join elimination exactly when the starved side IS
+    empty); re-run with a larger ``oversample``. ``oversample=None``
+    skips the prefilter entirely (exact by construction,
+    single-task-per-stratum window — the small-data path).
     """
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if oversample is not None and oversample <= 0:
         raise ValueError(f"oversample must be positive, got {oversample}")
+    import math
+
     from pyspark.sql.window import Window
 
+    from alt_spark.functions.hashing import portable_hash60
+
+    df = df.filter(
+        F.col(id_col).isNotNull() & F.col(stratum_col).isNotNull()
+    )
+    hkey = portable_hash60(
+        F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))
+    )
     w = (
         Window.partitionBy(stratum_col)
-        .orderBy(F.col("bucket").asc(), F.col(id_col).asc())
+        .orderBy(F.col("hkey").asc(), F.col(id_col).asc())
     )
-    ranked_cols = df.columns + ["bucket", "rank"]
+    ranked_cols = df.columns + ["hkey", "rank"]
     if oversample is None:
-        ranked = df.withColumn("bucket", sample_bucket(id_col, salt)).withColumn(
+        ranked = df.withColumn("hkey", hkey).withColumn(
             "rank", F.row_number().over(w)
         )
         return ranked.filter(F.col("rank") <= k).select(*ranked_cols)
 
-    target = max(1, int(PRECISION * oversample * k))
+    hspace = 1 << 60
+    target_rows = max(1, math.ceil(oversample * k))
     counts = df.groupBy(stratum_col).agg(F.count("*").alias("__n"))
     thresholds = counts.withColumn(
         "__t",
-        F.when(F.col("__n") * PRECISION <= target, F.lit(PRECISION)).otherwise(
-            F.expr(f"least({PRECISION}, ({target} + __n - 1) div __n)")
+        F.when(F.col("__n") <= target_rows, F.lit(hspace)).otherwise(
+            F.least(
+                F.lit(hspace),
+                F.ceil(
+                    F.lit(float(hspace)) * target_rows / F.col("__n")
+                ).cast("long"),
+            )
         ),
     )
     survivors = (
-        df.withColumn("bucket", sample_bucket(id_col, salt))
+        df.withColumn("hkey", hkey)
         .join(F.broadcast(thresholds), stratum_col)
-        .filter(F.col("bucket") < F.col("__t"))
+        .filter(F.col("hkey") < F.col("__t"))
     )
     ranked = survivors.withColumn("rank", F.row_number().over(w))
     selected = ranked.filter(F.col("rank") <= k)
-    # Loud lazy deficit guard: evaluated at action time for EVERY
-    # stratum (including ones with zero survivors, which produce no
-    # output row to carry a per-row check). counts left-join survivor
-    # counts -> one assert_true per stratum, attached as a UNION branch
-    # that emits zero rows when healthy — a union child always executes
-    # (a joined guard would be skipped by AQE's empty-side join
-    # elimination exactly when the starved side IS empty).
     surv_counts = survivors.groupBy(stratum_col).agg(
         F.count("*").alias("__m")
     )
@@ -531,7 +550,7 @@ def exact_k_sample(
                 >= F.least(F.lit(k).cast("long"), F.col("__n")),
                 F.concat(
                     F.lit(
-                        "exact_k_sample bucket prefilter starved stratum "
+                        "exact_k_sample hash prefilter starved stratum "
                     ),
                     F.col(stratum_col).cast("string"),
                     F.lit(

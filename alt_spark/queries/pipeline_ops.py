@@ -975,21 +975,22 @@ _SPAN_EXTRA: tuple[tuple[int, str], ...] = (
 
 # One planted-extras frame PER SESSION: two createDataFrame calls over
 # identical rows canonicalize to DIFFERENT plans (fresh LocalRelation
-# attribute ids), which would split q95's and q97's corpus plans and
+# attribute ids), which would split q95's/q97's/q100's corpus plans and
 # defeat the shared _SPAN_DUP_CACHE entry. Reusing the same DataFrame
-# object keeps both queries' union plans semantically equal, so the
-# duplicated-gram-key aggregate runs once per suite. Staleness-safe:
-# the rows are module literals.
-_SPAN_EXTRA_MEMO: dict[int, DataFrame] = {}
+# object keeps the union plans semantically equal, so the
+# duplicated-gram-key aggregate runs once per suite. Single-slot on
+# purpose (review finding): a dict keyed by id(spark) would pin every
+# stopped session's JVM handles for the process lifetime — one live
+# slot is all the sharing needs, and a session switch just rebuilds a
+# five-row frame.
+_SPAN_EXTRA_MEMO: list[tuple[SparkSession, DataFrame]] = []
 
 
 def _span_extra_df(spark: SparkSession) -> DataFrame:
-    df = _SPAN_EXTRA_MEMO.get(id(spark))
-    if df is None or df.sparkSession is not spark:
-        df = spark.createDataFrame(
-            list(_SPAN_EXTRA), "doc_id long, text string"
-        )
-        _SPAN_EXTRA_MEMO[id(spark)] = df
+    if _SPAN_EXTRA_MEMO and _SPAN_EXTRA_MEMO[0][0] is spark:
+        return _SPAN_EXTRA_MEMO[0][1]
+    df = spark.createDataFrame(list(_SPAN_EXTRA), "doc_id long, text string")
+    _SPAN_EXTRA_MEMO[:] = [(spark, df)]
     return df
 
 
@@ -1159,8 +1160,9 @@ _REL_MIN_TOKS, _REL_MIN_CHARS, _REL_EVAL_K, _REL_SALT = 20, 100, 10, "release-v1
 
 
 def _q100_oracle() -> str:
-    from alt_spark.operators.mixing import ddb_sample_bucket
+    from alt_spark.functions.hashing import DDB_H60
 
+    hkey = DDB_H60(f"('{_REL_SALT}' || ':' || CAST(doc_id AS VARCHAR))")
     return f"""{_span_kept_ctes()}
 , langd AS (
   SELECT k.doc_id, d.lang,
@@ -1174,7 +1176,7 @@ def _q100_oracle() -> str:
   SELECT doc_id, lang, kept_tok, n_chars,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY {ddb_sample_bucket('doc_id', _REL_SALT)}, doc_id
+           ORDER BY {hkey}, doc_id
          ) AS rn
   FROM valid
 )

@@ -1822,41 +1822,48 @@ def q89(spark: SparkSession, sf: str) -> DataFrame:
 _HOLDOUT_K, _HOLDOUT_SALT = 25, "holdout-v1"
 
 
+def _ddb_hkey(id_expr: str, salt: str) -> str:
+    from alt_spark.functions.hashing import DDB_H60
+
+    return DDB_H60(f"('{salt}' || ':' || CAST({id_expr} AS VARCHAR))")
+
+
 @query(
     "q94_exact_k_holdout",
     oracle=f"""
 WITH b AS (
-  SELECT lang, doc_id, {ddb_sample_bucket('doc_id', _HOLDOUT_SALT)} AS bucket
+  SELECT lang, doc_id, {_ddb_hkey('doc_id', _HOLDOUT_SALT)} AS hkey
   FROM documents
 ), ranked AS (
-  SELECT lang, doc_id, bucket,
-         row_number() OVER (PARTITION BY lang ORDER BY bucket, doc_id) AS rank
+  SELECT lang, doc_id, hkey,
+         row_number() OVER (PARTITION BY lang ORDER BY hkey, doc_id) AS rank
   FROM b
 )
 SELECT lang,
        CAST(rank AS BIGINT) AS rank,
        doc_id,
-       CAST(bucket AS BIGINT) AS bucket
+       CAST(hkey AS BIGINT) AS hkey
 FROM ranked WHERE rank <= {_HOLDOUT_K}
 ORDER BY lang, rank
 """,
 )
 def q94(spark: SparkSession, sf: str) -> DataFrame:
     """Exact-k deterministic eval carve: exactly min(k, n) held-out
-    documents per language — the k smallest under the (hash bucket,
-    doc_id) total order — with their within-stratum rank. A fractional
+    documents per language — the k smallest under the (60-bit portable
+    hash, doc_id) total order — with their within-stratum rank. A fractional
     mixing rate (q59) cannot promise a fixed-size eval set; this is the
     operator that carves one, reproducibly across runs, retries, and
     cluster sizes, and the oracle pins exact MEMBERSHIP AND ORDER of
     every selected row (the plain-window SQL twin of the pruned path).
 
     Plan (operators/mixing.exact_k_sample): one bounded per-stratum
-    count, a broadcast bucket-threshold prefilter inside the scan stage
-    (~oversample*k survivors per stratum — every pruned row provably
-    sorts after every survivor), then the exact rank window over the
-    pruned remnant; a 1-row guard aggregate raises loudly if the
-    prefilter ever starves a stratum (< e^-k probability). Carving a
-    100 TB corpus costs one scan + one tiny window.
+    count, a broadcast hash-threshold prefilter inside the scan stage
+    (~oversample*k survivors per stratum in the full 60-bit hash space
+    — every pruned row provably sorts after every survivor), then the
+    exact rank window over the pruned remnant; a per-stratum guard
+    raises loudly if the prefilter ever starves a stratum (< e^-k
+    probability). Carving a 100 TB corpus costs one scan + one tiny
+    window.
     """
     from alt_spark.operators.mixing import exact_k_sample
 
@@ -1868,7 +1875,7 @@ def q94(spark: SparkSession, sf: str) -> DataFrame:
         "lang",
         F.col("rank").cast("long").alias("rank"),
         "doc_id",
-        F.col("bucket").cast("long").alias("bucket"),
+        F.col("hkey").cast("long").alias("hkey"),
     ).orderBy("lang", "rank")
 
 

@@ -824,8 +824,8 @@ def test_exact_k_sample_at_100k(spark):
             assert set(counts) == {"0", "1", "2", "3"}
             assert all(v == k for v in counts.values()), counts
             # prefilter actually pruned: k smallest of ~25k rows per
-            # stratum sit FAR below the full bucket range
-            assert sel.agg(F.max("bucket")).first()[0] < 500
+            # stratum sit FAR below the full 60-bit hash range
+            assert sel.agg(F.max("hkey")).first()[0] < (1 << 60) // 100
             again = exact_k_sample(
                 corpus.repartition(17), k, "stratum", "doc_id"
             )

@@ -1146,7 +1146,7 @@ def test_exact_k_pruned_equals_plain_window(spark):
     from alt_spark.operators.mixing import exact_k_sample
 
     docs = _docs(spark).select("lang", "doc_id")
-    cols = ("lang", "rank", "doc_id", "bucket")
+    cols = ("lang", "rank", "doc_id", "hkey")
     pruned = {
         tuple(r) for r in exact_k_sample(docs, 7, "lang").select(*cols).collect()
     }
@@ -1188,20 +1188,51 @@ def test_exact_k_counts_ranks_and_determinism(spark):
 
 def test_exact_k_starved_prefilter_raises(spark):
     """A deliberately starved oversample must fail LOUDLY at action
-    time (the 1-row assert_true guard), never silently under-select.
-    The frame is built to contain no bucket-0 row, so a threshold of 1
-    bucket value provably strands every stratum."""
-    from alt_spark.operators.mixing import exact_k_sample, sample_bucket
+    time (the union-branch assert_true guard), never silently
+    under-select. The frame is built so every row's hash key sits
+    ABOVE the starved threshold (t = ceil(2^60/100) at oversample*k
+    -> 1 target row over n=100), so zero rows survive the prefilter
+    deterministically."""
+    from alt_spark.functions.hashing import portable_hash60
+    from alt_spark.operators.mixing import exact_k_sample
 
-    base = spark.range(1, 400).select(
+    hk = portable_hash60(
+        F.concat(F.lit("holdout"), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    base = spark.range(1, 2000).select(
         F.lit("en").alias("lang"), F.col("id").alias("doc_id")
     )
-    nonzero = base.filter(sample_bucket("doc_id", "holdout") != 0).limit(100)
-    df = spark.createDataFrame(nonzero.collect(), "lang string, doc_id long")
+    high = base.filter(hk >= (1 << 60) // 50).limit(100)
+    df = spark.createDataFrame(high.collect(), "lang string, doc_id long")
+    assert df.count() == 100
     with pytest.raises(Exception, match="starved stratum en"):
         exact_k_sample(df, 5, "lang", oversample=1e-9).collect()
     # sanity: the same frame carves fine at the default oversample
     assert exact_k_sample(df, 5, "lang").count() == 5
+
+
+def test_exact_k_null_rows_excluded_in_both_paths(spark):
+    """NULL ids and NULL strata are excluded up front, identically in
+    the pruned and plain paths (a NULL id has no hash; the plain
+    window would otherwise rank NULLs FIRST and the pruned join would
+    drop them — review finding)."""
+    from alt_spark.operators.mixing import exact_k_sample
+
+    rows = [("en", i) for i in range(1, 40)]
+    rows += [("en", None), (None, 99), (None, None)]
+    df = spark.createDataFrame(rows, "lang string, doc_id long")
+    cols = ("lang", "rank", "doc_id")
+    pruned = {
+        tuple(r) for r in exact_k_sample(df, 5, "lang").select(*cols).collect()
+    }
+    plain = {
+        tuple(r)
+        for r in exact_k_sample(df, 5, "lang", oversample=None)
+        .select(*cols)
+        .collect()
+    }
+    assert pruned == plain and len(pruned) == 5
+    assert all(r[0] == "en" and r[2] is not None for r in pruned)
 
 
 def test_exact_k_rejects_bad_args(spark):
