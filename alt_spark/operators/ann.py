@@ -181,11 +181,19 @@ def embedding_band_rows(
     # at the suite's scale they are scan-cheap, and they keep the whole
     # key derivation in-row (the alternative — posexplode + groupBy —
     # costs a corpus-wide shuffle before blocking even starts).
+    # Band count is ceil(dim / band_bits) with an empty-vector guard:
+    # int(dim/bb) dropped the remainder dims the DuckDB twin DOES band
+    # ((idx-1)//bb grouping), and for dim < bb Spark's sequence(0, -1)
+    # counts DOWN, emitting a bogus band -1 with an empty key that made
+    # every short vector a candidate of every other (review finding).
+    # The trailing partial band's slice simply returns the remainder.
     return vecs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
             F.expr(
-                f"transform(sequence(0, int(size({vec_col}) / {band_bits}) - 1), "
+                f"transform(IF(size({vec_col}) > 0, sequence(0, "
+                f"cast(ceil(size({vec_col}) / cast({band_bits} AS DOUBLE)) "
+                f"AS INT) - 1), cast(array() AS array<int>)), "
                 f"j -> array_join(transform(slice(transform({vec_col}, "
                 f"x -> cast(x AS double)), j * {band_bits} + 1, "
                 f"{band_bits}), x -> IF(x >= 0D, '1', '0')), ''))"

@@ -310,8 +310,18 @@ def epoch_expand(
 
     Returns ``df``'s columns plus ``copy`` (long, 1-based). Strata
     absent from the plan are dropped (a plan lists what it wants —
-    the ``stratified_sample`` convention).
+    the ``stratified_sample`` convention). Raises if ``df`` already
+    carries ``copy`` or one of the helper columns (review finding: a
+    silent duplicate column name would poison every downstream
+    reference — the loud guard is the export sink's shard_col
+    convention).
     """
+    clash = {"copy", "__nf", "__rem", "__b"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"epoch_expand output/helper column(s) {sorted(clash)} "
+            "already exist in the input frame; rename them first"
+        )
     nf = F.expr(f"epochs_permyriad div {PRECISION}")
     p = plan.select(
         stratum_col,

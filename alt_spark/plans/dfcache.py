@@ -177,18 +177,21 @@ class DataFramePlanCache:
         parameters) — two calls over the same input plan with different
         parameters must not share an entry."""
         self._sweep_dead()
-        fp = self._fp(key_df)
-        if fp is None:
-            self.last_miss = "uncacheable: inputFiles() listing failed"
-            return None
         k = self._key(key_df, extra)
         ent = self._d.get(k)
         if ent is None:
+            # Definite miss: skip the fingerprint entirely (review
+            # finding — a cold build otherwise paid the inputFiles()
+            # round-trip + stat sweep twice, here and again in put()).
             self.last_miss = (
                 f"no entry for key={k!r}; cached keys={list(self._d)!r}"
             )
             return None
-        _, kdf, vdf, stored_fp = ent
+        fp = self._fp(key_df)
+        if fp is None:
+            self.last_miss = "uncacheable: inputFiles() listing failed"
+            return None
+        sess, kdf, vdf, stored_fp = ent
         if not key_df.sameSemantics(kdf):
             self._drop(k)  # 32-bit collision: release before slot reuse
             self.last_miss = f"semanticHash collision on key={k!r}"
@@ -219,6 +222,13 @@ class DataFramePlanCache:
             self._drop(k)
             self.last_miss = f"input files changed under key={k!r}"
             return None
+        if stored_fp == _FP_OPAQUE and fp != _FP_OPAQUE:
+            # Upgrade: the entry was stored while cache substitution hid
+            # the listing, but the files are visible NOW — pin the real
+            # digest so a later in-place regeneration is detectable
+            # (review finding: an opaque entry otherwise matched any
+            # state forever, permanently masking regeneration).
+            self._d[k] = (sess, kdf, vdf, fp)
         self._d.move_to_end(k)
         self.last_miss = None
         return vdf

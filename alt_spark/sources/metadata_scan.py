@@ -33,14 +33,17 @@ _AGG_KEY = "spark.sql.parquet.aggregatePushdown"
 # concurrent scopes would capture each other's modified values as the
 # "old" conf and leave the session permanently on v2 parquet (r7
 # review). The RLock serializes scopes (metadata queries are
-# driver-side and cheap — serialization is free), and the depth
-# counter makes nesting restore only at the outermost exit. Plans
-# built by OTHER threads of the same session during a scope still see
-# the v2 conf — inherent to session-level conf; the engine's own
-# paths never build plans concurrently with a footer_stats call.
+# driver-side and cheap — serialization is free), and the PER-SESSION
+# depth counter makes nesting restore only at that session's outermost
+# exit (r7 follow-up review: a process-global depth skipped conf setup
+# for a SECOND session nested inside the first's scope and restored
+# only the first). Plans built by OTHER threads of the same session
+# during a scope still see the v2 conf — inherent to session-level
+# conf; the engine's own paths never build plans concurrently with a
+# footer_stats call.
 _SCOPE_LOCK = threading.RLock()
-_SCOPE_DEPTH = 0
-_SCOPE_SAVED: tuple[str, str] | None = None
+_SCOPE_DEPTH: dict[int, int] = {}
+_SCOPE_SAVED: dict[int, tuple[str, str]] = {}
 
 
 @contextmanager
@@ -48,13 +51,14 @@ def _v2_parquet_agg_pushdown(spark: SparkSession):
     """Temporarily plan parquet through DSv2 with aggregate pushdown.
     Conf is restored even on error; only plans BUILT AND EXECUTED
     inside the scope are affected (the utility collects inside).
-    Reentrant and serialized across threads (see _SCOPE_LOCK)."""
-    global _SCOPE_DEPTH, _SCOPE_SAVED
+    Reentrant per session and serialized across threads (see
+    _SCOPE_LOCK)."""
+    sid = id(spark)
     with _SCOPE_LOCK:
-        if _SCOPE_DEPTH == 0:
+        if _SCOPE_DEPTH.get(sid, 0) == 0:
             old_v1 = spark.conf.get(_V1_KEY)
             old_agg = spark.conf.get(_AGG_KEY)
-            _SCOPE_SAVED = (old_v1, old_agg)
+            _SCOPE_SAVED[sid] = (old_v1, old_agg)
             v1_rest = ",".join(
                 s
                 for s in old_v1.split(",")
@@ -62,15 +66,17 @@ def _v2_parquet_agg_pushdown(spark: SparkSession):
             )
             spark.conf.set(_V1_KEY, v1_rest)
             spark.conf.set(_AGG_KEY, "true")
-        _SCOPE_DEPTH += 1
+        _SCOPE_DEPTH[sid] = _SCOPE_DEPTH.get(sid, 0) + 1
         try:
             yield
         finally:
-            _SCOPE_DEPTH -= 1
-            if _SCOPE_DEPTH == 0 and _SCOPE_SAVED is not None:
-                spark.conf.set(_V1_KEY, _SCOPE_SAVED[0])
-                spark.conf.set(_AGG_KEY, _SCOPE_SAVED[1])
-                _SCOPE_SAVED = None
+            _SCOPE_DEPTH[sid] -= 1
+            if _SCOPE_DEPTH[sid] == 0:
+                del _SCOPE_DEPTH[sid]
+                saved = _SCOPE_SAVED.pop(sid, None)
+                if saved is not None:
+                    spark.conf.set(_V1_KEY, saved[0])
+                    spark.conf.set(_AGG_KEY, saved[1])
 
 
 def footer_stats(

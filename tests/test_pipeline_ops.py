@@ -977,3 +977,21 @@ def test_embedding_scored_pair_cache_shared_between_cut_and_histogram(spark):
     assert len(ann._SCORED_PAIR_CACHE._d) == 1
     all_queries()["q99_neardup_threshold_histogram"](spark, SF_ORACLE)
     assert len(ann._SCORED_PAIR_CACHE._d) == 1, ann._SCORED_PAIR_CACHE.last_miss
+
+
+def test_embedding_band_rows_short_and_partial_dims(spark):
+    """Band enumeration edge shapes (review finding): dim < band_bits
+    must yield exactly one partial band (not a bogus descending
+    sequence with an empty universal key), dim % band_bits != 0 must
+    band the remainder dims (the DuckDB twin's (idx-1)//bb grouping),
+    and an empty vector yields no rows."""
+    df = spark.createDataFrame(
+        [
+            (1, [0.5, -0.5, 0.25, -1.0]),
+            (2, [1.0] * 8 + [-1.0, 0.5]),
+            (3, []),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    rows = sorted(tuple(r) for r in ann.embedding_band_rows(df).collect())
+    assert rows == [(1, 0, "1010"), (2, 0, "11111111"), (2, 1, "01")], rows

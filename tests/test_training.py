@@ -1243,3 +1243,52 @@ def test_exact_k_rejects_bad_args(spark):
         exact_k_sample(docs, 0, "lang")
     with pytest.raises(ValueError):
         exact_k_sample(docs, 5, "lang", oversample=-1.0)
+
+
+def test_plan_cache_opaque_entry_upgrades_to_digest_on_hit(spark, tmp_path):
+    """An entry stored under the OPAQUE state must pin the real digest
+    the first time a hit can see one, so a LATER in-place regeneration
+    still invalidates it (review finding: without the upgrade an
+    opaque entry matched any state forever, permanently masking
+    regeneration for frames first cached under a block-cached
+    subtree)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alt_spark.plans.dfcache import DataFramePlanCache
+
+    p = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "x": [10, 20]}), p)
+    base = spark.read.parquet(p)
+    base.cache()
+    base.count()
+    try:
+        df1 = spark.read.parquet(p)
+        assert df1.inputFiles() == []
+        cache = DataFramePlanCache(max_entries=2)
+        derived = df1.groupBy().sum("x")
+        cache.put(df1, derived)  # stored OPAQUE
+    finally:
+        spark.catalog.clearCache()
+    # First visible-listing hit upgrades the stored fingerprint …
+    assert cache.get(spark.read.parquet(p)) is derived, cache.last_miss
+    # … so an in-place regeneration afterwards MUST miss.
+    pq.write_table(pa.table({"doc_id": [1, 2, 3], "x": [1, 2, 3]}), p)
+    assert cache.get(spark.read.parquet(p)) is None, (
+        "regeneration after an opaque→digest upgrade must invalidate"
+    )
+
+
+def test_epoch_expand_rejects_colliding_columns(spark):
+    """A frame that already carries 'copy' (e.g. the output of a prior
+    epoch_expand pass) must be rejected loudly instead of producing
+    duplicate column names (review finding)."""
+    from alt_spark.operators.mixing import epoch_expand, token_budget_plan
+
+    df = _docs(spark).select(
+        "lang", "doc_id", F.size(_tokens_col()).cast("long").alias("n_tok")
+    )
+    plan = token_budget_plan(df, "lang", "n_tok", budget_tokens=1000)
+    expanded = epoch_expand(df, plan, "lang", "doc_id", "n_tok")
+    with pytest.raises(ValueError, match="copy"):
+        epoch_expand(expanded, plan, "lang", "doc_id", "n_tok")
