@@ -117,9 +117,63 @@ _loaded = False
 #   q11 — C8/E3/E4 lateral top-1-per-key; q36 per-group top-k stays;
 #   q15 — C1/D5 multi-way join + COUNT DISTINCT; q77 (rotating in)
 #         exercises countDistinct in-window, q03/q08/q09 keep joins.
+#   r8 rotation (VERDICT r7 item 1): q79-q100 — the full r7 family
+#         (multi-epoch draws, BPE learn/segment/coverage/fertility,
+#         release governance, C4/PAN/Flesch gates, gate funnel,
+#         sentence/span dedup + trim, exact-k carve, embedding
+#         near-dup LSH + calibration, cross-source matrix, skew
+#         audit, release capstone) — moved INTO the window so all 21
+#         oracle-backed members earn their first driver hash rows
+#         (q87 stays tail: rows-only by design). Twenty-one entries
+#         with 5-7 green driver rounds each and overlapping in-window
+#         §2 evidence rotated out in exchange:
+#   q02 — D8 buckets/MV target; 7 greens; entry() still runs it every
+#         driver smoke, and stream parity pins q49 against it in CI;
+#   q03 — C3 full outer + D8; 6 greens; joins keep q42/q43 in-window;
+#   q06 — C4 theta self-join + D7 HAVING; 7 greens;
+#   q08/q09 — C6 anti/C7 semi/C10 range scan; 7 greens each;
+#   q17 — I8 exact dedup; 6 greens; the dedup family keeps q67 (+ the
+#         rotating-in q91/q93/q95/q97) in-window;
+#   q20/q22 — K2 fold / E8 sessionization; 6 greens; events family
+#         keeps stream parity pytest + 6-round history;
+#   q29 — I3 lang-id; 6 greens; per-lang gates ride in-window q92/q96;
+#   q30-q33 — MinHash/SimHash/embedding/winnowing near-dup; 6 greens
+#         each; the rotating-in q90 re-derives the exact q30 pair set
+#         and q91/q99 hash-check the embedding family in-window;
+#   q34 — C9/D10 collect/explode; 6 greens;
+#   q36 — F4 per-group top-k; 6 greens; windows keep q57 in-window;
+#   q38 — B-family map-guarded extraction; 6 greens;
+#   q40/q41 — J2 BM25 / I13 keywords; 6 greens each; text relevance
+#         keeps q65 (char-LM) + q78 (DSIR) in-window;
+#   q46 — I15 ROUGE; 5 greens; pair scoring keeps q99 in-window;
+#   q47 — I11 syndication; 5 greens; near-dup evidence as q30-q33;
+#   q48 — A3 log parse; 5 greens; ingestion throughput still recorded
+#         by bench.py every round.
 # The rotation ledger in COVERAGE.md tracks per-query driver-row
 # history across rounds.
 _REPORT_TAIL = (
+    # r8 rotated-out set (rationale above).
+    "q02_sli_error_rate",
+    "q03_trend_buckets_full_outer",
+    "q06_part_cooccurrence",
+    "q08_customers_without_orders",
+    "q09_building_orders_per_day",
+    "q17_exact_dedup",
+    "q20_event_fold",
+    "q22_sessionization",
+    "q29_lang_id",
+    "q30_minhash_neardup",
+    "q31_simhash_neardup",
+    "q32_embedding_neardup",
+    "q33_winnowing_fingerprints",
+    "q34_collect_explode_flags",
+    "q36_per_group_topk",
+    "q38_map_guarded_extraction",
+    "q40_bm25_multiterm",
+    "q41_keyword_extraction",
+    "q46_rouge1_pairs",
+    "q47_syndication_dedup",
+    "q48_nginx_log_parse",
     "q49_streaming_mv_replay",
     "q37_approx_distinct_users",
     "q53_minhash_production",
@@ -153,57 +207,12 @@ _REPORT_TAIL = (
     # q71 — percentile_approx scale twin of q04; rows-only by design
     # (engine-specific sketch); error-bound pytest vs the exact form.
     "q71_latency_quantiles_approx",
-    # r7 additions — oracle-backed (test_oracle_parity runs them every
-    # CI pass), parked in the tail as the newest entries; rotation
-    # candidates for r8.
-    "q79_epoch_expansion",
-    "q80_bpe_pair_counts",
-    "q81_cluster_representatives",
-    "q82_dataset_card",
-    "q83_contamination_audit",
-    "q84_c4_filters",
-    "q85_pan_luhn_audit",
-    "q86_readability_bands",
     # q87 — full BPE merge-loop training; rows-only by design (the
     # round-i argmax feeds round i+1 — not one-query SQL-expressible);
     # merge-sequence exactness pinned vs a reference implementation in
-    # tests/test_ml_ops.py.
+    # tests/test_ml_ops.py. The rest of the r7 family (q79-q86,
+    # q88-q100, all oracle-backed) rotated INTO the window in r8.
     "q87_bpe_vocab_learning",
-    "q88_bpe_segmentation",
-    # q89/q90 — oracle-backed r7 additions (vocab coverage curve;
-    # cross-source dup matrix riding the q30 pair cache), r8 rotation
-    # candidates with the rest of the r7 family.
-    "q89_vocab_coverage",
-    "q90_cross_source_dup_matrix",
-    # q91 — embedding-cosine near-dup (sign-band LSH blocking + exact
-    # verify over planted perturbed duplicates); oracle-backed, r8
-    # rotation candidate with the rest of the r7 family.
-    "q91_embedding_neardup_lsh",
-    # q92/q93 — gate-attrition funnel and intra-document sentence
-    # dedup; oracle-backed r7 additions, r8 rotation candidates.
-    "q92_gate_funnel",
-    "q93_sentence_dedup",
-    # q94 — exact-k deterministic eval carve; oracle pins membership
-    # and order of every selected row. r8 rotation candidate.
-    "q94_exact_k_holdout",
-    # q95 — substring-grain duplication coverage (Lee et al. 2021);
-    # oracle replays windows, duplicate set, and interval-union merge.
-    "q95_dup_span_coverage",
-    # q96 — per-language tokenizer fertility under the pinned BPE
-    # vocabulary; integer-exact metric surfaces.
-    "q96_tokenizer_fertility",
-    # q97 — span-trim execution of the q95 audit (Lee et al. 2021);
-    # oracle replays the per-position keep decision verbatim.
-    "q97_span_trim",
-    # q98 — join-key skew audit (shuffle-planning diagnostic feeding
-    # the operators/skew.py salting helpers).
-    "q98_join_key_skew_audit",
-    # q99 — near-dup threshold calibration histogram riding q91's
-    # scored-candidate cache (one banding join serves cut + audit).
-    "q99_neardup_threshold_histogram",
-    # q100 — corpus-release capstone: span trim → trimmed-text validity
-    # → exact-k eval carve → per-(lang, split) release table.
-    "q100_release_pipeline",
 )
 
 

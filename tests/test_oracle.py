@@ -87,10 +87,33 @@ def test_report_window_contains_every_reportable_oracle():
 
     undocumented = [n for n in tail if n not in _REPORT_TAIL]
     assert not undocumented, f"undocumented tail entries: {undocumented}"
-    # The r5/r6 rotations stay in-window, and the r7 rotation (VERDICT
-    # r6 item 1) puts the r6 additions q73-q78 inside the window so
-    # every one of them earns its first driver hash row.
+    # The r5/r6 rotations stay in-window, the r7 rotation (VERDICT r6
+    # item 1) keeps q73-q78 inside the window, and the r8 rotation
+    # (VERDICT r7 item 1) puts the 21 oracle-backed r7 additions
+    # q79-q86/q88-q100 inside the window so every one of them earns
+    # its first driver hash row.
     for n in (
+        "q79_epoch_expansion",
+        "q80_bpe_pair_counts",
+        "q81_cluster_representatives",
+        "q82_dataset_card",
+        "q83_contamination_audit",
+        "q84_c4_filters",
+        "q85_pan_luhn_audit",
+        "q86_readability_bands",
+        "q88_bpe_segmentation",
+        "q89_vocab_coverage",
+        "q90_cross_source_dup_matrix",
+        "q91_embedding_neardup_lsh",
+        "q92_gate_funnel",
+        "q93_sentence_dedup",
+        "q94_exact_k_holdout",
+        "q95_dup_span_coverage",
+        "q96_tokenizer_fertility",
+        "q97_span_trim",
+        "q98_join_key_skew_audit",
+        "q99_neardup_threshold_histogram",
+        "q100_release_pipeline",
         "q56_grouping_sets_rollup",
         "q57_frame_spec_windows",
         "q58_intersect_except",
