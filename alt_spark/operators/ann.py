@@ -24,7 +24,9 @@ from alt_spark.plans.dfcache import DataFramePlanCache
 # thresholds over one corpus snapshot — share one banding join + one
 # exact-verify pass. Operationally the written candidate-pair table a
 # vector-dedup run keeps next to its embedding snapshot.
-_SCORED_PAIR_CACHE = DataFramePlanCache(max_entries=4)
+_SCORED_PAIR_CACHE = DataFramePlanCache(
+    max_entries=4, name="embedding_scored_pairs"
+)
 
 __all__ = [
     "cosine_sim",
@@ -131,35 +133,31 @@ def embedding_near_dup(
         "embedding_scored_pairs", id_col, vec_col, int(band_bits),
         int(round_digits),
     )
-    scored = _SCORED_PAIR_CACHE.get(vecs, extra=params)
-    if scored is None:
-        base = vecs.select(
-            F.col(id_col).alias("_id"),
-            F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("_v"),
-        )
-        bands = embedding_band_rows(vecs, id_col, vec_col, band_bits)
-        cand = (
-            bands.alias("a")
-            .join(bands.alias("b"), ["band", "key"])
-            .filter(F.col("a.id") < F.col("b.id"))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct()
-        )
-        va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-        vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
-        sim = F.round(
-            cosine_sim(F.col("_va"), F.col("_vb")), round_digits
-        ).alias("cos_sim")
-        # Materialize (the _PAIR_CACHE pattern): a lazily shared plan
-        # would re-run the banding join per consumer; the scored pair
-        # set is candidate-bounded, so the checkpoint is small.
-        scored = (
-            cand.join(va, "id_a")
-            .join(vb, "id_b")
-            .select("id_a", "id_b", sim)
-            .localCheckpoint(eager=True)
-        )
-        _SCORED_PAIR_CACHE.put(vecs, scored, extra=params)
+    base = vecs.select(
+        F.col(id_col).alias("_id"),
+        F.expr(f"transform({vec_col}, x -> cast(x AS double))").alias("_v"),
+    )
+    bands = embedding_band_rows(vecs, id_col, vec_col, band_bits)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), ["band", "key"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    sim = F.round(
+        cosine_sim(F.col("_va"), F.col("_vb")), round_digits
+    ).alias("cos_sim")
+    raw = cand.join(va, "id_a").join(vb, "id_b").select("id_a", "id_b", sim)
+    # Lazily checkpoint on first use (the _PAIR_CACHE pattern; LAZY
+    # since r8 — ADVICE r7: the previous EAGER checkpoint ran real
+    # Spark jobs at frame-CONSTRUCTION time and blinded plan audits):
+    # the banding join runs once and every consumer of the same
+    # corpus+params (q91's cut, q99's calibration histogram) reads the
+    # candidate-bounded blocks.
+    scored = _SCORED_PAIR_CACHE.get_or_materialize(vecs, raw, extra=params)
     return scored.filter(F.col("cos_sim") >= threshold)
 
 

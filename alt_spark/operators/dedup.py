@@ -29,26 +29,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from alt_spark.plans import dfcache
 from alt_spark.plans.dfcache import DataFramePlanCache
 
 # Pair frames keyed by (input plan, parameters): see minhash_near_dup.
 # Bounded: each entry pins one signature localCheckpoint (ids × 128
 # longs — megabytes at suite scale, a written table operationally).
-_PAIR_CACHE = DataFramePlanCache(max_entries=4)
+_PAIR_CACHE = DataFramePlanCache(max_entries=4, name="minhash_pairs")
 
 # Duplicated-span gram keys keyed by (input plan, parameters): see
 # _dup_gram_keys. Bounded: each entry pins one localCheckpoint of the
 # DUPLICATED gram keys only (the aggregate, not the positional rows) —
 # operationally the written "duplicate n-grams" table a span-dedup run
 # shares between its audit (q95) and its trim (q97) passes.
-_SPAN_DUP_CACHE = DataFramePlanCache(max_entries=4)
+_SPAN_DUP_CACHE = DataFramePlanCache(max_entries=4, name="span_dup_keys")
 
 # Trimmed-corpus surfaces keyed by (input plan, parameters): see
 # trim_duplicate_spans. Each entry pins the full trimmed corpus
 # (id, counts, trimmed_text) — operationally the WRITTEN trimmed
 # corpus a release run materializes before sharding, shared here
 # between the trim report (q97) and the release capstone (q100).
-_TRIM_CACHE = DataFramePlanCache(max_entries=2)
+_TRIM_CACHE = DataFramePlanCache(max_entries=2, name="span_trim")
 
 # Deterministic odd multipliers / offsets for the affine MinHash
 # permutation family (derived from md5 so they're reproducible and
@@ -315,12 +316,15 @@ def lsh_incremental_pairs(
     flags.
     """
     # The batch's band rows feed three join legs (vs-base a-side, both
-    # within sides); materialize them once (eager localCheckpoint — the
-    # minhash_near_dup precedent) so the batch pays its signing cost
-    # once, as the docstring promises. Bounded: ids × bands rows.
-    nb = band_rows(new_signatures, bands, rows_per_band, portable).localCheckpoint(
-        eager=True
-    )
+    # within sides); checkpoint them (LAZY — construction stays
+    # plan-only per ADVICE r7; block-level locking still makes the
+    # first action compute each partition once) so the batch pays its
+    # signing cost once, as the docstring promises. Bounded: ids ×
+    # bands rows. The hermetic dfcache.MATERIALIZE switch keeps plan
+    # audits barrier-free.
+    nb = band_rows(new_signatures, bands, rows_per_band, portable)
+    if dfcache.MATERIALIZE:
+        nb = nb.localCheckpoint(eager=False)
     base = base_bands.join(
         F.broadcast(nb.select("id").distinct()), "id", "left_anti"
     )
@@ -380,18 +384,23 @@ def minhash_near_dup(
         "minhash_near_dup", text_col, id_col, float(threshold),
         num_perm, bands, rows_per_band, shingle_k, bool(portable),
     )
-    hit = _PAIR_CACHE.get(df, extra=params)
+    hit = _PAIR_CACHE.get(df, extra=params) if dfcache.MATERIALIZE else None
     if hit is not None:
         return hit
     # The signature table feeds three plan branches (banding + both sides
-    # of the verify join); materialize it once (eager localCheckpoint) so
-    # shingling/hashing runs once, with blocks auto-released on GC rather
-    # than leaking a persist() for the session lifetime. At 100 TB this
-    # materialization is a written signature table, computed once per
-    # corpus snapshot and reused across dedup runs.
+    # of the verify join); checkpoint it (LAZY since r8 — construction
+    # stays plan-only per ADVICE r7; the first action computes each
+    # partition once under block-level locking and all three branches
+    # read the blocks) so shingling/hashing runs once, with blocks
+    # auto-released on GC rather than leaking a persist() for the
+    # session lifetime. At 100 TB this materialization is a written
+    # signature table, computed once per corpus snapshot and reused
+    # across dedup runs.
     sigs = minhash_signatures(
         df, text_col, id_col, num_perm, shingle_k, portable=portable
-    ).localCheckpoint(eager=True)
+    )
+    if dfcache.MATERIALIZE:
+        sigs = sigs.localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, portable=portable)
     s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("sig1"))
     s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("sig2"))
@@ -409,7 +418,8 @@ def minhash_near_dup(
         .select("id1", "id2", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= threshold)
     )
-    _PAIR_CACHE.put(df, pairs, extra=params)
+    if dfcache.MATERIALIZE:
+        _PAIR_CACHE.put(df, pairs, extra=params)
     return pairs
 
 
@@ -746,16 +756,18 @@ def _dup_gram_keys(
         "span_dup_keys", text_col, id_col, int(width), int(min_count),
         bool(hash_grams),
     )
-    dup = _SPAN_DUP_CACHE.get(df, extra=params)
-    if dup is None:
-        dup = (
-            grams.groupBy("k")
-            .agg(F.count("*").alias("__c"))
-            .filter(F.col("__c") >= min_count)
-            .select("k")
-            .localCheckpoint(eager=True)
-        )
-        _SPAN_DUP_CACHE.put(df, dup, extra=params)
+    raw_dup = (
+        grams.groupBy("k")
+        .agg(F.count("*").alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("k")
+    )
+    # Lazily checkpoint on first use (LAZY since r8 — ADVICE r7:
+    # construction stays plan-only): the gram aggregate — the one
+    # shuffle the span family shares — runs once, and every consumer
+    # of the same corpus+params (audit, trim, the q100 capstone)
+    # reads the small duplicated-key blocks.
+    dup = _SPAN_DUP_CACHE.get_or_materialize(df, raw_dup, extra=params)
     return grams, dup
 
 
@@ -954,9 +966,6 @@ def trim_duplicate_spans(
         "trim_duplicate_spans", text_col, id_col, int(width),
         int(min_count), bool(hash_grams),
     )
-    hit = _TRIM_CACHE.get(df, extra=params)
-    if hit is not None:
-        return hit
     grams, dup = _dup_gram_keys(
         df, text_col, id_col, width, min_count, hash_grams
     )
@@ -981,9 +990,13 @@ def trim_duplicate_spans(
         F.size("__toks").cast("long").alias("n_tok"),
         F.size(kept).cast("long").alias("kept_tok"),
         F.concat_ws(" ", kept).alias("trimmed_text"),
-    ).localCheckpoint(eager=True)
-    _TRIM_CACHE.put(df, out, extra=params)
-    return out
+    )
+    # Lazily checkpoint on first use (LAZY since r8 — ADVICE r7:
+    # construction stays plan-only): the trim pipeline runs once and
+    # every consumer of the same corpus+params (q97's report, q100's
+    # carve branches) reads the blocks — operationally the WRITTEN
+    # trimmed corpus a release run materializes before sharding.
+    return _TRIM_CACHE.get_or_materialize(df, out, extra=params)
 
 
 def merge_span_gram_counts(base: DataFrame, batch: DataFrame) -> DataFrame:

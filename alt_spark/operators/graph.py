@@ -38,7 +38,7 @@ __all__ = [
 # the reference on evict lets the ContextCleaner reclaim the blocks, so
 # no unpersist-on-evict is needed. Session scoping + collision
 # confirmation come with DataFramePlanCache.
-_CC_CACHE = DataFramePlanCache(max_entries=4)
+_CC_CACHE = DataFramePlanCache(max_entries=4, name="cc_labels")
 
 
 def connected_components(

@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from alt_spark.plans import dfcache
 from alt_spark.plans.dfcache import DataFramePlanCache
 
 __all__ = ["char_ngrams", "train_char_lm", "score_against_lm"]
@@ -55,20 +56,21 @@ __all__ = ["char_ngrams", "train_char_lm", "score_against_lm"]
 # cache keyed only by plan semantics outlives its SparkSession).
 _MODEL_CACHE_MAX = 4
 _MODEL_CACHE = DataFramePlanCache(
-    max_entries=_MODEL_CACHE_MAX, unpersist_on_evict=True
+    max_entries=_MODEL_CACHE_MAX, unpersist_on_evict=True, name="lm_model"
 )
 
 # Converged per-document score frames, keyed on the RAW output plan —
-# see the reuse note at the end of score_against_lm. Two entries cover
-# the suite's live shapes (the shared q65/q76 corpus scoring + q72's
-# fused carry= variant). Values are LAZY localCheckpoints (the
+# see the reuse note at the end of score_against_lm. Carry-less shapes
+# only (the shared q65/q76 corpus scoring); the fused carry= variant
+# is single-consumer by construction and skips the cache (r8 — the r7
+# q72 barrier regression). Values are LAZY localCheckpoints (the
 # _PAIR_CACHE storage policy, not persist): checkpoint blocks survive
 # spark.catalog.clearCache(), so a bench/driver loop that clears the
 # SQL cache between queries still reuses one scoring materialization —
 # exactly the cross-query reuse VERDICT r6 asked to make measurable —
 # and dropping the reference on evict lets the ContextCleaner reclaim
 # the blocks (no unpersist call into a possibly-dead session).
-_SCORE_CACHE = DataFramePlanCache(max_entries=2)
+_SCORE_CACHE = DataFramePlanCache(max_entries=2, name="lm_score")
 
 # Test-only hermetic switch: plan audits assert properties of the RAW
 # scoring lineage (fused-scan shape, exchange counts, the 1-row
@@ -293,15 +295,19 @@ def score_against_lm(
     # production pipeline writes once and reads many times (the
     # _PAIR_CACHE budget argument, storage policy included — see the
     # _SCORE_CACHE declaration).
-    if not SCORE_MATERIALIZE:
+    if not SCORE_MATERIALIZE or carry:
+        # carry= is the fused single-consumer shape BY CONSTRUCTION:
+        # the caller computed its carried per-doc metrics on this very
+        # frame precisely so the whole composed pipeline runs as ONE
+        # plan — a second consumer would have built the carry-less
+        # form instead. Checkpointing it charged a materialization
+        # barrier with zero reuse (the r7 q72/q66/q70 ~30% driver
+        # regression, VERDICT r7 item 3) — return the raw fused plan.
         return out
-    # Staleness guard lives in DataFramePlanCache: the key includes an
-    # input-file fingerprint, so in-place regeneration of the corpus
-    # files (same paths, new bytes) misses instead of serving stale
-    # checkpointed scores.
-    hit = _SCORE_CACHE.get(out)
-    if hit is not None:
-        return hit
-    ck = out.localCheckpoint(eager=False)
-    _SCORE_CACHE.put(out, ck)
-    return ck
+    # Shared carry-less shape (q65's per-doc report, q76's CDF
+    # buckets): lazily checkpoint on first use and serve every later
+    # consumer from the blocks. Staleness guard lives in
+    # DataFramePlanCache: each entry carries an input-file fingerprint,
+    # so in-place regeneration of the corpus files (same paths, new
+    # bytes) misses instead of serving stale checkpointed scores.
+    return _SCORE_CACHE.get_or_materialize(out, out)

@@ -55,6 +55,39 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Test-only hermetic switch (operators/lm.SCORE_MATERIALIZE generalized
+# to every plan-keyed cache): plan audits assert properties of RAW
+# lineage (fused-scan shape, exchange counts, broadcast placement); a
+# checkpoint barrier — even a lazy one — replaces everything upstream
+# with a LogicalRDD and makes those pins vacuous, and a PROMOTED entry
+# served to the audit's second construction of the same shape would do
+# exactly that. With MATERIALIZE False, ``get_or_materialize`` returns
+# the raw frame without caching and the operator-local inner checkpoints
+# (MinHash signatures, incremental band rows, q100's survivor manifest)
+# are skipped, so building any query frame is a pure plan
+# transformation. Production paths never touch it; tests/test_plans.py
+# flips it off for the module.
+MATERIALIZE = True
+
+# Named-cache registry for instrumentation: every cache constructed
+# with a ``name`` lands here, and ``cache_stats()`` snapshots hit/miss/
+# put/eviction counters across all of them — read by bench.py so
+# suite-order effects (who paid a materialization, who reused it) are
+# recorded per round instead of reconstructed by archaeology (the
+# q66/q70/q72 r7 regression took exactly that archaeology).
+_NAMED: dict[str, "DataFramePlanCache"] = {}
+
+
+def cache_stats(reset: bool = False) -> dict[str, dict[str, int]]:
+    """Snapshot (optionally reset) counters of every named cache."""
+    out = {}
+    for name, c in _NAMED.items():
+        out[name] = dict(c.stats)
+        out[name]["entries"] = len(c)
+        if reset:
+            c.stats = dict.fromkeys(c.stats, 0)
+    return out
+
 
 def _session_alive(s: SparkSession) -> bool:
     try:
@@ -128,6 +161,7 @@ class DataFramePlanCache:
         max_entries: int = 4,
         unpersist_on_evict: bool = False,
         fingerprint_inputs: bool = True,
+        name: str | None = None,
     ):
         # key -> (session, key_df, value_df, input-file fingerprint);
         # key = (id(session), semanticHash, extra-params tuple).
@@ -144,6 +178,16 @@ class DataFramePlanCache:
         # tests chasing intermittent misses (a miss is always SAFE —
         # recompute — but an unexplained one hides a key-stability bug).
         self.last_miss: str | None = None
+        # Cumulative counters, exposed per-round by bench.py via
+        # cache_stats(): a hit is a served reuse (one avoided
+        # recompute), a put is a paid materialization, an eviction is
+        # released capacity. ``misses`` counts only true lookups (a
+        # definite cold miss), not the put() that follows.
+        self.stats: dict[str, int] = {
+            "hits": 0, "misses": 0, "puts": 0, "evictions": 0,
+        }
+        if name is not None:
+            _NAMED[name] = self
 
     def _key(self, key_df: DataFrame, extra: tuple) -> tuple:
         return (id(key_df.sparkSession), key_df.semanticHash(), extra)
@@ -166,7 +210,7 @@ class DataFramePlanCache:
 
     def _sweep_dead(self) -> None:
         dead = [
-            k for k, (s, _, _, _) in self._d.items() if not _session_alive(s)
+            k for k, (s, *_) in self._d.items() if not _session_alive(s)
         ]
         for k in dead:
             # Dead session: its blocks are already gone; never call into it.
@@ -186,15 +230,18 @@ class DataFramePlanCache:
             self.last_miss = (
                 f"no entry for key={k!r}; cached keys={list(self._d)!r}"
             )
+            self.stats["misses"] += 1
             return None
         fp = self._fp(key_df)
         if fp is None:
             self.last_miss = "uncacheable: inputFiles() listing failed"
+            self.stats["misses"] += 1
             return None
         sess, kdf, vdf, stored_fp = ent
         if not key_df.sameSemantics(kdf):
             self._drop(k)  # 32-bit collision: release before slot reuse
             self.last_miss = f"semanticHash collision on key={k!r}"
+            self.stats["misses"] += 1
             return None
         # Fingerprint match rule (asymmetric by design):
         # - digest == digest: inputs unchanged — hit.
@@ -218,9 +265,11 @@ class DataFramePlanCache:
                     "inputs hidden by cache substitution; stored digest "
                     f"unverifiable under key={k!r}"
                 )
+                self.stats["misses"] += 1
                 return None
             self._drop(k)
             self.last_miss = f"input files changed under key={k!r}"
+            self.stats["misses"] += 1
             return None
         if stored_fp == _FP_OPAQUE and fp != _FP_OPAQUE:
             # Upgrade: the entry was stored while cache substitution hid
@@ -231,6 +280,7 @@ class DataFramePlanCache:
             self._d[k] = (sess, kdf, vdf, fp)
         self._d.move_to_end(k)
         self.last_miss = None
+        self.stats["hits"] += 1
         return vdf
 
     def put(self, key_df: DataFrame, value_df: DataFrame, extra: tuple = ()) -> None:
@@ -242,8 +292,46 @@ class DataFramePlanCache:
         if k in self._d:
             self._drop(k)
         self._d[k] = (key_df.sparkSession, key_df, value_df, fp)
+        self.stats["puts"] += 1
         while len(self._d) > self._max:
             self._drop(next(iter(self._d)))
+            self.stats["evictions"] += 1
+
+    def get_or_materialize(
+        self,
+        key_df: DataFrame,
+        raw_df: DataFrame,
+        extra: tuple = (),
+    ) -> DataFrame:
+        """Shared-materialization policy for expensive derived frames:
+        the first request wraps ``raw_df`` in a LAZY localCheckpoint
+        (construction stays plan-only — ADVICE r7; blocks materialize
+        at the first ACTION, block-locked compute-once) and caches it;
+        every later request for the same (key, inputs) shape returns
+        the SAME frame and reads the blocks instead of recomputing.
+
+        Lazy-always beats materialize-on-second-use here: for every
+        cached shape in this engine the recompute (corpus scan +
+        explode + shuffle) costs far more than the one-time block
+        write, so charging a proven second consumer a full recompute
+        (measured +15% on the sf0.01 suite in r8) loses to charging
+        the first consumer the write. Shapes that are single-consumer
+        BY CONSTRUCTION (the fused ``carry=`` scoring variant) should
+        skip the cache entirely rather than pay the write — that is
+        the caller's knowledge, not this cache's.
+
+        With the hermetic ``MATERIALIZE`` switch off (plan-audit
+        suites), returns ``raw_df`` untouched without consulting the
+        cache.
+        """
+        if not MATERIALIZE:
+            return raw_df
+        hit = self.get(key_df, extra)
+        if hit is not None:
+            return hit
+        ck = raw_df.localCheckpoint(eager=False)
+        self.put(key_df, ck, extra)
+        return ck
 
     # Mapping-style views (tests/plan audits).
     def __len__(self) -> int:

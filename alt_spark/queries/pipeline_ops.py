@@ -20,6 +20,7 @@ from alt_spark.functions.hashing import DDB_H60 as _h60
 from alt_spark.functions.hashing import DDB_U64 as _u64
 from alt_spark.functions.text_analysis import DDB_TOKENS as _DDB_TOKENS
 from alt_spark.operators import dedup
+from alt_spark.plans import dfcache as _dfcache
 from alt_spark.queries import query
 from alt_spark.queries.planted import values_sql as _values_sql
 _EN = "('the','and','of','to','is','in','that','with')"
@@ -1239,10 +1240,15 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
     # anyway; the eager localCheckpoint is its in-session stand-in
     # (eager, not lazy: a lazy checkpoint only dedups across JOBS, and
     # the whole carve runs as one job — the _PAIR_CACHE rationale).
+    # Hermetically skipped under the plan-audit switch (ADVICE r7:
+    # constructing q100 must not run Spark jobs inside plan-only
+    # fixtures, and the audits apply to the RAW lineage).
     valid = langd.filter(
         (F.col("kept_tok") >= _REL_MIN_TOKS)
         & (F.col("n_chars") >= _REL_MIN_CHARS)
-    ).localCheckpoint(eager=True)
+    )
+    if _dfcache.MATERIALIZE:
+        valid = valid.localCheckpoint(eager=True)
     carve = exact_k_sample(
         valid, _REL_EVAL_K, "lang", "doc_id", salt=_REL_SALT
     ).select("doc_id", F.lit(True).alias("__eval"))

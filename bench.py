@@ -198,18 +198,63 @@ def main() -> int:
             "mb_per_s": round(nbytes / steady / 1e6, 2),
         }
 
-    out = {
+    # Plan-cache counters (VERDICT r7 item 3): which named cache served
+    # reuse, which paid a promotion, and how often — so suite-order
+    # effects (the q66/q70/q72 r7 regression class) are recorded per
+    # round instead of reconstructed by archaeology.
+    try:
+        from alt_spark.plans.dfcache import cache_stats
+
+        caches = cache_stats()
+    except Exception:
+        caches = {}
+
+    # The driver's capture keeps only the TAIL of the last stdout line
+    # (~2.9 KB survived of r7's ~5 KB line — BENCH_r07 `parsed: null`),
+    # so the printed line must stay SHORT: per-query keys are
+    # compressed to their qNN prefix and values rounded to 10 ms. The
+    # full-precision map, full names, ingestion detail, cache counters,
+    # and failures go to a sidecar file whose path rides in the line.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    detail = {
         "metric": "suite_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
+        "ingestion": ingestion,
+        "caches": caches,
+        "failed": failed,
     }
-    if ingestion:
-        out["ingestion"] = ingestion
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
+    except OSError:
+        detail_path = None
+
+    short = {n.split("_", 1)[0]: round(s, 2) for n, s in timings.items()}
+    out = {
+        "metric": "suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": short,
+        "sf": _sf_from_dir(sf_dir),
+    }
+    if detail_path:
+        out["detail"] = detail_path
     if failed:
-        out["failed"] = failed
-    print(json.dumps(out), flush=True)
+        # Names only in the line (messages live in the detail file):
+        # a few long tracebacks must not push the headline fields out
+        # of the driver's capture tail.
+        out["failed"] = sorted(n.split("_", 1)[0] for n in failed)
+    line = json.dumps(out)
+    if len(line) >= 2500:  # never raise here — a line must ALWAYS print
+        out["queries"] = {}
+        out["truncated"] = True
+        line = json.dumps(out)
+    print(line, flush=True)
     spark.stop()
     return 0
 

@@ -1,0 +1,204 @@
+"""Retention/compaction for the persisted incremental indexes
+(operators/index_maintenance.py, VERDICT r7 item 2).
+
+Contract under test: a compacted index scores a batch IDENTICALLY to
+the full index for in-horizon content; out-of-horizon content is
+deliberately forgotten (the reference's partition-aligned TTL policy,
+clickhouse/migrations/007_update_ttl_1day.sql, applied to index
+tables); stamping changes nothing about the unstamped merge; growth is
+bounded by the horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alt_spark.operators import dedup
+from alt_spark.operators.index_maintenance import (
+    compact_index,
+    merge_stamped_counts,
+    merge_stamped_rows,
+    stamp_index,
+)
+
+W = 3  # span width (tokens) for the gram tests
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# Distinct vocabularies per batch so horizon membership is controlled
+# exactly: batch-1 content shares no grams with later batches.
+_B1 = [(1, "ancient relic words one two three kept apart aaa bbb")]
+_B2 = [(2, "modern shared phrase red green blue plus filler words2")]
+_B3 = [(3, "other content entirely seven eight nine ten eleven")]
+# In-horizon probe: repeats the batch-2 phrase (last_seen=2 >= cutoff).
+_B4_IN = [(40, "probe starts here red green blue ends with fresh tokens")]
+# Out-of-horizon probe: repeats the batch-1 phrase only.
+_B4_OUT = [(41, "probe starts here one two three ends with fresh tokens")]
+
+
+def _span_index_chain(spark):
+    """(full stamped index after batches 1..3, per-batch count frames)."""
+    c1 = dedup.span_gram_counts(_docs(spark, _B1), width=W)
+    c2 = dedup.span_gram_counts(_docs(spark, _B2), width=W)
+    c3 = dedup.span_gram_counts(_docs(spark, _B3), width=W)
+    idx = stamp_index(c1, 1)
+    idx = merge_stamped_counts(idx, c2, 2)
+    idx = merge_stamped_counts(idx, c3, 3)
+    return idx, (c1, c2, c3)
+
+
+def test_stamped_counts_merge_matches_unstamped(spark):
+    """Dropping the stamp from the stamped merge chain recovers the
+    exact unstamped merge — stamping is free metadata, not a semantic
+    change to the index."""
+    idx, (c1, c2, c3) = _span_index_chain(spark)
+    plain = dedup.merge_span_gram_counts(
+        dedup.merge_span_gram_counts(c1, c2), c3
+    )
+    got = {(r["k"], r["c"]) for r in idx.select("k", "c").collect()}
+    want = {(r["k"], r["c"]) for r in plain.collect()}
+    assert got == want
+
+
+def test_span_compaction_in_horizon_parity(spark):
+    """A batch whose index overlap is entirely in-horizon scores
+    byte-identically against the compacted and the full index."""
+    idx, _ = _span_index_chain(spark)
+    compacted = compact_index(idx, min_last_seen=2)
+    probe = _docs(spark, _B4_IN)
+    full_rows = sorted(
+        map(
+            tuple,
+            dedup.duplicate_span_coverage_incremental(
+                probe, idx.select("k", "c"), width=W
+            ).collect(),
+        )
+    )
+    compact_rows = sorted(
+        map(
+            tuple,
+            dedup.duplicate_span_coverage_incremental(
+                probe, compacted.select("k", "c"), width=W
+            ).collect(),
+        )
+    )
+    assert compact_rows == full_rows
+    # The probe really does hit the index (the parity is not vacuous).
+    assert any(r[3] > 0 for r in full_rows), "probe must overlap batch 2"
+
+
+def test_span_compaction_forgets_out_of_horizon(spark):
+    """Content whose only prior occurrences predate the horizon scores
+    as FRESH against the compacted index — the retention policy made
+    loud: the full index still flags it, the compacted one must not."""
+    idx, _ = _span_index_chain(spark)
+    compacted = compact_index(idx, min_last_seen=2)
+    probe = _docs(spark, _B4_OUT)
+    full = dedup.duplicate_span_coverage_incremental(
+        probe, idx.select("k", "c"), width=W
+    ).first()
+    comp = dedup.duplicate_span_coverage_incremental(
+        probe, compacted.select("k", "c"), width=W
+    ).first()
+    assert full["dup_tokens"] > 0, "full index must remember batch 1"
+    assert comp["dup_tokens"] == 0, "compacted index must forget batch 1"
+
+
+def test_span_compaction_bounds_growth(spark):
+    """After compaction the key set is bounded by the in-horizon
+    batches' keys — the Zipf singleton tail from evicted batches is
+    gone, so index size tracks the horizon, not corpus lifetime."""
+    idx, (c1, c2, c3) = _span_index_chain(spark)
+    compacted = compact_index(idx, min_last_seen=2)
+    kept = {r["k"] for r in compacted.select("k").collect()}
+    horizon = {
+        r["k"] for r in c2.select("k").union(c3.select("k")).collect()
+    }
+    old_only = {r["k"] for r in c1.select("k").collect()} - horizon
+    assert kept <= horizon
+    assert old_only, "precondition: batch 1 must have evictable keys"
+    assert not (kept & old_only)
+
+
+def test_band_row_compaction_in_horizon_parity(spark):
+    """MinHash band-row index: an increment matching only in-horizon
+    base documents reports identical pairs against compacted and full
+    indexes; an increment matching an evicted document pairs with it
+    only in the full index."""
+    b1 = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog again")])
+    b2 = _docs(spark, [(2, "pack my box with five dozen liquor jugs tonight")])
+    sig = lambda d: dedup.minhash_signatures(d, portable=True)  # noqa: E731
+    bands = lambda d: dedup.band_rows(sig(d), portable=True)  # noqa: E731
+    idx = stamp_index(bands(b1), 1)
+    idx = merge_stamped_rows(idx, bands(b2), 2)
+    compacted = compact_index(idx, min_last_seen=2)
+
+    def pairs(new_df, index):
+        return sorted(
+            map(
+                tuple,
+                dedup.lsh_incremental_pairs(
+                    sig(new_df), index.select("id", "band", "key"),
+                    portable=True,
+                ).collect(),
+            )
+        )
+
+    # In-horizon: a copy of doc 2's text pairs with doc 2 either way.
+    probe_in = _docs(
+        spark, [(60, "pack my box with five dozen liquor jugs tonight")]
+    )
+    assert pairs(probe_in, compacted) == pairs(probe_in, idx)
+    assert (60, 2, True) in pairs(probe_in, idx)
+    # Out-of-horizon: a copy of doc 1's text pairs only in the full.
+    probe_out = _docs(
+        spark, [(61, "the quick brown fox jumps over the lazy dog again")]
+    )
+    assert (61, 1, True) in pairs(probe_out, idx)
+    assert (61, 1, True) not in pairs(probe_out, compacted)
+
+
+def test_merge_stamped_rows_is_rerun_safe(spark):
+    """Re-folding the same batch (a retry after partial failure)
+    converges: batch-wins replacement refreshes stamps instead of
+    accreting duplicate rows — the lsh_incremental_pairs rerun-safety
+    rule applied to index maintenance."""
+    b1 = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta theta")])
+    bands = dedup.band_rows(dedup.minhash_signatures(b1, portable=True), portable=True)
+    idx = stamp_index(bands, 1)
+    once = merge_stamped_rows(idx, bands, 2)
+    twice = merge_stamped_rows(once, bands, 2)
+    assert twice.count() == once.count() == idx.count()
+    assert twice.select(F.min("last_seen")).first()[0] == 2
+
+
+def test_exact_hash_index_compaction(spark):
+    """Content-hash index: the hash row is the entity (id_col='h').
+    A batch repeating in-horizon content dedups identically against
+    compacted and full; evicted content is admitted as fresh."""
+    mk = lambda rows: _docs(spark, rows)  # noqa: E731
+    h = lambda d: d.select(F.xxhash64("text").alias("h"))  # noqa: E731
+    b1 = mk([(1, "oldest page body text")])
+    b2 = mk([(2, "newer page body text")])
+    idx = stamp_index(h(b1), 1)
+    idx = merge_stamped_rows(idx, h(b2), 2, id_col="h")
+    compacted = compact_index(idx, min_last_seen=2)
+
+    probe = mk([(70, "newer page body text"), (71, "oldest page body text")])
+
+    def survivors(index):
+        return {
+            r["doc_id"]
+            for r in dedup.exact_dedup_incremental(
+                probe, index.select("h")
+            ).collect()
+        }
+
+    assert survivors(idx) == set(), "full index remembers both"
+    # Compacted: the batch-1 duplicate (71) is admitted as fresh; the
+    # in-horizon duplicate (70) is still caught — identical to full for
+    # in-horizon content.
+    assert survivors(compacted) == {71}

@@ -913,12 +913,16 @@ def test_span_dup_cache_shared_between_audit_and_trim(spark):
     from alt_spark.queries import all_queries
 
     _SPAN_DUP_CACHE.clear()
+    stats0 = dict(_SPAN_DUP_CACHE.stats)
     all_queries()["q95_dup_span_coverage"](spark, SF)
     assert len(_SPAN_DUP_CACHE._d) == 1
     all_queries()["q97_span_trim"](spark, SF)
     assert len(_SPAN_DUP_CACHE._d) == 1, _SPAN_DUP_CACHE.last_miss
     all_queries()["q100_release_pipeline"](spark, SF)
     assert len(_SPAN_DUP_CACHE._d) == 1, _SPAN_DUP_CACHE.last_miss
+    # One paid materialization, two served reuses (the r8 counters).
+    assert _SPAN_DUP_CACHE.stats["puts"] - stats0["puts"] == 1
+    assert _SPAN_DUP_CACHE.stats["hits"] - stats0["hits"] >= 2
 
 
 from hypothesis import given, settings
@@ -973,10 +977,14 @@ def test_embedding_scored_pair_cache_shared_between_cut_and_histogram(spark):
     from tests.conftest import SF_ORACLE
 
     ann._SCORED_PAIR_CACHE.clear()
+    stats0 = dict(ann._SCORED_PAIR_CACHE.stats)
     all_queries()["q91_embedding_neardup_lsh"](spark, SF_ORACLE)
     assert len(ann._SCORED_PAIR_CACHE._d) == 1
     all_queries()["q99_neardup_threshold_histogram"](spark, SF_ORACLE)
     assert len(ann._SCORED_PAIR_CACHE._d) == 1, ann._SCORED_PAIR_CACHE.last_miss
+    # One paid materialization, one served reuse (the r8 counters).
+    assert ann._SCORED_PAIR_CACHE.stats["puts"] - stats0["puts"] == 1
+    assert ann._SCORED_PAIR_CACHE.stats["hits"] - stats0["hits"] >= 1
 
 
 def test_embedding_band_rows_short_and_partial_dims(spark):

@@ -23,20 +23,36 @@ SF = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="module", autouse=True)
 def _raw_scoring_lineage():
-    """Plan audits assert properties of the RAW LM-scoring lineage
-    (fused-scan shape, exchange counts, the 1-row cross-join
-    allowlist); the production scored-frame registry would wrap it in
-    a checkpoint barrier and make every such pin vacuous. Audit with
-    materialization off, module-wide."""
-    from alt_spark.operators import lm
+    """Plan audits assert properties of RAW lineage (fused-scan shape,
+    exchange counts, the 1-row cross-join allowlist); the production
+    plan-keyed caches would wrap hot frames in checkpoint barriers —
+    or, for the span/embedding families, run real Spark jobs at frame
+    CONSTRUCTION time (the r7 ADVICE finding) — and make every such
+    pin vacuous. Audit with every materialization switch off,
+    module-wide: lm.SCORE_MATERIALIZE gates the scored-frame registry,
+    dfcache.MATERIALIZE gates get_or_promote, the operator-local inner
+    checkpoints (MinHash signatures, incremental band rows), and
+    q100's survivor-manifest checkpoint."""
+    from alt_spark.operators import ann, dedup, lm
+    from alt_spark.plans import dfcache
 
     prev = lm.SCORE_MATERIALIZE
+    prev_mat = dfcache.MATERIALIZE
     lm.SCORE_MATERIALIZE = False
-    lm._SCORE_CACHE.clear()
+    dfcache.MATERIALIZE = False
+    for c in (
+        lm._SCORE_CACHE,
+        dedup._PAIR_CACHE,
+        dedup._SPAN_DUP_CACHE,
+        dedup._TRIM_CACHE,
+        ann._SCORED_PAIR_CACHE,
+    ):
+        c.clear()
     try:
         yield
     finally:
         lm.SCORE_MATERIALIZE = prev
+        dfcache.MATERIALIZE = prev_mat
 
 # Queries allowed to contain a broadcast nested-loop (1-row cursor /
 # corpus-stat cross joins — bounded by construction).

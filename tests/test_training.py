@@ -998,6 +998,20 @@ def test_lm_score_cache_is_bounded_and_reuses(spark):
         f"miss reason: {lm._SCORE_CACHE.last_miss}"
     )
     assert again.count() == n0
+    # The fused carry= shape is single-consumer by construction and
+    # must NOT occupy a cache slot or gain a checkpoint barrier (the
+    # r7 q72 regression, VERDICT r7 item 3).
+    valid = docs.filter("length(text) >= 3").withColumn(
+        "n_chars", F.length("text")
+    )
+    entries_before = len(lm._SCORE_CACHE)
+    fused = score_against_lm(valid, m, n=3, carry=("n_chars",))
+    assert len(lm._SCORE_CACHE) == entries_before, (
+        "carry= shapes must skip the score cache"
+    )
+    assert "ExistingRDD" not in fused._jdf.queryExecution().optimizedPlan().toString(), (
+        "carry= shapes must not be checkpoint-backed"
+    )
 
     # Distinct shapes (different doc slices) evict oldest.
     for lim in (40, 30, 20):
@@ -1107,6 +1121,52 @@ def test_plan_cache_digest_entry_unverifiable_under_substitution(spark, tmp_path
         assert cache.get(spark.read.parquet(p)) is derived2, cache.last_miss
     finally:
         spark.catalog.clearCache()
+
+
+def test_plan_cache_get_or_materialize_and_counters(spark, tmp_path):
+    """Shared-materialization + instrumentation (VERDICT r7 item 3):
+    the first request wraps the raw frame in a LAZY checkpoint
+    (construction is plan-only — no jobs run until an action), later
+    requests alias that frame, and every transition shows up in the
+    stats counters that bench.py exports per round via cache_stats()."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alt_spark.plans import dfcache
+    from alt_spark.plans.dfcache import DataFramePlanCache, cache_stats
+
+    p = str(tmp_path / "corpus.parquet")
+    pq.write_table(pa.table({"doc_id": [1, 2], "x": [10, 20]}), p)
+    cache = DataFramePlanCache(max_entries=2, name="__test_mat")
+    try:
+        def shape():
+            return spark.read.parquet(p).groupBy().sum("x")
+
+        raw = shape()
+        first = cache.get_or_materialize(shape(), raw)
+        assert first is not raw, "first use must wrap in a checkpoint"
+        second = cache.get_or_materialize(shape(), shape())
+        assert second is first, (
+            f"later requests must alias the cached frame; "
+            f"miss: {cache.last_miss}"
+        )
+        assert second.first()["sum(x)"] == 30
+        s = cache.stats
+        assert s["hits"] == 1 and s["misses"] == 1 and s["puts"] == 1
+        assert cache_stats()["__test_mat"]["entries"] == 1
+        # Hermetic switch: plan audits must get the raw frame back
+        # untouched with the cache not even consulted.
+        prev = dfcache.MATERIALIZE
+        dfcache.MATERIALIZE = False
+        try:
+            audited = shape()
+            assert cache.get_or_materialize(shape(), audited) is audited
+            assert cache.stats["hits"] == 1, "switch off => no lookups"
+        finally:
+            dfcache.MATERIALIZE = prev
+    finally:
+        cache.clear()
+        dfcache._NAMED.pop("__test_mat", None)
 
 
 def test_q89_coverage_curve_invariants(spark):
