@@ -309,5 +309,7 @@ def score_against_lm(
     # consumer from the blocks. Staleness guard lives in
     # DataFramePlanCache: each entry carries an input-file fingerprint,
     # so in-place regeneration of the corpus files (same paths, new
-    # bytes) misses instead of serving stale checkpointed scores.
+    # bytes) misses instead of serving stale checkpointed scores
+    # (residual window — size+mtime-preserving rewrites — documented
+    # at dfcache._input_fingerprint).
     return _SCORE_CACHE.get_or_materialize(out, out)

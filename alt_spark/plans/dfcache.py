@@ -122,7 +122,22 @@ def _input_fingerprint(df: DataFrame) -> str | None:
     listing failure returns None (caller disables caching for that
     frame rather than risking staleness); an EMPTY listing returns
     ``_FP_OPAQUE`` (cache-substituted subtree — see module docstring,
-    matches any stored digest)."""
+    matches any stored digest).
+
+    RESIDUAL WINDOW (r7 ADVICE, documented rather than closable): the
+    digest is (path, size, mtime_ns), so an in-place rewrite that
+    preserves byte count AND restores mtime to the nanosecond (an
+    mtime-preserving restore, ``rsync -t`` onto an identical-length
+    file, a clock-skewed writer landing on the same ns) is
+    indistinguishable from no change and would serve the stale frame.
+    Spark's own CacheManager/FileIndex freshness checks share exactly
+    this blind spot (modificationTime + size), so a pipeline whose
+    storage layer can do this must version its PATHS (the parquet
+    writer's per-job UUID part names do this for free — any normal
+    rewrite changes names). Past the stat budget the digest degrades
+    to a file-count + stride-sampled stat + path-name form: an
+    in-place rewrite of an unsampled file with an identical part name
+    is undetectable in that regime."""
     try:
         files = sorted(df.inputFiles())
     except Exception:
@@ -134,9 +149,17 @@ def _input_fingerprint(df: DataFrame) -> str | None:
             return None
     if not files:
         return _FP_OPAQUE
-    parts = []
+    # File COUNT is always part of the digest (free), so adding or
+    # removing part files is detected even past the stat budget.
+    parts = [f"<n={len(files)}>"]
+    # Spread the stat budget EVENLY over the sorted listing instead of
+    # statting a prefix (r7 ADVICE): a regeneration that rewrites only
+    # late part files in a >_FP_MAX_STAT listing would be invisible to
+    # a first-N policy but lands on the stride sample with probability
+    # ~ rewritten_fraction * budget.
+    stride = max(1, -(-len(files) // _FP_MAX_STAT))  # ceil division
     for i, p in enumerate(files):
-        if i < _FP_MAX_STAT and (p.startswith("file:") or p.startswith("/")):
+        if i % stride == 0 and (p.startswith("file:") or p.startswith("/")):
             local = p.split(":", 1)[1] if p.startswith("file:") else p
             try:
                 st = os.stat(local)

@@ -25,7 +25,7 @@ import shutil
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alt_spark.catalog import load_table
@@ -251,6 +251,60 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+def _q48_log_line(ev: DataFrame) -> Column:
+    """The synthesized combined-log line for an events frame (split out
+    of q48 so the envelope pin test can reuse it)."""
+    status = (
+        F.when(F.col("event_type") == "error", 500)
+        .when(F.col("event_type") == "view", 404)
+        .otherwise(200)
+    )
+    size_str = F.when(F.col("event_type") == "click", F.lit("-")).otherwise(
+        (F.col("event_id") % 1000).cast("string")
+    )
+    return F.concat(
+        F.lit("10.0.0."),
+        (F.col("user_id") % 256).cast("string"),
+        F.lit(" - - ["),
+        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
+        F.lit(' +0000] "GET /'),
+        F.col("event_type"),
+        F.lit("/"),
+        (F.col("event_id") % 50).cast("string"),
+        F.lit(' HTTP/1.1" '),
+        status.cast("string"),
+        F.lit(" "),
+        size_str,
+        F.lit(' "-" "alt-bench"'),
+    )
+
+
+def _q48_envelope(line: Column) -> Column:
+    """The hand-concatenated Docker NDJSON envelope around a log line.
+
+    Escapes backslashes FIRST, then quotes (r8, after r7 ADVICE: the
+    quote-only replace was byte-identical to to_json for the current
+    literal-only line, but a future field containing a backslash or a
+    control character would silently produce divergent JSON). With
+    both escapes the form matches ``to_json`` for any line free of
+    control characters — equality is pinned permanently in
+    tests/test_ndjson_logs.py::test_q48_envelope_matches_to_json,
+    including a planted backslash+quote row."""
+    esc = F.replace(
+        F.replace(line, F.lit("\\"), F.lit("\\\\")),
+        F.lit('"'),
+        F.lit('\\"'),
+    )
+    return F.concat(
+        F.lit('{"time":"'),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit('","stream":"stdout","container_name":"/nginx","log":"'),
+        esc,
+        F.lit('"}'),
+    )
+
+
+
 @query(
     "q48_nginx_log_parse",
     oracle="""
@@ -289,45 +343,16 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     from alt_spark.sources.ndjson_logs import http_logs, parse_logs
 
     ev = load_table(spark, sf, "events")
-    status = (
-        F.when(F.col("event_type") == "error", 500)
-        .when(F.col("event_type") == "view", 404)
-        .otherwise(200)
-    )
-    size_str = F.when(F.col("event_type") == "click", F.lit("-")).otherwise(
-        (F.col("event_id") % 1000).cast("string")
-    )
     # Line SYNTHESIS (the harness side of this query) is ~40% of its
     # end-to-end cost at sf0.1 (r7 profile: synth 0.53 s of 1.32 s /
     # 100k rows), so it gets the same measured treatment as the parse:
     # the ' Z' offset renders ' +0000' in this UTC session (equality
     # asserted over the full corpus in the r7 experiment), so it is a
     # literal, and the envelope is a concat'd JSON string instead of
-    # to_json(struct(...)) — byte-identical (xxhash64-verified; the log
-    # line's only JSON-escapable bytes are the quotes, handled by the
-    # replace) and 0.04 s/100k cheaper.
-    line = F.concat(
-        F.lit("10.0.0."),
-        (F.col("user_id") % 256).cast("string"),
-        F.lit(" - - ["),
-        F.date_format("ts", "dd/MMM/yyyy:HH:mm:ss"),
-        F.lit(' +0000] "GET /'),
-        F.col("event_type"),
-        F.lit("/"),
-        (F.col("event_id") % 50).cast("string"),
-        F.lit(' HTTP/1.1" '),
-        status.cast("string"),
-        F.lit(" "),
-        size_str,
-        F.lit(' "-" "alt-bench"'),
-    )
-    envelope = F.concat(
-        F.lit('{"time":"'),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
-        F.lit('","stream":"stdout","container_name":"/nginx","log":"'),
-        F.replace(line, F.lit('"'), F.lit('\\"')),
-        F.lit('"}'),
-    )
+    # to_json(struct(...)) — byte-identical (pinned permanently by
+    # test_q48_envelope_matches_to_json since r8) and 0.04 s/100k
+    # cheaper.
+    envelope = _q48_envelope(_q48_log_line(ev))
     logs = parse_logs(ev.select(envelope.alias("value")))
     hl = http_logs(logs)
     return (

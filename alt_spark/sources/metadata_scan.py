@@ -51,8 +51,18 @@ def _v2_parquet_agg_pushdown(spark: SparkSession):
     """Temporarily plan parquet through DSv2 with aggregate pushdown.
     Conf is restored even on error; only plans BUILT AND EXECUTED
     inside the scope are affected (the utility collects inside).
-    Reentrant per session and serialized across threads (see
-    _SCOPE_LOCK)."""
+    Reentrant per session across threads.
+
+    Locking (r8, after r7 ADVICE): the lock guards only the enter/exit
+    conf BOOKKEEPING, not the body — the bodies of concurrent scopes
+    run in parallel, so one slow call (a require_pushdown=False
+    fallback paying a real data scan) no longer blocks every other
+    thread's footer_stats for the scan's duration. The depth counter
+    makes overlapping scopes of one session restore exactly once, at
+    the LAST exit; the r7 capture race (a scope saving another scope's
+    modified values as the "old" conf) cannot recur because save/set
+    and restore are each atomic under the lock and only the
+    depth-0->1 enter saves."""
     sid = id(spark)
     with _SCOPE_LOCK:
         if _SCOPE_DEPTH.get(sid, 0) == 0:
@@ -67,9 +77,10 @@ def _v2_parquet_agg_pushdown(spark: SparkSession):
             spark.conf.set(_V1_KEY, v1_rest)
             spark.conf.set(_AGG_KEY, "true")
         _SCOPE_DEPTH[sid] = _SCOPE_DEPTH.get(sid, 0) + 1
-        try:
-            yield
-        finally:
+    try:
+        yield
+    finally:
+        with _SCOPE_LOCK:
             _SCOPE_DEPTH[sid] -= 1
             if _SCOPE_DEPTH[sid] == 0:
                 del _SCOPE_DEPTH[sid]
@@ -96,6 +107,14 @@ def footer_stats(
     the same values are returned either way (Spark falls back to a
     normal scan; correct, just not metadata-cheap) and ``pushed``
     reports what actually happened.
+
+    Concurrency: calls from multiple threads run their queries in
+    parallel (the conf-scope lock guards only enter/exit bookkeeping —
+    r8). Session conf is process-visible, so while ANY footer_stats
+    call is in flight, other threads of the same session plan parquet
+    through DSv2 with aggregate pushdown on — harmless for reads but
+    visible in plans; don't interleave plan-shape assertions with a
+    concurrent footer_stats.
     """
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in minmax_cols:

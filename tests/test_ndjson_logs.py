@@ -212,3 +212,50 @@ def test_streaming_parse_matches_batch(spark, ndjson_dir):
         q.stop()
     stream_cnt = spark.sql("SELECT count(*) FROM http_logs_stream").first()[0]
     assert stream_cnt == batch_cnt > 0
+
+
+def test_q48_envelope_matches_to_json(spark):
+    """Permanent pin of the r7 hand-built-envelope experiment (r7
+    ADVICE asked for it to outlive the experiment): q48's concat'd
+    Docker NDJSON envelope must stay byte-identical to
+    to_json(struct(...)) — over the real sf0.01 events corpus AND over
+    planted rows whose event_type carries backslashes and quotes (the
+    bytes the r8 double-escape exists for). Contract boundary: lines
+    with CONTROL characters are out of scope (to_json \\uXXXX-escapes
+    them; the synthesized combined-log line cannot contain them)."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.queries.coverage_q import _q48_envelope, _q48_log_line
+
+    ev = load_table(spark, "/root/testdata/sf0.01", "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    planted = spark.createDataFrame(
+        [
+            (9001, 7, "2024-01-02 03:04:05", 'path\\with"both'),
+            (9002, 8, "2024-01-02 03:04:06", "\\\\lead\\\\"),
+            (9003, 9, "2024-01-02 03:04:07", '"""'),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for frame in (ev, planted):
+        line = _q48_log_line(frame)
+        hand = _q48_envelope(line)
+        twin = F.to_json(
+            F.struct(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("time"),
+                F.lit("stdout").alias("stream"),
+                F.lit("/nginx").alias("container_name"),
+                line.alias("log"),
+            )
+        )
+        bad = frame.select(
+            hand.alias("h"), twin.alias("t")
+        ).filter("h IS DISTINCT FROM t")
+        assert bad.count() == 0, bad.first()
+        # And every envelope is real JSON whose log field round-trips.
+        n_hand = frame.select(
+            F.get_json_object(hand, "$.log").alias("g")
+        ).filter("g IS NOT NULL").count()
+        assert n_hand == frame.count()
