@@ -213,6 +213,10 @@ _REPORT_TAIL = (
     # tests/test_ml_ops.py. The rest of the r7 family (q79-q86,
     # q88-q100, all oracle-backed) rotated INTO the window in r8.
     "q87_bpe_vocab_learning",
+    # q101 — new r8 (index retention/compaction, VERDICT r7 item 2);
+    # oracle-backed (in-pytest parity every CI pass), parked in the
+    # tail as the newest entry; r9 rotation candidate.
+    "q101_index_retention",
 )
 
 

@@ -1272,3 +1272,121 @@ def q100(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "split")
     )
+
+
+# ---------------------------------------------------------------------------
+def _q101_oracle() -> str:
+    w = _SPAN_W
+    return f"""
+WITH batched AS (
+  SELECT doc_id, text, 1 + doc_id % 3 AS batch FROM documents
+), tok AS (
+  SELECT doc_id, batch, {_DDB_TOKENS} AS toks FROM batched
+), grams AS (
+  SELECT batch,
+         array_to_string(list_slice(toks, pos + 1, pos + {w}), ' ') AS g
+  FROM (
+    SELECT doc_id, batch, toks,
+           unnest(generate_series(0, len(toks) - {w})) AS pos
+    FROM tok WHERE len(toks) >= {w}
+  )
+), idx AS (
+  SELECT g, count(*) AS c, max(batch) AS last_seen
+  FROM grams GROUP BY g
+), comp AS (
+  SELECT g, c FROM idx WHERE last_seen >= 2
+), probe AS (
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+  WHERE doc_id % 10 = 0
+), ptok AS (
+  SELECT doc_id, {_DDB_TOKENS} AS toks FROM probe
+), pgrams AS (
+  SELECT doc_id, pos,
+         array_to_string(list_slice(toks, pos + 1, pos + {w}), ' ') AS g
+  FROM (
+    SELECT doc_id, toks,
+           unnest(generate_series(0, len(toks) - {w})) AS pos
+    FROM ptok WHERE len(toks) >= {w}
+  )
+), pcnt AS (
+  SELECT g, count(*) AS cn FROM pgrams GROUP BY g
+), dup AS (
+  SELECT pcnt.g FROM pcnt LEFT JOIN comp USING (g)
+  WHERE pcnt.cn + coalesce(comp.c, 0) >= 2
+), cov AS (
+  SELECT doc_id,
+         pos + {w - 1} - greatest(coalesce(max(pos + {w - 1}) OVER (
+             PARTITION BY doc_id ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+             pos - 1) AS m
+  FROM pgrams WHERE g IN (SELECT g FROM dup)
+), agg AS (
+  SELECT doc_id, count(*) AS nw, sum(m) AS dt FROM cov GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tok,
+       CAST(coalesce(a.nw, 0) AS BIGINT) AS n_dup_windows,
+       CAST(coalesce(a.dt, 0) AS BIGINT) AS dup_tokens
+FROM ptok t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
+@query("q101_index_retention", oracle=_q101_oracle())
+def q101(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental-index RETENTION end to end (new r8, VERDICT r7
+    item 2; operators/index_maintenance.py; the reference's
+    partition-aligned TTL, clickhouse/migrations/007_update_ttl_1day
+    .sql:15-22): the corpus arrives as three batches (doc_id mod 3,
+    stamps 1-3) whose span-gram counts fold into a stamped index
+    (counts sum, last_seen refreshes); compaction drops every gram
+    last seen before batch 2; a probe batch of re-labeled copies of
+    every 10th document is then scored incrementally against the
+    COMPACTED index. Probes sourced from horizon batches score
+    near-total duplication (probe window + stored count >= 2); probes
+    whose only prior occurrences predate the horizon score as fresh —
+    the retention policy as observable output, replayed row by row by
+    the oracle (stamped merge == grouped max, the compaction filter,
+    and the incremental dup rule are all relational).
+
+    Scale shape: the stamped merge is the same one key-bucketed
+    aggregate as the unstamped index fold (max rides the sum's
+    shuffle); compaction is one filter (partition pruning when the
+    physical index is written partitionBy(last_seen)); probe scoring
+    is batch-sized (gram explode in-row, one key-equi LEFT join
+    against index counts, per-doc bounded interval-union window) —
+    the base corpus is never rescanned.
+    """
+    from alt_spark.operators.index_maintenance import (
+        compact_index,
+        merge_stamped_counts,
+        stamp_index,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def batch(r: int) -> DataFrame:
+        return docs.filter(F.col("doc_id") % 3 == r)
+
+    def counts(b: DataFrame) -> DataFrame:
+        return dedup.span_gram_counts(b, width=_SPAN_W, hash_grams=False)
+
+    idx = stamp_index(counts(batch(0)), 1)
+    idx = merge_stamped_counts(idx, counts(batch(1)), 2)
+    idx = merge_stamped_counts(idx, counts(batch(2)), 3)
+    compacted = compact_index(idx, min_last_seen=2)
+    probe = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    out = dedup.duplicate_span_coverage_incremental(
+        probe,
+        compacted.select("k", "c"),
+        width=_SPAN_W,
+        hash_grams=False,
+    )
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_tok"),
+        F.col("n_dup_windows"),
+        F.col("dup_tokens"),
+    ).orderBy("doc_id")
