@@ -199,9 +199,16 @@ def main() -> int:
         }
 
     # Plan-cache counters (VERDICT r7 item 3): which named cache served
-    # reuse, which paid a promotion, and how often — so suite-order
-    # effects (the q66/q70/q72 r7 regression class) are recorded per
-    # round instead of reconstructed by archaeology.
+    # reuse, which paid a materialization, and how often — so
+    # suite-order effects (the q66/q70/q72 r7 regression class) are
+    # recorded per round instead of reconstructed by archaeology.
+    # Cross-ROUND absolute comparisons need a machine-state caveat:
+    # r8 measured the same container at 1.0x-1.4x run-to-run variance
+    # on an idle box (sf0.01 suite 61-84 s across identical-code runs;
+    # a median 1.30x uniform factor vs the r7 driver recording on
+    # queries untouched by any r8 change). Within-run ratios and the
+    # alternating A/B protocol (old/new within 1% at r8) are the
+    # signals that survive; single-run absolutes do not.
     try:
         from alt_spark.plans.dfcache import cache_stats
 
