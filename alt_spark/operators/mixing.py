@@ -32,6 +32,7 @@ __all__ = [
     "PRECISION",
     "sample_bucket",
     "stratified_sample",
+    "target_mixture_rates",
     "temperature_rates",
     "token_budget_plan",
     "cdf_buckets",
@@ -149,6 +150,86 @@ def temperature_rates(
             ),
         )
         .select(stratum_col, "n", "rate")
+    )
+
+
+def target_mixture_rates(
+    df: DataFrame,
+    stratum_col: str,
+    target_permyriad: dict[str, int],
+    weight_col: str,
+) -> DataFrame:
+    """Derive per-stratum keep-rates that hit an EXOGENOUS target
+    mixture ("20% code, 5% forum, ...") with the largest achievable
+    corpus: the classic rebalance a training run applies when the
+    declared recipe disagrees with what crawling actually produced.
+    Complements :func:`temperature_rates` (which derives the target
+    FROM the corpus) — here the target is a config literal and the
+    corpus is cut down to match it.
+
+    The binding constraint is the BOTTLENECK stratum: the achievable
+    total is ``T = min_s floor(tok_s * PRECISION / share_s)`` — any
+    larger corpus would need more of stratum argmin than exists (no
+    upsampling in a keep/drop sampler). Then ``planned_s =
+    floor(share_s * T / PRECISION)`` and ``rate_s = min(PRECISION,
+    floor(planned_s * PRECISION / tok_s))``. Integer division only, so
+    a DuckDB oracle replays every derived number exactly; the one
+    product ``tok_s * PRECISION`` stays under 2^63 for strata up to
+    ~9e14 tokens (beyond that, derive rates on scaled-down counts —
+    only ratios matter).
+
+    Strata present in the corpus but absent from the target get rate 0
+    (a mixing config lists exactly what it wants — the
+    ``stratified_sample`` contract); target strata with no corpus rows
+    simply produce no output row (nothing exists to sample), which also
+    makes the achievable-total min run only over strata that exist.
+
+    Returns (stratum, tok, planned_tok, rate) — ``tok`` the observed
+    weight mass, ``planned_tok`` the post-sampling plan the rate aims
+    at. Shape at 100 TB: one bounded groupBy for the per-stratum mass,
+    a 1-row broadcast min, and a stratum-sized rate table; the keep
+    predicate itself stays the narrow scan-local ``sample_bucket``
+    filter.
+    """
+    tot_share = sum(target_permyriad.values())
+    if tot_share != PRECISION:
+        raise ValueError(
+            f"target shares must sum to {PRECISION} permyriad, got {tot_share}"
+        )
+    for k, v in target_permyriad.items():
+        if not 0 < v <= PRECISION:
+            raise ValueError(f"share for {k!r} must be in (0, {PRECISION}], got {v}")
+    pairs: list[Column] = []
+    for k, v in target_permyriad.items():
+        pairs.extend([F.lit(k), F.lit(int(v))])
+    share = F.element_at(F.create_map(*pairs), F.col(stratum_col))
+    counts = (
+        df.groupBy(stratum_col)
+        .agg(F.sum(weight_col).cast("long").alias("tok"))
+        .withColumn("share", share)
+    )
+    # Achievable total over DECLARED strata only; undeclared strata
+    # (share NULL) don't constrain the mix — they are dropped outright.
+    tot = counts.filter(F.col("share").isNotNull()).agg(
+        F.min(F.expr(f"(tok * {PRECISION}) div share")).alias("t_total")
+    )
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "planned_tok",
+            F.when(
+                F.col("share").isNotNull(),
+                F.expr(f"(share * t_total) div {PRECISION}"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(PRECISION).cast("long"),
+                F.expr(f"(planned_tok * {PRECISION}) div tok"),
+            ),
+        )
+        .select(stratum_col, "tok", "planned_tok", "rate")
     )
 
 

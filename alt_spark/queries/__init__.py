@@ -57,7 +57,7 @@ _loaded = False
 # (r3 evidence: 55 registered, exactly positions 50-54 of dict order
 # absent from CORRECTNESS_r03; documented in VERDICT.md r4 §Next and
 # COVERAGE.md — the cap-dependence is deliberate and externally visible,
-# not a code-comment secret). With 101 registered queries, 51 must sit
+# not a code-comment secret). With 104 registered queries, 54 must sit
 # past the window; order the registry so the reported 50 are the
 # strongest evidence: oracle-backed queries in numeric order first,
 # then entries whose correctness is already carried by other green
@@ -217,6 +217,13 @@ _REPORT_TAIL = (
     # oracle-backed (in-pytest parity every CI pass), parked in the
     # tail as the newest entry; r9 rotation candidate.
     "q101_index_retention",
+    # q102-q104 — new r8 additions (semantic decontamination, target-
+    # mixture rebalance, padding-waste audit); oracle-backed (in-pytest
+    # parity every CI pass), parked in the tail as the newest entries;
+    # r9 rotation candidates alongside q101.
+    "q102_semantic_decontamination",
+    "q103_target_mixture_rebalance",
+    "q104_padding_waste_audit",
 )
 
 

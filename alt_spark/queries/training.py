@@ -1963,3 +1963,196 @@ def q96(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exogenous target mixture: the declared recipe ("45% en, 18% de, ...").
+# 'es' is deliberately UNDECLARED — a mixing config lists exactly what it
+# wants, and the rebalance must drop undeclared strata (rate 0), the
+# stratified_sample contract. Shares sum to exactly 10000 permyriad.
+_TGT_SHARES = {"en": 4500, "de": 1800, "fr": 1800, "zh": 1900}
+_TGT_SALT = "mix-target-v1"
+
+
+def _tgt_values_sql() -> str:
+    rows = ", ".join(f"('{k}', {v})" for k, v in _TGT_SHARES.items())
+    return f"(VALUES {rows}) tgt(lang, share)"
+
+
+@query(
+    "q103_target_mixture_rebalance",
+    oracle=f"""
+WITH t AS (
+  SELECT lang, doc_id, len({_DDB_TOKENS}) AS n_tok FROM documents
+), c AS (
+  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tok FROM t GROUP BY lang
+), s AS (
+  SELECT c.lang, c.tok, tgt.share
+  FROM c LEFT JOIN {_tgt_values_sql()} ON c.lang = tgt.lang
+), tt AS (
+  SELECT min((tok * 10000) // share) AS t_total FROM s WHERE share IS NOT NULL
+), r AS (
+  SELECT lang, tok,
+         CAST(CASE WHEN share IS NULL THEN 0
+              ELSE (share * t_total) // 10000 END AS BIGINT) AS planned_tok,
+         CAST(least(10000, (CASE WHEN share IS NULL THEN 0
+              ELSE (share * t_total) // 10000 END) * 10000 // tok) AS BIGINT) AS rate
+  FROM s, tt
+)
+SELECT t.lang,
+       r.tok AS tok_total,
+       r.planned_tok,
+       r.rate AS rate_permyriad,
+       count(*) FILTER (WHERE {ddb_sample_bucket('t.doc_id', _TGT_SALT)} < r.rate) AS n_kept,
+       CAST(coalesce(sum(t.n_tok) FILTER (
+         WHERE {ddb_sample_bucket('t.doc_id', _TGT_SALT)} < r.rate), 0) AS BIGINT) AS kept_tok,
+       CAST(coalesce(sum(t.doc_id) FILTER (
+         WHERE {ddb_sample_bucket('t.doc_id', _TGT_SALT)} < r.rate), 0) AS BIGINT) AS id_checksum
+FROM t JOIN r ON t.lang = r.lang
+GROUP BY t.lang, r.tok, r.planned_tok, r.rate
+ORDER BY t.lang
+""",
+)
+def q103(spark: SparkSession, sf: str) -> DataFrame:
+    """Target-mixture rebalance: cut the corpus to an EXOGENOUS recipe
+    ("45% en, 18% de, 18% fr, 19% zh") at the largest achievable size —
+    the bottleneck stratum (least token mass relative to its declared
+    share) caps the whole corpus, every other stratum is down-sampled
+    to match, and undeclared strata ('es' here) are dropped outright.
+    Completes the mixing family: q59 applies FIXED per-stratum rates,
+    q70 derives rates FROM the corpus (temperature), q74 plans against
+    a token budget — this one reconciles corpus reality with a declared
+    recipe, the op a production run executes when the crawl mix
+    disagrees with the training mix.
+
+    Integer arithmetic end-to-end (operators/mixing.
+    target_mixture_rates): the achievable total, every planned token
+    mass, and every permyriad rate replay exactly in the oracle, and
+    the md5-bucket keep decision pins the exact kept SET (id checksum)
+    per stratum.
+
+    Plan: one bounded groupBy for per-stratum token mass, a 1-row
+    broadcast min (the bottleneck), a stratum-sized broadcast rate
+    table, and the narrow scan-local keep predicate — at 100 TB the
+    rebalance adds two tiny aggregates to a filtered scan.
+    """
+    from alt_spark.operators.mixing import sample_bucket, target_mixture_rates
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "lang", "doc_id", F.size(_tokens_col()).cast("long").alias("n_tok")
+    )
+    rates = target_mixture_rates(t, "lang", _TGT_SHARES, "n_tok")
+    keep = sample_bucket("doc_id", _TGT_SALT) < F.col("rate")
+    return (
+        t.join(F.broadcast(rates), "lang")
+        .groupBy(
+            "lang",
+            F.col("tok").alias("tok_total"),
+            F.col("planned_tok"),
+            F.col("rate").alias("rate_permyriad"),
+        )
+        .agg(
+            F.count(F.when(keep, 1)).alias("n_kept"),
+            F.coalesce(F.sum(F.when(keep, F.col("n_tok"))), F.lit(0))
+            .cast("long")
+            .alias("kept_tok"),
+            F.coalesce(F.sum(F.when(keep, F.col("doc_id"))), F.lit(0))
+            .cast("long")
+            .alias("id_checksum"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+_PAD_MAX = 256  # max sequence length (training batch width)
+_PAD_BOUNDS = (32, 64, 128, 256)  # length-bucket upper bounds
+
+
+@query(
+    "q104_padding_waste_audit",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, len({_DDB_TOKENS}) AS n_tok FROM documents
+), b AS (
+  SELECT doc_id, n_tok,
+         least(n_tok, {_PAD_MAX}) AS trunc_tok,
+         n_tok - least(n_tok, {_PAD_MAX}) AS overflow_tok,
+         CASE WHEN least(n_tok, {_PAD_MAX}) <= 32 THEN 32
+              WHEN least(n_tok, {_PAD_MAX}) <= 64 THEN 64
+              WHEN least(n_tok, {_PAD_MAX}) <= 128 THEN 128
+              ELSE 256 END AS bucket_bound
+  FROM t
+), g AS (
+  SELECT bucket_bound,
+         count(*) AS n_docs,
+         CAST(sum(trunc_tok) AS BIGINT) AS real_tok,
+         CAST(sum(overflow_tok) AS BIGINT) AS overflow_tok,
+         CAST(count(*) * bucket_bound AS BIGINT) AS padded_bucketed,
+         CAST(count(*) * {_PAD_MAX} AS BIGINT) AS padded_flat
+  FROM b GROUP BY bucket_bound
+)
+SELECT bucket_bound, n_docs, real_tok, overflow_tok,
+       padded_bucketed, padded_flat,
+       CAST(((padded_bucketed - real_tok) * 10000) // padded_bucketed AS BIGINT)
+         AS waste_bucketed_permyriad,
+       CAST(((padded_flat - real_tok) * 10000) // padded_flat AS BIGINT)
+         AS waste_flat_permyriad
+FROM g
+ORDER BY bucket_bound
+""",
+)
+def q104(spark: SparkSession, sf: str) -> DataFrame:
+    """Padding-waste audit for length-bucketed batching: per length
+    bucket (upper bounds 32/64/128/256 at max-seq-len 256), how many
+    pad tokens flat padding burns vs bucketed padding — the
+    training/serving-efficiency report that justifies (or kills) a
+    bucketing strategy before a run. Sequence PACKING (q61) eliminates
+    padding entirely but welds documents together; bucketing keeps
+    document boundaries and this audit prices the residual waste.
+    Overflow tokens (beyond max-seq-len) are reported per bucket too —
+    the truncation loss no padding strategy can recover.
+
+    All integer (counts, token sums, permyriad floor division), so
+    every cell replays exactly in the oracle. Plan: one in-row bucket
+    expression over the scan + ONE bounded hash aggregate (|buckets|
+    rows) — a 100 TB audit is a single map-side-combinable pass.
+    """
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(F.size(_tokens_col()).cast("long").alias("n_tok"))
+    b = t.select(
+        "n_tok",
+        F.least(F.col("n_tok"), F.lit(_PAD_MAX)).alias("trunc_tok"),
+        (F.col("n_tok") - F.least(F.col("n_tok"), F.lit(_PAD_MAX))).alias(
+            "overflow_tok"
+        ),
+    ).withColumn(
+        "bucket_bound",
+        F.when(F.col("trunc_tok") <= 32, 32)
+        .when(F.col("trunc_tok") <= 64, 64)
+        .when(F.col("trunc_tok") <= 128, 128)
+        .otherwise(256)
+        .cast("int"),
+    )
+    g = b.groupBy("bucket_bound").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("trunc_tok").cast("long").alias("real_tok"),
+        F.sum("overflow_tok").cast("long").alias("overflow_tok"),
+        (F.count("*") * F.col("bucket_bound")).cast("long").alias("padded_bucketed"),
+        (F.count("*") * F.lit(_PAD_MAX)).cast("long").alias("padded_flat"),
+    )
+    return g.select(
+        "bucket_bound",
+        "n_docs",
+        "real_tok",
+        "overflow_tok",
+        "padded_bucketed",
+        "padded_flat",
+        F.expr("((padded_bucketed - real_tok) * 10000) div padded_bucketed")
+        .cast("long")
+        .alias("waste_bucketed_permyriad"),
+        F.expr("((padded_flat - real_tok) * 10000) div padded_flat")
+        .cast("long")
+        .alias("waste_flat_permyriad"),
+    ).orderBy("bucket_bound")

@@ -482,3 +482,92 @@ def q99(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+_SEMDECON_TAU = 0.35  # cosine threshold on the 6-digit-rounded similarity
+_SEMDECON_MOD = 50  # every 50th vector plays the benchmark (q62's device)
+
+
+@query(
+    "q102_semantic_decontamination",
+    oracle=f"""
+WITH ex AS ({_DDB_EXPLODE}),
+c AS (SELECT * FROM ex WHERE vec_id % {_SEMDECON_MOD} <> 0),
+b AS (SELECT * FROM ex WHERE vec_id % {_SEMDECON_MOD} = 0),
+pairs AS (
+  SELECT c.vec_id AS cid, c.label AS label,
+         round(sum(c.val * b.val)
+               / (sqrt(sum(c.val * c.val)) * sqrt(sum(b.val * b.val))), 6) AS cos
+  FROM c JOIN b ON c.idx = b.idx
+  GROUP BY c.vec_id, c.label, b.vec_id
+), mx AS (
+  SELECT cid, label, max(cos) AS max_cos FROM pairs GROUP BY 1, 2
+)
+SELECT label,
+       count(*) AS n_corpus,
+       count(*) FILTER (WHERE max_cos >= {_SEMDECON_TAU}) AS n_contaminated,
+       CAST(coalesce(sum(cid) FILTER (WHERE max_cos >= {_SEMDECON_TAU}), 0)
+            AS BIGINT) AS contam_checksum
+FROM mx GROUP BY label ORDER BY label
+""",
+)
+def q102(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic (embedding-space) benchmark decontamination: flag every
+    corpus vector whose max cosine to ANY benchmark vector clears the
+    threshold — the paraphrase-robust complement of q62's n-gram rule
+    (a reworded eval item shares no 5-gram with its source but stays
+    close in embedding space; embedding-similarity decontamination is
+    how recent model cards audit for exactly that leak). Every 50th
+    vector plays the benchmark, the q62 device.
+
+    Plan (the 100 TB shape): the benchmark side is eval-suite-sized, so
+    it collapses to ONE collect_list row broadcast onto the corpus scan
+    — the max-cosine is an in-row fold over the benchmark array (all
+    JVM codegen, |bench| x dim multiply-adds per row, zero corpus
+    shuffle), followed by one bounded per-label aggregate. Contrast
+    q32, where both sides are corpus-scale and blocking (labels there,
+    SRP bands in q91) is mandatory; against a BOUNDED benchmark,
+    brute-force max IS the scale plan — no recall caveat, no index.
+    Per-pair cosines are rounded to 6 digits BEFORE the max/threshold
+    (the q32/q91 bit-identity device), so the flag decision is exact
+    cross-engine; the id checksum pins the exact contaminated SET.
+    """
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    emb = load_table(spark, sf, "embeddings")
+    vec = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    bench = (
+        vec.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
+        .select(F.struct(F.col("v").alias("v"), F.col("nrm").alias("nrm")).alias("bv"))
+        .agg(F.collect_list("bv").alias("bench"))
+    )
+    corpus = vec.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+    scored = corpus.crossJoin(F.broadcast(bench)).withColumn(
+        "max_cos",
+        F.array_max(
+            F.transform(
+                F.col("bench"),
+                lambda b: F.round(
+                    dot(F.col("v"), b["v"]) / (F.col("nrm") * b["nrm"]), 6
+                ),
+            )
+        ),
+    )
+    contam = F.col("max_cos") >= _SEMDECON_TAU
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_corpus"),
+            F.count(F.when(contam, 1)).alias("n_contaminated"),
+            F.coalesce(F.sum(F.when(contam, F.col("vec_id"))), F.lit(0))
+            .cast("long")
+            .alias("contam_checksum"),
+        )
+        .orderBy("label")
+    )

@@ -1003,3 +1003,45 @@ def test_embedding_band_rows_short_and_partial_dims(spark):
     )
     rows = sorted(tuple(r) for r in ann.embedding_band_rows(df).collect())
     assert rows == [(1, 0, "1010"), (2, 0, "11111111"), (2, 1, "01")], rows
+
+
+# ---------------------------------------------------------------------------
+def test_q102_flags_match_numpy_brute_force(spark):
+    """Third-party pin for the semantic decontamination flag set: the
+    in-row broadcast-bench fold must flag exactly the vectors a numpy
+    matmul brute force flags (per-pair cosine rounded to 6 before the
+    max/threshold, the query's own device)."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.conftest import SF_ORACLE
+    from alt_spark.queries.vectors import _SEMDECON_MOD, _SEMDECON_TAU, q102
+
+    pdf = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    is_bench = (pdf["vec_id"] % _SEMDECON_MOD == 0).to_numpy()
+    cos = np.round(mat[~is_bench] @ mat[is_bench].T, 6)
+    flagged = cos.max(axis=1) >= _SEMDECON_TAU
+    corpus = pdf[~is_bench].reset_index(drop=True)
+    want = (
+        corpus.assign(flag=flagged)
+        .groupby("label")
+        .agg(
+            n_corpus=("vec_id", "size"),
+            n_contaminated=("flag", "sum"),
+            contam_checksum=("vec_id", lambda s: int(s[flagged[s.index]].sum())),
+        )
+        .reset_index()
+    )
+    got = {
+        r["label"]: (r["n_corpus"], r["n_contaminated"], r["contam_checksum"])
+        for r in q102(spark, SF_ORACLE).collect()
+    }
+    assert len(got) == len(want)
+    for _, w in want.iterrows():
+        assert got[w["label"]] == (
+            int(w["n_corpus"]),
+            int(w["n_contaminated"]),
+            int(w["contam_checksum"]),
+        ), w["label"]

@@ -90,6 +90,14 @@ _NESTED_LOOP_OK = {
     # TakeOrdered top-5 heavy keys — both sides bounded by
     # construction (the skew-audit report surface).
     "q98_join_key_skew_audit",
+    # 1-row collect_list(benchmark vectors) frame broadcast onto the
+    # corpus scan — the benchmark side is eval-suite-sized by
+    # construction (the q62 broadcast-bench device, vector form).
+    "q102_semantic_decontamination",
+    # 1-row bottleneck-total frame crossed onto the stratum-sized
+    # count table (operators/mixing.target_mixture_rates, q70's
+    # device).
+    "q103_target_mixture_rebalance",
 }
 
 

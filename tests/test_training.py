@@ -1352,3 +1352,75 @@ def test_epoch_expand_rejects_colliding_columns(spark):
     expanded = epoch_expand(df, plan, "lang", "doc_id", "n_tok")
     with pytest.raises(ValueError, match="copy"):
         epoch_expand(expanded, plan, "lang", "doc_id", "n_tok")
+
+
+# ---------------------------------------------------------------------------
+def test_target_mixture_rates_match_python_reference(spark):
+    """The whole integer chain — per-stratum mass, bottleneck total,
+    planned masses, rates — must equal an independent pure-Python
+    replay, and an undeclared stratum must get rate 0 with planned 0
+    (the stratified_sample drop contract)."""
+    from alt_spark.operators.mixing import target_mixture_rates
+    from alt_spark.queries.training import _TGT_SHARES, _tokens_col
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = docs.select(
+        "lang", "doc_id", F.size(_tokens_col()).cast("long").alias("n_tok")
+    )
+    got = {
+        r["lang"]: (r["tok"], r["planned_tok"], r["rate"])
+        for r in target_mixture_rates(t, "lang", _TGT_SHARES, "n_tok").collect()
+    }
+
+    toks: dict[str, int] = {}
+    for r in t.groupBy("lang").agg(F.sum("n_tok").alias("tok")).collect():
+        toks[r["lang"]] = int(r["tok"])
+    t_total = min(
+        toks[s] * PRECISION // share
+        for s, share in _TGT_SHARES.items()
+        if s in toks
+    )
+    for lang, tok in toks.items():
+        share = _TGT_SHARES.get(lang)
+        planned = 0 if share is None else share * t_total // PRECISION
+        rate = min(PRECISION, planned * PRECISION // tok)
+        assert got[lang] == (tok, planned, rate), lang
+        assert planned <= tok, "a keep/drop sampler cannot upsample"
+    # 'es' exists in the corpus but not in the recipe: dropped outright.
+    assert "es" in toks and _TGT_SHARES.get("es") is None
+    assert got["es"][1:] == (0, 0)
+    # The binding stratum is kept (nearly) whole: the two floors lose
+    # at most one token of mass (T floors by share, planned floors by
+    # PRECISION), so its rate sits within ceil(PRECISION/tok)+1 of full.
+    binding = min(
+        (s for s in _TGT_SHARES if s in toks),
+        key=lambda s: toks[s] * PRECISION // _TGT_SHARES[s],
+    )
+    slack = -(-PRECISION // toks[binding]) + 1
+    assert got[binding][2] >= PRECISION - slack
+
+
+def test_target_mixture_rates_validation():
+    from alt_spark.operators.mixing import target_mixture_rates
+
+    with pytest.raises(ValueError, match="sum"):
+        target_mixture_rates(None, "lang", {"en": 1}, "n_tok")
+    with pytest.raises(ValueError, match="share"):
+        target_mixture_rates(None, "lang", {"en": 10001, "de": -1}, "n_tok")
+
+
+def test_q104_padding_invariants(spark):
+    """Bucket rows must partition the corpus, flat padding can never
+    waste less than bucketed padding, and truncation overflow can only
+    exist in the top bucket."""
+    from alt_spark.queries.training import q104
+
+    rows = q104(spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert r["waste_flat_permyriad"] >= r["waste_bucketed_permyriad"]
+        assert r["padded_bucketed"] <= r["padded_flat"]
+        assert r["real_tok"] <= r["padded_bucketed"]
+        if r["bucket_bound"] < 256:
+            assert r["overflow_tok"] == 0
