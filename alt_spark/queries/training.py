@@ -2156,3 +2156,65 @@ def q104(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("waste_flat_permyriad"),
     ).orderBy("bucket_bound")
+
+
+# ---------------------------------------------------------------------------
+_UNI_MAXW = 12  # declared word-length bound: keeps the oracle's unrolled DP finite
+# Planted row (q63's negative-id device): '9' has no vocabulary entry,
+# so segmenting "ab9cd" MUST take the UNK single-char fallback — the
+# path the natural corpus (pure a-y words) never exercises.
+_UNI_EXTRA: tuple[tuple[int, str], ...] = ((-31, "ab9cd line table value"),)
+
+
+def _uni_words_cte() -> str:
+    return f"""
+  SELECT word, count(*) AS cnt FROM (
+    SELECT unnest({_DDB_TOKENS}) AS word FROM (
+      SELECT text FROM documents
+      UNION ALL SELECT text FROM {values_sql(_UNI_EXTRA)}
+    )
+  ) GROUP BY word
+"""
+
+
+def _q105_oracle() -> str:
+    from alt_spark.operators.unigram import ddb_viterbi_sql
+
+    return ddb_viterbi_sql(_uni_words_cte(), _UNI_MAXW)
+
+
+@query("q105_unigram_segmentation", oracle=_q105_oracle())
+def q105(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-class) subword segmentation under a
+    PINNED integer-scored vocabulary (Kudo 2018): per word type, the
+    max-likelihood segmentation chosen by Viterbi DP — the second
+    production tokenizer family next to BPE (q87 learns merges, q88
+    applies them greedily; a unigram tokenizer globally optimizes the
+    piece sequence instead, and "li ne" vs "line" genuinely diverge
+    between the two algorithm classes). The planted tie ("li"+"ne" ==
+    "line" in total score) pins the per-position (score, piece_len,
+    piece) DESC tie-break; the planted digit word pins the UNK
+    single-char fallback.
+
+    Plan (the 100 TB shape, the BPE doctrine): the corpus collapses
+    ONCE to the Zipf-bounded word-type table; the DP is ONE in-row
+    fold per word type (<= n x MAX_PIECE_LEN map lookups inside
+    codegen — no explode, no join, no shuffle); output is
+    word-type-bounded. The oracle replays the DP as an UNROLLED stage
+    chain with window argmax — an independent formulation of the same
+    recurrence, exact because every score is integer milli-log-prob.
+    """
+    from alt_spark.operators.unigram import viterbi_segment, word_types
+
+    docs = load_table(spark, sf, "documents").select("text")
+    extra = spark.createDataFrame(list(_UNI_EXTRA), ["doc_id", "text"]).select("text")
+    w = word_types(docs.unionByName(extra)).filter(F.length("word") <= _UNI_MAXW)
+    seg = w.withColumn("r", viterbi_segment(F.col("word")))
+    return seg.select(
+        "word",
+        "cnt",
+        F.length("word").cast("long").alias("n_chars"),
+        F.size(F.split(F.col("r.seg"), " ")).cast("long").alias("n_pieces"),
+        F.col("r.score").alias("score"),
+        F.col("r.seg").alias("seg"),
+    ).orderBy("word")

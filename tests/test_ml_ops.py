@@ -606,3 +606,76 @@ def test_q96_single_aggregate_plan(spark):
     assert audit.shuffle_count(df) <= 2, plan
     assert "Join" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+def _py_viterbi(word: str) -> tuple[int, str]:
+    """Independent pure-Python replay of the unigram DP contract —
+    same recurrence, same per-position (score, piece_len, piece) DESC
+    tie-break, UNK fallback on single chars."""
+    from alt_spark.operators.unigram import MAX_PIECE_LEN, PINNED_VOCAB, UNK_MILLI
+
+    vocab = dict(PINNED_VOCAB)
+    best: list[tuple[int, str]] = [(0, "")]
+    for i in range(1, len(word) + 1):
+        cands = []
+        for ln in range(1, min(MAX_PIECE_LEN, i) + 1):
+            piece = word[i - ln : i]
+            ms = vocab.get(piece) if ln > 1 else vocab.get(piece, UNK_MILLI)
+            if ms is None:
+                continue
+            score, seg = best[i - ln]
+            cands.append(
+                (score + ms, ln, piece, seg + (" " if seg else "") + piece)
+            )
+        s, _, _, seg = max(cands, key=lambda c: (c[0], c[1], c[2]))
+        best.append((s, seg))
+    return best[-1]
+
+
+def test_unigram_viterbi_matches_python_reference(spark):
+    """Every corpus word type must segment identically to the
+    independent Python DP — optimal score AND chosen segmentation."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.unigram import viterbi_segment, word_types
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("text")
+    w = word_types(docs).withColumn("r", viterbi_segment(F.col("word")))
+    rows = w.select("word", "r.score", "r.seg").collect()
+    assert rows
+    for r in rows:
+        score, seg = _py_viterbi(r["word"])
+        assert (r["score"], r["seg"]) == (score, seg), r["word"]
+
+
+def test_unigram_tie_break_and_unk(spark):
+    """The planted tie ('li'+'ne' == 'line' at -12000) must resolve to
+    the LONGER piece, and a char without a vocab entry must take the
+    UNK fallback instead of making the word unsegmentable."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.unigram import UNK_MILLI, viterbi_segment
+
+    df = spark.createDataFrame([("line",), ("ab9cd",), ("q",)], ["word"])
+    got = {
+        r["word"]: (r["r"]["score"], r["r"]["seg"])
+        for r in df.withColumn("r", viterbi_segment(F.col("word"))).collect()
+    }
+    assert got["line"] == (-12000, "line")  # not 'li ne' (equal score)
+    assert got["ab9cd"] == (4 * -4000 + UNK_MILLI, "a b 9 c d")
+    assert got["q"] == (-4000, "q")
+
+
+def test_q105_plan_is_one_aggregation(spark):
+    """The unigram query must stay word-type-shaped: one shuffle for
+    the word-type groupBy, one for the bounded output sort — the DP
+    itself adds ZERO exchanges (in-row fold on the bounded table)."""
+    from alt_spark.plans import audit
+    from alt_spark.queries.training import q105
+    from tests.conftest import SF_SMOKE
+
+    df = q105(spark, SF_SMOKE)
+    assert audit.shuffle_count(df) <= 2, audit.physical_plan(df)
