@@ -35,6 +35,8 @@ __all__ = [
     "PINNED_MERGES",
     "segment_symbol_string",
     "ddb_segment_symbol_string",
+    "word_symbol_string",
+    "ddb_word_symbol_string",
 ]
 
 _EOW = "</w>"  # end-of-word marker: final subwords stay distinct
@@ -256,6 +258,34 @@ def ddb_segment_symbol_string(text_expr: str = "text") -> str:
         f" || {c1} || '{_EOW}' || {c2})"
     )
     s = f"coalesce(array_to_string({word}, {c3}), '')"
+    for a, b in PINNED_MERGES:
+        pat = f"{c1} || '{a}' || {c2} || ' ' || {c1} || '{b}' || {c2}"
+        rep = f"{c1} || '{a + b}' || {c2}"
+        s = f"replace({s}, {pat}, {rep})"
+    return s
+
+
+def word_symbol_string(word: Column) -> Column:
+    """Single-WORD twin of :func:`segment_symbol_string` (same sentinel
+    rendering, same PINNED_MERGES replace chain) — for word-type-grain
+    consumers (the tokenizer bake-off q106) where segmentation runs
+    once per type instead of once per document."""
+    s = F.concat(
+        F.regexp_replace(word, "(.)", f"{_S1}$1{_S2} "),
+        F.lit(_sym(_EOW)),
+    )
+    for a, b in PINNED_MERGES:
+        s = F.replace(s, F.lit(f"{_sym(a)} {_sym(b)}"), F.lit(_sym(a + b)))
+    return s
+
+
+def ddb_word_symbol_string(word_expr: str) -> str:
+    """DuckDB twin of :func:`word_symbol_string`."""
+    c1, c2 = "chr(1)", "chr(2)"
+    s = (
+        f"regexp_replace({word_expr}, '(.)', {c1} || '\\1' || {c2} || ' ', 'g')"
+        f" || {c1} || '{_EOW}' || {c2}"
+    )
     for a, b in PINNED_MERGES:
         pat = f"{c1} || '{a}' || {c2} || ' ' || {c1} || '{b}' || {c2}"
         rep = f"{c1} || '{a + b}' || {c2}"

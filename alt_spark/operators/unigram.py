@@ -55,6 +55,7 @@ __all__ = [
     "MAX_PIECE_LEN",
     "word_types",
     "viterbi_segment",
+    "ddb_viterbi_ctes",
     "ddb_viterbi_sql",
 ]
 
@@ -166,19 +167,15 @@ def viterbi_segment(word: Column) -> Column:
     return F.element_at(dp, -1)
 
 
-def ddb_viterbi_sql(words_cte: str, max_len: int) -> str:
-    """DuckDB twin of :func:`viterbi_segment`, as an UNROLLED stage
-    chain (a genuinely independent formulation of the same DP — stage
-    tables + window argmax, vs Spark's in-row fold): ``b{i}`` holds
-    best[i] for every word of length >= i; the final SELECT joins each
-    word to its full-length stage. ``words_cte`` must expose
-    (word, cnt); callers bound word length to ``max_len`` (the Spark
-    side applies the same declared bound so both engines segment the
-    identical word set).
-
-    Returns the full WITH...SELECT producing
-    (word, cnt, n_chars, n_pieces, score, seg) ORDER BY word.
-    """
+def ddb_viterbi_ctes(words_cte: str, max_len: int) -> str:
+    """The DP stage chain as a composable WITH-body fragment: defines
+    ``w`` (the caller's words), ``wl(word, cnt, n)`` length-bounded,
+    ``v(piece, ms)`` the pinned vocabulary, stages ``b0..b{max_len}``
+    (MATERIALIZED — DuckDB inlines plain CTEs, and a stage referencing
+    up to MAX_PIECE_LEN prior stages would otherwise expand
+    exponentially), and ``fin(n, word, score, seg)`` holding every
+    word's full-length best. Callers append their own final SELECT
+    joining ``wl`` to ``fin ON f.word = wl.word AND f.n = wl.n``."""
     vocab_rows = ", ".join(
         f"('{p}', {ms})" for p, ms in PINNED_VOCAB
     )
@@ -218,11 +215,27 @@ def ddb_viterbi_sql(words_cte: str, max_len: int) -> str:
         f"SELECT {i} AS n, word, score, seg FROM b{i}" for i in range(1, max_len + 1)
     )
     joined_ctes = ",\n".join(ctes)
-    return f"""
-WITH {joined_ctes},
+    return f"""{joined_ctes},
 fin AS (
   {finals}
-)
+)"""
+
+
+def ddb_viterbi_sql(words_cte: str, max_len: int) -> str:
+    """DuckDB twin of :func:`viterbi_segment`, as an UNROLLED stage
+    chain (a genuinely independent formulation of the same DP — stage
+    tables + window argmax, vs Spark's in-row fold): ``b{i}`` holds
+    best[i] for every word of length >= i; the final SELECT joins each
+    word to its full-length stage. ``words_cte`` must expose
+    (word, cnt); callers bound word length to ``max_len`` (the Spark
+    side applies the same declared bound so both engines segment the
+    identical word set).
+
+    Returns the full WITH...SELECT producing
+    (word, cnt, n_chars, n_pieces, score, seg) ORDER BY word.
+    """
+    return f"""
+WITH {ddb_viterbi_ctes(words_cte, max_len)}
 SELECT wl.word, wl.cnt,
        wl.n AS n_chars,
        CAST(len(string_split(f.seg, ' ')) AS BIGINT) AS n_pieces,

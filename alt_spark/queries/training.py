@@ -2218,3 +2218,110 @@ def q105(spark: SparkSession, sf: str) -> DataFrame:
         F.col("r.score").alias("score"),
         F.col("r.seg").alias("seg"),
     ).orderBy("word")
+
+
+# ---------------------------------------------------------------------------
+def _q106_oracle() -> str:
+    from alt_spark.operators.bpe import ddb_word_symbol_string
+    from alt_spark.operators.unigram import ddb_viterbi_ctes
+
+    words_cte = """
+  SELECT word, CAST(sum(cnt) AS BIGINT) AS cnt FROM lw GROUP BY word
+"""
+    sym = ddb_word_symbol_string("word")
+    return f"""
+WITH lw AS (
+  SELECT lang, word, count(*) AS cnt FROM (
+    SELECT lang, unnest({_DDB_TOKENS}) AS word FROM documents
+  ) GROUP BY 1, 2
+),
+{ddb_viterbi_ctes(words_cte, _UNI_MAXW)},
+uni AS (
+  SELECT wl.word, CAST(len(string_split(f.seg, ' ')) AS BIGINT) AS n_pieces
+  FROM wl JOIN fin f ON f.word = wl.word AND f.n = wl.n
+),
+bpe AS (
+  SELECT word,
+         CAST(length({sym}) - length(replace({sym}, chr(1), '')) AS BIGINT) AS n_sym
+  FROM (SELECT DISTINCT word FROM lw WHERE length(word) <= {_UNI_MAXW})
+),
+j AS (
+  SELECT lw.lang, lw.cnt, u.n_pieces, b.n_sym
+  FROM lw
+  JOIN uni u ON u.word = lw.word
+  JOIN bpe b ON b.word = lw.word
+  WHERE length(lw.word) <= {_UNI_MAXW}
+)
+SELECT lang,
+       CAST(sum(cnt) AS BIGINT) AS words,
+       CAST(sum(cnt * n_sym) AS BIGINT) AS bpe_symbols,
+       CAST(sum(cnt * n_pieces) AS BIGINT) AS uni_pieces,
+       CAST((10000 * sum(cnt * n_sym)) // sum(cnt) AS BIGINT) AS bpe_fert_permyriad,
+       CAST((10000 * sum(cnt * n_pieces)) // sum(cnt) AS BIGINT) AS uni_fert_permyriad,
+       CASE WHEN sum(cnt * n_pieces) < sum(cnt * n_sym) THEN 'unigram'
+            WHEN sum(cnt * n_sym) < sum(cnt * n_pieces) THEN 'bpe'
+            ELSE 'tie' END AS winner
+FROM j GROUP BY lang ORDER BY lang
+"""
+
+
+@query("q106_tokenizer_bakeoff", oracle=_q106_oracle())
+def q106(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer bake-off: BPE (pinned merges, q88) vs unigram-LM
+    (pinned vocab, q105) fertility per language over the SAME word set
+    — the table a team reads to pick the production tokenizer before
+    committing a vocabulary (outsized fertility = the language shatters
+    and trains expensively; q96 prices ONE tokenizer, this ranks two).
+    BPE symbol counts carry the end-of-word-marker convention (</w>
+    merges into final symbols), the standard caveat when comparing the
+    two families' raw counts — both sides are integer-exact, so the
+    verdict column is a deterministic integer compare, not a float one.
+
+    Plan (word-type doctrine, twice over): one (lang, word) groupBy is
+    the only corpus-wide exchange; BOTH segmenters then run in-row on
+    that bounded frame (the BPE sentinel replace chain and the unigram
+    Viterbi fold — no join, no explode), followed by one bounded
+    per-lang aggregate. At 100 TB the bake-off costs one corpus scan.
+    """
+    from alt_spark.operators.bpe import word_symbol_string
+    from alt_spark.operators.unigram import viterbi_segment
+
+    docs = load_table(spark, sf, "documents")
+    lw = (
+        docs.select("lang", F.explode(_tokens_col()).alias("word"))
+        .groupBy("lang", "word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.length("word") <= _UNI_MAXW)
+    )
+    s = word_symbol_string(F.col("word"))
+    scored = lw.select(
+        "lang",
+        "cnt",
+        F.size(F.split(viterbi_segment(F.col("word"))["seg"], " "))
+        .cast("long")
+        .alias("n_pieces"),
+        (F.length(s) - F.length(F.replace(s, F.lit("\x01"))))
+        .cast("long")
+        .alias("n_sym"),
+    )
+    g = scored.groupBy("lang").agg(
+        F.sum("cnt").cast("long").alias("words"),
+        F.sum(F.col("cnt") * F.col("n_sym")).cast("long").alias("bpe_symbols"),
+        F.sum(F.col("cnt") * F.col("n_pieces")).cast("long").alias("uni_pieces"),
+    )
+    return g.select(
+        "lang",
+        "words",
+        "bpe_symbols",
+        "uni_pieces",
+        F.expr("(10000 * bpe_symbols) div words")
+        .cast("long")
+        .alias("bpe_fert_permyriad"),
+        F.expr("(10000 * uni_pieces) div words")
+        .cast("long")
+        .alias("uni_fert_permyriad"),
+        F.when(F.col("uni_pieces") < F.col("bpe_symbols"), "unigram")
+        .when(F.col("bpe_symbols") < F.col("uni_pieces"), "bpe")
+        .otherwise("tie")
+        .alias("winner"),
+    ).orderBy("lang")

@@ -679,3 +679,29 @@ def test_q105_plan_is_one_aggregation(spark):
 
     df = q105(spark, SF_SMOKE)
     assert audit.shuffle_count(df) <= 2, audit.physical_plan(df)
+
+
+def test_q106_bakeoff_consistent_with_q96_and_bounded(spark):
+    """Cross-operator consistency: the bake-off's per-lang word mass
+    must equal q96's (same tokenizer contract, and the length bound
+    never binds on this corpus); both fertilities are >= one piece per
+    word; the winner column agrees with the integer piece totals."""
+    from alt_spark.queries.training import q106, q96
+    from tests.conftest import SF_ORACLE
+
+    bake = {r["lang"]: r for r in q106(spark, SF_ORACLE).collect()}
+    fert = {r["lang"]: r for r in q96(spark, SF_ORACLE).collect()}
+    assert set(bake) == set(fert)
+    for lang, b in bake.items():
+        assert b["words"] == fert[lang]["words"], lang
+        assert b["bpe_symbols"] == fert[lang]["symbols"], lang
+        assert b["uni_fert_permyriad"] >= 10000
+        assert b["bpe_fert_permyriad"] >= 10000
+        want = (
+            "unigram"
+            if b["uni_pieces"] < b["bpe_symbols"]
+            else "bpe"
+            if b["bpe_symbols"] < b["uni_pieces"]
+            else "tie"
+        )
+        assert b["winner"] == want

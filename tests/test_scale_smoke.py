@@ -975,3 +975,41 @@ def test_embedding_near_dup_incremental_at_100k(spark, tmp_path):
     }
     norm = {tuple(sorted(p)) for p in (vs_base | within)}
     assert norm == full_touching
+
+
+def test_unigram_viterbi_at_100k_word_types(spark):
+    """The in-row Viterbi fold at 100k DISTINCT word types (the real
+    corpus collapses to ~31; this drives the DP itself at volume):
+    deterministic synthetic words up to 12 chars from md5 hex (no
+    vocabulary hits beyond singles/UNK needed for cost), every word
+    must segment (UNK fallback guarantees reachability), the score of
+    an all-miss word is linear in its length, and the plan stays
+    shuffle-bounded (the DP adds no exchange)."""
+    from alt_spark.operators.unigram import UNK_MILLI, viterbi_segment
+    from alt_spark.plans import audit
+
+    n = 100_000
+    words = spark.range(n).select(
+        F.substring(F.md5(F.col("id").cast("string")), 1, (F.col("id") % 12 + 1).cast("int"))
+        .alias("word")
+    )
+    seg = words.withColumn("r", viterbi_segment(F.col("word")))
+    out = seg.select(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("r.seg").isNull() | (F.col("r.seg") == ""), 1).otherwise(0)).alias(
+            "unsegmentable"
+        ),
+        F.max(F.length("word")).alias("max_len"),
+    ).collect()[0]
+    assert out["n"] == n
+    assert out["unsegmentable"] == 0
+    assert out["max_len"] == 12
+    # hex alphabet: digits fall to UNK, a-f are vocab singles — every
+    # per-char score is one of the two floors, so any word's score is
+    # bounded by its length times the worse floor.
+    bad = seg.filter(
+        (F.col("r.score") > F.length("word") * -4000)
+        | (F.col("r.score") < F.length("word") * UNK_MILLI)
+    ).count()
+    assert bad == 0
+    assert audit.shuffle_count(seg) == 0, audit.physical_plan(seg)
