@@ -304,3 +304,193 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
         F.round(u("max_v"), 4).alias("max_v"),
         F.round(u("sum_v") / F.col("n"), 4).alias("avg_v"),
     ).orderBy("bucket", "event_type")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q107_cohort_retention",
+    oracle="""
+WITH act AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS wk FROM events
+), cohort AS (
+  SELECT user_id, min(wk) AS cohort_wk FROM act GROUP BY user_id
+), cell AS (
+  SELECT c.cohort_wk,
+         CAST(date_diff('day', c.cohort_wk, a.wk) // 7 AS BIGINT) AS week_offset,
+         count(DISTINCT a.user_id) AS n_active
+  FROM act a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY 1, 2
+)
+SELECT cohort_wk, week_offset, n_active,
+       CAST((10000 * n_active) // max(CASE WHEN week_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cohort_wk) AS BIGINT) AS retained_permyriad
+FROM cell
+ORDER BY cohort_wk, week_offset
+""",
+)
+def q107(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly cohort-retention matrix: users grouped by first-seen
+    week, each cell the count still active N weeks later plus exact
+    permyriad retention vs the cohort's week-0 size — the dashboard
+    read model behind every product-analytics retention chart (the
+    reference's trend-stats family, D8/C3, extended to the derived-
+    cohort shape it lacks).
+
+    Plan (100 TB shape): ONE corpus-wide exchange — per-user groupBy
+    collecting the bounded distinct-week set and its min (weeks per
+    user are calendar-bounded, the collect_set cannot blow up) — then
+    an in-row explode of that bounded set and a |cohorts x offsets|-
+    bounded aggregate; the permyriad column is a window over the
+    bounded matrix. No corpus-scale join, no second shuffle of raw
+    events. date_trunc('week') is ISO-Monday in BOTH engines.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk"), F.collect_set("wk").alias("wks")
+    )
+    cell = (
+        per_user.select(
+            "user_id", "cohort_wk", F.explode("wks").alias("wk")
+        )
+        .groupBy(
+            "cohort_wk",
+            F.expr("datediff(wk, cohort_wk) div 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    base = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_wk"))
+    return (
+        cell.withColumn("base", base)
+        .withColumn(
+            "retained_permyriad",
+            F.expr("(10000 * n_active) div base").cast("long"),
+        )
+        .drop("base")
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q108_conversion_funnel",
+    oracle="""
+WITH s1 AS (
+  SELECT user_id, min(ts) AS s FROM events WHERE event_type = 'signup' GROUP BY 1
+), s2 AS (
+  SELECT e.user_id, min(e.ts) AS c
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.s AND e.ts <= s1.s + INTERVAL 7 DAY
+  GROUP BY 1
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS p
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.c AND e.ts <= s2.c + INTERVAL 7 DAY
+  GROUP BY 1
+), n AS (
+  SELECT (SELECT count(*) FROM s1) AS n1,
+         (SELECT count(*) FROM s2) AS n2,
+         (SELECT count(*) FROM s3) AS n3
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, 'signup' AS step, n1 AS n_users,
+         CAST(10000 AS BIGINT) AS conv_from_prev_pm,
+         CAST(10000 AS BIGINT) AS conv_from_start_pm FROM n
+  UNION ALL
+  SELECT 2, 'click', n2,
+         CAST((10000 * n2) // greatest(n1, 1) AS BIGINT),
+         CAST((10000 * n2) // greatest(n1, 1) AS BIGINT) FROM n
+  UNION ALL
+  SELECT 3, 'purchase', n3,
+         CAST((10000 * n3) // greatest(n2, 1) AS BIGINT),
+         CAST((10000 * n3) // greatest(n1, 1) AS BIGINT) FROM n
+) ORDER BY stage
+""",
+)
+def q108(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (signup -> first click within 7 days
+    -> first purchase within 7 days of that click): per stage, users
+    surviving plus exact permyriad conversion vs the previous stage
+    and vs funnel entry — the ORDERED-sequence analytics shape q92's
+    gate funnel (flags on one row) cannot express, because each stage's
+    deadline depends on WHEN the previous stage happened.
+
+    Plan (100 TB shape): ONE corpus-wide exchange — per-user groupBy
+    collecting the three bounded per-type timestamp lists — then the
+    whole stage chain is an in-row fold (array_min over interval-
+    filtered lists; a user's own events bound the state), one 1-row
+    aggregate, and a 3-row explode. The oracle takes the relational
+    route (three correlated stage CTEs) — same semantics, independent
+    formulation.
+    """
+    ev = load_table(spark, sf, "events").filter(
+        F.col("event_type").isin("signup", "click", "purchase")
+    )
+
+    def ts_list(t: str):
+        return F.collect_list(
+            F.when(F.col("event_type") == t, F.col("ts"))
+        ).alias(t + "s")
+
+    per_user = ev.groupBy("user_id").agg(
+        ts_list("signup"), ts_list("click"), ts_list("purchase")
+    )
+    week = F.expr("INTERVAL 7 DAYS")
+    s = F.array_min("signups")
+    staged = per_user.withColumn("s", s)
+    c = F.array_min(
+        F.filter(
+            F.col("clicks"),
+            lambda x: (x > F.col("s")) & (x <= F.col("s") + week),
+        )
+    )
+    staged = staged.withColumn("c", c)
+    p = F.array_min(
+        F.filter(
+            F.col("purchases"),
+            lambda x: (x > F.col("c")) & (x <= F.col("c") + week),
+        )
+    )
+    staged = staged.withColumn("p", p)
+    n = staged.agg(
+        F.count("s").alias("n1"), F.count("c").alias("n2"), F.count("p").alias("n3")
+    )
+    row = F.array(
+        F.struct(
+            F.lit(1).cast("long").alias("stage"),
+            F.lit("signup").alias("step"),
+            F.col("n1").alias("n_users"),
+            F.lit(10000).cast("long").alias("conv_from_prev_pm"),
+            F.lit(10000).cast("long").alias("conv_from_start_pm"),
+        ),
+        F.struct(
+            F.lit(2).cast("long").alias("stage"),
+            F.lit("click").alias("step"),
+            F.col("n2").alias("n_users"),
+            F.expr("(10000 * n2) div greatest(n1, 1)").cast("long").alias(
+                "conv_from_prev_pm"
+            ),
+            F.expr("(10000 * n2) div greatest(n1, 1)").cast("long").alias(
+                "conv_from_start_pm"
+            ),
+        ),
+        F.struct(
+            F.lit(3).cast("long").alias("stage"),
+            F.lit("purchase").alias("step"),
+            F.col("n3").alias("n_users"),
+            F.expr("(10000 * n3) div greatest(n2, 1)").cast("long").alias(
+                "conv_from_prev_pm"
+            ),
+            F.expr("(10000 * n3) div greatest(n1, 1)").cast("long").alias(
+                "conv_from_start_pm"
+            ),
+        ),
+    )
+    return (
+        n.select(F.explode(row).alias("r"))
+        .select("r.*")
+        .orderBy("stage")
+    )

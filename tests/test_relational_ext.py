@@ -86,3 +86,78 @@ def test_approx_percentiles_within_rank_error_of_exact(spark):
             target = q * n
             slack = n / 10000.0 + 2
             assert lo - slack <= target <= hi + slack, (et, col, a[col], lo, hi, target)
+
+
+# ---------------------------------------------------------------------------
+def test_q107_cohort_matrix_invariants(spark):
+    """Week-0 retention is exactly 10000 permyriad per cohort, offsets
+    are non-negative, no cell exceeds its cohort's week-0 size, and the
+    week-0 cohort sizes sum to the distinct-user count."""
+    from alt_spark.catalog import load_table
+    from alt_spark.queries.events_q import q107
+    from tests.conftest import SF_ORACLE
+
+    rows = q107(spark, SF_ORACLE).collect()
+    assert rows
+    base = {}
+    for r in rows:
+        assert r["week_offset"] >= 0
+        if r["week_offset"] == 0:
+            assert r["retained_permyriad"] == 10000
+            base[r["cohort_wk"]] = r["n_active"]
+    for r in rows:
+        assert r["n_active"] <= base[r["cohort_wk"]]
+        assert 0 <= r["retained_permyriad"] <= 10000
+    users = (
+        load_table(spark, SF_ORACLE, "events")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(base.values()) == users
+
+
+def test_q108_funnel_is_monotone_and_ordered(spark):
+    """Stage counts can only shrink, entry conversion is 10000, and a
+    hand-checked user path confirms the ORDERED semantics (a click
+    before the signup must not count)."""
+    from pyspark.sql import Row
+    from alt_spark.queries.events_q import q108
+    from tests.conftest import SF_ORACLE
+
+    rows = {r["stage"]: r for r in q108(spark, SF_ORACLE).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_users"] >= rows[2]["n_users"] >= rows[3]["n_users"]
+    assert rows[1]["conv_from_prev_pm"] == 10000
+    assert rows[2]["conv_from_prev_pm"] == rows[2]["conv_from_start_pm"]
+
+    # Ordered semantics on a synthetic log: user 1 clicks BEFORE the
+    # signup (must not convert); user 2 completes the chain in order;
+    # user 3 clicks 8 days after signup (outside the window).
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(uid, typ, days):
+        return Row(
+            event_id=uid * 100 + int(days * 10),
+            ts=t0 + dt.timedelta(days=days),
+            user_id=uid,
+            event_type=typ,
+            value=0.0,
+            props="{}",
+        )
+
+    log = spark.createDataFrame(
+        [
+            ev(1, "click", 0.0), ev(1, "signup", 1.0),
+            ev(2, "signup", 0.0), ev(2, "click", 1.0), ev(2, "purchase", 2.0),
+            ev(3, "signup", 0.0), ev(3, "click", 8.0),
+        ]
+    )
+    import alt_spark.queries.events_q as eq
+    from unittest import mock
+
+    with mock.patch.object(eq, "load_table", lambda *_a, **_k: log):
+        got = {r["stage"]: r["n_users"] for r in eq.q108(spark, "ignored").collect()}
+    assert got == {1: 3, 2: 1, 3: 1}
