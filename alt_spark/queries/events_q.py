@@ -494,3 +494,90 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
         .select("r.*")
         .orderBy("stage")
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q109_sli_anomaly_flags",
+    oracle="""
+WITH b AS (
+  SELECT event_type, date_trunc('minute', ts) AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+), w AS (
+  SELECT event_type, bucket, n,
+         CAST(count(*) OVER win AS BIGINT) AS win_k,
+         CAST(coalesce(sum(n) OVER win, 0) AS BIGINT) AS win_sum,
+         CAST(coalesce(sum(n * n) OVER win, 0) AS BIGINT) AS win_sumsq
+  FROM b
+  WINDOW win AS (PARTITION BY event_type ORDER BY bucket
+                 ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, bucket, n, win_k, win_sum,
+       CAST(CASE WHEN win_k >= 30 AND (win_k * n - win_sum) > 0
+                  AND (win_k * n - win_sum) * (win_k * n - win_sum) * (win_k - 1)
+                      >= 9 * win_k * (win_k * win_sumsq - win_sum * win_sum)
+            THEN 1 ELSE 0 END AS BIGINT) AS is_spike
+FROM w
+ORDER BY event_type, bucket
+""",
+)
+def q109(spark: SparkSession, sf: str) -> DataFrame:
+    """SLI anomaly flags: per (event_type, minute) throughput with a
+    3-sigma spike flag against the trailing 60 observed buckets — the
+    alerting read model on top of the q02 SLI series (the reference's
+    primary log-analytics category; its dashboards read sli_metrics,
+    clickhouse/migrations/009, and alerting on that series is the
+    canonical consumer).
+
+    The spike DECISION is exact integer arithmetic — the z >= 3 test
+    is squared into (k*n - s)^2 * (k-1) >= 9k * (k*sumsq - s^2), so no
+    float ever crosses the oracle boundary and bucket flags replay
+    bit-for-bit (the q75/q94 doctrine applied to variance). Overflow
+    bound: (k*n)^2*(k-1) needs n*k < 3e9 — per-minute-per-key counts
+    beyond ~5e7 would need DECIMAL(38,0) (the q74 device); document,
+    don't fake. Warm-up (fewer than 30 trailing buckets) never flags.
+
+    Plan (100 TB shape): the q02 pre-aggregation is the ONLY
+    corpus-scale exchange; the window runs per event_type over the
+    minute-grain series — bounded by calendar x key cardinality, never
+    by corpus size (and the production key is (service, event_type),
+    finer still). No global sort: the window is hash-partitioned on
+    the series key.
+    """
+    ev = load_table(spark, sf, "events")
+    b = ev.groupBy(
+        "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket")
+    ).agg(F.count("*").alias("n"))
+    win = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(-60, -1)
+    )
+    w = (
+        b.withColumn("win_k", F.count("*").over(win).cast("long"))
+        .withColumn("win_sum", F.coalesce(F.sum("n").over(win), F.lit(0)).cast("long"))
+        .withColumn(
+            "win_sumsq",
+            F.coalesce(F.sum(F.col("n") * F.col("n")).over(win), F.lit(0)).cast("long"),
+        )
+    )
+    spike = (
+        (F.col("win_k") >= 30)
+        & ((F.col("win_k") * F.col("n") - F.col("win_sum")) > 0)
+        & (
+            (F.col("win_k") * F.col("n") - F.col("win_sum"))
+            * (F.col("win_k") * F.col("n") - F.col("win_sum"))
+            * (F.col("win_k") - 1)
+            >= F.lit(9)
+            * F.col("win_k")
+            * (F.col("win_k") * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum"))
+        )
+    )
+    return w.select(
+        "event_type",
+        "bucket",
+        "n",
+        "win_k",
+        "win_sum",
+        F.when(spike, 1).otherwise(0).cast("long").alias("is_spike"),
+    ).orderBy("event_type", "bucket")

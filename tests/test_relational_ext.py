@@ -161,3 +161,68 @@ def test_q108_funnel_is_monotone_and_ordered(spark):
     with mock.patch.object(eq, "load_table", lambda *_a, **_k: log):
         got = {r["stage"]: r["n_users"] for r in eq.q108(spark, "ignored").collect()}
     assert got == {1: 3, 2: 1, 3: 1}
+
+
+def test_q109_integer_flag_equals_float_zscore(spark):
+    """The squared integer decision must equal the plain-float 3-sigma
+    test wherever the float form is numerically unambiguous, and a
+    planted spike must flag exactly its bucket."""
+    import math
+
+    from pyspark.sql import Row
+    from alt_spark.queries.events_q import q109
+    from tests.conftest import SF_ORACLE
+
+    rows = q109(spark, SF_ORACLE).collect()
+    assert rows and any(r["is_spike"] == 1 for r in rows)
+    # Reconstruct per-series history to recompute sumsq independently.
+    hist: dict[str, list[int]] = {}
+    for r in sorted(rows, key=lambda r: (r["event_type"], r["bucket"])):
+        xs = hist.setdefault(r["event_type"], [])
+        window = xs[-60:]
+        k = len(window)
+        assert r["win_k"] == k and r["win_sum"] == sum(window)
+        if k >= 2:
+            mean = sum(window) / k
+            var = (k * sum(x * x for x in window) - sum(window) ** 2) / (
+                k * (k - 1)
+            )
+            z = (r["n"] - mean) / math.sqrt(var) if var > 0 else float("inf") if r["n"] > mean else 0.0
+            want = 1 if (k >= 30 and r["n"] > mean and z >= 3.0) else 0
+            if var == 0 or abs(z - 3.0) > 1e-9:
+                assert r["is_spike"] == want, (r, z)
+        else:
+            assert r["is_spike"] == 0
+        xs.append(r["n"])
+
+    # Planted spike: flat series of 1s, one bucket at 10.
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    data = []
+    eid = 0
+    for m in range(50):
+        reps = 10 if m == 45 else 1
+        for _ in range(reps):
+            data.append(
+                Row(
+                    event_id=eid,
+                    ts=t0 + dt.timedelta(minutes=m),
+                    user_id=1,
+                    event_type="error",
+                    value=0.0,
+                    props="{}",
+                )
+            )
+            eid += 1
+    log = spark.createDataFrame(data)
+    import alt_spark.queries.events_q as eq
+    from unittest import mock
+
+    with mock.patch.object(eq, "load_table", lambda *_a, **_k: log):
+        flags = {
+            r["bucket"].minute + 60 * r["bucket"].hour: r["is_spike"]
+            for r in eq.q109(spark, "ignored").collect()
+        }
+    assert flags[45] == 1
+    assert sum(flags.values()) == 1
