@@ -1182,3 +1182,83 @@ def test_streaming_epoch_draw_and_carve_parity(spark):
     }
     for lang, cnt in per_lang.items():
         assert cnt == min(5, avail[lang])
+
+
+def test_streaming_cohort_retention_parity(spark):
+    """The cohort-retention read model (q107) must be buildable
+    INCREMENTALLY: its per-user state is a monoid — the distinct
+    (user, week) pair set under union — so a checkpointed stream that
+    MERGEs each micro-batch's pairs into a projection and derives the
+    matrix at the end must equal the batch query exactly. Drives the
+    events corpus in 4 micro-batches through foreachBatch with an
+    upsert-dedup merge (K3's dropDuplicates-on-key contract) and
+    compares the final matrix row-for-row with batch q107."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from alt_spark.queries.events_q import q107
+
+    root = _fresh("cohort_stream")
+    landing = os.path.join(root, "landing")
+    proj = os.path.join(root, "projection")
+    os.makedirs(landing, exist_ok=True)
+    t = pq.read_table(f"{SF}/events.parquet")
+    n = t.num_rows
+    for i in range(4):
+        pq.write_table(
+            t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4),
+            os.path.join(landing, f"chunk_{i:03d}.parquet"),
+        )
+
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+
+    def merge_batch(batch, _epoch):
+        pairs = batch.select(
+            "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+        ).dropDuplicates(["user_id", "wk"])
+        try:
+            prev = spark.read.parquet(proj)
+            merged = prev.unionByName(pairs).dropDuplicates(["user_id", "wk"])
+        except Exception:
+            merged = pairs
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(proj)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    act = spark.read.parquet(proj)
+    per_user = act.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk"), F.collect_set("wk").alias("wks")
+    )
+    cell = (
+        per_user.select("user_id", "cohort_wk", F.explode("wks").alias("wk"))
+        .groupBy(
+            "cohort_wk",
+            F.expr("datediff(wk, cohort_wk) div 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
+        Window.partitionBy("cohort_wk")
+    )
+    got = sorted(
+        (
+            cell.withColumn("base", base)
+            .withColumn(
+                "retained_permyriad",
+                F.expr("(10000 * n_active) div base").cast("long"),
+            )
+            .drop("base")
+        ).collect(),
+        key=lambda r: (r["cohort_wk"], r["week_offset"]),
+    )
+    want = q107(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
