@@ -1,0 +1,132 @@
+"""Frequent-items (heavy-hitters) sketch: weighted Misra-Gries
+candidates + exact verification — the two-pass pattern for top-N over
+a key whose cardinality explodes at scale.
+
+The DataFrame-native top-N (`groupBy(key).count()` + TakeOrdered) is
+the right plan while distinct keys fit the shuffle; when they don't
+(URLs, n-grams, user agents at 100 TB), the sketch path bounds every
+executor to k counters and the shuffle to partition-count x k rows:
+
+  pass 1  per-partition weighted Misra-Gries summaries (mapInPandas —
+          one of the few justified imperative islands: a
+          bounded-memory fold with evictions across the partition's
+          Arrow batches has no built-in expression; output is
+          k-bounded per partition)
+  pass 2  exact counts for the UNION of candidate keys only
+          (broadcast semi-join + groupBy over a candidate-bounded
+          key set), TakeOrdered top-N
+
+Correctness is not probabilistic: Misra-Gries guarantees any key with
+true frequency > N/(k+1) survives SOME partition summary (averaging
+argument over the per-partition bounds), so after exact verification
+the top-N is EXACT whenever min(top-N count) x (k+1) > N — and
+:func:`heavy_hitters` attaches a loud assert_true guard on precisely
+that inequality (the q94 union-branch device: a zero-row branch when
+healthy, an action-time error telling the caller to raise k when
+not). Candidate SETS may vary with partitioning; the verified output
+cannot — partition-invariance is pytest-pinned.
+
+Batched eviction: when the counter table exceeds k after folding a
+batch's value_counts, subtract the (len-k)-th smallest count from all
+and drop non-positives. Each such subtraction of t removes t from
+> k items at once, so total undercount is <= N/(k+1) — the classic
+MG bound survives batching (each eviction event charges t(k+1) mass
+against the stream).
+
+Reference anchor: the reference's trending-tags driver
+(alt-backend/app/shared/driver/alt_db/trending_tags_driver.go:16-23)
+is this query shape at Postgres scale; the sketch is its 100 TB form.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["mg_summaries", "heavy_hitters"]
+
+
+def _mg_fold(batches, key_col: str, k: int):
+    import pandas as pd
+
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        vc = pdf[key_col].dropna().value_counts()
+        for key, cnt in vc.items():
+            counters[key] = counters.get(key, 0) + int(cnt)
+        if len(counters) > k:
+            excess = len(counters) - k
+            t = sorted(counters.values())[excess - 1]
+            counters = {ky: c - t for ky, c in counters.items() if c - t > 0}
+    yield pd.DataFrame(
+        {"key": list(counters.keys()), "cnt_lb": list(counters.values())}
+    )
+
+
+def mg_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+    """Per-partition weighted Misra-Gries summaries: (key, cnt_lb)
+    with cnt_lb a LOWER BOUND on the partition's true count and at
+    most ``k`` rows per partition. ``key_col`` must be a string
+    column (the sketch hashes nothing — cast upstream)."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if dict(df.dtypes)[key_col] != "string":
+        raise ValueError(f"{key_col!r} must be string, got {dict(df.dtypes)[key_col]}")
+    return df.select(key_col).mapInPandas(
+        lambda it: _mg_fold(it, key_col, k), schema="key string, cnt_lb long"
+    )
+
+
+def heavy_hitters(
+    df: DataFrame, key_col: str, top_n: int, k: int = 4096
+) -> DataFrame:
+    """EXACT top-``top_n`` (count desc, key asc) via the sketch path:
+    MG candidates -> exact verify -> TakeOrdered, with a loud
+    guarantee guard — if min(selected count) x (k+1) <= N the sketch
+    cannot exclude a hidden heavier key and the query RAISES at action
+    time instead of returning silently-maybe-wrong rows.
+
+    Returns (key, cnt) ordered (cnt desc, key). At 100 TB: pass 1 is a
+    narrow scan emitting partitions x k summary rows; pass 2 scans
+    again but aggregates only candidate keys (broadcast semi-join), so
+    the shuffle is candidate-bounded, never distinct-key-bounded.
+    """
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    cands = mg_summaries(df, key_col, k).select("key").distinct()
+    exact = (
+        df.select(F.col(key_col).alias("key"))
+        .join(F.broadcast(cands), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sel = exact.orderBy(F.desc("cnt"), "key").limit(top_n)
+    total = df.select(key_col).na.drop().agg(F.count("*").alias("__n"))
+    mn = sel.agg(F.min("cnt").alias("__mn"))
+    guard = (
+        mn.crossJoin(F.broadcast(total))
+        .filter(
+            F.assert_true(
+                # STRICT: every returned count must clear the MG
+                # exclusion threshold — an empty or flat-tailed result
+                # (coalesce 0) always raises. A distribution flat
+                # enough to fail here needs the direct groupBy, not a
+                # sketch; there is no sound silent fallback.
+                F.coalesce(F.col("__mn"), F.lit(0)) * (k + 1) > F.col("__n"),
+                F.concat(
+                    F.lit("heavy_hitters guarantee violated: min(top-"),
+                    F.lit(str(top_n)),
+                    F.lit(" count) * (k+1) <= N for k="),
+                    F.lit(str(k)),
+                    F.lit("; raise k"),
+                ),
+            ).isNotNull()
+        )
+        .select(
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("long").alias("cnt"),
+        )
+    )
+    return sel.unionByName(guard)

@@ -291,3 +291,40 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), "d1", "d2")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q110_heavy_hitters",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_DDB_TOKENS}) AS key FROM documents
+)
+SELECT key, count(*) AS cnt
+FROM tok GROUP BY key
+ORDER BY cnt DESC, key
+LIMIT 10
+""",
+)
+def q110(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-10 most frequent tokens via the heavy-hitters sketch
+    path (weighted Misra-Gries candidates -> exact verification ->
+    TakeOrdered; operators/sketch.py) — the 100 TB form of the
+    reference's trending-tags query (trending_tags_driver.go:16-23)
+    for keys whose cardinality outgrows a direct groupBy shuffle.
+
+    The result is EXACT, not approximate: MG guarantees every key
+    above N/(k+1) survives some partition summary, the verify pass
+    recounts candidates exactly, and a loud assert_true guard raises
+    at action time if the top-10 cut ever fails the exclusion
+    inequality (min(cnt) x (k+1) > N) instead of returning silently
+    wrong rows — which is what makes a sketch query oracle-checkable
+    against the direct groupBy.
+    """
+    from alt_spark.operators.sketch import heavy_hitters
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(F.explode(_token_col()).alias("tok"))
+    return heavy_hitters(toks, "tok", top_n=10, k=256).orderBy(
+        F.desc("cnt"), "key"
+    )

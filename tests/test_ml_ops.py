@@ -705,3 +705,83 @@ def test_q106_bakeoff_consistent_with_q96_and_bounded(spark):
             else "tie"
         )
         assert b["winner"] == want
+
+
+# ---------------------------------------------------------------------------
+def test_heavy_hitters_exact_and_partition_invariant(spark):
+    """The sketch path must return the EXACT direct-groupBy top-N
+    under any partitioning, and summaries must be lower bounds."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.sketch import heavy_hitters, mg_summaries
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    from alt_spark.operators.dedup import tokens_col
+
+    toks = docs.select(F.explode(tokens_col("text")).alias("tok"))
+    want = [
+        (r["tok"], r["cnt"])
+        for r in toks.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(10)
+        .collect()
+    ]
+    for parts in (1, 16):
+        got = [
+            (r["key"], r["cnt"])
+            for r in heavy_hitters(
+                toks.repartition(parts), "tok", top_n=10, k=256
+            )
+            .orderBy(F.desc("cnt"), "key")
+            .collect()
+        ]
+        assert got == want, parts
+    # Summaries are lower bounds on true per-key counts and k-bounded.
+    true = {
+        r["tok"]: r["cnt"]
+        for r in toks.groupBy("tok").agg(F.count("*").alias("cnt")).collect()
+    }
+    summ = mg_summaries(toks.repartition(4), "tok", k=8)
+    merged = (
+        summ.groupBy("key").agg(F.sum("cnt_lb").alias("lb")).collect()
+    )
+    assert all(r["lb"] <= true[r["key"]] for r in merged)
+    per_part = summ.groupBy(F.spark_partition_id()).count().collect()
+    # mapInPandas emits one k-bounded frame per partition.
+    assert all(r["count"] <= 8 for r in per_part)
+
+
+def test_heavy_hitters_guard_raises_when_k_too_small(spark):
+    """With k far below the distinct-key count on a flat distribution,
+    the exclusion inequality cannot hold and the query must RAISE at
+    action time rather than return silently-maybe-wrong rows."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.sketch import heavy_hitters
+
+    # 1000 distinct keys, each appearing twice: N=2000, any top-10 cut
+    # has cnt=2, and 2 * (k+1) <= 2000 for k=3.
+    flat = spark.range(2000).select(
+        (F.col("id") % 1000).cast("string").alias("k")
+    )
+    with pytest.raises(Exception, match="guarantee violated"):
+        heavy_hitters(flat, "k", top_n=10, k=3).collect()
+
+
+def test_heavy_hitters_validation(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.sketch import heavy_hitters, mg_summaries
+
+    df = spark.range(10).select(F.col("id").cast("string").alias("s"))
+    with pytest.raises(ValueError, match="k must be positive"):
+        mg_summaries(df, "s", 0)
+    with pytest.raises(ValueError, match="top_n"):
+        heavy_hitters(df, "s", 0)
+    with pytest.raises(ValueError, match="must be string"):
+        mg_summaries(spark.range(5), "id", 4)
