@@ -98,6 +98,10 @@ _NESTED_LOOP_OK = {
     # count table (operators/mixing.target_mixture_rates, q70's
     # device).
     "q103_target_mixture_rebalance",
+    # 1-row (min selected count) frame crossed onto the 1-row corpus
+    # total for the heavy-hitters guarantee guard (operators/sketch.
+    # heavy_hitters) — both sides 1 row by construction.
+    "q110_heavy_hitters",
 }
 
 
