@@ -234,3 +234,75 @@ def test_shuffle_shards_properties(spark, n_rows, n_shards, salt):
         df.repartition(5), n_shards=n_shards, salt=salt
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+# ---------------------------------------------------------------------------
+@settings(max_examples=12, deadline=None)
+@given(
+    words=st.lists(
+        st.text(
+            alphabet="abcdefghijklmnopqrstuvwxyz0189",
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_unigram_viterbi_random_words_match_reference(spark, words):
+    """Hypothesis sweep beyond the corpus alphabet: random words
+    (including digits that force the UNK path) must segment to the
+    reference DP's score AND segmentation."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.unigram import viterbi_segment
+    from tests.test_ml_ops import _py_viterbi
+
+    df = spark.createDataFrame([(w,) for w in words], ["word"])
+    got = {
+        r["word"]: (r["r"]["score"], r["r"]["seg"])
+        for r in df.withColumn("r", viterbi_segment(F.col("word"))).collect()
+    }
+    for w in words:
+        assert got[w] == _py_viterbi(w), w
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+    ),
+    k=st.integers(min_value=2, max_value=16),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_mg_summaries_bound_properties(spark, stream, k, parts):
+    """Misra-Gries invariants on random integer streams under random
+    partitioning: merged summary counts never exceed true counts, and
+    the per-key undercount respects the N/(k+1) bound."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.sketch import mg_summaries
+
+    df = spark.createDataFrame(
+        [(str(x),) for x in stream], ["s"]
+    ).repartition(parts)
+    merged = {
+        r["key"]: r["lb"]
+        for r in mg_summaries(df, "s", k)
+        .groupBy("key")
+        .agg(F.sum("cnt_lb").alias("lb"))
+        .collect()
+    }
+    true: dict[str, int] = {}
+    for x in stream:
+        true[str(x)] = true.get(str(x), 0) + 1
+    n = len(stream)
+    for key, lb in merged.items():
+        assert 0 < lb <= true[key], key
+    for key, cnt in true.items():
+        # undercount bound holds per partition, so the merged bound is
+        # parts * n_p/(k+1) <= n/(k+1) summed — every key above the
+        # global threshold must survive with a positive count.
+        if cnt > n / (k + 1):
+            assert key in merged, (key, cnt, n, k)
