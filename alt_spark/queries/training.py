@@ -2325,3 +2325,66 @@ def q106(spark: SparkSession, sf: str) -> DataFrame:
         .otherwise("tie")
         .alias("winner"),
     ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+_WPS_SALT = "wps-v1"
+_WPS_K = 100
+
+
+@query(
+    "q111_weighted_priority_sample",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, CAST(len({_DDB_TOKENS}) AS BIGINT) AS w FROM documents
+  WHERE len({_DDB_TOKENS}) > 0
+), pri AS (
+  SELECT doc_id, lang, w,
+         CAST(w AS DOUBLE) / CAST({DDB_H60(f"('{_WPS_SALT}' || ':' || CAST(doc_id AS VARCHAR))")} + 1 AS DOUBLE) AS p
+  FROM t
+)
+SELECT doc_id, lang, w
+FROM pri
+ORDER BY p DESC, doc_id
+LIMIT {_WPS_K}
+""",
+)
+def q111(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted priority sampling without replacement (Duffield/Lund/
+    Thorup order sampling, hash-derandomized): the k documents with the
+    largest priority w/u, where w is the document's token mass and u
+    its deterministic md5-uniform — heavier documents enter the sample
+    proportionally more often, yet the draw is reproducible across
+    runs, retries, and cluster sizes (the q59/q94 doctrine extended to
+    WEIGHTED selection; the rate sampler cannot weight, the exact-k
+    carve cannot either). Completes the sampling family: q59 fixed
+    rates, q70/q103 derived rates, q94 exact-k uniform, q111 exact-k
+    weighted.
+
+    Cross-engine float discipline: both engines build the priority
+    from the SAME two integers (w and h+1) — IEEE double conversion
+    and one division are bit-identical on identical operands, so the
+    ORDER is exact and ties break on doc_id. No float is emitted in
+    the output (the selection SET is the contract).
+
+    Plan (100 TB shape): priority is a narrow in-scan expression and
+    the selection is ONE TakeOrderedAndProject — no shuffle beyond the
+    bounded top-k merge, no global sort, no single-partition exchange.
+    """
+    from alt_spark.functions.hashing import portable_hash60
+
+    docs = load_table(spark, sf, "documents")
+    t = docs.select(
+        "doc_id", "lang", F.size(_tokens_col()).cast("long").alias("w")
+    ).filter(F.col("w") > 0)
+    h = portable_hash60(
+        F.concat(F.lit(_WPS_SALT), F.lit(":"), F.col("doc_id").cast("string"))
+    )
+    pri = t.withColumn(
+        "p", F.col("w").cast("double") / (h + F.lit(1)).cast("double")
+    )
+    return (
+        pri.orderBy(F.desc("p"), "doc_id")
+        .limit(_WPS_K)
+        .select("doc_id", "lang", "w")
+    )

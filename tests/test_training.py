@@ -1424,3 +1424,34 @@ def test_q104_padding_invariants(spark):
         assert r["real_tok"] <= r["padded_bucketed"]
         if r["bucket_bound"] < 256:
             assert r["overflow_tok"] == 0
+
+
+# ---------------------------------------------------------------------------
+def test_q111_priority_sample_reference_and_invariance(spark):
+    """The weighted draw must equal a pure-Python replay of the same
+    integer->double->division arithmetic (IEEE-identical operands),
+    survive repartitioning, and visibly favor heavy documents."""
+    from alt_spark.functions.hashing import portable_hash60
+    from alt_spark.queries.training import _WPS_K, _WPS_SALT, _tokens_col, q111
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    t = docs.select(
+        "doc_id",
+        F.size(_tokens_col()).cast("long").alias("w"),
+        portable_hash60(
+            F.concat(F.lit(_WPS_SALT), F.lit(":"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    ).filter(F.col("w") > 0)
+    rows = t.collect()
+    ref = sorted(
+        ((float(r["w"]) / float(r["h"] + 1), r["doc_id"]) for r in rows),
+        key=lambda x: (-x[0], x[1]),
+    )[: _WPS_K]
+    want = [doc for _, doc in ref]
+    got = [r["doc_id"] for r in q111(spark, SF_SMOKE).collect()]
+    assert got == want
+
+    corpus_mean = sum(r["w"] for r in rows) / len(rows)
+    sel_w = {r["doc_id"]: r["w"] for r in rows}
+    sel_mean = sum(sel_w[d] for d in got) / len(got)
+    assert sel_mean > corpus_mean
