@@ -1262,3 +1262,94 @@ def test_streaming_cohort_retention_parity(spark):
     )
     want = q107(spark, SF).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_anomaly_flags_parity(spark):
+    """The SLI anomaly read model (q109) must be buildable
+    incrementally: per-(type, minute) counts are additive, so a
+    checkpointed stream MERGE-adding each micro-batch's bucket counts
+    into a projection and flagging at read time must equal batch q109
+    exactly — the D9/D11 incremental-MV contract extended to the
+    alerting layer."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.window import Window
+
+    from alt_spark.queries.events_q import q109
+
+    root = _fresh("anomaly_stream")
+    landing = os.path.join(root, "landing")
+    proj = os.path.join(root, "projection")
+    os.makedirs(landing, exist_ok=True)
+    t = pq.read_table(f"{SF}/events.parquet")
+    n = t.num_rows
+    for i in range(4):
+        pq.write_table(
+            t.slice(i * n // 4, (i + 1) * n // 4 - i * n // 4),
+            os.path.join(landing, f"chunk_{i:03d}.parquet"),
+        )
+    schema = spark.read.parquet(f"{SF}/events.parquet").schema
+
+    def merge_batch(batch, _epoch):
+        part = batch.groupBy(
+            "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket")
+        ).agg(F.count("*").alias("n"))
+        try:
+            prev = spark.read.parquet(proj)
+            merged = (
+                prev.unionByName(part)
+                .groupBy("event_type", "bucket")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+        except Exception:
+            merged = part
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(proj)
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    b = spark.read.parquet(proj)
+    win = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-60, -1)
+    w = (
+        b.withColumn("win_k", F.count("*").over(win).cast("long"))
+        .withColumn("win_sum", F.coalesce(F.sum("n").over(win), F.lit(0)).cast("long"))
+        .withColumn(
+            "win_sumsq",
+            F.coalesce(F.sum(F.col("n") * F.col("n")).over(win), F.lit(0)).cast("long"),
+        )
+    )
+    spike = (
+        (F.col("win_k") >= 30)
+        & ((F.col("win_k") * F.col("n") - F.col("win_sum")) > 0)
+        & (
+            (F.col("win_k") * F.col("n") - F.col("win_sum"))
+            * (F.col("win_k") * F.col("n") - F.col("win_sum"))
+            * (F.col("win_k") - 1)
+            >= F.lit(9)
+            * F.col("win_k")
+            * (
+                F.col("win_k") * F.col("win_sumsq")
+                - F.col("win_sum") * F.col("win_sum")
+            )
+        )
+    )
+    got = sorted(
+        w.select(
+            "event_type",
+            "bucket",
+            "n",
+            "win_k",
+            "win_sum",
+            F.when(spike, 1).otherwise(0).cast("long").alias("is_spike"),
+        ).collect(),
+        key=lambda r: (r["event_type"], r["bucket"]),
+    )
+    want = q109(spark, SF).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
