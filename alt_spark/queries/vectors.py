@@ -154,10 +154,10 @@ def q25(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-@query(
-    "q26_hybrid_rrf",
-    oracle=f"""
-WITH ex AS (
+# q26's oracle split into composable fragments so the RAG capstone
+# (q112) can extend the exact same retrieval chain with chunking and a
+# context-budget cut without duplicating the CTE text.
+_Q26_CTES = f"""ex AS (
   {_DDB_EXPLODE}
 ), q AS (
   SELECT idx, val AS qval FROM ex WHERE vec_id = 0
@@ -178,15 +178,16 @@ WITH ex AS (
 ), unioned AS (
   SELECT id, r FROM vrank WHERE r <= 50
   UNION ALL
-  SELECT id, r FROM trank WHERE r <= 50
-)
-SELECT id, round(sum(1.0 / (r + 60)), 6) AS rrf_score, count(*) AS n_lists
+SELECT id, r FROM trank WHERE r <= 50
+)"""
+_Q26_FINAL = """SELECT id, round(sum(1.0 / (r + 60)), 6) AS rrf_score, count(*) AS n_lists
 FROM unioned
 GROUP BY id
 ORDER BY rrf_score DESC, id
-LIMIT 10
-""",
-)
+LIMIT 10"""
+
+
+@query("q26_hybrid_rrf", oracle=f"WITH {_Q26_CTES}\n{_Q26_FINAL}")
 def q26(spark: SparkSession, sf: str) -> DataFrame:
     """Hybrid search: RRF fusion of a vector ranking and a term ranking.
 
@@ -570,4 +571,122 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
             .alias("contam_checksum"),
         )
         .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+_CTX_BUDGET = 256  # context-window token budget for the assembled prompt
+
+
+def _q112_oracle() -> str:
+    from alt_spark.queries.training import _CHUNK, _STRIDE
+
+    from alt_spark.functions.text_analysis import DDB_TOKENS
+
+    return f"""
+WITH {_Q26_CTES},
+fused AS (
+  {_Q26_FINAL}
+),
+ranked AS (
+  SELECT id, row_number() OVER (ORDER BY rrf_score DESC, id) AS rrf_rank FROM fused
+),
+dtok AS (
+  SELECT doc_id, {DDB_TOKENS} AS toks FROM documents
+  WHERE doc_id IN (SELECT id FROM ranked)
+),
+starts AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, {_STRIDE})) AS s
+  FROM dtok WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         CAST(s / {_STRIDE} AS BIGINT) AS chunk_idx,
+         CAST(least({_CHUNK}, len(toks) - s) AS BIGINT) AS n_tok,
+         md5(array_to_string(list_slice(toks, s + 1, least(s + {_CHUNK}, len(toks))), ' ')) AS chunk_md5
+  FROM starts
+),
+ordered AS (
+  SELECT r.rrf_rank, c.doc_id, c.chunk_idx, c.n_tok, c.chunk_md5,
+         CAST(sum(c.n_tok) OVER (ORDER BY r.rrf_rank, c.chunk_idx
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok
+  FROM chunks c JOIN ranked r ON c.doc_id = r.id
+)
+SELECT CAST(row_number() OVER (ORDER BY rrf_rank, chunk_idx) AS BIGINT) AS ctx_pos,
+       doc_id, chunk_idx, n_tok, cum_tok, chunk_md5
+FROM ordered
+WHERE cum_tok <= {_CTX_BUDGET}
+ORDER BY ctx_pos
+"""
+
+
+@query("q112_rag_context_assembly", oracle=_q112_oracle())
+def q112(spark: SparkSession, sf: str) -> DataFrame:
+    """RAG serving-path capstone, composed as ONE plan: hybrid
+    retrieval (the exact q26 chain — cosine arm ∪ term arm, RRF-fused
+    top-10) → overlapping context chunks of the selected documents
+    (the q60 device) → greedy token-budget cut (keep chunks in
+    (relevance rank, chunk order) until the 256-token context window
+    fills) — the chain the reference's rag-orchestrator executes per
+    question (`hybrid_search_repo.go:71-110` retrieval + context
+    assembly before the LLM call). The per-chunk md5 pins assembled
+    context CONTENT; cum_tok pins the exact cut point.
+
+    Plan: both retrieval arms cut to bounded top-50 frames BEFORE any
+    window (q26's distributed TakeOrdered discipline); chunking runs
+    only on the 10 selected documents (broadcast semi-join); the
+    running-sum and position windows order a ≤(10 x chunks/doc) frame
+    — every window in the plan is bounded, the corpus is scanned
+    twice (once per retrieval arm) and never shuffled whole.
+    """
+    from pyspark.sql.window import Window
+
+    from alt_spark.operators.packing import chunk_tokens
+    from alt_spark.queries.training import _CHUNK, _STRIDE, _tokens_col
+
+    fused = q26(spark, sf)
+    ranked = fused.select(
+        "id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("rrf_score"), "id"))
+        .alias("rrf_rank"),
+    )
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sel = docs.join(
+        F.broadcast(ranked), docs["doc_id"] == ranked["id"]
+    ).select("doc_id", "text", "rrf_rank")
+    chunks = chunk_tokens(
+        sel.withColumn("toks", _tokens_col()),
+        F.col("toks"),
+        id_col="doc_id",
+        max_tokens=_CHUNK,
+        stride=_STRIDE,
+    ).join(
+        F.broadcast(ranked.withColumnRenamed("id", "doc_id")),
+        F.col("id") == F.col("doc_id"),
+    )
+    order = Window.orderBy("rrf_rank", "chunk_idx")
+    ordered = chunks.select(
+        "rrf_rank",
+        F.col("id").alias("out_doc_id"),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    ).withColumn(
+        "cum_tok",
+        F.sum("n_tok")
+        .over(order.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("long"),
+    )
+    return (
+        ordered.filter(F.col("cum_tok") <= _CTX_BUDGET)
+        .select(
+            F.row_number().over(order).cast("long").alias("ctx_pos"),
+            F.col("out_doc_id").alias("doc_id"),
+            "chunk_idx",
+            "n_tok",
+            "cum_tok",
+            "chunk_md5",
+        )
+        .orderBy("ctx_pos")
     )
