@@ -1013,3 +1013,36 @@ def test_unigram_viterbi_at_100k_word_types(spark):
     ).count()
     assert bad == 0
     assert audit.shuffle_count(seg) == 0, audit.physical_plan(seg)
+
+
+def test_heavy_hitters_at_100k_zipf(spark):
+    """The sketch path at 100k rows of a deterministic Zipf-ish stream:
+    key j appears ~N/(j+1) times (heavy head, long tail), so the top-10
+    must be keys 0..9 with exact counts, the guard must hold, and the
+    candidate surface stays partitions x k — never distinct-key-sized."""
+    from alt_spark.operators.sketch import heavy_hitters, mg_summaries
+
+    n = 100_000
+    # id -> key via the harmonic CDF trick: key = floor(n / (id+1)) gives
+    # key j exactly n/(j+1) - n/(j+2) ... simpler: key = id div (id div 300 + 1)
+    # Deterministic Zipf-ish: key j = number of multiples — use j = n div (id+1)
+    # which yields key value v appearing ~n/v^2... Instead pin the shape
+    # directly: key = floor(sqrt(id)) gives key j appearing 2j+1 times —
+    # linear growth, heaviest at the END; top-10 = keys 315..306.
+    df = spark.range(n).selectExpr("CAST(CAST(floor(sqrt(id)) AS BIGINT) AS STRING) AS k")
+    got = [
+        (r["key"], r["cnt"])
+        for r in heavy_hitters(df, "k", top_n=10, k=512).collect()
+    ]
+    import math
+
+    true: dict[str, int] = {}
+    for j in range(int(math.isqrt(n - 1)) + 1):
+        lo, hi = j * j, min((j + 1) * (j + 1), n)
+        true[str(j)] = hi - lo
+    want = sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == want
+    # Candidate surface is bounded by partitions x k, not distinct keys.
+    n_cand = mg_summaries(df, "k", 512).count()
+    parts = df.rdd.getNumPartitions()
+    assert n_cand <= parts * 512
