@@ -2388,3 +2388,99 @@ def q111(spark: SparkSession, sf: str) -> DataFrame:
         .limit(_WPS_K)
         .select("doc_id", "lang", "w")
     )
+
+
+# ---------------------------------------------------------------------------
+# Drift buckets: fixed token-count thresholds (a release gate compares
+# SHAPE across versions, so thresholds are pinned config, not corpus
+# quantiles — quantiles would move with the very drift being measured).
+_DRIFT_LO, _DRIFT_HI = 40, 70
+
+
+@query(
+    "q113_corpus_drift_report",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, len({_DDB_TOKENS}) AS n_tok,
+         CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS v,
+         CASE WHEN len({_DDB_TOKENS}) < {_DRIFT_LO} THEN 0
+              WHEN len({_DDB_TOKENS}) < {_DRIFT_HI} THEN 1
+              ELSE 2 END AS bucket
+  FROM documents
+), cell AS (
+  SELECT lang, bucket,
+         count(*) FILTER (v = 'a') AS n_a,
+         count(*) FILTER (v = 'b') AS n_b
+  FROM t GROUP BY 1, 2
+), shared AS (
+  SELECT lang, bucket, n_a, n_b,
+         CAST((10000 * n_a) // greatest(sum(n_a) OVER (PARTITION BY lang), 1) AS BIGINT) AS share_a_pm,
+         CAST((10000 * n_b) // greatest(sum(n_b) OVER (PARTITION BY lang), 1) AS BIGINT) AS share_b_pm
+  FROM cell
+)
+SELECT lang, CAST(bucket AS BIGINT) AS bucket, n_a, n_b, share_a_pm, share_b_pm,
+       share_a_pm - share_b_pm AS delta_pm,
+       CAST(sum((share_a_pm - share_b_pm) * (share_a_pm - share_b_pm))
+            OVER (PARTITION BY lang) AS BIGINT) AS lang_drift_l2
+FROM shared
+ORDER BY lang, bucket
+""",
+)
+def q113(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus drift report — the release-to-release gate a corpus
+    publisher runs before shipping version B next to version A: per
+    (lang, length bucket), document counts in each version, permyriad
+    shares WITHIN each version's language slice, the share delta, and
+    a per-language integer L2 drift statistic (sum of squared share
+    deltas over the bucket histogram — the integer-exact surface of a
+    chi-square/PSI-style shift test; PSI's log ratio is deliberately
+    NOT computed: libm vs JVM ln differ in the last ulp, and a drift
+    GATE must replay exactly). Even/odd doc_id plays the two versions
+    (the q62 benchmark device). Bucket thresholds are pinned config —
+    corpus quantiles would move with the drift being measured.
+
+    Plan: one in-row version/bucket tag, ONE bounded groupBy
+    (|langs| x 3 cells), window shares over the bounded cell frame —
+    a 100 TB drift gate is one scan + a metadata-sized report.
+    """
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf, "documents")
+    n_tok = F.size(_tokens_col())
+    t = docs.select(
+        "lang",
+        F.when(F.col("doc_id") % 2 == 0, "a").otherwise("b").alias("v"),
+        F.when(n_tok < _DRIFT_LO, 0)
+        .when(n_tok < _DRIFT_HI, 1)
+        .otherwise(2)
+        .alias("bucket"),
+    )
+    cell = t.groupBy("lang", "bucket").agg(
+        F.count(F.when(F.col("v") == "a", 1)).alias("n_a"),
+        F.count(F.when(F.col("v") == "b", 1)).alias("n_b"),
+    )
+    lw = Window.partitionBy("lang")
+    shared = cell.select(
+        "lang",
+        F.col("bucket").cast("long").alias("bucket"),
+        "n_a",
+        "n_b",
+        F.expr(
+            "(10000 * n_a) div greatest(sum(n_a) OVER (PARTITION BY lang), 1)"
+        )
+        .cast("long")
+        .alias("share_a_pm"),
+        F.expr(
+            "(10000 * n_b) div greatest(sum(n_b) OVER (PARTITION BY lang), 1)"
+        )
+        .cast("long")
+        .alias("share_b_pm"),
+    )
+    return (
+        shared.withColumn("delta_pm", F.col("share_a_pm") - F.col("share_b_pm"))
+        .withColumn(
+            "lang_drift_l2",
+            F.sum(F.col("delta_pm") * F.col("delta_pm")).over(lw).cast("long"),
+        )
+        .orderBy("lang", "bucket")
+    )
