@@ -1390,3 +1390,128 @@ def q101(spark: SparkSession, sf: str) -> DataFrame:
         F.col("n_dup_windows"),
         F.col("dup_tokens"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+_PR_S = 1_000_000  # total rank mass in micro units
+_PR_ITERS = 3  # fixed iteration count (a release artifact, like a vocab)
+
+
+def _q114_oracle() -> str:
+    stages = []
+    for t in range(1, _PR_ITERS + 1):
+        stages.append(
+            f"""r{t} AS MATERIALIZED (
+  SELECT d.node, d.deg,
+         CAST((15 * {_PR_S}) // (100 * nn.n) AS BIGINT)
+         + CAST(coalesce(sum((85 * p.rank) // (100 * p.deg)), 0) AS BIGINT) AS rank
+  FROM deg d
+  CROSS JOIN nn
+  LEFT JOIN sym s ON s.dst = d.node
+  LEFT JOIN r{t - 1} p ON p.node = s.src
+  GROUP BY d.node, d.deg, nn.n
+)"""
+        )
+    joined = ",\n".join(stages)
+    return f"""
+WITH pairs AS (
+  SELECT l1.l_partkey AS a, l2.l_partkey AS b
+  FROM lineitem l1 JOIN lineitem l2
+    ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+  GROUP BY 1, 2 HAVING count(DISTINCT l1.l_orderkey) >= 2
+), sym AS MATERIALIZED (
+  SELECT a AS src, b AS dst FROM pairs
+  UNION ALL
+  SELECT b AS src, a AS dst FROM pairs
+), deg AS MATERIALIZED (
+  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY 1
+), nn AS (
+  SELECT count(*) AS n FROM deg
+), r0 AS MATERIALIZED (
+  SELECT node, deg, CAST({_PR_S} // nn.n AS BIGINT) AS rank FROM deg, nn
+),
+{joined}
+SELECT node, deg, rank AS rank_micro
+FROM r{_PR_ITERS}
+ORDER BY rank DESC, node
+LIMIT 25
+"""
+
+
+@query("q114_pagerank_integer", oracle=_q114_oracle())
+def q114(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact PageRank (3 fixed iterations, damping 0.85) over
+    the part co-occurrence graph — authority scoring for the graph
+    family (J4's random-walk-with-restart is the reference shape,
+    `recap-worker/recap-worker/src/classifier/graph.rs:258-340`; this
+    is its oracle-checkable twin): every update is floor division in
+    micro units — `teleport = 15S div 100n`, `contrib(u) = 85·r(u) div
+    (100·deg(u))` — so three engines (Spark, DuckDB, pencil) produce
+    the same ranks bit-for-bit. Mass is NOT exactly conserved (floors
+    leak); that is the declared contract — a ranking needs a total
+    order, not a distribution. Fixed iteration count is a pinned
+    config, like a tokenizer vocab.
+
+    Plan (100 TB shape): one corpus-scale theta self-join builds the
+    pair graph (the q06 shape, order-key equi-join — never cartesian);
+    each iteration is one edge-rank equi-join + one map-side-combinable
+    groupBy on dst — the classic O(iters) shuffle schedule with
+    lineage kept flat by the fixed small iteration count. Node count
+    rides a 1-row broadcast (no driver-side collect).
+    """
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count_distinct("a.l_orderkey").alias("cnt"))
+        .filter(F.col("cnt") >= 2)
+        .select("pa", "pb")
+    )
+    sym = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    sym = sym.localCheckpoint(eager=False)
+    deg = sym.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("long").alias("deg")
+    )
+    nn = deg.agg(F.count("*").alias("n"))
+    r = (
+        deg.crossJoin(F.broadcast(nn))
+        .withColumn("rank", F.expr(f"{_PR_S} div n").cast("long"))
+        .select("node", "deg", "rank")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = r.select(
+            "node", F.expr("(85 * rank) div (100 * deg)").alias("c")
+        )
+        recv = (
+            sym.join(contrib, sym["src"] == contrib["node"])
+            .groupBy(F.col("dst").alias("rnode"))
+            .agg(F.sum("c").alias("recv"))
+        )
+        r = (
+            deg.join(recv, deg["node"] == recv["rnode"], "left")
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                "deg",
+                (
+                    F.expr(f"(15 * {_PR_S}) div (100 * n)")
+                    + F.coalesce(F.col("recv"), F.lit(0))
+                )
+                .cast("long")
+                .alias("rank"),
+            )
+        )
+    return (
+        r.select("node", "deg", F.col("rank").alias("rank_micro"))
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(25)
+    )

@@ -785,3 +785,46 @@ def test_heavy_hitters_validation(spark):
         heavy_hitters(df, "s", 0)
     with pytest.raises(ValueError, match="must be string"):
         mg_summaries(spark.range(5), "id", 4)
+
+
+def test_q114_pagerank_matches_python_reference_on_planted_graph(spark):
+    """Tiny planted graph (triangle 1-2-3 plus pendant 4-1 — built as
+    synthetic lineitem rows) replayed against a pure-Python integer
+    PageRank with the identical floor-division contract."""
+    from pyspark.sql import Row
+    import alt_spark.queries.pipeline_ops as po
+
+    # Orders: each edge (u, v) encoded as an order containing both
+    # parts twice (so count(DISTINCT orderkey) >= 2 keeps the edge).
+    edges = [(1, 2), (2, 3), (1, 3), (1, 4)]
+    rows = []
+    ok = 0
+    for u, v in edges:
+        for _ in range(2):
+            ok += 1
+            rows.append(Row(l_orderkey=ok, l_partkey=u))
+            rows.append(Row(l_orderkey=ok, l_partkey=v))
+    li = spark.createDataFrame(rows)
+
+    from unittest import mock
+
+    with mock.patch.object(po, "load_table", lambda *_a, **_k: li):
+        got = {
+            r["node"]: (r["deg"], r["rank_micro"])
+            for r in po.q114(spark, "ignored").collect()
+        }
+
+    S, it = po._PR_S, po._PR_ITERS
+    adj = {1: [2, 3, 4], 2: [1, 3], 3: [2, 1], 4: [1]}
+    deg = {k: len(v) for k, v in adj.items()}
+    n = len(adj)
+    rank = {k: S // n for k in adj}
+    for _ in range(it):
+        contrib = {u: (85 * rank[u]) // (100 * deg[u]) for u in adj}
+        rank = {
+            v: (15 * S) // (100 * n) + sum(contrib[u] for u in adj[v])
+            for v in adj
+        }
+    assert got == {v: (deg[v], rank[v]) for v in adj}
+    # The hub out-ranks the pendant.
+    assert got[1][1] > got[4][1]
