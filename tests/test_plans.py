@@ -102,6 +102,9 @@ _NESTED_LOOP_OK = {
     # total for the heavy-hitters guarantee guard (operators/sketch.
     # heavy_hitters) — both sides 1 row by construction.
     "q110_heavy_hitters",
+    # 1-row node-count frame crossed onto the node table in every
+    # PageRank iteration (teleport term; the q70 stats-row device).
+    "q114_pagerank_integer",
 }
 
 
@@ -177,6 +180,10 @@ def test_preaggregated_outer_join_stays_small(dfs):
 _SINGLE_PARTITION_OK = {
     "q10_rrf_suppliers",
     "q26_hybrid_rrf",
+    # q112's running-sum/position windows order the chunk frame of the
+    # TOP-10 retrieved documents only (bounded by the q26 limit behind
+    # a broadcast semi-join) — dim-sized by design, like q26's ranks.
+    "q112_rag_context_assembly",
 }
 
 
