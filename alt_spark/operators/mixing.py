@@ -224,9 +224,17 @@ def target_mixture_rates(
         )
         .withColumn(
             "rate",
+            # greatest(tok, 1): a declared stratum whose rows all carry
+            # zero weight has tok=0; a bare `div tok` is NULL (ANSI
+            # off) and F.least SKIPS nulls, silently producing
+            # rate=PRECISION (keep-all) instead of 0 — and the DuckDB
+            # twin would error on //0. planned_tok is 0 there (its
+            # tok*PRECISION div share contributes 0 to the min), so
+            # the guarded division correctly yields rate 0. (Review
+            # finding, r8.)
             F.least(
                 F.lit(PRECISION).cast("long"),
-                F.expr(f"(planned_tok * {PRECISION}) div tok"),
+                F.expr(f"(planned_tok * {PRECISION}) div greatest(tok, 1)"),
             ),
         )
         .select(stratum_col, "tok", "planned_tok", "rate")

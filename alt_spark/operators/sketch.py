@@ -129,4 +129,7 @@ def heavy_hitters(
             F.lit(None).cast("long").alias("cnt"),
         )
     )
-    return sel.unionByName(guard)
+    # Re-sort after the union: unionByName carries no ordering
+    # guarantee even though the guard branch is empty at runtime, and
+    # the docstring promises (cnt desc, key). (Review finding, r8.)
+    return sel.unionByName(guard).orderBy(F.desc("cnt"), "key")

@@ -164,7 +164,16 @@ def viterbi_segment(word: Column) -> Column:
         )
 
     dp = F.aggregate(F.sequence(F.lit(1), F.length(word)), init, step)
-    return F.element_at(dp, -1)
+    # Guard the empty word: sequence(1, 0) yields DESCENDING [1, 0]
+    # (implicit step -1) and step i=0 would evaluate element_at(acc, 0)
+    # — an error even with ANSI off. The tokens_col contract never
+    # produces '', but the operator must not crash on it. (Review
+    # finding, r8.)
+    return F.when(
+        F.length(word) > 0, F.element_at(dp, -1)
+    ).otherwise(
+        F.struct(F.lit(0).cast("long").alias("score"), F.lit("").alias("seg"))
+    )
 
 
 def ddb_viterbi_ctes(words_cte: str, max_len: int) -> str:

@@ -251,9 +251,11 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _q48_log_line(ev: DataFrame) -> Column:
-    """The synthesized combined-log line for an events frame (split out
-    of q48 so the envelope pin test can reuse it)."""
+def _q48_log_line() -> Column:
+    """The synthesized combined-log line expression (unbound F.col
+    references — split out of q48 so the envelope pin test can reuse
+    it; it takes no frame because the expression is not frame-specific
+    — review finding, r8)."""
     status = (
         F.when(F.col("event_type") == "error", 500)
         .when(F.col("event_type") == "view", 404)
@@ -352,7 +354,7 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     # to_json(struct(...)) — byte-identical (pinned permanently by
     # test_q48_envelope_matches_to_json since r8) and 0.04 s/100k
     # cheaper.
-    envelope = _q48_envelope(_q48_log_line(ev))
+    envelope = _q48_envelope(_q48_log_line())
     logs = parse_logs(ev.select(envelope.alias("value")))
     hl = http_logs(logs)
     return (

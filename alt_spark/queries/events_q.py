@@ -306,6 +306,36 @@ def q44(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("bucket", "event_type")
 
 
+def cohort_matrix(user_weeks: DataFrame) -> DataFrame:
+    """The cohort-retention derivation shared by batch q107 and the
+    streaming projection parity test (one implementation — review
+    finding, r8): from a (user_id, wk) activity frame (duplicates
+    fine; collect_set dedupes) to the ordered cohort matrix."""
+    per_user = user_weeks.groupBy("user_id").agg(
+        F.min("wk").alias("cohort_wk"), F.collect_set("wk").alias("wks")
+    )
+    cell = (
+        per_user.select("user_id", "cohort_wk", F.explode("wks").alias("wk"))
+        .groupBy(
+            "cohort_wk",
+            F.expr("datediff(wk, cohort_wk) div 7").cast("long").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    base = F.max(
+        F.when(F.col("week_offset") == 0, F.col("n_active"))
+    ).over(Window.partitionBy("cohort_wk"))
+    return (
+        cell.withColumn("base", base)
+        .withColumn(
+            "retained_permyriad",
+            F.expr("(10000 * n_active) div base").cast("long"),
+        )
+        .drop("base")
+        .orderBy("cohort_wk", "week_offset")
+    )
+
+
 # ---------------------------------------------------------------------------
 @query(
     "q107_cohort_retention",
@@ -347,31 +377,7 @@ def q107(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.min("wk").alias("cohort_wk"), F.collect_set("wk").alias("wks")
-    )
-    cell = (
-        per_user.select(
-            "user_id", "cohort_wk", F.explode("wks").alias("wk")
-        )
-        .groupBy(
-            "cohort_wk",
-            F.expr("datediff(wk, cohort_wk) div 7").cast("long").alias("week_offset"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_active"))
-    )
-    base = F.max(
-        F.when(F.col("week_offset") == 0, F.col("n_active"))
-    ).over(Window.partitionBy("cohort_wk"))
-    return (
-        cell.withColumn("base", base)
-        .withColumn(
-            "retained_permyriad",
-            F.expr("(10000 * n_active) div base").cast("long"),
-        )
-        .drop("base")
-        .orderBy("cohort_wk", "week_offset")
-    )
+    return cohort_matrix(ev)
 
 
 # ---------------------------------------------------------------------------
@@ -496,6 +502,43 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def anomaly_flags(buckets: DataFrame) -> DataFrame:
+    """The integer 3-sigma flag derivation shared by batch q109 and the
+    streaming projection parity test (one implementation — review
+    finding, r8): from a pre-aggregated (event_type, bucket, n) series
+    to the ordered flagged frame."""
+    win = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-60, -1)
+    w = (
+        buckets.withColumn("win_k", F.count("*").over(win).cast("long"))
+        .withColumn("win_sum", F.coalesce(F.sum("n").over(win), F.lit(0)).cast("long"))
+        .withColumn(
+            "win_sumsq",
+            F.coalesce(F.sum(F.col("n") * F.col("n")).over(win), F.lit(0)).cast("long"),
+        )
+    )
+    spike = (
+        (F.col("win_k") >= 30)
+        & ((F.col("win_k") * F.col("n") - F.col("win_sum")) > 0)
+        & (
+            (F.col("win_k") * F.col("n") - F.col("win_sum"))
+            * (F.col("win_k") * F.col("n") - F.col("win_sum"))
+            * (F.col("win_k") - 1)
+            >= F.lit(9)
+            * F.col("win_k")
+            * (F.col("win_k") * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum"))
+        )
+    )
+    return w.select(
+        "event_type",
+        "bucket",
+        "n",
+        "win_k",
+        "win_sum",
+        F.when(spike, 1).otherwise(0).cast("long").alias("is_spike"),
+    ).orderBy("event_type", "bucket")
+
+
+
 # ---------------------------------------------------------------------------
 @query(
     "q109_sli_anomaly_flags",
@@ -548,36 +591,4 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     b = ev.groupBy(
         "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket")
     ).agg(F.count("*").alias("n"))
-    win = (
-        Window.partitionBy("event_type")
-        .orderBy("bucket")
-        .rowsBetween(-60, -1)
-    )
-    w = (
-        b.withColumn("win_k", F.count("*").over(win).cast("long"))
-        .withColumn("win_sum", F.coalesce(F.sum("n").over(win), F.lit(0)).cast("long"))
-        .withColumn(
-            "win_sumsq",
-            F.coalesce(F.sum(F.col("n") * F.col("n")).over(win), F.lit(0)).cast("long"),
-        )
-    )
-    spike = (
-        (F.col("win_k") >= 30)
-        & ((F.col("win_k") * F.col("n") - F.col("win_sum")) > 0)
-        & (
-            (F.col("win_k") * F.col("n") - F.col("win_sum"))
-            * (F.col("win_k") * F.col("n") - F.col("win_sum"))
-            * (F.col("win_k") - 1)
-            >= F.lit(9)
-            * F.col("win_k")
-            * (F.col("win_k") * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum"))
-        )
-    )
-    return w.select(
-        "event_type",
-        "bucket",
-        "n",
-        "win_k",
-        "win_sum",
-        F.when(spike, 1).otherwise(0).cast("long").alias("is_spike"),
-    ).orderBy("event_type", "bucket")
+    return anomaly_flags(b)

@@ -1477,7 +1477,12 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
     sym = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionByName(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
-    sym = sym.localCheckpoint(eager=False)
+    # Lineage truncation gated on the hermetic switch so plan-only
+    # audits still see the raw theta-join graph build (the r7 ADVICE
+    # doctrine; an ungated checkpoint would make the cartesian/NLJ
+    # audits vacuous below this point — review finding, r8).
+    if _dfcache.MATERIALIZE:
+        sym = sym.localCheckpoint(eager=False)
     deg = sym.groupBy(F.col("src").alias("node")).agg(
         F.count("*").cast("long").alias("deg")
     )

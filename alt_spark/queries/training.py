@@ -1996,7 +1996,7 @@ WITH t AS (
          CAST(CASE WHEN share IS NULL THEN 0
               ELSE (share * t_total) // 10000 END AS BIGINT) AS planned_tok,
          CAST(least(10000, (CASE WHEN share IS NULL THEN 0
-              ELSE (share * t_total) // 10000 END) * 10000 // tok) AS BIGINT) AS rate
+              ELSE (share * t_total) // 10000 END) * 10000 // greatest(tok, 1)) AS BIGINT) AS rate
   FROM s, tt
 )
 SELECT t.lang,

@@ -498,8 +498,10 @@ c AS (SELECT * FROM ex WHERE vec_id % {_SEMDECON_MOD} <> 0),
 b AS (SELECT * FROM ex WHERE vec_id % {_SEMDECON_MOD} = 0),
 pairs AS (
   SELECT c.vec_id AS cid, c.label AS label,
-         round(sum(c.val * b.val)
-               / (sqrt(sum(c.val * c.val)) * sqrt(sum(b.val * b.val))), 6) AS cos
+         CASE WHEN sum(c.val * c.val) > 0 AND sum(b.val * b.val) > 0
+              THEN round(sum(c.val * b.val)
+                   / (sqrt(sum(c.val * c.val)) * sqrt(sum(b.val * b.val))), 6)
+              ELSE -1.0 END AS cos
   FROM c JOIN b ON c.idx = b.idx
   GROUP BY c.vec_id, c.label, b.vec_id
 ), mx AS (
@@ -549,14 +551,20 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.collect_list("bv").alias("bench"))
     )
     corpus = vec.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
+    # Zero-norm guard: 0/0 is NaN, and Spark sorts NaN ABOVE every
+    # double while DuckDB's IEEE `NaN >= tau` is FALSE — a zero vector
+    # on either side would flip the contamination flag between engines.
+    # Define cos = -1 for a degenerate pair in BOTH engines instead.
+    # (Review finding, r8.)
     scored = corpus.crossJoin(F.broadcast(bench)).withColumn(
         "max_cos",
         F.array_max(
             F.transform(
                 F.col("bench"),
-                lambda b: F.round(
-                    dot(F.col("v"), b["v"]) / (F.col("nrm") * b["nrm"]), 6
-                ),
+                lambda b: F.when(
+                    (F.col("nrm") > 0) & (b["nrm"] > 0),
+                    F.round(dot(F.col("v"), b["v"]) / (F.col("nrm") * b["nrm"]), 6),
+                ).otherwise(F.lit(-1.0)),
             )
         ),
     )
@@ -652,9 +660,16 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         .alias("rrf_rank"),
     )
     docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    # Prune-then-chunk: the first join only needs to RESTRICT docs to
+    # the retrieved ten (chunk_tokens keeps only its own columns, so a
+    # carried rrf_rank would be dead weight) — a broadcast left_semi
+    # makes that intent explicit; the rank joins on once, after
+    # chunking, against the same 10-row frame. (Review finding, r8.)
     sel = docs.join(
-        F.broadcast(ranked), docs["doc_id"] == ranked["id"]
-    ).select("doc_id", "text", "rrf_rank")
+        F.broadcast(ranked.select(F.col("id").alias("doc_id"))),
+        "doc_id",
+        "left_semi",
+    )
     chunks = chunk_tokens(
         sel.withColumn("toks", _tokens_col()),
         F.col("toks"),

@@ -240,7 +240,7 @@ def test_q48_envelope_matches_to_json(spark):
         "event_id long, user_id long, ts string, event_type string",
     ).withColumn("ts", F.to_timestamp("ts"))
     for frame in (ev, planted):
-        line = _q48_log_line(frame)
+        line = _q48_log_line()
         hand = _q48_envelope(line)
         twin = F.to_json(
             F.struct(

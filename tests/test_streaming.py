@@ -1234,32 +1234,10 @@ def test_streaming_cohort_retention_parity(spark):
     )
     q.awaitTermination(120)
 
+    from alt_spark.queries.events_q import cohort_matrix
+
     act = spark.read.parquet(proj)
-    per_user = act.groupBy("user_id").agg(
-        F.min("wk").alias("cohort_wk"), F.collect_set("wk").alias("wks")
-    )
-    cell = (
-        per_user.select("user_id", "cohort_wk", F.explode("wks").alias("wk"))
-        .groupBy(
-            "cohort_wk",
-            F.expr("datediff(wk, cohort_wk) div 7").cast("long").alias("week_offset"),
-        )
-        .agg(F.count_distinct("user_id").alias("n_active"))
-    )
-    base = F.max(F.when(F.col("week_offset") == 0, F.col("n_active"))).over(
-        Window.partitionBy("cohort_wk")
-    )
-    got = sorted(
-        (
-            cell.withColumn("base", base)
-            .withColumn(
-                "retained_permyriad",
-                F.expr("(10000 * n_active) div base").cast("long"),
-            )
-            .drop("base")
-        ).collect(),
-        key=lambda r: (r["cohort_wk"], r["week_offset"]),
-    )
+    got = cohort_matrix(act).collect()
     want = q107(spark, SF).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
 
@@ -1315,41 +1293,9 @@ def test_streaming_anomaly_flags_parity(spark):
     )
     q.awaitTermination(120)
 
+    from alt_spark.queries.events_q import anomaly_flags
+
     b = spark.read.parquet(proj)
-    win = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-60, -1)
-    w = (
-        b.withColumn("win_k", F.count("*").over(win).cast("long"))
-        .withColumn("win_sum", F.coalesce(F.sum("n").over(win), F.lit(0)).cast("long"))
-        .withColumn(
-            "win_sumsq",
-            F.coalesce(F.sum(F.col("n") * F.col("n")).over(win), F.lit(0)).cast("long"),
-        )
-    )
-    spike = (
-        (F.col("win_k") >= 30)
-        & ((F.col("win_k") * F.col("n") - F.col("win_sum")) > 0)
-        & (
-            (F.col("win_k") * F.col("n") - F.col("win_sum"))
-            * (F.col("win_k") * F.col("n") - F.col("win_sum"))
-            * (F.col("win_k") - 1)
-            >= F.lit(9)
-            * F.col("win_k")
-            * (
-                F.col("win_k") * F.col("win_sumsq")
-                - F.col("win_sum") * F.col("win_sum")
-            )
-        )
-    )
-    got = sorted(
-        w.select(
-            "event_type",
-            "bucket",
-            "n",
-            "win_k",
-            "win_sum",
-            F.when(spike, 1).otherwise(0).cast("long").alias("is_spike"),
-        ).collect(),
-        key=lambda r: (r["event_type"], r["bucket"]),
-    )
+    got = anomaly_flags(b).collect()
     want = q109(spark, SF).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]

@@ -1455,3 +1455,25 @@ def test_q111_priority_sample_reference_and_invariance(spark):
     sel_w = {r["doc_id"]: r["w"] for r in rows}
     sel_mean = sum(sel_w[d] for d in got) / len(got)
     assert sel_mean > corpus_mean
+
+
+def test_target_mixture_rates_zero_mass_stratum(spark):
+    """A declared stratum whose rows all carry zero weight must get
+    rate 0 (and zero it NEVER keeps rows via a NULL-skipping least) —
+    the r8 review finding: bare `div tok` is NULL under ANSI-off and
+    F.least skips NULLs, which silently produced keep-all."""
+    from alt_spark.operators.mixing import target_mixture_rates
+
+    df = spark.createDataFrame(
+        [("en", 1, 10), ("en", 2, 30), ("de", 3, 0), ("de", 4, 0)],
+        ["lang", "doc_id", "n_tok"],
+    )
+    got = {
+        r["lang"]: (r["tok"], r["planned_tok"], r["rate"])
+        for r in target_mixture_rates(
+            df, "lang", {"en": 5000, "de": 5000}, "n_tok"
+        ).collect()
+    }
+    # de's zero mass makes the whole recipe unachievable: T=0.
+    assert got["de"] == (0, 0, 0)
+    assert got["en"] == (40, 0, 0)
