@@ -180,9 +180,15 @@ def target_mixture_rates(
 
     Strata present in the corpus but absent from the target get rate 0
     (a mixing config lists exactly what it wants — the
-    ``stratified_sample`` contract); target strata with no corpus rows
-    simply produce no output row (nothing exists to sample), which also
-    makes the achievable-total min run only over strata that exist.
+    ``stratified_sample`` contract). A DECLARED stratum with no corpus
+    rows at all RAISES at action time (assert_true guard, the q94
+    union-branch device): the recipe is unachievable — zero mass of a
+    declared stratum binds T to 0 when the rows exist with zero weight,
+    so a stratum that is entirely absent must not silently
+    UN-constrain the min and ship a mixture that violates the declared
+    recipe (ADVICE r8: the two adjacent degenerate cases were
+    inconsistent — zero-weight dropped the whole corpus while
+    fully-missing kept everything else at full rate).
 
     Returns (stratum, tok, planned_tok, rate) — ``tok`` the observed
     weight mass, ``planned_tok`` the post-sampling plan the rate aims
@@ -213,7 +219,37 @@ def target_mixture_rates(
     tot = counts.filter(F.col("share").isNotNull()).agg(
         F.min(F.expr(f"(tok * {PRECISION}) div share")).alias("t_total")
     )
-    return (
+    # Loud missing-stratum guard (ADVICE r8): a declared stratum with
+    # zero corpus rows contributes nothing to the min above, so without
+    # this the output would silently violate the declared recipe (other
+    # strata kept at full rate with 0% of the missing one). Empty
+    # zero-row branch when healthy; action-time raise when not.
+    declared = F.array(*[F.lit(k) for k in target_permyriad])
+    missing = F.array_sort(
+        F.array_except(declared, F.collect_set(F.col(stratum_col)))
+    )
+    guard = (
+        counts.agg(missing.alias("__missing"))
+        .filter(
+            F.assert_true(
+                F.size("__missing") == 0,
+                F.concat(
+                    F.lit(
+                        "target_mixture_rates: declared strata absent "
+                        "from corpus (recipe unachievable): "
+                    ),
+                    F.array_join(F.col("__missing"), ", "),
+                ),
+            ).isNotNull()
+        )
+        .select(
+            F.lit(None).cast("string").alias(stratum_col),
+            F.lit(None).cast("long").alias("tok"),
+            F.lit(None).cast("long").alias("planned_tok"),
+            F.lit(None).cast("long").alias("rate"),
+        )
+    )
+    return guard.unionByName(
         counts.crossJoin(F.broadcast(tot))
         .withColumn(
             "planned_tok",

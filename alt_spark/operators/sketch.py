@@ -45,37 +45,58 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from alt_spark.plans import dfcache
+
 __all__ = ["mg_summaries", "heavy_hitters"]
 
 
-def _mg_fold(batches, key_col: str, k: int):
+def _mg_fold(batches, key_col: str, k: int, with_total: bool):
     import pandas as pd
 
     counters: dict[str, int] = {}
+    n = 0
     for pdf in batches:
-        vc = pdf[key_col].dropna().value_counts()
+        vals = pdf[key_col].dropna()
+        n += len(vals)
+        vc = vals.value_counts()
         for key, cnt in vc.items():
             counters[key] = counters.get(key, 0) + int(cnt)
         if len(counters) > k:
             excess = len(counters) - k
             t = sorted(counters.values())[excess - 1]
             counters = {ky: c - t for ky, c in counters.items() if c - t > 0}
-    yield pd.DataFrame(
-        {"key": list(counters.keys()), "cnt_lb": list(counters.values())}
-    )
+    keys: list[str | None] = list(counters.keys())
+    cnts: list[int] = list(counters.values())
+    if with_total:
+        # Sentinel row (key NULL — unambiguous: keys are dropna'd
+        # above): the partition's non-null row count, so the caller
+        # can derive N from the summary frame instead of paying a
+        # third corpus scan (ADVICE r8).
+        keys.append(None)
+        cnts.append(n)
+    yield pd.DataFrame({"key": keys, "cnt_lb": cnts})
 
 
-def mg_summaries(df: DataFrame, key_col: str, k: int) -> DataFrame:
+def mg_summaries(
+    df: DataFrame, key_col: str, k: int, with_total: bool = False
+) -> DataFrame:
     """Per-partition weighted Misra-Gries summaries: (key, cnt_lb)
     with cnt_lb a LOWER BOUND on the partition's true count and at
     most ``k`` rows per partition. ``key_col`` must be a string
-    column (the sketch hashes nothing — cast upstream)."""
+    column (the sketch hashes nothing — cast upstream).
+
+    With ``with_total=True`` each partition appends ONE extra sentinel
+    row ``(NULL, partition_non_null_count)`` so a consumer can recover
+    N = sum of sentinel counts from the summary frame itself — the
+    device :func:`heavy_hitters` uses to keep its guarantee guard from
+    rescanning the corpus (at most k+1 rows per partition then)."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     if dict(df.dtypes)[key_col] != "string":
         raise ValueError(f"{key_col!r} must be string, got {dict(df.dtypes)[key_col]}")
     return df.select(key_col).mapInPandas(
-        lambda it: _mg_fold(it, key_col, k), schema="key string, cnt_lb long"
+        lambda it: _mg_fold(it, key_col, k, with_total),
+        schema="key string, cnt_lb long",
     )
 
 
@@ -89,13 +110,23 @@ def heavy_hitters(
     time instead of returning silently-maybe-wrong rows.
 
     Returns (key, cnt) ordered (cnt desc, key). At 100 TB: pass 1 is a
-    narrow scan emitting partitions x k summary rows; pass 2 scans
-    again but aggregates only candidate keys (broadcast semi-join), so
-    the shuffle is candidate-bounded, never distinct-key-bounded.
+    narrow scan emitting partitions x (k+1) summary rows (the +1 a
+    per-partition row-count sentinel, so N for the guarantee guard
+    comes from the summary frame — exactly TWO corpus scans, never a
+    third just to count; ADVICE r8); pass 2 scans again but aggregates
+    only candidate keys (broadcast semi-join), so the shuffle is
+    candidate-bounded, never distinct-key-bounded.
     """
     if top_n <= 0:
         raise ValueError(f"top_n must be positive, got {top_n}")
-    cands = mg_summaries(df, key_col, k).select("key").distinct()
+    summ = mg_summaries(df, key_col, k, with_total=True)
+    if dfcache.MATERIALIZE:
+        # Two consumers (candidates + N) of one pass-1 frame: a lazy
+        # checkpoint makes the sketch scan compute once, keeping the
+        # docstring's two-pass promise literal. Bounded: partitions x
+        # (k+1) rows. Hermetic switch keeps plan audits barrier-free.
+        summ = summ.localCheckpoint(eager=False)
+    cands = summ.filter(F.col("key").isNotNull()).select("key").distinct()
     exact = (
         df.select(F.col(key_col).alias("key"))
         .join(F.broadcast(cands), "key", "left_semi")
@@ -103,7 +134,9 @@ def heavy_hitters(
         .agg(F.count("*").alias("cnt"))
     )
     sel = exact.orderBy(F.desc("cnt"), "key").limit(top_n)
-    total = df.select(key_col).na.drop().agg(F.count("*").alias("__n"))
+    total = summ.filter(F.col("key").isNull()).agg(
+        F.coalesce(F.sum("cnt_lb"), F.lit(0)).alias("__n")
+    )
     mn = sel.agg(F.min("cnt").alias("__mn"))
     guard = (
         mn.crossJoin(F.broadcast(total))

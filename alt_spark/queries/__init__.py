@@ -149,9 +149,61 @@ _loaded = False
 #   q47 — I11 syndication; 5 greens; near-dup evidence as q30-q33;
 #   q48 — A3 log parse; 5 greens; ingestion throughput still recorded
 #         by bench.py every round.
+#   r9 rotation (VERDICT r8 item 1, pre-staged in COVERAGE.md): the 14
+#         oracle-backed r8 additions q101-q114 (index retention,
+#         semantic decontamination, target-mixture rebalance, padding
+#         waste, unigram Viterbi + bake-off, cohort retention, ordered
+#         funnel, SLI anomaly flags, heavy-hitters sketch, weighted
+#         priority sampling, RAG context capstone, corpus drift gate,
+#         integer PageRank) moved INTO the window to earn their first
+#         driver hash rows, PLUS q49 (streaming MV replay), which has
+#         carried a DuckDB oracle since r7 but never sat in-window.
+#         Fifteen entries rotated out in exchange, each with either
+#         long green history or ≥2 surviving in-window family rows:
+#   q19 — J7 percentile outlier filter; 6 greens (r2,r4-r8); the
+#         embedding-threshold family keeps q99 in-window and the
+#         rotating-in q102 hash-checks cosine thresholding;
+#   q25 — J8 vector kNN; 6 greens; the rotating-in q112 RAG capstone
+#         re-exercises brute-force kNN retrieval in-window;
+#   q39 — J3 centroid classify; 6 greens; pytest oracle continues;
+#   q42/q43 — as-of join / range join; 6 greens each; join evidence
+#         stays via q114's theta-join graph build (rotating in);
+#   q45 — J4 label propagation; 6 greens; graph family keeps q73
+#         (CC clusters) in-window plus the rotating-in q114 PageRank;
+#   q50 — I1/I4 HTML clean + sentence split; 6 greens; q92's gate
+#         funnel and q93's sentence-grain dedup stay in-window;
+#   q52 — A1 RSS/Atom parse; 6 greens; parser equivalence vs the
+#         format("rss") DataSource is pytest-enforced;
+#   q56 — D14 ROLLUP; 4 greens; q82's ROLLUP datasheet stays in-window;
+#   q60 — context chunking; 4 greens; chunking is load-bearing inside
+#         the rotating-in q112 (same _CHUNK/_STRIDE constants);
+#   q84/q85/q86 — C4/PAN-Luhn/Flesch gates; 1 green each (r8), but
+#         q92's funnel composes the same gates in-window and each
+#         keeps planted-value pytest pins (the ledger's own plan);
+#   q96 — tokenizer fertility; 1 green (r8); q88/q89 keep the BPE
+#         family in-window and the rotating-in q106 bake-off
+#         re-derives the q96 piece masses (consistency pytest-pinned);
+#   q97 — span trim; 1 green (r8); q95 (span coverage) and q100 (the
+#         capstone composing trim) stay in-window.
 # The rotation ledger in COVERAGE.md tracks per-query driver-row
 # history across rounds.
 _REPORT_TAIL = (
+    # r9 rotated-out set (rationale above).
+    "q19_embedding_outlier_filter",
+    "q25_vector_knn",
+    "q39_centroid_classify",
+    "q42_asof_prior_action",
+    "q43_range_join_proximity",
+    "q45_label_propagation",
+    "q50_html_clean_sentences",
+    "q52_rss_atom_parse",
+    "q56_grouping_sets_rollup",
+    "q60_context_chunks",
+    "q84_c4_filters",
+    "q85_pan_luhn_audit",
+    "q86_readability_bands",
+    "q96_tokenizer_fertility",
+    "q97_span_trim",
     # r8 rotated-out set (rationale above).
     "q02_sli_error_rate",
     "q03_trend_buckets_full_outer",
@@ -174,7 +226,9 @@ _REPORT_TAIL = (
     "q46_rouge1_pairs",
     "q47_syndication_dedup",
     "q48_nginx_log_parse",
-    "q49_streaming_mv_replay",
+    # q49 rotated INTO the window in r9: it has carried the q02-shaped
+    # DuckDB oracle since r7 (stream==batch parity in CI throughout)
+    # but never earned a driver hash row on that footing.
     "q37_approx_distinct_users",
     "q53_minhash_production",
     "q54_simhash_production",
@@ -213,27 +267,8 @@ _REPORT_TAIL = (
     # tests/test_ml_ops.py. The rest of the r7 family (q79-q86,
     # q88-q100, all oracle-backed) rotated INTO the window in r8.
     "q87_bpe_vocab_learning",
-    # q101 — new r8 (index retention/compaction, VERDICT r7 item 2);
-    # oracle-backed (in-pytest parity every CI pass), parked in the
-    # tail as the newest entry; r9 rotation candidate.
-    "q101_index_retention",
-    # q102-q104 — new r8 additions (semantic decontamination, target-
-    # mixture rebalance, padding-waste audit); oracle-backed (in-pytest
-    # parity every CI pass), parked in the tail as the newest entries;
-    # r9 rotation candidates alongside q101.
-    "q102_semantic_decontamination",
-    "q103_target_mixture_rebalance",
-    "q104_padding_waste_audit",
-    "q105_unigram_segmentation",
-    "q106_tokenizer_bakeoff",
-    "q107_cohort_retention",
-    "q108_conversion_funnel",
-    "q109_sli_anomaly_flags",
-    "q110_heavy_hitters",
-    "q111_weighted_priority_sample",
-    "q112_rag_context_assembly",
-    "q113_corpus_drift_report",
-    "q114_pagerank_integer",
+    # q101-q114 (new r8) rotated INTO the window in r9 per the
+    # pre-staged COVERAGE.md plan — see the r9 rotation note above.
 )
 
 

@@ -508,24 +508,42 @@ def anomaly_flags(buckets: DataFrame) -> DataFrame:
     finding, r8): from a pre-aggregated (event_type, bucket, n) series
     to the ordered flagged frame."""
     win = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-60, -1)
+    # The squared-comparison operands live in DECIMAL(38,0), not LONG
+    # (the q74 device): with ANSI off a LONG multiply WRAPS silently,
+    # so the old all-long form was silently wrong (and diverged from
+    # the oracle, which errors) once (k*n-s)^2*(k-1) crossed 2^63 —
+    # per-minute-per-key counts of only ~2e6 with k=60, 20x below the
+    # envelope the r8 docstring claimed (ADVICE r8, medium). In
+    # DECIMAL(38,0) the binding term 9k*(k*sumsq) <= 540*3600*n^2 needs
+    # n < ~2e15 before any operand leaves 38 digits — effectively
+    # unbounded for a per-minute series; sumsq itself is accumulated in
+    # decimal so n^2 never wraps either. Past ~2e15 Spark yields NULL
+    # (no flag, ANSI off) while the HUGEINT oracle stays exact to
+    # ~1.7e38 — documented residual, far outside any real series.
+    dec = "decimal(38,0)"
     w = (
         buckets.withColumn("win_k", F.count("*").over(win).cast("long"))
         .withColumn("win_sum", F.coalesce(F.sum("n").over(win), F.lit(0)).cast("long"))
         .withColumn(
             "win_sumsq",
-            F.coalesce(F.sum(F.col("n") * F.col("n")).over(win), F.lit(0)).cast("long"),
+            F.coalesce(
+                F.sum(F.col("n").cast(dec) * F.col("n")).over(win),
+                F.lit(0),
+            ).cast(dec),
         )
     )
+    d = F.col("win_k").cast(dec) * F.col("n") - F.col("win_sum")
     spike = (
         (F.col("win_k") >= 30)
-        & ((F.col("win_k") * F.col("n") - F.col("win_sum")) > 0)
+        & (d > 0)
         & (
-            (F.col("win_k") * F.col("n") - F.col("win_sum"))
-            * (F.col("win_k") * F.col("n") - F.col("win_sum"))
-            * (F.col("win_k") - 1)
-            >= F.lit(9)
+            d * d * (F.col("win_k") - 1).cast(dec)
+            >= F.lit(9).cast(dec)
             * F.col("win_k")
-            * (F.col("win_k") * F.col("win_sumsq") - F.col("win_sum") * F.col("win_sum"))
+            * (
+                F.col("win_k").cast(dec) * F.col("win_sumsq")
+                - F.col("win_sum").cast(dec) * F.col("win_sum")
+            )
         )
     )
     return w.select(
@@ -550,15 +568,17 @@ WITH b AS (
   SELECT event_type, bucket, n,
          CAST(count(*) OVER win AS BIGINT) AS win_k,
          CAST(coalesce(sum(n) OVER win, 0) AS BIGINT) AS win_sum,
-         CAST(coalesce(sum(n * n) OVER win, 0) AS BIGINT) AS win_sumsq
+         CAST(coalesce(sum(CAST(n AS HUGEINT) * n) OVER win, 0) AS HUGEINT) AS win_sumsq
   FROM b
   WINDOW win AS (PARTITION BY event_type ORDER BY bucket
                  ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING)
 )
 SELECT event_type, bucket, n, win_k, win_sum,
-       CAST(CASE WHEN win_k >= 30 AND (win_k * n - win_sum) > 0
-                  AND (win_k * n - win_sum) * (win_k * n - win_sum) * (win_k - 1)
-                      >= 9 * win_k * (win_k * win_sumsq - win_sum * win_sum)
+       CAST(CASE WHEN win_k >= 30 AND (CAST(win_k AS HUGEINT) * n - win_sum) > 0
+                  AND (CAST(win_k AS HUGEINT) * n - win_sum)
+                      * (CAST(win_k AS HUGEINT) * n - win_sum) * (win_k - 1)
+                      >= 9 * win_k * (win_k * win_sumsq
+                                      - CAST(win_sum AS HUGEINT) * win_sum)
             THEN 1 ELSE 0 END AS BIGINT) AS is_spike
 FROM w
 ORDER BY event_type, bucket
@@ -575,10 +595,18 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     The spike DECISION is exact integer arithmetic — the z >= 3 test
     is squared into (k*n - s)^2 * (k-1) >= 9k * (k*sumsq - s^2), so no
     float ever crosses the oracle boundary and bucket flags replay
-    bit-for-bit (the q75/q94 doctrine applied to variance). Overflow
-    bound: (k*n)^2*(k-1) needs n*k < 3e9 — per-minute-per-key counts
-    beyond ~5e7 would need DECIMAL(38,0) (the q74 device); document,
-    don't fake. Warm-up (fewer than 30 trailing buckets) never flags.
+    bit-for-bit (the q75/q94 doctrine applied to variance). The squared
+    operands are DECIMAL(38,0) on the Spark side and HUGEINT in the
+    oracle (the q74 device — ADVICE r8 corrected the old all-LONG form,
+    whose true safe envelope was only ~2e6 per-minute-per-key before a
+    silent 2^63 wrap: 9k*(k*sumsq) = 540*60*sumsq crosses 2^63 at
+    n ~ 2.2e6 with k=60, not the ~5e7 the r8 docstring claimed).
+    Decimal envelope: 9k*(k*sumsq) <= 1.944e6 * n^2 stays within 38
+    digits for n < ~2e15 per minute per key — document, don't fake;
+    past that Spark NULLs the flag (ANSI off) while HUGEINT stays
+    exact to ~1.7e38. Warm-up (fewer than 30 trailing buckets) never
+    flags. The exact-arithmetic derivation lives in
+    :func:`anomaly_flags`, shared with the streaming parity test.
 
     Plan (100 TB shape): the q02 pre-aggregation is the ONLY
     corpus-scale exchange; the window runs per event_type over the

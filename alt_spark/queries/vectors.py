@@ -549,6 +549,19 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
         vec.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
         .select(F.struct(F.col("v").alias("v"), F.col("nrm").alias("nrm")).alias("bv"))
         .agg(F.collect_list("bv").alias("bench"))
+        # Empty-benchmark guard (ADVICE r8): the ungrouped collect_list
+        # always yields ONE row, so an empty benchmark would quietly
+        # score every corpus row max_cos=NULL -> n_contaminated=0 while
+        # the oracle's inner join yields ZERO rows — latent engine
+        # divergence. Decontaminating against nothing is a config
+        # error; raise at action time (assert_true returns NULL on
+        # success, so the filter keeps the healthy 1-row frame).
+        .filter(
+            F.assert_true(
+                F.size("bench") > 0,
+                F.lit("q102: benchmark partition is empty — nothing to decontaminate against"),
+            ).isNull()
+        )
     )
     corpus = vec.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
     # Zero-norm guard: 0/0 is NaN, and Spark sorts NaN ABOVE every

@@ -752,6 +752,24 @@ def test_heavy_hitters_exact_and_partition_invariant(spark):
     per_part = summ.groupBy(F.spark_partition_id()).count().collect()
     # mapInPandas emits one k-bounded frame per partition.
     assert all(r["count"] <= 8 for r in per_part)
+    # with_total=True: one NULL-key sentinel per partition whose counts
+    # sum to the non-null row total — the device heavy_hitters uses to
+    # derive N without a third corpus scan (ADVICE r8).
+    wt = mg_summaries(toks.repartition(4), "tok", k=8, with_total=True)
+    sent = wt.filter(F.col("key").isNull()).agg(
+        F.count("*").alias("parts"), F.sum("cnt_lb").alias("n")
+    ).collect()[0]
+    assert sent["parts"] == 4
+    assert sent["n"] == toks.count()
+    # Non-sentinel rows keep the default-contract bounds.
+    assert (
+        wt.filter(F.col("key").isNotNull())
+        .groupBy(F.spark_partition_id())
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+        <= 8
+    )
 
 
 def test_heavy_hitters_guard_raises_when_k_too_small(spark):

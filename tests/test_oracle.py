@@ -87,38 +87,32 @@ def test_report_window_contains_every_reportable_oracle():
 
     undocumented = [n for n in tail if n not in _REPORT_TAIL]
     assert not undocumented, f"undocumented tail entries: {undocumented}"
-    # The r5/r6 rotations stay in-window, the r7 rotation (VERDICT r6
-    # item 1) keeps q73-q78 inside the window, and the r8 rotation
-    # (VERDICT r7 item 1) puts the 21 oracle-backed r7 additions
-    # q79-q86/q88-q100 inside the window so every one of them earns
-    # its first driver hash row.
+    # The r9 rotation (VERDICT r8 item 1) puts the 14 oracle-backed r8
+    # additions q101-q114 plus q49 inside the window so every one of
+    # them earns its first driver hash row; earlier rotations' members
+    # that were NOT rotated out in r9 stay in-window (q57-q59, q61-q68,
+    # q70, q72-q83, q88-q95, q98-q100 — see queries/__init__.py for the
+    # per-query rotate-out rationale of q19/q25/q39/q42/q43/q45/q50/
+    # q52/q56/q60/q84-q86/q96/q97).
     for n in (
-        "q79_epoch_expansion",
-        "q80_bpe_pair_counts",
-        "q81_cluster_representatives",
-        "q82_dataset_card",
-        "q83_contamination_audit",
-        "q84_c4_filters",
-        "q85_pan_luhn_audit",
-        "q86_readability_bands",
-        "q88_bpe_segmentation",
-        "q89_vocab_coverage",
-        "q90_cross_source_dup_matrix",
-        "q91_embedding_neardup_lsh",
-        "q92_gate_funnel",
-        "q93_sentence_dedup",
-        "q94_exact_k_holdout",
-        "q95_dup_span_coverage",
-        "q96_tokenizer_fertility",
-        "q97_span_trim",
-        "q98_join_key_skew_audit",
-        "q99_neardup_threshold_histogram",
-        "q100_release_pipeline",
-        "q56_grouping_sets_rollup",
+        "q49_streaming_mv_replay",
+        "q101_index_retention",
+        "q102_semantic_decontamination",
+        "q103_target_mixture_rebalance",
+        "q104_padding_waste_audit",
+        "q105_unigram_segmentation",
+        "q106_tokenizer_bakeoff",
+        "q107_cohort_retention",
+        "q108_conversion_funnel",
+        "q109_sli_anomaly_flags",
+        "q110_heavy_hitters",
+        "q111_weighted_priority_sample",
+        "q112_rag_context_assembly",
+        "q113_corpus_drift_report",
+        "q114_pagerank_integer",
         "q57_frame_spec_windows",
         "q58_intersect_except",
         "q59_stratified_mixing",
-        "q60_context_chunks",
         "q61_sequence_packing",
         "q62_decontamination",
         "q63_pii_scrub",
@@ -135,6 +129,22 @@ def test_report_window_contains_every_reportable_oracle():
         "q76_ccnet_buckets",
         "q77_leakage_free_splits",
         "q78_target_domain_selection",
+        "q79_epoch_expansion",
+        "q80_bpe_pair_counts",
+        "q81_cluster_representatives",
+        "q82_dataset_card",
+        "q83_contamination_audit",
+        "q88_bpe_segmentation",
+        "q89_vocab_coverage",
+        "q90_cross_source_dup_matrix",
+        "q91_embedding_neardup_lsh",
+        "q92_gate_funnel",
+        "q93_sentence_dedup",
+        "q94_exact_k_holdout",
+        "q95_dup_span_coverage",
+        "q98_join_key_skew_audit",
+        "q99_neardup_threshold_histogram",
+        "q100_release_pipeline",
     ):
         assert n in head, f"{n} must sit inside the driver report window"
     # No registry entry is lost by the ordering: compare against the raw

@@ -1045,3 +1045,32 @@ def test_q102_flags_match_numpy_brute_force(spark):
             int(w["n_contaminated"]),
             int(w["contam_checksum"]),
         ), w["label"]
+
+
+def test_q102_empty_benchmark_raises(spark):
+    """ADVICE r8: an empty benchmark partition must raise, not emit
+    per-label rows with n_contaminated=0 (the ungrouped collect_list
+    always yields one row, so without the guard Spark and the oracle's
+    inner join disagree on the empty-benchmark contract)."""
+    import pytest as _pt
+
+    from unittest import mock
+
+    import alt_spark.queries.vectors as vx
+    from tests.conftest import SF_SMOKE
+
+    real = vx.load_table
+
+    def no_bench(spark_, sf_, name):
+        df = real(spark_, sf_, name)
+        if name == "embeddings":
+            # Shift ids off the benchmark residue class: no vec_id is
+            # divisible by the bench modulus, so the bench side is empty.
+            df = df.withColumn(
+                "vec_id", F.col("vec_id") * vx._SEMDECON_MOD + 1
+            )
+        return df
+
+    with mock.patch.object(vx, "load_table", no_bench):
+        with _pt.raises(Exception, match="benchmark partition is empty"):
+            vx.q102(spark, SF_SMOKE).collect()

@@ -226,3 +226,45 @@ def test_q109_integer_flag_equals_float_zscore(spark):
         }
     assert flags[45] == 1
     assert sum(flags.values()) == 1
+
+
+def test_q109_decimal_arithmetic_survives_large_counts(spark):
+    """Regression for the ADVICE r8 medium finding: with all-LONG
+    arithmetic, 9k*(k*sumsq) crosses 2^63 at per-minute counts of only
+    ~2.2e6 (k=60) and WRAPS silently under ANSI off — the flag went
+    silently wrong exactly where an operator most needs it. The
+    DECIMAL(38,0) form must match an exact Python big-int replay in
+    that regime (n ~ 2.5e6, where the old form provably wrapped)."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from alt_spark.queries.events_q import anomaly_flags
+
+    t0 = dt.datetime(2024, 1, 1)
+    ns = [5_000_000 + (i * 7919) % 1_000 for i in range(70)]
+    ns[65] += 100_000  # unambiguous spike vs the +-1000 jitter
+    # The binding RHS term at this magnitude exceeds 2^63: the old long
+    # form wrapped here (sanity-pin the premise, not just the fix).
+    k, window = 60, ns[5:65]
+    assert 9 * k * (k * sum(x * x for x in window)) > 2**63
+    buckets = spark.createDataFrame(
+        [
+            Row(event_type="big", bucket=t0 + dt.timedelta(minutes=i), n=n)
+            for i, n in enumerate(ns)
+        ]
+    )
+    got = {
+        r["bucket"].minute + 60 * r["bucket"].hour: r["is_spike"]
+        for r in anomaly_flags(buckets).collect()
+    }
+    # Exact Python replay of the integer decision with unbounded ints.
+    hist: list[int] = []
+    for i, n in enumerate(ns):
+        w = hist[-60:]
+        kk, s, sq = len(w), sum(w), sum(x * x for x in w)
+        d = kk * n - s
+        want = int(kk >= 30 and d > 0 and d * d * (kk - 1) >= 9 * kk * (kk * sq - s * s))
+        assert got[i] == want, (i, n, got[i], want)
+        hist.append(n)
+    assert got[65] == 1 and sum(got.values()) == 1

@@ -1477,3 +1477,28 @@ def test_target_mixture_rates_zero_mass_stratum(spark):
     # de's zero mass makes the whole recipe unachievable: T=0.
     assert got["de"] == (0, 0, 0)
     assert got["en"] == (40, 0, 0)
+
+
+def test_target_mixture_rates_missing_declared_stratum_raises(spark):
+    """ADVICE r8: a declared stratum with NO corpus rows at all must be
+    LOUD — without the guard it silently un-constrains the bottleneck
+    min and the output violates the declared recipe (en kept at full
+    rate with 0% of the missing 'fr'). Adjacent degenerate case (zero
+    WEIGHT but rows present) keeps the T=0 contract, tested above."""
+    from alt_spark.operators.mixing import target_mixture_rates
+
+    df = spark.createDataFrame(
+        [("en", 1, 10), ("en", 2, 30), ("de", 3, 5)],
+        ["lang", "doc_id", "n_tok"],
+    )
+    with pytest.raises(Exception, match="declared strata absent"):
+        target_mixture_rates(
+            df, "lang", {"en": 4000, "de": 4000, "fr": 2000}, "n_tok"
+        ).collect()
+    # Healthy recipe over the same frame still computes (guard branch
+    # stays empty; no behavior change for achievable recipes).
+    rows = target_mixture_rates(
+        df, "lang", {"en": 8000, "de": 2000}, "n_tok"
+    ).collect()
+    assert {r["lang"] for r in rows} == {"en", "de"}
+    assert all(r["rate"] is not None for r in rows)
