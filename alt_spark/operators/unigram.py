@@ -8,13 +8,14 @@ positions. SentencePiece's default model is this one, so a corpus
 engine that prices/tokenizes for both families covers the two
 production tokenizer classes.
 
-Deploy-side only, by design (the q88 doctrine: a tokenizer is a
-frozen, versioned artifact): the vocabulary here is PINNED —
-(piece, milli-log-prob) pairs with integer scores — so the whole DP
-is exact integer arithmetic and the chosen segmentation is
-oracle-checkable cross-engine. Learning the vocabulary (EM over
-segmentation lattices) is out of scope the same way q87's merge loop
-is rows-only: iterative argmax feeding the next round.
+Deploy side (q105/q106): the vocabulary is PINNED — (piece,
+milli-log-prob) pairs with integer scores — so the whole DP is exact
+integer arithmetic and the chosen segmentation is oracle-checkable
+cross-engine (the q88 doctrine: a tokenizer is a frozen, versioned
+artifact). Training side (:func:`learn_unigram_vocab`, VERDICT r8
+item 3): Viterbi-EM over the same DP, rows-only the same way q87's
+merge loop is — round i's re-estimated scores feed round i+1's
+lattice, pinned against a pure-Python reference instead of SQL.
 
 The 100 TB shape mirrors BPE's: the corpus collapses ONCE to the
 Zipf-bounded word-type table, the DP runs in-row on that bounded
@@ -57,6 +58,7 @@ __all__ = [
     "viterbi_segment",
     "ddb_viterbi_ctes",
     "ddb_viterbi_sql",
+    "learn_unigram_vocab",
 ]
 
 # Frozen vocabulary: (piece, milli-log-prob). Integer milli units keep
@@ -118,13 +120,26 @@ def _vocab_map() -> Column:
     return F.create_map(*pairs)
 
 
-def viterbi_segment(word: Column) -> Column:
+def viterbi_segment(
+    word: Column,
+    vocab_map: Column | None = None,
+    max_piece_len: int | None = None,
+    unk_milli: int = UNK_MILLI,
+) -> Column:
     """struct(score long, seg string) — the max-likelihood
-    segmentation of ``word`` under PINNED_VOCAB, pieces joined by a
+    segmentation of ``word`` under the vocabulary, pieces joined by a
     single space. In-row Viterbi: one fold over the word's positions,
-    each step an array_max over at most MAX_PIECE_LEN candidate
-    structs — all JVM codegen on the bounded word-type table."""
-    vocab = _vocab_map()
+    each step an array_max over at most ``max_piece_len`` candidate
+    structs — all JVM codegen on the bounded word-type table.
+
+    Defaults segment under PINNED_VOCAB (the deploy-side q105 path).
+    ``vocab_map`` generalizes to ANY map<string,int> column — the EM
+    learner passes each round's re-estimated vocabulary as a 1-row
+    broadcast map column so the plan stays bounded no matter the vocab
+    size (a 32k-piece literal create_map would bloat the expression
+    tree; a broadcast map column does not)."""
+    vocab = vocab_map if vocab_map is not None else _vocab_map()
+    mpl = max_piece_len if max_piece_len is not None else MAX_PIECE_LEN
     init = F.array(
         F.struct(F.lit(0).cast("long").alias("score"), F.lit("").alias("seg"))
     )
@@ -134,9 +149,9 @@ def viterbi_segment(word: Column) -> Column:
             piece = F.substr(word, i - length + 1, length)
             base = F.element_at(acc, i - length + 1)
             in_vocab = F.element_at(vocab, piece)
-            ms = F.when(length == 1, F.coalesce(in_vocab, F.lit(UNK_MILLI))).otherwise(
-                in_vocab
-            )
+            ms = F.when(
+                length == 1, F.coalesce(in_vocab, F.lit(unk_milli))
+            ).otherwise(in_vocab)
             return F.when(
                 ms.isNotNull(),
                 F.struct(
@@ -151,7 +166,7 @@ def viterbi_segment(word: Column) -> Column:
 
         cands = F.filter(
             F.transform(
-                F.sequence(F.lit(1), F.least(F.lit(MAX_PIECE_LEN), i)), cand
+                F.sequence(F.lit(1), F.least(F.lit(mpl), i)), cand
             ),
             lambda x: x.isNotNull(),
         )
@@ -252,3 +267,197 @@ SELECT wl.word, wl.cnt,
 FROM wl JOIN fin f ON f.word = wl.word AND f.n = wl.n
 ORDER BY wl.word
 """
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary LEARNING (VERDICT r8 item 3): Viterbi-EM ("hard EM") over
+# the segmentation lattice — the training step SentencePiece runs to
+# produce the frozen vocabulary q105 deploys. Kudo 2018 trains by full
+# lattice EM; the hard-EM variant (E-step = Viterbi best path, M-step =
+# piece-frequency re-estimate, then prune) is the classic tractable
+# approximation and — crucially for this engine's doctrine — every
+# E-step decision is the SAME integer DP q105 already replays exactly,
+# so the whole seed->vocab sequence is pinned against a pure-Python
+# reference with identical arithmetic (tests/test_ml_ops.py).
+#
+# Determinism contract (the q87 doctrine applied to EM):
+#   - counts are exact integers aggregated by Spark;
+#   - log-probs are computed ONLY driver-side in Python
+#     (round(1000 * ln(cnt / T))) — no transcendental function ever
+#     runs on the JVM, so Spark-vs-Python equality is exact, not
+#     1-ulp-lucky;
+#   - the E-step tie-break is viterbi_segment's (score, piece_len,
+#     piece) DESC total order;
+#   - pruning keeps multi-char pieces by (count desc, piece asc) —
+#     total order, so the learned vocab is a pure function of the
+#     corpus.
+#
+# Rows-only by design (the q87/q69 footing): round i's re-estimated
+# scores feed round i+1's Viterbi — not one-query SQL-expressible.
+#
+# 100 TB shape: the corpus collapses ONCE to the Zipf-bounded word-type
+# table (localCheckpoint); seeding and every EM round run on that
+# bounded table; per round ONE vocab-sized collect (a tokenizer is a
+# broadcast artifact — collecting it per round is the same adjudicated
+# class as BPE's per-round argmax, just vocab-sized instead of 1-row);
+# the round's vocabulary rides back in as a 1-row broadcast map column,
+# never a literal expression tree.
+
+
+def _substring_pieces(word: Column, max_len: int) -> Column:
+    """All substrings of ``word`` with length 1..max_len — the seed
+    candidate generator, in-row (no join, no UDF)."""
+    return F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(word)),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(max_len), F.length(word) - i + 1),
+                ),
+                lambda ln: F.substr(word, i, ln),
+            ),
+        )
+    )
+
+
+def _milli_logp(counts: dict[str, int]) -> dict[str, int]:
+    """round(1000 * ln(cnt/T)) per piece — driver-side only (see the
+    determinism contract above). T is the total piece mass."""
+    import math
+
+    total = sum(counts.values())
+    return {
+        p: round(1000.0 * math.log(c / total))
+        for p, c in counts.items()
+        if c > 0
+    }
+
+
+def _vocab_map_frame(spark, vocab: dict[str, int]):
+    """The round's vocabulary as a 1-row DataFrame with one
+    map<string,int> column ``__vocab`` — broadcast-joined onto the
+    type table so plan size is independent of vocab size."""
+    rows = [(p, int(ms)) for p, ms in sorted(vocab.items())]
+    pieces = spark.createDataFrame(rows, "piece string, ms int")
+    return pieces.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "ms"))
+        ).alias("__vocab")
+    )
+
+
+def learn_unigram_vocab(
+    docs: DataFrame,
+    target_multi: int = 24,
+    rounds: int = 4,
+    max_piece_len: int = 5,
+    seed_multi: int = 96,
+    prune_keep_permyriad: int = 7500,
+    min_piece_cnt: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn a unigram-LM vocabulary by Viterbi-EM; returns
+    ``(piece, milli_logp, piece_cnt, is_single)`` for the FINAL
+    vocabulary, ordered by piece.
+
+    Seeding: all substrings of length <= max_piece_len over the type
+    table, weighted by type count; every observed single char is kept
+    unconditionally (SentencePiece's coverage guarantee), plus the top
+    ``seed_multi`` multi-char candidates by (count desc, piece asc)
+    with count >= min_piece_cnt. Seed scores are frequency
+    log-probs over the seed mass.
+
+    Each round: E-step Viterbi-segments every word type under the
+    current scores (exact integer DP, q105's); M-step re-estimates
+    scores from the chosen pieces' weighted frequencies; prune keeps
+    ``prune_keep_permyriad``/10000 of surviving multi-char pieces
+    (floor ``target_multi``) by (count desc, piece asc). Single chars
+    that won no segmentation slot survive at UNK_MILLI. Stops early
+    once the multi-char set is at target and a round changes nothing.
+    """
+    if not 0 < prune_keep_permyriad <= 10000:
+        raise ValueError(f"prune_keep_permyriad in (0,10000], got {prune_keep_permyriad}")
+    if max_piece_len < 2:
+        raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
+    spark = docs.sparkSession
+    types = (
+        word_types(docs, text_col)
+        .filter(F.length("word") > 0)
+        .coalesce(8)
+        .localCheckpoint()  # the ONE corpus scan
+    )
+    # --- seed ---
+    seed_rows = (
+        types.select(
+            "cnt",
+            F.explode(_substring_pieces(F.col("word"), max_piece_len)).alias(
+                "piece"
+            ),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("n"))
+        .collect()
+    )
+    seed_counts = {r["piece"]: int(r["n"]) for r in seed_rows}
+    singles = {p for p in seed_counts if len(p) == 1}
+    multi = sorted(
+        (
+            (p, c)
+            for p, c in seed_counts.items()
+            if len(p) > 1 and c >= min_piece_cnt
+        ),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_multi]
+    kept = {p: seed_counts[p] for p in singles}
+    kept.update(dict(multi))
+    vocab = _milli_logp(kept)
+
+    piece_counts: dict[str, int] = dict(kept)
+    for _ in range(rounds):
+        mpl = max((len(p) for p in vocab), default=1)
+        vmap = _vocab_map_frame(spark, vocab)
+        e_rows = (
+            types.crossJoin(F.broadcast(vmap))
+            .select(
+                "cnt",
+                viterbi_segment(F.col("word"), F.col("__vocab"), mpl)[
+                    "seg"
+                ].alias("seg"),
+            )
+            .select("cnt", F.explode(F.split("seg", " ")).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("cnt").alias("n"))
+            .collect()
+        )
+        piece_counts = {r["piece"]: int(r["n"]) for r in e_rows}
+        # M-step scores from the pieces Viterbi actually used.
+        new_vocab = _milli_logp(piece_counts)
+        # Prune multi-char pieces; singles always survive (UNK floor
+        # when unused, so every word stays segmentable next round).
+        survivors = sorted(
+            ((p, c) for p, c in piece_counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        n_keep = max(
+            target_multi, (len(survivors) * prune_keep_permyriad) // 10000
+        )
+        kept_multi = {p for p, _ in survivors[:n_keep]}
+        nxt = {
+            p: ms
+            for p, ms in new_vocab.items()
+            if len(p) == 1 or p in kept_multi
+        }
+        for s in singles:
+            nxt.setdefault(s, UNK_MILLI)
+        if nxt == vocab and len(kept_multi) <= target_multi:
+            break
+        vocab = nxt
+
+    out = [
+        (p, int(ms), int(piece_counts.get(p, 0)), len(p) == 1)
+        for p, ms in sorted(vocab.items())
+    ]
+    return spark.createDataFrame(
+        out, "piece string, milli_logp int, piece_cnt long, is_single boolean"
+    )

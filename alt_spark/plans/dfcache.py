@@ -78,6 +78,15 @@ MATERIALIZE = True
 _NAMED: dict[str, "DataFramePlanCache"] = {}
 
 
+def clear_all() -> None:
+    """Drop (and unpersist) every entry of every named cache — the
+    cold-configuration lever for bench A/B runs: a query re-run after
+    this pays its own materializations exactly like a first-in-suite
+    position would, on the same box in the same JVM."""
+    for c in _NAMED.values():
+        c.clear()
+
+
 def cache_stats(reset: bool = False) -> dict[str, dict[str, int]]:
     """Snapshot (optionally reset) counters of every named cache."""
     out = {}

@@ -267,6 +267,12 @@ _REPORT_TAIL = (
     # tests/test_ml_ops.py. The rest of the r7 family (q79-q86,
     # q88-q100, all oracle-backed) rotated INTO the window in r8.
     "q87_bpe_vocab_learning",
+    # q115 — unigram-LM vocabulary learning by Viterbi-EM (new r9,
+    # VERDICT r8 item 3); rows-only by design exactly like its BPE
+    # twin q87 (round i's re-estimated scores feed round i+1's
+    # lattice); full-chain exactness pinned vs a pure-Python replay in
+    # tests/test_ml_ops.py.
+    "q115_unigram_vocab_learning",
     # q101-q114 (new r8) rotated INTO the window in r9 per the
     # pre-staged COVERAGE.md plan — see the r9 rotation note above.
 )

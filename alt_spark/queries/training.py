@@ -1670,6 +1670,38 @@ def q87(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+@query("q115_unigram_vocab_learning")
+def q115(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM vocabulary TRAINING by Viterbi-EM
+    (operators/unigram.learn_unigram_vocab — Kudo 2018's training
+    step, hard-EM variant): q105 segments under a PINNED vocabulary;
+    this learns one — seed substring counts, per-round Viterbi E-step
+    (the exact integer DP q105 replays), driver-side M-step
+    re-estimation, (count desc, piece asc) pruning. Returns the final
+    vocabulary (piece, milli_logp, piece_cnt, is_single) by piece.
+
+    Rows-only by design (the q87/q69 footing): round i's re-estimated
+    scores feed round i+1's lattice — not one-query SQL-expressible.
+    Exactness is pinned in pytest against a pure-Python replay of the
+    whole seed->EM->prune chain with identical arithmetic (logs run
+    ONLY driver-side, so equality is exact —
+    tests/test_ml_ops.py::test_unigram_em_learning_matches_python_reference).
+
+    Scale shape: one corpus scan into the Zipf-bounded word-type
+    table; every EM round is one bounded in-row DP pass plus one
+    vocab-sized collect (a tokenizer is a broadcast artifact — the
+    adjudicated BPE-argmax class, vocab-sized); the round's scores
+    ride back in as a 1-row broadcast map column.
+    """
+    from alt_spark.operators.unigram import learn_unigram_vocab
+
+    docs = load_table(spark, sf, "documents").select("text")
+    return learn_unigram_vocab(
+        docs, target_multi=24, rounds=3, max_piece_len=5, seed_multi=96
+    ).orderBy("piece")
+
+
+# ---------------------------------------------------------------------------
 def _q88_oracle() -> str:
     from alt_spark.operators.bpe import ddb_segment_symbol_string
 

@@ -198,9 +198,52 @@ def main() -> int:
             "mb_per_s": round(nbytes / steady / 1e6, 2),
         }
 
-    # Plan-cache counters (VERDICT r7 item 3): which named cache served
-    # reuse, which paid a materialization, and how often — so
-    # suite-order effects (the q66/q70/q72 r7 regression class) are
+    # Plan-cache counters for the SUITE run must be snapshotted before
+    # the A/B block below resets them.
+    try:
+        from alt_spark.plans.dfcache import cache_stats
+
+        caches = cache_stats()
+    except Exception:
+        caches = {}
+
+    # q72 A/B two-configuration recording (VERDICT r8 item 2): three
+    # driver rounds read q72 at 3.36/4.36/5.24 s under an UNCHANGED
+    # pinned plan (fused single scan, <=2 parquet reads — pytest-pinned).
+    # Settle variance-vs-barrier on THIS box, in THIS JVM: "warm" = two
+    # back-to-back runs right after the suite (named plan caches
+    # populated, codegen hot — the best any suite position can buy);
+    # "cold" = the same two runs after dfcache.clear_all() (the
+    # first-in-suite analog: q72 pays its own LM materialization).
+    # cold-warm attributes a regression to a NAMED barrier; if both
+    # configurations move together across rounds, it's machine factor.
+    AB_QUERY = "q72_quality_gate_pipeline"
+    ab: dict[str, object] = {}
+    if AB_QUERY in timings:
+        try:
+            from alt_spark.plans import dfcache as _dfc
+
+            def _ab_run() -> float:
+                t0 = time.perf_counter()
+                queries[AB_QUERY](spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                spark.catalog.clearCache()
+                return round(time.perf_counter() - t0, 3)
+
+            _dfc.cache_stats(reset=True)
+            ab["warm_s"] = [_ab_run() for _ in range(2)]
+            ab["warm_caches"] = _dfc.cache_stats(reset=True)
+            _dfc.clear_all()
+            ab["cold_s"] = [_ab_run() for _ in range(2)]
+            ab["cold_caches"] = _dfc.cache_stats(reset=True)
+            ab["suite_s"] = timings[AB_QUERY]
+        except Exception as exc:
+            ab["error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # On the cache counters (VERDICT r7 item 3): they record which named
+    # cache served reuse, which paid a materialization, and how often —
+    # so suite-order effects (the q66/q70/q72 r7 regression class) are
     # recorded per round instead of reconstructed by archaeology.
     # Cross-ROUND absolute comparisons need a machine-state caveat:
     # r8 measured the same container at 1.0x-1.4x run-to-run variance
@@ -209,12 +252,6 @@ def main() -> int:
     # queries untouched by any r8 change). Within-run ratios and the
     # alternating A/B protocol (old/new within 1% at r8) are the
     # signals that survive; single-run absolutes do not.
-    try:
-        from alt_spark.plans.dfcache import cache_stats
-
-        caches = cache_stats()
-    except Exception:
-        caches = {}
 
     # The driver's capture keeps only the TAIL of the last stdout line
     # (~2.9 KB survived of r7's ~5 KB line — BENCH_r07 `parsed: null`),
@@ -233,6 +270,7 @@ def main() -> int:
         "sf": _sf_from_dir(sf_dir),
         "ingestion": ingestion,
         "caches": caches,
+        "ab_q72": ab,
         "failed": failed,
     }
     try:

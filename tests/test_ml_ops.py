@@ -609,17 +609,25 @@ def test_q96_single_aggregate_plan(spark):
 
 
 # ---------------------------------------------------------------------------
-def _py_viterbi(word: str) -> tuple[int, str]:
+def _py_viterbi(
+    word: str,
+    vocab: dict[str, int] | None = None,
+    max_piece_len: int | None = None,
+) -> tuple[int, str]:
     """Independent pure-Python replay of the unigram DP contract —
     same recurrence, same per-position (score, piece_len, piece) DESC
-    tie-break, UNK fallback on single chars."""
+    tie-break, UNK fallback on single chars. Defaults to PINNED_VOCAB
+    (the q105 deploy path); the EM-learning test passes each round's
+    re-estimated vocabulary."""
     from alt_spark.operators.unigram import MAX_PIECE_LEN, PINNED_VOCAB, UNK_MILLI
 
-    vocab = dict(PINNED_VOCAB)
+    if vocab is None:
+        vocab = dict(PINNED_VOCAB)
+    mpl = max_piece_len if max_piece_len is not None else MAX_PIECE_LEN
     best: list[tuple[int, str]] = [(0, "")]
     for i in range(1, len(word) + 1):
         cands = []
-        for ln in range(1, min(MAX_PIECE_LEN, i) + 1):
+        for ln in range(1, min(mpl, i) + 1):
             piece = word[i - ln : i]
             ms = vocab.get(piece) if ln > 1 else vocab.get(piece, UNK_MILLI)
             if ms is None:
@@ -667,6 +675,136 @@ def test_unigram_tie_break_and_unk(spark):
     assert got["line"] == (-12000, "line")  # not 'li ne' (equal score)
     assert got["ab9cd"] == (4 * -4000 + UNK_MILLI, "a b 9 c d")
     assert got["q"] == (-4000, "q")
+
+
+def _py_learn_unigram(
+    word_cnt: dict[str, int],
+    target_multi: int,
+    rounds: int,
+    max_piece_len: int,
+    seed_multi: int,
+    prune_keep_permyriad: int,
+    min_piece_cnt: int,
+) -> tuple[dict[str, int], dict[str, int]]:
+    """Independent pure-Python replay of the whole Viterbi-EM chain —
+    seed substring counts, per-round Viterbi E-step (via _py_viterbi),
+    driver-identical M-step milli-log-probs (same round(1000*ln(c/T))
+    on the same integer inputs), same (count desc, piece asc) prune."""
+    import math
+
+    def milli(counts: dict[str, int]) -> dict[str, int]:
+        total = sum(counts.values())
+        return {
+            p: round(1000.0 * math.log(c / total))
+            for p, c in counts.items()
+            if c > 0
+        }
+
+    unk = -20000
+    seed_counts: dict[str, int] = {}
+    for w, c in word_cnt.items():
+        for i in range(len(w)):
+            for ln in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i : i + ln]
+                seed_counts[p] = seed_counts.get(p, 0) + c
+    singles = {p for p in seed_counts if len(p) == 1}
+    multi = sorted(
+        (
+            (p, c)
+            for p, c in seed_counts.items()
+            if len(p) > 1 and c >= min_piece_cnt
+        ),
+        key=lambda pc: (-pc[1], pc[0]),
+    )[:seed_multi]
+    kept = {p: seed_counts[p] for p in singles}
+    kept.update(dict(multi))
+    vocab = milli(kept)
+    piece_counts: dict[str, int] = dict(kept)
+    for _ in range(rounds):
+        mpl = max(len(p) for p in vocab)
+        piece_counts = {}
+        for w, c in word_cnt.items():
+            _, seg = _py_viterbi(w, vocab, mpl)
+            for p in seg.split(" "):
+                piece_counts[p] = piece_counts.get(p, 0) + c
+        new_vocab = milli(piece_counts)
+        survivors = sorted(
+            ((p, c) for p, c in piece_counts.items() if len(p) > 1),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        n_keep = max(
+            target_multi, (len(survivors) * prune_keep_permyriad) // 10000
+        )
+        kept_multi = {p for p, _ in survivors[:n_keep]}
+        nxt = {
+            p: ms
+            for p, ms in new_vocab.items()
+            if len(p) == 1 or p in kept_multi
+        }
+        for s in singles:
+            nxt.setdefault(s, unk)
+        if nxt == vocab and len(kept_multi) <= target_multi:
+            break
+        vocab = nxt
+    return vocab, piece_counts
+
+
+def test_unigram_em_learning_matches_python_reference(spark):
+    """The ENTIRE seed->EM->prune vocabulary sequence must equal the
+    independent pure-Python replay — every piece, every milli score,
+    every final count (the q87 doctrine applied to EM: logs happen
+    only driver-side, so equality is exact, not float-lucky) — and the
+    learned vocab must actually compress the corpus vs chars-only."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.unigram import learn_unigram_vocab, word_types
+    from tests.conftest import SF_SMOKE
+
+    params = dict(
+        target_multi=16,
+        rounds=3,
+        max_piece_len=4,
+        seed_multi=64,
+        prune_keep_permyriad=7500,
+        min_piece_cnt=2,
+    )
+    docs = load_table(spark, SF_SMOKE, "documents").select("text")
+    got = {
+        r["piece"]: (r["milli_logp"], r["piece_cnt"], r["is_single"])
+        for r in learn_unigram_vocab(docs, **params).collect()
+    }
+    word_cnt = {
+        r["word"]: int(r["cnt"])
+        for r in word_types(docs).filter(F.length("word") > 0).collect()
+    }
+    vocab, counts = _py_learn_unigram(word_cnt, **params)
+    want = {
+        p: (ms, counts.get(p, 0), len(p) == 1) for p, ms in vocab.items()
+    }
+    assert got == want
+    # Coverage guarantee: every observed single char survives.
+    chars = {c for w in word_cnt for c in w}
+    assert chars <= set(got)
+    # The learned vocab must EARN its pieces: segmenting under it uses
+    # fewer pieces than chars-only segmentation.
+    n_chars = sum(len(w) * c for w, c in word_cnt.items())
+    n_pieces = sum(
+        len(_py_viterbi(w, vocab, max(len(p) for p in vocab))[1].split(" ")) * c
+        for w, c in word_cnt.items()
+    )
+    assert n_pieces < n_chars
+    # Multi-char pieces were learned, not just the char floor.
+    assert any(not s for (_, _, s) in got.values())
+
+
+def test_unigram_em_validation(spark):
+    from alt_spark.operators.unigram import learn_unigram_vocab
+
+    with pytest.raises(ValueError, match="prune_keep_permyriad"):
+        learn_unigram_vocab(None, prune_keep_permyriad=0)
+    with pytest.raises(ValueError, match="max_piece_len"):
+        learn_unigram_vocab(None, max_piece_len=1)
 
 
 def test_q105_plan_is_one_aggregation(spark):
