@@ -42,12 +42,12 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from alt_spark.plans import dfcache
 
-__all__ = ["mg_summaries", "heavy_hitters"]
+__all__ = ["mg_summaries", "merge_mg_summaries", "heavy_hitters"]
 
 
 def _mg_fold(batches, key_col: str, k: int, with_total: bool):
@@ -98,6 +98,49 @@ def mg_summaries(
         lambda it: _mg_fold(it, key_col, k, with_total),
         schema="key string, cnt_lb long",
     )
+
+
+def merge_mg_summaries(summ: DataFrame, k: int) -> DataFrame:
+    """Merge ANY union of MG summary frames (``(key, cnt_lb)`` with
+    NULL-key sentinel rows carrying totals, the ``with_total=True``
+    shape) into ONE k-bounded summary plus one sentinel row — the
+    mergeability that makes the sketch streamable (Agarwal et al.
+    2012, "Mergeable Summaries": summing MG counters then evicting
+    back to k preserves the N/(k+1) undercount bound, so a key absent
+    from the MERGED summary is still guaranteed infrequent over the
+    UNION of everything the inputs saw).
+
+    Eviction mirrors the fold: subtract the (n-k)-th smallest count
+    from all and drop non-positives. The summary frames are metadata-
+    sized (partitions x (k+1) rows), so the single-partition rank
+    window below orders bounded state, never corpus data.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    agg = summ.groupBy("key").agg(F.sum("cnt_lb").alias("cnt_lb"))
+    tot = agg.filter(F.col("key").isNull())
+    keys = agg.filter(F.col("key").isNotNull())
+    w = Window.orderBy(F.col("cnt_lb").asc(), F.col("key").asc())
+    ranked = keys.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count("*").over(Window.partitionBy(F.lit(1)))
+    )
+    # Threshold t = the (n-k)-th smallest count (0 when n <= k): one
+    # always-1-row aggregate, broadcast back — no empty-crossJoin trap.
+    thr = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(F.col("__rn") <= F.col("__n") - k, F.col("cnt_lb"))
+            ),
+            F.lit(0),
+        ).alias("__t")
+    )
+    survivors = (
+        ranked.crossJoin(F.broadcast(thr))
+        .withColumn("cnt_lb", F.col("cnt_lb") - F.col("__t"))
+        .filter(F.col("cnt_lb") > 0)
+        .select("key", "cnt_lb")
+    )
+    return survivors.unionByName(tot)
 
 
 def heavy_hitters(

@@ -1,0 +1,136 @@
+"""Streaming heavy-hitters (VERDICT r8 item 4): the Misra-Gries sketch
+driven per micro-batch — the reference's trending-tags consumer shape
+(alt-backend/app/shared/driver/alt_db/trending_tags_driver.go:16-23 is
+the batch query; the tag stream that feeds it is inherently windowed).
+
+MG summaries are MERGEABLE (Agarwal et al. 2012): summing counters
+across summaries and evicting back to k preserves the N/(k+1)
+undercount bound over the union of everything the inputs saw. So the
+streaming form is exactly the batch operator folded over micro-batches:
+
+  per micro-batch   mg_summaries(batch, with_total=True)
+                    (partition-bounded candidates + row-count sentinel)
+  state merge       merge_mg_summaries(prev_state ∪ batch_summaries, k)
+                    — k-bounded survivors + ONE sentinel carrying the
+                    cumulative N
+  state write       versioned parquet v{batch_id}, idempotent under
+                    crash-replay (the projector's K1 contract: a
+                    replayed batch folds against v{batch_id-1}, never
+                    against its own output)
+
+The state is metadata-sized (k+1 rows), so every merge is a bounded
+computation regardless of stream volume; the per-batch corpus work is
+one narrow mapInPandas scan — the same 100 TB shape as batch pass 1.
+
+Consuming the state: candidates = the non-null keys of any committed
+version; EXACT top-N over the stream-so-far = exact-verify those
+candidates against the accumulated data (the batch operator's pass 2),
+with the SAME strict guarantee guard fed by the sentinel's cumulative
+N. Stream==batch parity at every checkpoint is pytest-pinned
+(tests/test_streaming.py::test_streaming_heavy_hitters_parity).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from alt_spark.operators.sketch import merge_mg_summaries, mg_summaries
+from alt_spark.streaming.projector import _latest_version
+
+__all__ = ["run_streaming_sketch", "read_sketch_state", "verified_top_n"]
+
+
+def run_streaming_sketch(
+    spark: SparkSession,
+    source: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    k: int = 4096,
+) -> StreamingQuery:
+    """Fold a streaming source into versioned MG sketch state:
+    ``state_dir/v{batch_id}`` holds the merged k-bounded summary (plus
+    the cumulative-N sentinel) after that micro-batch."""
+
+    def process_batch(batch: DataFrame, batch_id: int) -> None:
+        summ = mg_summaries(batch, key_col, k, with_total=True)
+        prev_version, prev_path = _latest_version(state_dir)
+        if prev_path is not None and prev_version >= batch_id:
+            # Crash-replay of a committed batch: merge against the
+            # state BEFORE this batch so the rewrite is idempotent.
+            prev_path = (
+                os.path.join(state_dir, f"v{batch_id - 1}")
+                if batch_id > 0
+                else None
+            )
+        if prev_path is not None and os.path.isdir(prev_path):
+            summ = summ.unionByName(spark.read.parquet(prev_path))
+        merged = merge_mg_summaries(summ, k)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    return (
+        source.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+def read_sketch_state(
+    spark: SparkSession, state_dir: str, version: int | None = None
+) -> DataFrame:
+    """A committed sketch state (latest when ``version`` is None)."""
+    if version is None:
+        _, path = _latest_version(state_dir)
+    else:
+        path = os.path.join(state_dir, f"v{version}")
+    if path is None or not os.path.isdir(path):
+        raise FileNotFoundError(f"no sketch state at {state_dir} v={version}")
+    return spark.read.parquet(path)
+
+
+def verified_top_n(
+    state: DataFrame, data: DataFrame, key_col: str, top_n: int, k: int
+) -> DataFrame:
+    """EXACT top-``top_n`` over ``data`` using the sketch state's
+    candidates — the batch operator's pass 2 against streamed-up
+    candidates, with the same strict assert_true exclusion guard fed
+    by the state's cumulative-N sentinel. ``data`` must be the
+    accumulated rows the state has seen (the stream-so-far); ``k``
+    must be the k the state was built with."""
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    cands = state.filter(F.col("key").isNotNull()).select("key").distinct()
+    exact = (
+        data.select(F.col(key_col).alias("key"))
+        .join(F.broadcast(cands), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+    )
+    sel = exact.orderBy(F.desc("cnt"), "key").limit(top_n)
+    total = state.filter(F.col("key").isNull()).agg(
+        F.coalesce(F.sum("cnt_lb"), F.lit(0)).alias("__n")
+    )
+    mn = sel.agg(F.min("cnt").alias("__mn"))
+    guard = (
+        mn.crossJoin(F.broadcast(total))
+        .filter(
+            F.assert_true(
+                F.coalesce(F.col("__mn"), F.lit(0)) * (k + 1) > F.col("__n"),
+                F.lit(
+                    "streaming heavy_hitters guarantee violated: "
+                    "min(selected count) * (k+1) <= N; raise k"
+                ),
+            ).isNotNull()
+        )
+        .select(
+            F.lit(None).cast("string").alias("key"),
+            F.lit(None).cast("long").alias("cnt"),
+        )
+    )
+    return sel.unionByName(guard).orderBy(F.desc("cnt"), "key")

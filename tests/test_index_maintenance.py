@@ -202,3 +202,90 @@ def test_exact_hash_index_compaction(spark):
     # in-horizon duplicate (70) is still caught — identical to full for
     # in-horizon content.
     assert survivors(compacted) == {71}
+
+
+def test_cc_cluster_index_compaction(spark):
+    """CC cluster index (4/5 of the index family — VERDICT r8 item 5):
+    the component rows are the entity (id_col='id'); an increment
+    touching an in-horizon cluster merges identically against compacted
+    and full indexes; a pair bridging to an evicted cluster sees only
+    its named endpoint (the rest of the old component is deliberately
+    forgotten), loudly asserted."""
+    from alt_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    pairs = lambda rows: spark.createDataFrame(rows, "id1 long, id2 long")  # noqa: E731
+    # Batch 1 forms {1,2,3}->1; batch 2 forms {10,11}->10.
+    idx = stamp_index(connected_components(pairs([(1, 2), (2, 3)])), 1)
+    res2 = connected_components_incremental(
+        pairs([(10, 11)]), idx.select("id", "comp")
+    )
+    idx = merge_stamped_rows(idx, res2, 2, id_col="id")
+    compacted = compact_index(idx, min_last_seen=2)
+    assert {r["id"] for r in compacted.collect()} == {10, 11}
+
+    def inc(new_pairs, index):
+        return {
+            (r["id"], r["comp"])
+            for r in connected_components_incremental(
+                new_pairs, index.select("id", "comp")
+            ).collect()
+        }
+
+    # In-horizon: (11,12) joins cluster 10 identically either way.
+    p_in = pairs([(11, 12)])
+    assert inc(p_in, compacted) == inc(p_in, idx) == {
+        (10, 10), (11, 10), (12, 10),
+    }
+    # Out-of-horizon: (3,20) pulls the whole old component from the
+    # full index but only the named endpoint from the compacted one.
+    p_out = pairs([(3, 20)])
+    assert inc(p_out, idx) == {(1, 1), (2, 1), (3, 1), (20, 1)}
+    assert inc(p_out, compacted) == {(3, 3), (20, 3)}
+
+
+def test_embedding_signband_index_compaction(spark):
+    """Embedding sign-band index (5/5 of the family): band rows are
+    document-grained (id_col='id'); a batch duplicating an in-horizon
+    vector pairs identically against compacted and full indexes; a
+    duplicate of an evicted vector is admitted as fresh."""
+    from alt_spark.operators.ann import (
+        embedding_band_rows,
+        embedding_near_dup_incremental,
+    )
+
+    BB = 4  # band_bits: 8-dim vectors -> 2 sign bands
+    vecs = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "vec_id long, embedding array<double>"
+    )
+    pos = [1.0] * 8
+    neg = [-1.0] * 8
+    b1 = vecs([(1, pos)])
+    b2 = vecs([(2, neg)])
+    idx = stamp_index(embedding_band_rows(b1, band_bits=BB), 1)
+    idx = merge_stamped_rows(idx, embedding_band_rows(b2, band_bits=BB), 2, id_col="id")
+    compacted = compact_index(idx, min_last_seen=2)
+    assert {r["id"] for r in compacted.collect()} == {2}
+    base_vecs = b1.unionByName(b2)
+
+    def pairs_against(new_vecs, index):
+        return {
+            (r["new_id"], r["match_id"], r["in_base"])
+            for r in embedding_near_dup_incremental(
+                new_vecs,
+                index.select("id", "band", "key"),
+                base_vecs,
+                band_bits=BB,
+            ).collect()
+        }
+
+    # In-horizon: a copy of vec 2 pairs with 2 against both indexes.
+    probe_in = vecs([(100, neg)])
+    assert pairs_against(probe_in, compacted) == pairs_against(probe_in, idx)
+    assert (100, 2, True) in pairs_against(probe_in, idx)
+    # Out-of-horizon: a copy of vec 1 pairs only against the full.
+    probe_out = vecs([(101, pos)])
+    assert (101, 1, True) in pairs_against(probe_out, idx)
+    assert pairs_against(probe_out, compacted) == set()
