@@ -273,6 +273,11 @@ _REPORT_TAIL = (
     # lattice); full-chain exactness pinned vs a pure-Python replay in
     # tests/test_ml_ops.py.
     "q115_unigram_vocab_learning",
+    # q116/q117 — new r9 additions (doc-grain release diff; contrastive
+    # pair mining), oracle-backed (in-pytest parity every CI pass),
+    # parked in the tail as the newest entries; r10 rotation candidates.
+    "q116_release_doc_diff",
+    "q117_contrastive_pairs",
     # q101-q114 (new r8) rotated INTO the window in r9 per the
     # pre-staged COVERAGE.md plan — see the r9 rotation note above.
 )

@@ -2516,3 +2516,97 @@ def q113(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# q116: doc-grain release diff. Release A = raw docs passing the old
+# token gate; release B = the re-cleaned corpus (stopword-dropping
+# cleaning pass) under the new gate. Gates chosen so all four classes
+# are non-empty at every generated SF (verified 0.001/0.01/0.1).
+_RDIFF_STOP = ("a", "the")
+_RDIFF_GATE_A = 30  # release A: raw-token minimum
+_RDIFF_GATE_B = 27  # release B: cleaned-token minimum
+
+
+@query(
+    "q116_release_doc_diff",
+    oracle=f"""
+WITH c AS (
+  SELECT doc_id, len({_DDB_TOKENS}) AS n_raw,
+         len(list_filter({_DDB_TOKENS},
+             t -> t NOT IN ('{"','".join(_RDIFF_STOP)}'))) AS n_clean
+  FROM documents
+), m AS (
+  SELECT doc_id, n_raw, n_clean,
+         n_raw >= {_RDIFF_GATE_A} AS in_a,
+         n_clean >= {_RDIFF_GATE_B} AS in_b,
+         n_raw != n_clean AS ch
+  FROM c
+)
+SELECT CASE WHEN in_a AND in_b AND ch THEN 'changed'
+            WHEN in_a AND in_b THEN 'unchanged'
+            WHEN in_b THEN 'added' ELSE 'removed' END AS diff_class,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(sum(CASE WHEN in_a THEN n_raw ELSE 0 END) AS BIGINT) AS tok_a,
+       CAST(sum(CASE WHEN in_b THEN n_clean ELSE 0 END) AS BIGINT) AS tok_b
+FROM m WHERE in_a OR in_b
+GROUP BY 1 ORDER BY 1
+""",
+)
+def q116(spark: SparkSession, sf: str) -> DataFrame:
+    """Doc-grain release diff — the changelog a corpus publisher ships
+    next to version B: per diff class (added / removed / changed /
+    unchanged), document counts, an id checksum pinning the exact
+    membership of each class, and both releases' token masses.
+    Complements q113 (aggregate drift gate) at document grain: drift
+    says the histograms moved; the diff says WHICH documents did.
+    Release A = raw docs over the old token gate; release B = the
+    stopword-cleaned corpus over the new gate — so 'changed' is a
+    provable in-row predicate (the cleaning dropped tokens), never a
+    float or content heuristic.
+
+    Plan (100 TB shape): both releases derive from ONE scan (the
+    version tag and both token counts are in-row Column exprs — no
+    self-join of two release snapshots when B is a deterministic
+    function of A, which a re-clean release is), then one 4-group
+    aggregate. A diff of two INDEPENDENT snapshots would instead be
+    the q03-shape full outer on doc_id — covered there; this query
+    pins the cheaper re-release special case.
+    """
+    toks = _tokens_col()
+    clean = F.filter(toks, lambda t: ~t.isin(*_RDIFF_STOP))
+    m = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.size(toks).alias("n_raw"),
+        F.size(clean).alias("n_clean"),
+    ).select(
+        "doc_id",
+        "n_raw",
+        "n_clean",
+        (F.col("n_raw") >= _RDIFF_GATE_A).alias("in_a"),
+        (F.col("n_clean") >= _RDIFF_GATE_B).alias("in_b"),
+        (F.col("n_raw") != F.col("n_clean")).alias("ch"),
+    )
+    cls = (
+        F.when(F.col("in_a") & F.col("in_b") & F.col("ch"), "changed")
+        .when(F.col("in_a") & F.col("in_b"), "unchanged")
+        .when(F.col("in_b"), "added")
+        .when(F.col("in_a"), "removed")
+    )
+    return (
+        m.withColumn("diff_class", cls)
+        .filter(F.col("diff_class").isNotNull())
+        .groupBy("diff_class")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.sum(F.when(F.col("in_a"), F.col("n_raw")).otherwise(0))
+            .cast("long")
+            .alias("tok_a"),
+            F.sum(F.when(F.col("in_b"), F.col("n_clean")).otherwise(0))
+            .cast("long")
+            .alias("tok_b"),
+        )
+        .orderBy("diff_class")
+    )

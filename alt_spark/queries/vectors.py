@@ -718,3 +718,135 @@ def q112(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("ctx_pos")
     )
+
+
+# ---------------------------------------------------------------------------
+_CPM_MOD = 50  # every 50th vector plays the eval anchor (the q62/q102 device)
+_CPM_NEG_K = 2  # hard negatives mined per anchor
+
+
+@query(
+    "q117_contrastive_pairs",
+    oracle=f"""
+WITH ex AS ({_DDB_EXPLODE}),
+a AS (SELECT * FROM ex WHERE vec_id % {_CPM_MOD} = 0),
+c AS (SELECT * FROM ex WHERE vec_id % {_CPM_MOD} <> 0),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+         CASE WHEN a.label = c.label THEN 'pos' ELSE 'neg' END AS pair_type,
+         CASE WHEN sum(c.val * c.val) > 0 AND sum(a.val * a.val) > 0
+              THEN round(sum(a.val * c.val)
+                   / (sqrt(sum(a.val * a.val)) * sqrt(sum(c.val * c.val))), 6)
+              ELSE -1.0 END AS cos
+  FROM a JOIN c ON a.idx = c.idx
+  GROUP BY a.vec_id, c.vec_id, a.label, c.label
+), ranked AS (
+  SELECT anchor_id, pair_type, cand_id, cos,
+         row_number() OVER (PARTITION BY anchor_id, pair_type
+                            ORDER BY cos DESC, cand_id) AS rnk
+  FROM pairs
+)
+SELECT anchor_id, pair_type, CAST(rnk AS BIGINT) AS rnk, cand_id, cos
+FROM ranked
+WHERE (pair_type = 'pos' AND rnk <= 1) OR (pair_type = 'neg' AND rnk <= {_CPM_NEG_K})
+ORDER BY anchor_id, pair_type, rnk
+""",
+)
+def q117(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive pair mining for embedding-model training: per eval
+    anchor, the nearest SAME-label candidate (the positive) and the
+    top-{_CPM_NEG_K} nearest DIFFERENT-label candidates (the classic
+    hard negatives — near in embedding space, wrong by label), ranks
+    broken on the 6-digit-rounded cosine then candidate id so both
+    engines draw identical pairs. Every 50th vector plays the anchor
+    set (the q62/q102 device). This is the triplet-mining step of an
+    embedding-training data pipeline (anchor, positive, hard
+    negatives), rank-based because production miners select by
+    NEIGHBORHOOD, not absolute threshold.
+
+    Plan (the 100 TB shape): the anchor side is eval-sized, so it
+    collapses to ONE broadcast array folded in-row over the corpus
+    scan (the q102 zero-corpus-shuffle device: |anchors| x dim
+    multiply-adds per row, zero-norm pairs scored -1 in both engines,
+    empty-anchor frame raises loudly); per-anchor selection then runs
+    through :func:`alt_spark.operators.topk.grouped_top_k` — the
+    partition-salted two-stage top-k, because each anchor's candidate
+    set is CORPUS-sized and a row_number window would funnel it
+    through one reducer (the q10 anti-pattern the salt exists to kill).
+    """
+    from alt_spark.operators.topk import grouped_top_k
+
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    emb = load_table(spark, sf, "embeddings")
+    vec = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    anchors = (
+        vec.filter(F.col("vec_id") % _CPM_MOD == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("aid"),
+                F.col("label").alias("alabel"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("anrm"),
+            ).alias("a")
+        )
+        .agg(F.collect_list("a").alias("anchors"))
+        .filter(
+            F.assert_true(
+                F.size("anchors") > 0,
+                F.lit("q117: anchor set is empty — nothing to mine against"),
+            ).isNull()
+        )
+    )
+    scored = (
+        vec.filter(F.col("vec_id") % _CPM_MOD != 0)
+        .crossJoin(F.broadcast(anchors))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            "label",
+            F.explode(
+                F.transform(
+                    F.col("anchors"),
+                    lambda a: F.struct(
+                        a["aid"].alias("anchor_id"),
+                        a["alabel"].alias("alabel"),
+                        F.when(
+                            (F.col("nrm") > 0) & (a["anrm"] > 0),
+                            F.round(
+                                dot(F.col("v"), a["av"])
+                                / (F.col("nrm") * a["anrm"]),
+                                6,
+                            ),
+                        )
+                        .otherwise(F.lit(-1.0))
+                        .alias("cos"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(
+            F.col("s.anchor_id").alias("anchor_id"),
+            F.when(F.col("s.alabel") == F.col("label"), "pos")
+            .otherwise("neg")
+            .alias("pair_type"),
+            F.col("cand_id"),
+            F.col("s.cos").alias("cos"),
+        )
+    )
+    top = grouped_top_k(
+        scored,
+        ["anchor_id", "pair_type"],
+        # Ascending struct key = (cos desc via negation, cand_id asc):
+        # a TOTAL order, since cand_id is unique within a group.
+        F.struct((-F.col("cos")).alias("nc"), F.col("cand_id").alias("cid")),
+        F.struct(F.col("cand_id"), F.col("cos")),
+        k=_CPM_NEG_K,
+    )
+    return top.filter(
+        (F.col("pair_type") == "neg") | (F.col("rnk") <= 1)
+    ).orderBy("anchor_id", "pair_type", "rnk")

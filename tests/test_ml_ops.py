@@ -984,3 +984,94 @@ def test_q114_pagerank_matches_python_reference_on_planted_graph(spark):
     assert got == {v: (deg[v], rank[v]) for v in adj}
     # The hub out-ranks the pendant.
     assert got[1][1] > got[4][1]
+
+
+# ---------------------------------------------------------------------------
+def test_grouped_top_k_equals_window_form(spark):
+    """The partition-salted two-stage top-k must equal row_number over
+    (group ORDER BY key) under 1 and 16 input partitions — the
+    TakeOrdered associativity argument, pinned."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.topk import grouped_top_k
+
+    df = spark.range(5000).select(
+        (F.col("id") % 7).alias("g"),
+        F.col("id").alias("i"),
+        # Deterministic non-monotone score with ties.
+        ((F.col("id") * 37) % 101).alias("score"),
+    )
+    w = Window.partitionBy("g").orderBy(F.desc("score"), "i")
+    want = sorted(
+        (r["g"], r["rn"], r["i"], r["score"])
+        for r in df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    )
+    for parts in (1, 16):
+        got = sorted(
+            (r["g"], r["rnk"], r["i"], r["score"])
+            for r in grouped_top_k(
+                df.repartition(parts),
+                ["g"],
+                F.struct((-F.col("score")).alias("ns"), F.col("i").alias("ti")),
+                F.struct("i", "score"),
+                k=5,
+            ).collect()
+        )
+        assert got == want, parts
+
+
+def test_grouped_top_k_validation(spark):
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.topk import grouped_top_k
+
+    with pytest.raises(ValueError, match="k must be positive"):
+        grouped_top_k(None, ["g"], F.lit(1), F.lit(1), 0)
+
+
+def test_q117_pairs_match_numpy_mining(spark):
+    """Third-party pin: the mined (anchor, positive, hard-negative)
+    set must equal a numpy brute-force miner applying the same
+    round-then-rank rule."""
+    import numpy as np
+    import pandas as pd
+
+    from alt_spark.queries.vectors import _CPM_MOD, _CPM_NEG_K, q117
+    from tests.conftest import SF_ORACLE
+
+    pdf = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nz = nrm.squeeze() > 0
+    matn = np.divide(mat, nrm, out=np.zeros_like(mat), where=nrm > 0)
+    is_anchor = (pdf["vec_id"] % _CPM_MOD == 0).to_numpy()
+    want = []
+    cands = pdf[~is_anchor].reset_index(drop=True)
+    cmat, cnz = matn[~is_anchor], nz[~is_anchor]
+    for ai in np.flatnonzero(is_anchor):
+        a_id, a_label = int(pdf["vec_id"].iloc[ai]), pdf["label"].iloc[ai]
+        cos = np.round(cmat @ matn[ai], 6)
+        cos = np.where(cnz & nz[ai], cos, -1.0)
+        rows = sorted(
+            zip(cos, cands["vec_id"].astype(int), cands["label"]),
+            key=lambda t: (-t[0], t[1]),
+        )
+        for ptype, cap in (("pos", 1), ("neg", _CPM_NEG_K)):
+            picked = [
+                r
+                for r in rows
+                if (r[2] == a_label) == (ptype == "pos")
+            ][:cap]
+            for rnk, (c, cid, _) in enumerate(picked, 1):
+                want.append((a_id, ptype, rnk, cid, float(c)))
+    got = [
+        (r["anchor_id"], r["pair_type"], r["rnk"], r["cand_id"], r["cos"])
+        for r in q117(spark, SF_ORACLE).collect()
+    ]
+    assert sorted(got) == sorted(want)
+    # Structure: every anchor mined exactly 1 pos + NEG_K negs here.
+    n_anchors = int(is_anchor.sum())
+    assert len(got) == n_anchors * (1 + _CPM_NEG_K)

@@ -105,19 +105,24 @@ _NESTED_LOOP_OK = {
     # 1-row node-count frame crossed onto the node table in every
     # PageRank iteration (teleport term; the q70 stats-row device).
     "q114_pagerank_integer",
+    # 1-row collect_list(anchor vectors) frame broadcast onto the
+    # corpus scan — the anchor side is eval-sized by construction
+    # (the q102 broadcast-bench device, contrastive-mining form).
+    "q117_contrastive_pairs",
 }
 
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    # q69, q73, q77, q81 and q87 are excluded: constructing q69 FITS an
-    # MLlib model (Pipeline.fit is an action — percentile_cont pass +
-    # L-BFGS iterations); q73/q77/q81 run the connected-components
-    # convergence loop (one keyed join + count per round); q87 runs the
-    # full BPE merge loop (pair-count + argmax + collect per round) and
-    # returns a driver-local frame any plan audit would pass vacuously
-    # — real executor work inside what should be plan-only audits.
-    # Their scan/broadcast invariants are covered by their own property
+    # q69, q73, q77, q81, q87 and q115 are excluded: constructing q69
+    # FITS an MLlib model (Pipeline.fit is an action — percentile_cont
+    # pass + L-BFGS iterations); q73/q77/q81 run the
+    # connected-components convergence loop (one keyed join + count per
+    # round); q87 runs the full BPE merge loop and q115 the unigram
+    # Viterbi-EM loop (per-round aggregate + collect), both returning
+    # driver-local frames any plan audit would pass vacuously — real
+    # executor work inside what should be plan-only audits. Their
+    # scan/broadcast invariants are covered by their own property
     # tests.
     return {
         name: fn(spark, SF)
@@ -128,6 +133,7 @@ def dfs(spark):
             "q77_leakage_free_splits",
             "q81_cluster_representatives",
             "q87_bpe_vocab_learning",
+            "q115_unigram_vocab_learning",
         )
     }
 
@@ -387,3 +393,28 @@ def test_footer_stats_refuses_silent_fallback(spark):
     )
     assert st["pushed"] is False and st["n_rows"] > 0
     assert st["min"]["text"] is not None
+
+
+def test_contrastive_mining_plan_has_no_corpus_window(spark):
+    """q117's per-anchor selection must compile to the SALTED two-stage
+    top-k — no Window operator anywhere (a row_number window keyed on
+    anchor would funnel each anchor's corpus-sized candidate set
+    through one reducer), anchors riding in as one BroadcastExchange,
+    and the whole mine within a bounded exchange budget (anchor agg +
+    salted stage + k-bounded stage + output sort)."""
+    df = all_queries()["q117_contrastive_pairs"](spark, SF)
+    plan = audit.physical_plan(df)
+    assert "Window" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+    assert audit.shuffle_count(df) <= 4, plan
+
+
+def test_release_diff_is_one_scan_one_aggregate(spark):
+    """q116 derives BOTH releases from one in-row projection: no join
+    of two snapshots, no Python, exactly the class-aggregate exchange
+    plus the 4-row output sort."""
+    df = all_queries()["q116_release_doc_diff"](spark, SF)
+    plan = audit.physical_plan(df)
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert audit.shuffle_count(df) <= 2, plan

@@ -1139,3 +1139,41 @@ def test_cohort_and_funnel_read_models_at_100k_users(spark):
     )
     assert max_lists <= 6
     assert _t.monotonic() - t0 < 150, "cohort/funnel smoke exceeded budget"
+
+
+def test_grouped_top_k_survives_one_giant_group_at_100k(spark):
+    """The salted top-k's reason to exist: ONE group holding all 100k
+    candidates (the q117 shape — every corpus vector scores against
+    one anchor). The row_number window form would funnel the whole
+    corpus through a single reducer; the salted form must return the
+    exact same rows with every stage-1 state bounded by an input
+    partition."""
+    import time as _t
+
+    from alt_spark.operators.topk import grouped_top_k
+
+    t0 = _t.monotonic()
+    n = 100_000
+    df = spark.range(n).repartition(32).select(
+        F.lit("anchor0").alias("g"),
+        F.col("id").alias("i"),
+        ((F.col("id") * 7919) % 100_003).alias("score"),
+    )
+    got = [
+        (r["rnk"], r["i"], r["score"])
+        for r in grouped_top_k(
+            df,
+            ["g"],
+            F.struct((-F.col("score")).alias("ns"), F.col("i").alias("ti")),
+            F.struct("i", "score"),
+            k=25,
+        ).orderBy("rnk").collect()
+    ]
+    want = [
+        (j + 1, r["i"], r["score"])
+        for j, r in enumerate(
+            df.orderBy(F.desc("score"), "i").limit(25).collect()
+        )
+    ]
+    assert got == want
+    assert _t.monotonic() - t0 < 60, "salted top-k smoke exceeded budget"

@@ -1502,3 +1502,57 @@ def test_target_mixture_rates_missing_declared_stratum_raises(spark):
     ).collect()
     assert {r["lang"] for r in rows} == {"en", "de"}
     assert all(r["rate"] is not None for r in rows)
+
+
+def test_q116_release_diff_invariants(spark):
+    """The four diff classes must partition the union of both release
+    gates, checksums must reconcile with a direct per-class id sum,
+    and the re-clean release can only shrink token mass."""
+    from alt_spark.queries.training import (
+        _RDIFF_GATE_A,
+        _RDIFF_GATE_B,
+        _RDIFF_STOP,
+        _tokens_col,
+        q116,
+    )
+
+    rows = {r["diff_class"]: r for r in q116(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"added", "removed", "changed", "unchanged"}
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    toks = _tokens_col()
+    clean = F.filter(toks, lambda t: ~t.isin(*_RDIFF_STOP))
+    m = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_raw"),
+        F.size(clean).alias("n_clean"),
+    ).collect()
+    want: dict[str, list] = {k: [] for k in rows}
+    for r in m:
+        in_a, in_b = r["n_raw"] >= _RDIFF_GATE_A, r["n_clean"] >= _RDIFF_GATE_B
+        if in_a and in_b:
+            cls = "changed" if r["n_raw"] != r["n_clean"] else "unchanged"
+        elif in_b:
+            cls = "added"
+        elif in_a:
+            cls = "removed"
+        else:
+            continue
+        want[cls].append(r)
+    for cls, members in want.items():
+        assert rows[cls]["n_docs"] == len(members), cls
+        assert rows[cls]["id_checksum"] == sum(r["doc_id"] for r in members), cls
+        # B's cleaning only removes tokens: tok_b <= tok_a wherever both
+        # sides exist.
+        if cls in ("changed", "unchanged"):
+            assert rows[cls]["tok_b"] <= rows[cls]["tok_a"], cls
+        if cls == "unchanged":
+            assert rows[cls]["tok_b"] == rows[cls]["tok_a"]
+        if cls == "added":
+            assert rows[cls]["tok_a"] == 0
+        if cls == "removed":
+            assert rows[cls]["tok_b"] == 0
+    # Classes partition the gated union: totals reconcile.
+    assert sum(r["n_docs"] for r in rows.values()) == sum(
+        len(v) for v in want.values()
+    )
