@@ -36,6 +36,7 @@ from alt_spark.plans.dfcache import DataFramePlanCache
 # Bounded: each entry pins one signature localCheckpoint (ids × 128
 # longs — megabytes at suite scale, a written table operationally).
 _PAIR_CACHE = DataFramePlanCache(max_entries=4, name="minhash_pairs")
+_SIMHASH_PAIR_CACHE = DataFramePlanCache(max_entries=4, name="simhash_pairs")
 
 # Duplicated-span gram keys keyed by (input plan, parameters): see
 # _dup_gram_keys. Bounded: each entry pins one localCheckpoint of the
@@ -486,10 +487,27 @@ def simhash_near_dup(
     least one block, so candidates come from equi-joins on (block_idx,
     block_value) — never an all-pairs scan. Verification is a popcount
     on XOR (bit_count), O(candidates).
+
+    Cached like the MinHash pair frame (r9): the fingerprint table is
+    the expensive stage (64 weighted bit-sums over the token explode)
+    and it feeds BOTH legs of the block join, so it lazily checkpoints;
+    the pair frame itself rides the plan-keyed registry so the suite's
+    three consumers (q31, q54, q118's ensemble) pay the fingerprinting
+    once per (input plan, params) — at 100 TB this is a written
+    fingerprint/pair table reused across dedup runs, same as MinHash.
     """
+    params = (
+        "simhash_near_dup", text_col, id_col, int(max_hamming),
+        int(bands), bool(portable),
+    )
+    hit = _SIMHASH_PAIR_CACHE.get(df, extra=params) if dfcache.MATERIALIZE else None
+    if hit is not None:
+        return hit
     width = 64 // bands
     mask = (1 << width) - 1
     sh = simhash_bits(df, text_col, id_col, portable=portable)
+    if dfcache.MATERIALIZE:
+        sh = sh.localCheckpoint(eager=False)
     blocks = sh.select(
         "id",
         "simhash",
@@ -519,9 +537,12 @@ def simhash_near_dup(
         .distinct()
     )
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    return cand.select("id1", "id2", ham.alias("hamming")).filter(
+    pairs = cand.select("id1", "id2", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+    if dfcache.MATERIALIZE:
+        _SIMHASH_PAIR_CACHE.put(df, pairs, extra=params)
+    return pairs
 
 
 def decontaminate(

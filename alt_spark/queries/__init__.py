@@ -278,6 +278,12 @@ _REPORT_TAIL = (
     # parked in the tail as the newest entries; r10 rotation candidates.
     "q116_release_doc_diff",
     "q117_contrastive_pairs",
+    # q118/q119 — new r9 (ensemble near-dup clustering over the
+    # MinHash∪SimHash pair union; integer-exact retrieval-quality
+    # metrics: MRR / recall@k / precision@k in permyriad),
+    # oracle-backed; r10 rotation candidates alongside q116/q117.
+    "q118_ensemble_neardup_clusters",
+    "q119_retrieval_quality_metrics",
     # q101-q114 (new r8) rotated INTO the window in r9 per the
     # pre-staged COVERAGE.md plan — see the r9 rotation note above.
 )

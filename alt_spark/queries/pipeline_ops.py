@@ -328,12 +328,15 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _q31_oracle() -> str:
-    """SimHash replayed in DuckDB SQL. Bit i of the token hash comes off
-    the UNSIGNED md5 value with a logical shift (identical to Spark's
-    arithmetic shiftright + &1 on the signed twin); the fingerprint is
-    assembled from inlined 2^i literals (HUGEINT << overflows in DuckDB)
-    and re-signed for the XOR/bit_count Hamming check."""
+def _simhash_pair_ctes() -> str:
+    """SimHash replayed in DuckDB SQL, as a composable WITH-body
+    fragment (CTE names ``s_``-prefixed so it unions cleanly with the
+    MinHash chain in the q118 ensemble oracle). Bit i of the token hash
+    comes off the UNSIGNED md5 value with a logical shift (identical to
+    Spark's arithmetic shiftright + &1 on the signed twin); the
+    fingerprint is assembled from inlined 2^i literals (HUGEINT <<
+    overflows in DuckDB) and re-signed for the XOR/bit_count Hamming
+    check. Ends at ``s_cand(id1, id2, h1, h2)``."""
     fp_terms = " + ".join(
         f"(CASE WHEN b{i} > 0 THEN {1 << i}::HUGEINT ELSE 0::HUGEINT END)"
         for i in range(64)
@@ -343,38 +346,42 @@ def _q31_oracle() -> str:
         for i in range(64)
     )
     block_vals = ", ".join(f"(ufp >> {b * 16}) & 65535" for b in range(4))
-    return f"""
-WITH tok AS (
+    return f"""s_tok AS (
   SELECT doc_id AS id, unnest({_DDB_TOKENS}) AS tok FROM documents
-), tf AS (
-  SELECT id, tok, count(*) AS tf FROM tok GROUP BY 1, 2
-), h AS (
-  SELECT id, tf, {_u64('tok')} AS u FROM tf
-), bitsums AS (
+), s_tf AS (
+  SELECT id, tok, count(*) AS tf FROM s_tok GROUP BY 1, 2
+), s_h AS (
+  SELECT id, tf, {_u64('tok')} AS u FROM s_tf
+), s_bitsums AS (
   SELECT id,
          {bit_cols}
-  FROM h GROUP BY id
-), fp AS (
+  FROM s_h GROUP BY id
+), s_fp AS (
   SELECT id,
          ({fp_terms}) AS hfp
-  FROM bitsums
-), signed_fp AS (
+  FROM s_bitsums
+), s_signed_fp AS (
   SELECT id,
          hfp::UBIGINT AS ufp,
          (CASE WHEN hfp >= 9223372036854775808::HUGEINT
                THEN (hfp - 18446744073709551616::HUGEINT)::BIGINT
                ELSE hfp::BIGINT END) AS sfp
-  FROM fp
-), blocks AS (
+  FROM s_fp
+), s_blocks AS (
   SELECT id, sfp, b AS block, ([{block_vals}])[b + 1] AS bval
-  FROM signed_fp, unnest(range(4)) r(b)
-), cand AS (
+  FROM s_signed_fp, unnest(range(4)) r(b)
+), s_cand AS (
   SELECT DISTINCT a.id AS id1, b.id AS id2, a.sfp AS h1, b.sfp AS h2
-  FROM blocks a JOIN blocks b
+  FROM s_blocks a JOIN s_blocks b
     ON a.block = b.block AND a.bval = b.bval AND a.id < b.id
-)
+)"""
+
+
+def _q31_oracle() -> str:
+    return f"""
+WITH {_simhash_pair_ctes()}
 SELECT id1, id2, bit_count(xor(h1, h2)) AS hamming
-FROM cand
+FROM s_cand
 WHERE bit_count(xor(h1, h2)) <= 3
 ORDER BY hamming, id1, id2
 """
@@ -650,13 +657,16 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-def _cc_closure_ctes() -> str:
-    """The connected-components closure over the `est` pair estimates
-    (pairs -> undirected edges -> recursive reach -> comp = min-label)
-    — shared verbatim by the q73 and q77 oracles so a threshold or
-    closure fix cannot silently diverge their cluster membership."""
-    return """pairs AS (
-  SELECT id1, id2 FROM est WHERE est_jaccard >= 0.7
+def _cc_closure_ctes(
+    pairs_sql: str = "SELECT id1, id2 FROM est WHERE est_jaccard >= 0.7",
+) -> str:
+    """The connected-components closure over a pair set (pairs ->
+    undirected edges -> recursive reach -> comp = min-label) — shared
+    verbatim by the q73 and q77 oracles so a threshold or closure fix
+    cannot silently diverge their cluster membership; q118 passes the
+    ensemble union as ``pairs_sql``."""
+    return f"""pairs AS (
+  {pairs_sql}
 ), und AS (
   SELECT id1 AS a, id2 AS b FROM pairs
   UNION ALL
@@ -1519,4 +1529,92 @@ def q114(spark: SparkSession, sf: str) -> DataFrame:
         r.select("node", "deg", F.col("rank").alias("rank_micro"))
         .orderBy(F.desc("rank_micro"), "node")
         .limit(25)
+    )
+
+
+# ---------------------------------------------------------------------------
+def _q118_oracle() -> str:
+    """The ensemble oracle: MinHash pair chain + SimHash pair chain
+    (both composable fragments), their UNION as the closure's pair set,
+    and per-cluster signal attribution."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+{_simhash_pair_ctes()},
+mh AS (SELECT id1, id2 FROM est WHERE est_jaccard >= 0.7),
+shp AS (SELECT id1, id2 FROM s_cand WHERE bit_count(xor(h1, h2)) <= 3),
+{_cc_closure_ctes("SELECT id1, id2 FROM mh UNION SELECT id1, id2 FROM shp")},
+grp AS (
+  SELECT comp AS cluster_id, count(*) AS n_docs,
+         CAST(sum(id) AS BIGINT) AS id_checksum
+  FROM comp GROUP BY 1
+), mh_in AS (
+  SELECT c.comp AS cid, count(*) AS n FROM mh JOIN comp c ON c.id = mh.id1
+  GROUP BY 1
+), sh_in AS (
+  SELECT c.comp AS cid, count(*) AS n FROM shp JOIN comp c ON c.id = shp.id1
+  GROUP BY 1
+)
+SELECT g.cluster_id, g.n_docs, g.id_checksum,
+       CAST(coalesce(m.n, 0) AS BIGINT) AS n_mh_pairs,
+       CAST(coalesce(s.n, 0) AS BIGINT) AS n_sh_pairs
+FROM grp g
+LEFT JOIN mh_in m ON m.cid = g.cluster_id
+LEFT JOIN sh_in s ON s.cid = g.cluster_id
+ORDER BY g.cluster_id
+"""
+
+
+@query("q118_ensemble_neardup_clusters", oracle=_q118_oracle())
+def q118(spark: SparkSession, sf: str) -> DataFrame:
+    """Ensemble near-duplicate clustering: connected components over
+    the UNION of the MinHash pair set (q30, shingle-Jaccard grain) and
+    the SimHash pair set (q31, token-weight grain) — what production
+    dedup actually ships, because the two signals catch different
+    duplication (reordered boilerplate vs light token edits) and a
+    cluster is real if EITHER says so. Per cluster: size, member id
+    checksum (exact membership pin), and how many in-cluster pairs
+    each signal contributed — the attribution an operator reads before
+    trusting a merge. Monotonicity vs the single-signal q73 clustering
+    (every q73 cluster is contained in one ensemble cluster) is
+    pytest-pinned.
+
+    Plan (100 TB shape): both pair generators stay banded equi-joins
+    (never all-pairs — q30/q31's own contract); the union is
+    pair-set-sized; the closure is the O(log n) pointer-jumping CC
+    (operators/graph); attribution joins are pair-set x broadcast-able
+    label table. Declared portable (md5) so every stage replays in the
+    oracle; production default stays xxhash64.
+    """
+    from alt_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    mh = dedup.minhash_near_dup(docs, threshold=0.7, portable=True).select(
+        "id1", "id2"
+    )
+    sh = dedup.simhash_near_dup(docs, portable=True).select("id1", "id2")
+    pairs = mh.unionByName(sh).distinct()
+    comp = connected_components(pairs)
+    grp = comp.groupBy("comp").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("id").cast("long").alias("id_checksum"),
+    )
+
+    def attributed(p: DataFrame, name: str) -> DataFrame:
+        return (
+            p.join(comp.withColumnRenamed("id", "id1"), "id1")
+            .groupBy("comp")
+            .agg(F.count("*").alias(name))
+        )
+
+    return (
+        grp.join(attributed(mh, "n_mh"), "comp", "left")
+        .join(attributed(sh, "n_sh"), "comp", "left")
+        .select(
+            F.col("comp").alias("cluster_id"),
+            "n_docs",
+            "id_checksum",
+            F.coalesce(F.col("n_mh"), F.lit(0)).cast("long").alias("n_mh_pairs"),
+            F.coalesce(F.col("n_sh"), F.lit(0)).cast("long").alias("n_sh_pairs"),
+        )
+        .orderBy("cluster_id")
     )

@@ -850,3 +850,173 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     return top.filter(
         (F.col("pair_type") == "neg") | (F.col("rnk") <= 1)
     ).orderBy("anchor_id", "pair_type", "rnk")
+
+
+# ---------------------------------------------------------------------------
+_RQM_K = 10  # metric cutoff: MRR / recall / precision @ 10
+
+
+@query(
+    "q119_retrieval_quality_metrics",
+    oracle=f"""
+WITH ex AS ({_DDB_EXPLODE}),
+a AS (SELECT * FROM ex WHERE vec_id % {_CPM_MOD} = 0),
+c AS (SELECT * FROM ex WHERE vec_id % {_CPM_MOD} <> 0),
+pairs AS (
+  SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+         a.label = c.label AS is_rel,
+         CASE WHEN sum(c.val * c.val) > 0 AND sum(a.val * a.val) > 0
+              THEN round(sum(a.val * c.val)
+                   / (sqrt(sum(a.val * a.val)) * sqrt(sum(c.val * c.val))), 6)
+              ELSE -1.0 END AS cos
+  FROM a JOIN c ON a.idx = c.idx
+  GROUP BY a.vec_id, c.vec_id, a.label, c.label
+), ranked AS (
+  SELECT anchor_id, cand_id, is_rel, cos,
+         row_number() OVER (PARTITION BY anchor_id
+                            ORDER BY cos DESC, cand_id) AS rnk
+  FROM pairs
+), topk AS (
+  SELECT anchor_id,
+         min(CASE WHEN is_rel THEN rnk END) AS first_rel_rank,
+         CAST(coalesce(sum(CASE WHEN is_rel THEN 1 END), 0) AS BIGINT)
+           AS hits_at_k
+  FROM ranked WHERE rnk <= {_RQM_K} GROUP BY 1
+), rel AS (
+  SELECT anchor_id, CAST(count(*) FILTER (is_rel) AS BIGINT) AS n_relevant
+  FROM pairs GROUP BY 1
+)
+SELECT r.anchor_id,
+       CAST(t.first_rel_rank AS BIGINT) AS first_rel_rank,
+       CAST(CASE WHEN t.first_rel_rank IS NOT NULL
+                 THEN 10000 // t.first_rel_rank ELSE 0 END AS BIGINT) AS rr_pm,
+       t.hits_at_k,
+       r.n_relevant,
+       CAST((10000 * t.hits_at_k)
+            // greatest(least({_RQM_K}, r.n_relevant), 1) AS BIGINT) AS recall_pm,
+       CAST((10000 * t.hits_at_k) // {_RQM_K} AS BIGINT) AS precision_pm
+FROM rel r JOIN topk t ON r.anchor_id = t.anchor_id
+ORDER BY r.anchor_id
+""",
+)
+def q119(spark: SparkSession, sf: str) -> DataFrame:
+    """Retrieval-quality metrics at k={_RQM_K}: per eval anchor, the
+    rank of the first relevant hit, reciprocal rank in permyriad
+    (10000 div rank — the integer-exact MRR surface), hits@k,
+    recall@k and precision@k in permyriad — the evaluation table a
+    retrieval release publishes before swapping an index or embedding
+    model (the acceptance gate for q25/q26/q112's retrieval stack).
+    Relevance is the standard same-label proxy; anchors are every
+    50th vector (the q62/q102 device). Reciprocal rank and the
+    permyriad ratios are integer floor divisions, so the whole metric
+    table replays bit-for-bit cross-engine — no float MRR ever
+    crosses the oracle boundary.
+
+    Plan (100 TB shape): anchors broadcast + in-row cosine fold (the
+    q102 zero-corpus-shuffle device); top-k per anchor via the salted
+    :func:`grouped_top_k` (corpus-sized candidate sets — q117's
+    argument); n_relevant is one anchor-keyed COUNT aggregate, which
+    map-side partials keep skew-proof where a window would not be.
+    """
+    from alt_spark.operators.topk import grouped_top_k
+
+    dot = lambda u, w: F.aggregate(  # noqa: E731
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    emb = load_table(spark, sf, "embeddings")
+    vec = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    anchors = (
+        vec.filter(F.col("vec_id") % _CPM_MOD == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("aid"),
+                F.col("label").alias("alabel"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("anrm"),
+            ).alias("a")
+        )
+        .agg(F.collect_list("a").alias("anchors"))
+        .filter(
+            F.assert_true(
+                F.size("anchors") > 0,
+                F.lit("q119: anchor set is empty — nothing to evaluate"),
+            ).isNull()
+        )
+    )
+    scored = (
+        vec.filter(F.col("vec_id") % _CPM_MOD != 0)
+        .crossJoin(F.broadcast(anchors))
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            "label",
+            F.explode(
+                F.transform(
+                    F.col("anchors"),
+                    lambda a: F.struct(
+                        a["aid"].alias("anchor_id"),
+                        (a["alabel"] == F.col("label")).alias("is_rel"),
+                        F.when(
+                            (F.col("nrm") > 0) & (a["anrm"] > 0),
+                            F.round(
+                                dot(F.col("v"), a["av"])
+                                / (F.col("nrm") * a["anrm"]),
+                                6,
+                            ),
+                        )
+                        .otherwise(F.lit(-1.0))
+                        .alias("cos"),
+                    ),
+                )
+            ).alias("s"),
+        )
+        .select(
+            F.col("s.anchor_id").alias("anchor_id"),
+            F.col("s.is_rel").alias("is_rel"),
+            F.col("cand_id"),
+            F.col("s.cos").alias("cos"),
+        )
+    )
+    topk = grouped_top_k(
+        scored,
+        ["anchor_id"],
+        F.struct((-F.col("cos")).alias("nc"), F.col("cand_id").alias("cid")),
+        F.struct(F.col("cand_id"), F.col("is_rel")),
+        k=_RQM_K,
+    ).groupBy("anchor_id").agg(
+        F.min(F.when(F.col("is_rel"), F.col("rnk"))).alias("first_rel_rank"),
+        F.coalesce(F.sum(F.when(F.col("is_rel"), 1)), F.lit(0))
+        .cast("long")
+        .alias("hits_at_k"),
+    )
+    rel = scored.groupBy("anchor_id").agg(
+        F.count(F.when(F.col("is_rel"), 1)).alias("n_relevant")
+    )
+    return (
+        rel.join(topk, "anchor_id")
+        .select(
+            "anchor_id",
+            F.col("first_rel_rank").cast("long").alias("first_rel_rank"),
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.expr("10000 div first_rel_rank"),
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("rr_pm"),
+            "hits_at_k",
+            "n_relevant",
+            F.expr(
+                f"(10000 * hits_at_k) div greatest(least({_RQM_K}, n_relevant), 1)"
+            )
+            .cast("long")
+            .alias("recall_pm"),
+            F.expr(f"(10000 * hits_at_k) div {_RQM_K}")
+            .cast("long")
+            .alias("precision_pm"),
+        )
+        .orderBy("anchor_id")
+    )

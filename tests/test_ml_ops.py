@@ -1075,3 +1075,55 @@ def test_q117_pairs_match_numpy_mining(spark):
     # Structure: every anchor mined exactly 1 pos + NEG_K negs here.
     n_anchors = int(is_anchor.sum())
     assert len(got) == n_anchors * (1 + _CPM_NEG_K)
+
+
+def test_q119_metrics_match_python_reference(spark):
+    """Integer-exact retrieval metrics: the per-anchor MRR / recall@k /
+    precision@k table must equal a numpy+pure-Python replay applying
+    the same round-then-rank rule and the same floor divisions."""
+    import numpy as np
+    import pandas as pd
+
+    from alt_spark.queries.vectors import _CPM_MOD, _RQM_K, q119
+    from tests.conftest import SF_ORACLE
+
+    pdf = pd.read_parquet(f"{SF_ORACLE}/embeddings.parquet")
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    nrm = np.linalg.norm(mat, axis=1, keepdims=True)
+    nz = nrm.squeeze() > 0
+    matn = np.divide(mat, nrm, out=np.zeros_like(mat), where=nrm > 0)
+    is_anchor = (pdf["vec_id"] % _CPM_MOD == 0).to_numpy()
+    cands = pdf[~is_anchor].reset_index(drop=True)
+    want = {}
+    for ai in np.flatnonzero(is_anchor):
+        a_id, a_label = int(pdf["vec_id"].iloc[ai]), pdf["label"].iloc[ai]
+        cos = np.round(matn[~is_anchor] @ matn[ai], 6)
+        cos = np.where(nz[~is_anchor] & nz[ai], cos, -1.0)
+        order = sorted(
+            zip(cos, cands["vec_id"].astype(int), cands["label"] == a_label),
+            key=lambda t: (-t[0], t[1]),
+        )
+        n_rel = int(sum(1 for _, _, r in order if r))
+        top = order[:_RQM_K]
+        hits = sum(1 for _, _, r in top if r)
+        first = next((i + 1 for i, (_, _, r) in enumerate(top) if r), None)
+        want[a_id] = (
+            first,
+            10000 // first if first else 0,
+            hits,
+            n_rel,
+            (10000 * hits) // max(min(_RQM_K, n_rel), 1),
+            (10000 * hits) // _RQM_K,
+        )
+    got = {
+        r["anchor_id"]: (
+            r["first_rel_rank"],
+            r["rr_pm"],
+            r["hits_at_k"],
+            r["n_relevant"],
+            r["recall_pm"],
+            r["precision_pm"],
+        )
+        for r in q119(spark, SF_ORACLE).collect()
+    }
+    assert got == want

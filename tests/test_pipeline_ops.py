@@ -1074,3 +1074,41 @@ def test_q102_empty_benchmark_raises(spark):
     with mock.patch.object(vx, "load_table", no_bench):
         with _pt.raises(Exception, match="benchmark partition is empty"):
             vx.q102(spark, SF_SMOKE).collect()
+
+
+def test_q118_ensemble_monotone_and_attributed(spark):
+    """Ensemble clustering can only MERGE what a single signal found:
+    every MinHash-only (q73) cluster must be contained in exactly one
+    ensemble cluster, and the per-cluster signal attribution must
+    reconcile with the raw pair counts (every pair lands in exactly
+    one cluster — both endpoints are connected by construction)."""
+    from alt_spark.operators.graph import connected_components
+    from alt_spark.queries.pipeline_ops import q118
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    mh = dedup.minhash_near_dup(docs, threshold=0.7, portable=True).select(
+        "id1", "id2"
+    )
+    mh_comp = {
+        r["id"]: r["comp"] for r in connected_components(mh).collect()
+    }
+    rows = q118(spark, SF_ORACLE).collect()
+    # Rebuild ensemble membership from the checksummed report is not
+    # possible (by design); recompute the ensemble labels directly.
+    sh = dedup.simhash_near_dup(docs, portable=True).select("id1", "id2")
+    ens = {
+        r["id"]: r["comp"]
+        for r in connected_components(mh.unionByName(sh).distinct()).collect()
+    }
+    # Monotone: nodes sharing a MinHash cluster share the ensemble one.
+    by_mh: dict[int, set[int]] = {}
+    for node, c in mh_comp.items():
+        by_mh.setdefault(c, set()).add(ens[node])
+    assert all(len(v) == 1 for v in by_mh.values())
+    # Attribution reconciles: every pair counted exactly once.
+    assert sum(r["n_mh_pairs"] for r in rows) == mh.count()
+    assert sum(r["n_sh_pairs"] for r in rows) == sh.count()
+    # Report covers every ensemble node exactly once.
+    assert sum(r["n_docs"] for r in rows) == len(ens)
+    assert {r["cluster_id"] for r in rows} == set(ens.values())

@@ -107,18 +107,20 @@ _NESTED_LOOP_OK = {
     "q114_pagerank_integer",
     # 1-row collect_list(anchor vectors) frame broadcast onto the
     # corpus scan — the anchor side is eval-sized by construction
-    # (the q102 broadcast-bench device, contrastive-mining form).
+    # (the q102 broadcast-bench device; contrastive-mining and
+    # retrieval-metric forms share it).
     "q117_contrastive_pairs",
+    "q119_retrieval_quality_metrics",
 }
 
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    # q69, q73, q77, q81, q87 and q115 are excluded: constructing q69
-    # FITS an MLlib model (Pipeline.fit is an action — percentile_cont
-    # pass + L-BFGS iterations); q73/q77/q81 run the
-    # connected-components convergence loop (one keyed join + count per
-    # round); q87 runs the full BPE merge loop and q115 the unigram
+    # q69, q73, q77, q81, q87, q115 and q118 are excluded: constructing
+    # q69 FITS an MLlib model (Pipeline.fit is an action —
+    # percentile_cont pass + L-BFGS iterations); q73/q77/q81/q118 run
+    # the connected-components convergence loop (one keyed join + count
+    # per round); q87 runs the full BPE merge loop and q115 the unigram
     # Viterbi-EM loop (per-round aggregate + collect), both returning
     # driver-local frames any plan audit would pass vacuously — real
     # executor work inside what should be plan-only audits. Their
@@ -134,6 +136,7 @@ def dfs(spark):
             "q81_cluster_representatives",
             "q87_bpe_vocab_learning",
             "q115_unigram_vocab_learning",
+            "q118_ensemble_neardup_clusters",
         )
     }
 
