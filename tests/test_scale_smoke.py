@@ -1177,3 +1177,33 @@ def test_grouped_top_k_survives_one_giant_group_at_100k(spark):
     ]
     assert got == want
     assert _t.monotonic() - t0 < 60, "salted top-k smoke exceeded budget"
+
+
+def test_unigram_em_scale_invariant_at_100k(spark):
+    """Viterbi-EM vocabulary learning at 100k docs, with an exact
+    oracle for free: uniform xN replication multiplies every piece
+    count by N, leaving every c/T ratio — hence every milli-log-prob,
+    every Viterbi decision, and the prune order — EXACTLY unchanged,
+    so the learned vocabulary must equal the unreplicated corpus's
+    piece-for-piece (scores identical, counts x200)."""
+    import time as _t
+
+    from alt_spark.operators.unigram import learn_unigram_vocab
+
+    t0 = _t.monotonic()
+    docs = load_table(spark, SF, "documents").select("text")
+    reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select("text")
+    params = dict(target_multi=16, rounds=2, max_piece_len=4, seed_multi=64)
+    small = {
+        r["piece"]: (r["milli_logp"], r["piece_cnt"])
+        for r in learn_unigram_vocab(docs, **params).collect()
+    }
+    bigv = {
+        r["piece"]: (r["milli_logp"], r["piece_cnt"])
+        for r in learn_unigram_vocab(big, **params).collect()
+    }
+    assert set(small) == set(bigv)
+    for p, (ms, cnt) in small.items():
+        assert bigv[p] == (ms, cnt * REPLICAS), p
+    assert _t.monotonic() - t0 < 240, "EM smoke exceeded budget"
