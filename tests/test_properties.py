@@ -306,3 +306,88 @@ def test_mg_summaries_bound_properties(spark, stream, k, parts):
         # global threshold must survive with a positive count.
         if cnt > n / (k + 1):
             assert key in merged, (key, cnt, n, k)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    stream=st.lists(
+        st.integers(min_value=0, max_value=30), min_size=1, max_size=400
+    ),
+    k=st.integers(min_value=2, max_value=16),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_merge_mg_summaries_mergeability_properties(spark, stream, k, parts):
+    """Mergeable-summaries invariants (Agarwal et al. 2012) on random
+    streams under random partitioning: the MERGED summary's counts are
+    lower bounds, per-key undercount respects N/(k+1), any key with
+    true frequency > N/(k+1) survives the merge, the survivor set is
+    k-bounded, and the sentinel carries exactly N."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.sketch import merge_mg_summaries, mg_summaries
+
+    df = spark.createDataFrame(
+        [(str(x),) for x in stream], ["s"]
+    ).repartition(parts)
+    merged_rows = merge_mg_summaries(
+        mg_summaries(df, "s", k, with_total=True), k
+    ).collect()
+    merged = {r["key"]: r["cnt_lb"] for r in merged_rows if r["key"] is not None}
+    sentinel = [r["cnt_lb"] for r in merged_rows if r["key"] is None]
+    n = len(stream)
+    assert sentinel == [n]
+    assert len(merged) <= k
+    true: dict[str, int] = {}
+    for x in stream:
+        true[str(x)] = true.get(str(x), 0) + 1
+    for key, lb in merged.items():
+        assert 0 < lb <= true[key], (key, lb, true[key])
+    for key, cnt in true.items():
+        assert cnt - merged.get(key, 0) <= n / (k + 1), (key, cnt)
+        if cnt > n / (k + 1):
+            assert key in merged, key
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),   # group
+            st.integers(min_value=-50, max_value=50),  # score (ties likely)
+        ),
+        min_size=1,
+        max_size=300,
+    ),
+    k=st.integers(min_value=1, max_value=8),
+    parts=st.integers(min_value=1, max_value=6),
+)
+def test_grouped_top_k_matches_python_sort(spark, rows, k, parts):
+    """Salted top-k == a plain Python sort per group, for random data,
+    random k, random partitioning — rank order and membership exact
+    under the (score desc, id asc) total order."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.topk import grouped_top_k
+
+    data = [(g, i, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "g long, i long, score long").repartition(
+        parts
+    )
+    got: dict[int, list] = {}
+    for r in grouped_top_k(
+        df,
+        ["g"],
+        F.struct((-F.col("score")).alias("ns"), F.col("i").alias("ti")),
+        F.struct("i", "score"),
+        k=k,
+    ).collect():
+        got.setdefault(r["g"], []).append((r["rnk"], r["i"], r["score"]))
+    want: dict[int, list] = {}
+    for g, i, s in data:
+        want.setdefault(g, []).append((i, s))
+    for g, members in want.items():
+        ordered = sorted(members, key=lambda t: (-t[1], t[0]))[:k]
+        assert sorted(got[g]) == [
+            (j + 1, i, s) for j, (i, s) in enumerate(ordered)
+        ], g
+    assert set(got) == set(want)
