@@ -39,9 +39,15 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 from alt_spark.operators.sketch import merge_mg_summaries, mg_summaries
+from alt_spark.plans import dfcache
 from alt_spark.streaming.projector import _latest_version
 
-__all__ = ["run_streaming_sketch", "read_sketch_state", "verified_top_n"]
+__all__ = [
+    "run_streaming_sketch",
+    "read_sketch_state",
+    "windowed_sketch_state",
+    "verified_top_n",
+]
 
 
 def run_streaming_sketch(
@@ -51,13 +57,32 @@ def run_streaming_sketch(
     checkpoint_dir: str,
     key_col: str,
     k: int = 4096,
+    keep_per_batch: bool = False,
 ) -> StreamingQuery:
     """Fold a streaming source into versioned MG sketch state:
     ``state_dir/v{batch_id}`` holds the merged k-bounded summary (plus
-    the cumulative-N sentinel) after that micro-batch."""
+    the cumulative-N sentinel) after that micro-batch.
+
+    With ``keep_per_batch=True`` each micro-batch ALSO persists its own
+    merged per-batch summary under ``state_dir/pb{batch_id}`` — the
+    building block for SLIDING-window trending (the reference's
+    trending-tags consumer is inherently windowed): mergeability lets
+    :func:`windowed_sketch_state` reconstruct the exact sketch of ANY batch
+    range by merging the range's per-batch summaries (each k+1 rows),
+    and retention is a partition-aligned drop of out-of-window batch
+    directories — the index_maintenance TTL economics applied to
+    sketch state."""
 
     def process_batch(batch: DataFrame, batch_id: int) -> None:
         summ = mg_summaries(batch, key_col, k, with_total=True)
+        if dfcache.MATERIALIZE:
+            # Two consumers when keep_per_batch (per-batch file + the
+            # rolling merge) — compute the batch scan once.
+            summ = summ.localCheckpoint(eager=False)
+        if keep_per_batch:
+            merge_mg_summaries(summ, k).write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"pb{batch_id}")
+            )
         prev_version, prev_path = _latest_version(state_dir)
         if prev_path is not None and prev_version >= batch_id:
             # Crash-replay of a committed batch: merge against the
@@ -79,6 +104,29 @@ def run_streaming_sketch(
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def windowed_sketch_state(
+    spark: SparkSession, state_dir: str, batch_ids: list[int], k: int
+) -> DataFrame:
+    """The merged sketch of an arbitrary batch RANGE, reconstructed
+    from per-batch summaries (requires ``keep_per_batch=True`` at
+    write time): mergeability makes this exactly the sketch a single
+    pass over those batches' rows would have produced, bound-wise —
+    the sliding-window trending primitive. Cost: |batch_ids| x (k+1)
+    rows merged, independent of stream volume."""
+    if not batch_ids:
+        raise ValueError("batch_ids must be non-empty")
+    parts = []
+    for b in batch_ids:
+        path = os.path.join(state_dir, f"pb{b}")
+        if not os.path.isdir(path):
+            raise FileNotFoundError(f"no per-batch summary at {path}")
+        parts.append(spark.read.parquet(path))
+    summ = parts[0]
+    for p in parts[1:]:
+        summ = summ.unionByName(p)
+    return merge_mg_summaries(summ, k)
 
 
 def read_sketch_state(

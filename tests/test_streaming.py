@@ -1414,3 +1414,79 @@ def test_streaming_anomaly_flags_parity(spark):
     got = anomaly_flags(b).collect()
     want = q109(spark, SF).collect()
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_windowed_trending_from_per_batch_summaries(spark):
+    """Sliding-window trending (the reference's actual trending-tags
+    shape): per-batch MG summaries merged over a 2-batch window must
+    yield the exact direct-groupBy top-5 of THAT window's rows, for
+    every window position — and the window state is (k+1)-bounded
+    regardless of stream volume."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.dedup import tokens_col
+    from alt_spark.streaming.sketch_stream import (
+        run_streaming_sketch,
+        verified_top_n,
+        windowed_sketch_state,
+    )
+
+    K, W = 256, 2
+    root = _fresh("hh_windowed")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    toks = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.explode(tokens_col("text")).alias("tok"))
+        .toPandas()
+    )
+    n = len(toks)
+    n_batches = 4
+    bounds = [i * n // n_batches for i in range(n_batches + 1)]
+    for i in range(n_batches):
+        toks.iloc[bounds[i] : bounds[i + 1]].to_parquet(
+            os.path.join(landing, f"chunk_{i:03d}.parquet"), index=False
+        )
+    src = (
+        spark.readStream.schema("tok string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = run_streaming_sketch(
+        spark,
+        src,
+        state_dir=os.path.join(root, "state"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+        key_col="tok",
+        k=K,
+        keep_per_batch=True,
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    for end in range(W - 1, n_batches):
+        window_ids = list(range(end - W + 1, end + 1))
+        state = windowed_sketch_state(
+            spark, os.path.join(root, "state"), window_ids, K
+        )
+        rows = state.collect()
+        lo, hi = bounds[window_ids[0]], bounds[window_ids[-1] + 1]
+        assert len(rows) - 1 <= K
+        assert [r["cnt_lb"] for r in rows if r["key"] is None] == [hi - lo]
+        wdata = spark.createDataFrame(toks.iloc[lo:hi])
+        got = [
+            (r["key"], r["cnt"])
+            for r in verified_top_n(state, wdata, "tok", top_n=5, k=K).collect()
+        ]
+        want = [
+            (r["tok"], r["cnt"])
+            for r in wdata.groupBy("tok")
+            .agg(F.count("*").alias("cnt"))
+            .orderBy(F.desc("cnt"), "tok")
+            .limit(5)
+            .collect()
+        ]
+        assert got == want, f"window ending at batch {end}"
