@@ -211,7 +211,13 @@ def target_mixture_rates(
     share = F.element_at(F.create_map(*pairs), F.col(stratum_col))
     counts = (
         df.groupBy(stratum_col)
-        .agg(F.sum(weight_col).cast("long").alias("tok"))
+        # coalesce: a stratum whose rows ALL carry NULL weight must
+        # behave exactly like the zero-weight stratum (tok=0 binds the
+        # achievable total to 0) — a bare sum() is NULL there, and a
+        # NULL tok would silently UN-constrain the min below exactly
+        # like the fully-missing stratum the guard exists to catch.
+        # (Review finding, r9.)
+        .agg(F.coalesce(F.sum(weight_col), F.lit(0)).cast("long").alias("tok"))
         .withColumn("share", share)
     )
     # Achievable total over DECLARED strata only; undeclared strata

@@ -47,7 +47,12 @@ from pyspark.sql import functions as F
 
 from alt_spark.plans import dfcache
 
-__all__ = ["mg_summaries", "merge_mg_summaries", "heavy_hitters"]
+__all__ = [
+    "mg_summaries",
+    "merge_mg_summaries",
+    "heavy_hitters",
+    "exact_verified_top_n",
+]
 
 
 def _mg_fold(batches, key_col: str, k: int, with_total: bool):
@@ -169,15 +174,43 @@ def heavy_hitters(
         # docstring's two-pass promise literal. Bounded: partitions x
         # (k+1) rows. Hermetic switch keeps plan audits barrier-free.
         summ = summ.localCheckpoint(eager=False)
-    cands = summ.filter(F.col("key").isNotNull()).select("key").distinct()
+    return exact_verified_top_n(
+        df,
+        key_col,
+        summ,
+        top_n,
+        k,
+        guard_name="heavy_hitters",
+    )
+
+
+def exact_verified_top_n(
+    data: DataFrame,
+    key_col: str,
+    summary: DataFrame,
+    top_n: int,
+    k: int,
+    guard_name: str = "heavy_hitters",
+) -> DataFrame:
+    """Pass 2 of the sketch protocol, shared by the batch operator and
+    the streaming consumer (one implementation — review finding, r9):
+    exact counts over ``data`` for the ``summary``'s candidate keys
+    (broadcast semi-join, candidate-bounded shuffle), TakeOrdered
+    top-``top_n``, and the STRICT exclusion guard fed by the summary's
+    NULL-key sentinel N. ``summary`` must be a ``with_total=True``
+    shape (or any union/merge of such frames); ``k`` must be the k it
+    was built with."""
+    if top_n <= 0:
+        raise ValueError(f"top_n must be positive, got {top_n}")
+    cands = summary.filter(F.col("key").isNotNull()).select("key").distinct()
     exact = (
-        df.select(F.col(key_col).alias("key"))
+        data.select(F.col(key_col).alias("key"))
         .join(F.broadcast(cands), "key", "left_semi")
         .groupBy("key")
         .agg(F.count("*").alias("cnt"))
     )
     sel = exact.orderBy(F.desc("cnt"), "key").limit(top_n)
-    total = summ.filter(F.col("key").isNull()).agg(
+    total = summary.filter(F.col("key").isNull()).agg(
         F.coalesce(F.sum("cnt_lb"), F.lit(0)).alias("__n")
     )
     mn = sel.agg(F.min("cnt").alias("__mn"))
@@ -192,7 +225,7 @@ def heavy_hitters(
                 # sketch; there is no sound silent fallback.
                 F.coalesce(F.col("__mn"), F.lit(0)) * (k + 1) > F.col("__n"),
                 F.concat(
-                    F.lit("heavy_hitters guarantee violated: min(top-"),
+                    F.lit(f"{guard_name} guarantee violated: min(top-"),
                     F.lit(str(top_n)),
                     F.lit(" count) * (k+1) <= N for k="),
                     F.lit(str(k)),

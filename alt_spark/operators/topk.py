@@ -56,7 +56,18 @@ def grouped_top_k(
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
     row = F.struct(sort_key.alias("__key"), payload.alias("__p"))
-    topk = lambda c: F.slice(F.array_sort(c), 1, k)  # noqa: E731
+    # Sort with an explicit comparator on __key ONLY: the default
+    # struct ordering would let the PAYLOAD participate (deciding rank
+    # on sort-key ties, and failing analysis outright for map-bearing
+    # payloads, which are not orderable). sort_key must still be a
+    # TOTAL order — include a unique tiebreak field — or tie ranks are
+    # partition-order-dependent. (Review finding, r9.)
+    cmp = lambda l, r: (  # noqa: E731
+        F.when(l["__key"] < r["__key"], -1)
+        .when(l["__key"] > r["__key"], 1)
+        .otherwise(0)
+    )
+    topk = lambda c: F.slice(F.array_sort(c, cmp), 1, k)  # noqa: E731
     stage1 = (
         df.withColumn("__salt", F.spark_partition_id())
         .groupBy(*group_cols, "__salt")

@@ -14,7 +14,7 @@ the LSH-bucketed variant in alt_spark.operators.ann (J11).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from alt_spark.catalog import load_table
@@ -34,6 +34,68 @@ def _exploded(spark: SparkSession, sf: str) -> DataFrame:
         "label",
         F.posexplode("embedding").alias("idx", "fval"),
     ).select("vec_id", "label", "idx", F.col("fval").cast("double").alias("val"))
+
+
+# --- shared broadcast-anchor cosine scorer (q102 / q117 / q119) -----------
+# One implementation of the load-bearing math — the round(·,6) boundary,
+# the zero-norm -1.0 sentinel, the empty-anchor guard — so a fix applied
+# to one query cannot silently leave its siblings diverging from their
+# oracles (review finding, r9: three hand-kept copies).
+
+
+def _dot(u: Column, w: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def _unit_vecs(spark: SparkSession, sf: str) -> DataFrame:
+    """(vec_id, label, v double[], nrm) with zero-LENGTH (and NULL)
+    embeddings EXCLUDED: the oracles' unnest equi-joins drop such
+    vectors naturally (they produce no (idx, val) rows), so emitting a
+    sentinel-scored Spark row for them would be a latent engine
+    divergence (review finding, r9). Zero-NORM but non-empty vectors
+    stay — both engines score those pairs -1."""
+    emb = load_table(spark, sf, "embeddings")
+    return (
+        emb.filter(F.size("embedding") > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        )
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+
+
+def _anchor_frame(vec: DataFrame, mod: int, msg: str) -> DataFrame:
+    """The eval side as ONE broadcastable row: [struct(aid, alabel, av,
+    anrm)] for every vec_id % mod == 0 vector, with the loud
+    empty-set guard (the ungrouped collect_list always yields one row,
+    so an empty eval set must raise, not quietly score nothing)."""
+    return (
+        vec.filter(F.col("vec_id") % mod == 0)
+        .select(
+            F.struct(
+                F.col("vec_id").alias("aid"),
+                F.col("label").alias("alabel"),
+                F.col("v").alias("av"),
+                F.col("nrm").alias("anrm"),
+            ).alias("a")
+        )
+        .agg(F.collect_list("a").alias("anchors"))
+        .filter(F.assert_true(F.size("anchors") > 0, F.lit(msg)).isNull())
+    )
+
+
+def _anchor_cos(a: Column) -> Column:
+    """6-digit-rounded cosine of the current row's (v, nrm) against one
+    anchor struct; degenerate (zero-norm) pairs score -1 in BOTH
+    engines (the q102 NaN-ordering device)."""
+    return F.when(
+        (F.col("nrm") > 0) & (a["anrm"] > 0),
+        F.round(_dot(F.col("v"), a["av"]) / (F.col("nrm") * a["anrm"]), 6),
+    ).otherwise(F.lit(-1.0))
 
 
 # ---------------------------------------------------------------------------
@@ -536,50 +598,20 @@ def q102(spark: SparkSession, sf: str) -> DataFrame:
     (the q32/q91 bit-identity device), so the flag decision is exact
     cross-engine; the id checksum pins the exact contaminated SET.
     """
-    dot = lambda u, w: F.aggregate(  # noqa: E731
-        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    emb = load_table(spark, sf, "embeddings")
-    vec = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    bench = (
-        vec.filter(F.col("vec_id") % _SEMDECON_MOD == 0)
-        .select(F.struct(F.col("v").alias("v"), F.col("nrm").alias("nrm")).alias("bv"))
-        .agg(F.collect_list("bv").alias("bench"))
-        # Empty-benchmark guard (ADVICE r8): the ungrouped collect_list
-        # always yields ONE row, so an empty benchmark would quietly
-        # score every corpus row max_cos=NULL -> n_contaminated=0 while
-        # the oracle's inner join yields ZERO rows — latent engine
-        # divergence. Decontaminating against nothing is a config
-        # error; raise at action time (assert_true returns NULL on
-        # success, so the filter keeps the healthy 1-row frame).
-        .filter(
-            F.assert_true(
-                F.size("bench") > 0,
-                F.lit("q102: benchmark partition is empty — nothing to decontaminate against"),
-            ).isNull()
-        )
+    # Shared scorer helpers (_unit_vecs/_anchor_frame/_anchor_cos):
+    # empty-benchmark guard per ADVICE r8 (raise, never quietly score
+    # nothing); zero-norm pairs -1 in both engines (review finding,
+    # r8); zero-length embeddings excluded on both sides (review
+    # finding, r9 — the oracle's unnest join drops them naturally).
+    vec = _unit_vecs(spark, sf)
+    bench = _anchor_frame(
+        vec,
+        _SEMDECON_MOD,
+        "q102: benchmark partition is empty — nothing to decontaminate against",
     )
     corpus = vec.filter(F.col("vec_id") % _SEMDECON_MOD != 0)
-    # Zero-norm guard: 0/0 is NaN, and Spark sorts NaN ABOVE every
-    # double while DuckDB's IEEE `NaN >= tau` is FALSE — a zero vector
-    # on either side would flip the contamination flag between engines.
-    # Define cos = -1 for a degenerate pair in BOTH engines instead.
-    # (Review finding, r8.)
     scored = corpus.crossJoin(F.broadcast(bench)).withColumn(
-        "max_cos",
-        F.array_max(
-            F.transform(
-                F.col("bench"),
-                lambda b: F.when(
-                    (F.col("nrm") > 0) & (b["nrm"] > 0),
-                    F.round(dot(F.col("v"), b["v"]) / (F.col("nrm") * b["nrm"]), 6),
-                ).otherwise(F.lit(-1.0)),
-            )
-        ),
+        "max_cos", F.array_max(F.transform(F.col("anchors"), _anchor_cos))
     )
     contam = F.col("max_cos") >= _SEMDECON_TAU
     return (
@@ -776,32 +808,9 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
     """
     from alt_spark.operators.topk import grouped_top_k
 
-    dot = lambda u, w: F.aggregate(  # noqa: E731
-        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    emb = load_table(spark, sf, "embeddings")
-    vec = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    anchors = (
-        vec.filter(F.col("vec_id") % _CPM_MOD == 0)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("aid"),
-                F.col("label").alias("alabel"),
-                F.col("v").alias("av"),
-                F.col("nrm").alias("anrm"),
-            ).alias("a")
-        )
-        .agg(F.collect_list("a").alias("anchors"))
-        .filter(
-            F.assert_true(
-                F.size("anchors") > 0,
-                F.lit("q117: anchor set is empty — nothing to mine against"),
-            ).isNull()
-        )
+    vec = _unit_vecs(spark, sf)
+    anchors = _anchor_frame(
+        vec, _CPM_MOD, "q117: anchor set is empty — nothing to mine against"
     )
     scored = (
         vec.filter(F.col("vec_id") % _CPM_MOD != 0)
@@ -815,16 +824,7 @@ def q117(spark: SparkSession, sf: str) -> DataFrame:
                     lambda a: F.struct(
                         a["aid"].alias("anchor_id"),
                         a["alabel"].alias("alabel"),
-                        F.when(
-                            (F.col("nrm") > 0) & (a["anrm"] > 0),
-                            F.round(
-                                dot(F.col("v"), a["av"])
-                                / (F.col("nrm") * a["anrm"]),
-                                6,
-                            ),
-                        )
-                        .otherwise(F.lit(-1.0))
-                        .alias("cos"),
+                        _anchor_cos(a).alias("cos"),
                     ),
                 )
             ).alias("s"),
@@ -920,32 +920,9 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
     """
     from alt_spark.operators.topk import grouped_top_k
 
-    dot = lambda u, w: F.aggregate(  # noqa: E731
-        F.zip_with(u, w, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
-    )
-    emb = load_table(spark, sf, "embeddings")
-    vec = emb.select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
-    anchors = (
-        vec.filter(F.col("vec_id") % _CPM_MOD == 0)
-        .select(
-            F.struct(
-                F.col("vec_id").alias("aid"),
-                F.col("label").alias("alabel"),
-                F.col("v").alias("av"),
-                F.col("nrm").alias("anrm"),
-            ).alias("a")
-        )
-        .agg(F.collect_list("a").alias("anchors"))
-        .filter(
-            F.assert_true(
-                F.size("anchors") > 0,
-                F.lit("q119: anchor set is empty — nothing to evaluate"),
-            ).isNull()
-        )
+    vec = _unit_vecs(spark, sf)
+    anchors = _anchor_frame(
+        vec, _CPM_MOD, "q119: anchor set is empty — nothing to evaluate"
     )
     scored = (
         vec.filter(F.col("vec_id") % _CPM_MOD != 0)
@@ -959,16 +936,7 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
                     lambda a: F.struct(
                         a["aid"].alias("anchor_id"),
                         (a["alabel"] == F.col("label")).alias("is_rel"),
-                        F.when(
-                            (F.col("nrm") > 0) & (a["anrm"] > 0),
-                            F.round(
-                                dot(F.col("v"), a["av"])
-                                / (F.col("nrm") * a["anrm"]),
-                                6,
-                            ),
-                        )
-                        .otherwise(F.lit(-1.0))
-                        .alias("cos"),
+                        _anchor_cos(a).alias("cos"),
                     ),
                 )
             ).alias("s"),

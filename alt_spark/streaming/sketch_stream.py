@@ -38,7 +38,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from alt_spark.operators.sketch import merge_mg_summaries, mg_summaries
+from alt_spark.operators.sketch import (
+    exact_verified_top_n,
+    merge_mg_summaries,
+    mg_summaries,
+)
 from alt_spark.plans import dfcache
 from alt_spark.streaming.projector import _latest_version
 
@@ -146,39 +150,14 @@ def verified_top_n(
     state: DataFrame, data: DataFrame, key_col: str, top_n: int, k: int
 ) -> DataFrame:
     """EXACT top-``top_n`` over ``data`` using the sketch state's
-    candidates — the batch operator's pass 2 against streamed-up
-    candidates, with the same strict assert_true exclusion guard fed
-    by the state's cumulative-N sentinel. ``data`` must be the
-    accumulated rows the state has seen (the stream-so-far); ``k``
+    candidates — literally the batch operator's pass 2
+    (operators/sketch.exact_verified_top_n, ONE implementation so a
+    guard or join fix can never silently diverge the two consumers —
+    review finding, r9) against streamed-up candidates, with the
+    strict exclusion guard fed by the state's cumulative-N sentinel.
+    ``data`` must be the accumulated rows the state has seen (the
+    stream-so-far, or the window's rows for a windowed state); ``k``
     must be the k the state was built with."""
-    if top_n <= 0:
-        raise ValueError(f"top_n must be positive, got {top_n}")
-    cands = state.filter(F.col("key").isNotNull()).select("key").distinct()
-    exact = (
-        data.select(F.col(key_col).alias("key"))
-        .join(F.broadcast(cands), "key", "left_semi")
-        .groupBy("key")
-        .agg(F.count("*").alias("cnt"))
+    return exact_verified_top_n(
+        data, key_col, state, top_n, k, guard_name="streaming heavy_hitters"
     )
-    sel = exact.orderBy(F.desc("cnt"), "key").limit(top_n)
-    total = state.filter(F.col("key").isNull()).agg(
-        F.coalesce(F.sum("cnt_lb"), F.lit(0)).alias("__n")
-    )
-    mn = sel.agg(F.min("cnt").alias("__mn"))
-    guard = (
-        mn.crossJoin(F.broadcast(total))
-        .filter(
-            F.assert_true(
-                F.coalesce(F.col("__mn"), F.lit(0)) * (k + 1) > F.col("__n"),
-                F.lit(
-                    "streaming heavy_hitters guarantee violated: "
-                    "min(selected count) * (k+1) <= N; raise k"
-                ),
-            ).isNotNull()
-        )
-        .select(
-            F.lit(None).cast("string").alias("key"),
-            F.lit(None).cast("long").alias("cnt"),
-        )
-    )
-    return sel.unionByName(guard).orderBy(F.desc("cnt"), "key")

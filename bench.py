@@ -231,11 +231,19 @@ def main() -> int:
                 spark.catalog.clearCache()
                 return round(time.perf_counter() - t0, 3)
 
+            def _cold_run() -> float:
+                # Clear before EVERY cold iteration: run 1 repopulates
+                # the named caches, so without this run 2 would be a
+                # warm measurement recorded under the cold label and
+                # the cold sample would understate the barrier cost.
+                # (Review finding, r9.)
+                _dfc.clear_all()
+                return _ab_run()
+
             _dfc.cache_stats(reset=True)
             ab["warm_s"] = [_ab_run() for _ in range(2)]
             ab["warm_caches"] = _dfc.cache_stats(reset=True)
-            _dfc.clear_all()
-            ab["cold_s"] = [_ab_run() for _ in range(2)]
+            ab["cold_s"] = [_cold_run() for _ in range(2)]
             ab["cold_caches"] = _dfc.cache_stats(reset=True)
             ab["suite_s"] = timings[AB_QUERY]
         except Exception as exc:

@@ -1127,3 +1127,37 @@ def test_q119_metrics_match_python_reference(spark):
         for r in q119(spark, SF_ORACLE).collect()
     }
     assert got == want
+
+
+def test_grouped_top_k_supports_map_payload(spark):
+    """The comparator sorts on the key struct ONLY (review finding,
+    r9): a map-bearing payload must neither fail analysis nor leak
+    into rank decisions."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.topk import grouped_top_k
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("i"),
+        ((F.col("id") * 13) % 37).alias("score"),
+        F.create_map(F.lit("k"), F.col("id").cast("string")).alias("attrs"),
+    )
+    got = grouped_top_k(
+        df,
+        ["g"],
+        F.struct((-F.col("score")).alias("ns"), F.col("i").alias("ti")),
+        F.struct("i", "score", "attrs"),
+        k=3,
+    ).collect()
+    assert len(got) == 9
+    for r in got:
+        assert r["attrs"] == {"k": str(r["i"])}
+    # Rank order still exact per group.
+    by_g = {}
+    for r in got:
+        by_g.setdefault(r["g"], []).append((r["rnk"], r["score"], r["i"]))
+    for g, rows in by_g.items():
+        rows.sort()
+        scores = [(-s, i) for _, s, i in rows]
+        assert scores == sorted(scores), g

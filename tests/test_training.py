@@ -1479,6 +1479,27 @@ def test_target_mixture_rates_zero_mass_stratum(spark):
     assert got["en"] == (40, 0, 0)
 
 
+def test_target_mixture_rates_null_mass_stratum(spark):
+    """A declared stratum whose rows ALL carry NULL weight must bind
+    T=0 exactly like the zero-weight case — the r9 review finding:
+    sum(NULL)=NULL would otherwise skip the bottleneck min (F.min
+    ignores NULLs) and ship the other strata at full rate."""
+    from alt_spark.operators.mixing import target_mixture_rates
+
+    df = spark.createDataFrame(
+        [("en", 1, 10), ("en", 2, 30), ("de", 3, None), ("de", 4, None)],
+        "lang string, doc_id long, n_tok long",
+    )
+    got = {
+        r["lang"]: (r["tok"], r["planned_tok"], r["rate"])
+        for r in target_mixture_rates(
+            df, "lang", {"en": 5000, "de": 5000}, "n_tok"
+        ).collect()
+    }
+    assert got["de"] == (0, 0, 0)
+    assert got["en"] == (40, 0, 0)
+
+
 def test_target_mixture_rates_missing_declared_stratum_raises(spark):
     """ADVICE r8: a declared stratum with NO corpus rows at all must be
     LOUD — without the guard it silently un-constrains the bottleneck
