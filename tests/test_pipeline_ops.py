@@ -1112,3 +1112,33 @@ def test_q118_ensemble_monotone_and_attributed(spark):
     # Report covers every ensemble node exactly once.
     assert sum(r["n_docs"] for r in rows) == len(ens)
     assert {r["cluster_id"] for r in rows} == set(ens.values())
+
+
+def test_empty_embedding_rows_are_invisible_to_vector_queries(spark):
+    """Review finding r9: a zero-length (or NULL) embedding produces no
+    (idx, val) rows under the oracles' unnest joins, so the Spark side
+    must drop it too — q102/q117/q119 outputs with an injected empty
+    vector must equal the outputs without it, bit for bit."""
+    from unittest import mock
+
+    import alt_spark.queries.vectors as vx
+    from tests.conftest import SF_SMOKE
+
+    real = vx.load_table
+
+    def with_empty(spark_, sf_, name):
+        df = real(spark_, sf_, name)
+        if name == "embeddings":
+            extra = spark_.createDataFrame(
+                [(999_983, [])],
+                "vec_id long, embedding array<float>",
+            ).withColumn("label", F.lit(0).cast(dict(df.dtypes)["label"]))
+            df = df.unionByName(extra)
+        return df
+
+    for qname in ("q102", "q117", "q119"):
+        qfn = getattr(vx, qname)
+        base = [tuple(r) for r in qfn(spark, SF_SMOKE).collect()]
+        with mock.patch.object(vx, "load_table", with_empty):
+            injected = [tuple(r) for r in qfn(spark, SF_SMOKE).collect()]
+        assert injected == base, qname
