@@ -284,6 +284,11 @@ _REPORT_TAIL = (
     # oracle-backed; r10 rotation candidates alongside q116/q117.
     "q118_ensemble_neardup_clusters",
     "q119_retrieval_quality_metrics",
+    # q120 — new r9 (windowed trending tags through a REAL streaming
+    # sketch replay; batch membership is a doc_id residue so the
+    # window is SQL-reproducible), oracle-backed; r10 rotation
+    # candidate.
+    "q120_windowed_trending_tags",
     # q101-q114 (new r8) rotated INTO the window in r9 per the
     # pre-staged COVERAGE.md plan — see the r9 rotation note above.
 )

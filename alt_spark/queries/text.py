@@ -328,3 +328,112 @@ def q110(spark: SparkSession, sf: str) -> DataFrame:
     return heavy_hitters(toks, "tok", top_n=10, k=256).orderBy(
         F.desc("cnt"), "key"
     )
+
+
+# ---------------------------------------------------------------------------
+_WTT_K = 256       # sketch width for the windowed trending replay
+_WTT_BATCHES = 3   # doc_id % 3 residues play the micro-batches
+_WTT_WINDOW = (1, 2)  # trending window = the last two batches
+
+
+@query(
+    "q120_windowed_trending_tags",
+    oracle=f"""
+WITH tok AS (
+  SELECT unnest({_DDB_TOKENS}) AS key FROM documents
+  WHERE doc_id % {_WTT_BATCHES} IN {_WTT_WINDOW}
+)
+SELECT key, count(*) AS cnt
+FROM tok GROUP BY key
+ORDER BY cnt DESC, key
+LIMIT 10
+""",
+)
+def q120(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window trending tags through a REAL Structured-Streaming
+    sketch replay (the q49 doctrine applied to the MG sketch): the
+    corpus's token stream is re-landed as {_WTT_BATCHES} files keyed by
+    ``doc_id % {_WTT_BATCHES}`` (mtime-staggered so the file source's
+    batch order is the residue order), folded through
+    ``run_streaming_sketch(keep_per_batch=True)``, and the trending
+    top-10 of the LAST TWO batches is reconstructed from their
+    per-batch summaries alone (``windowed_sketch_state`` — mergeability
+    makes that the exact sketch of the window) then exact-verified
+    against the window's rows with the strict exclusion guard. Because
+    batch membership is a doc_id residue, the whole streaming window is
+    SQL-reproducible: the oracle is the plain top-10 over the window
+    residues' tokens — a driver-hash-checkable STREAMING sketch query,
+    the reference's actual trending-tags consumer shape
+    (trending_tags_driver.go:16-23 reads a windowed slice).
+
+    Scale shape: per-batch work is the narrow MG scan; the window
+    reconstruction merges |window| x (k+1) rows regardless of stream
+    volume; out-of-window batches age out as whole-directory drops.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from alt_spark.operators.dedup import tokens_col
+    from alt_spark.streaming.sketch_stream import (
+        run_streaming_sketch,
+        verified_top_n,
+        windowed_sketch_state,
+    )
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select(
+        (F.col("doc_id") % _WTT_BATCHES).alias("residue"),
+        F.explode(tokens_col("text")).alias("tok"),
+    )
+    pdf = toks.toPandas()
+
+    root = tempfile.mkdtemp(prefix="q120_trending_")
+    landing = os.path.join(root, "landing")
+    state = os.path.join(root, "state")
+    os.makedirs(landing)
+    try:
+        now = time.time()
+        for r in range(_WTT_BATCHES):
+            path = os.path.join(landing, f"chunk_{r:03d}.parquet")
+            pdf[pdf["residue"] == r][["tok"]].to_parquet(path, index=False)
+            # The file source orders by modification time: stagger the
+            # stamps so batch id == residue deterministically (same-
+            # second writes would tie and leave the order to listing
+            # luck).
+            os.utime(path, (now + r, now + r))
+        src = (
+            spark.readStream.schema("tok string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = run_streaming_sketch(
+            spark,
+            src,
+            state_dir=state,
+            checkpoint_dir=os.path.join(root, "ckpt" + uuid.uuid4().hex[:8]),
+            key_col="tok",
+            k=_WTT_K,
+            keep_per_batch=True,
+        )
+        try:
+            q.processAllAvailable()
+            q.stop()
+            if not q.awaitTermination(300):
+                raise RuntimeError("q120 streaming replay timed out")
+        finally:
+            if q.isActive:
+                q.stop()
+        win_state = windowed_sketch_state(spark, state, list(_WTT_WINDOW), _WTT_K)
+        window_rows = toks.filter(
+            F.col("residue").isin(*_WTT_WINDOW)
+        ).select("tok")
+        out = verified_top_n(win_state, window_rows, "tok", top_n=10, k=_WTT_K)
+        # Materialize before the state dir disappears (the q49 device).
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            F.desc("cnt"), "key"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -31,8 +31,10 @@ def _dtype_params():
     # q73/q77/q81/q118 are excluded: CONSTRUCTING their frames runs the
     # connected-components convergence loop (real executor work — same
     # reason they are excluded from the plan-only audit fixture), which
-    # would defeat this test's fast-guard purpose. Their dtypes are
-    # still asserted inside compare_query during their parity runs.
+    # would defeat this test's fast-guard purpose; q49/q120 likewise
+    # run a full Structured-Streaming replay at construction. Their
+    # dtypes are still asserted inside compare_query during their
+    # parity runs.
     return [
         pytest.param(qs[n], os_[n], id=n)
         for n in sorted(os_)
@@ -42,6 +44,8 @@ def _dtype_params():
             "q77_leakage_free_splits",
             "q81_cluster_representatives",
             "q118_ensemble_neardup_clusters",
+            "q49_streaming_mv_replay",
+            "q120_windowed_trending_tags",
         )
     ]
 

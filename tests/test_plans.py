@@ -116,16 +116,16 @@ _NESTED_LOOP_OK = {
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    # q69, q73, q77, q81, q87, q115 and q118 are excluded: constructing
-    # q69 FITS an MLlib model (Pipeline.fit is an action —
+    # q69, q73, q77, q81, q87, q115, q118, q49 and q120 are excluded:
+    # constructing q69 FITS an MLlib model (Pipeline.fit is an action —
     # percentile_cont pass + L-BFGS iterations); q73/q77/q81/q118 run
     # the connected-components convergence loop (one keyed join + count
     # per round); q87 runs the full BPE merge loop and q115 the unigram
-    # Viterbi-EM loop (per-round aggregate + collect), both returning
-    # driver-local frames any plan audit would pass vacuously — real
-    # executor work inside what should be plan-only audits. Their
-    # scan/broadcast invariants are covered by their own property
-    # tests.
+    # Viterbi-EM loop (per-round aggregate + collect); q49/q120 run a
+    # REAL Structured-Streaming replay. All return driver-local frames
+    # any plan audit would pass vacuously — real executor work inside
+    # what should be plan-only audits. Their scan/broadcast invariants
+    # are covered by their own property/parity tests.
     return {
         name: fn(spark, SF)
         for name, fn in all_queries().items()
@@ -137,6 +137,8 @@ def dfs(spark):
             "q87_bpe_vocab_learning",
             "q115_unigram_vocab_learning",
             "q118_ensemble_neardup_clusters",
+            "q49_streaming_mv_replay",
+            "q120_windowed_trending_tags",
         )
     }
 
