@@ -352,9 +352,9 @@ LIMIT 10
 def q120(spark: SparkSession, sf: str) -> DataFrame:
     """Sliding-window trending tags through a REAL Structured-Streaming
     sketch replay (the q49 doctrine applied to the MG sketch): the
-    corpus's token stream is re-landed as {_WTT_BATCHES} files keyed by
-    ``doc_id % {_WTT_BATCHES}`` (mtime-staggered so the file source's
-    batch order is the residue order), folded through
+    corpus's token stream is re-landed as three files keyed by
+    ``doc_id % 3`` (mtime-staggered so the file source's batch order is
+    the residue order), folded through
     ``run_streaming_sketch(keep_per_batch=True)``, and the trending
     top-10 of the LAST TWO batches is reconstructed from their
     per-batch summaries alone (``windowed_sketch_state`` — mergeability
@@ -369,6 +369,10 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     Scale shape: per-batch work is the narrow MG scan; the window
     reconstruction merges |window| x (k+1) rows regardless of stream
     volume; out-of-window batches age out as whole-directory drops.
+    The re-landing stays EXECUTOR-side (per-residue Spark parquet
+    writes — never a driver collect of the exploded token frame) and
+    the replay runs availableNow so the timeout is real (both review
+    findings, r9).
     """
     import os
     import shutil
@@ -383,12 +387,13 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         windowed_sketch_state,
     )
 
+    import glob
+
     docs = load_table(spark, sf, "documents")
     toks = docs.select(
         (F.col("doc_id") % _WTT_BATCHES).alias("residue"),
         F.explode(tokens_col("text")).alias("tok"),
     )
-    pdf = toks.toPandas()
 
     root = tempfile.mkdtemp(prefix="q120_trending_")
     landing = os.path.join(root, "landing")
@@ -397,12 +402,20 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     try:
         now = time.time()
         for r in range(_WTT_BATCHES):
+            # Executor-side landing: one Spark write per residue (the
+            # exploded token frame is corpus-sized — collecting it to
+            # the driver would OOM exactly where the sketch's bounded
+            # memory matters; review finding, r9). coalesce(1) gives
+            # one part file per residue; the rename + utime stagger
+            # makes the file source's (mtime-ordered) batch id equal
+            # the residue deterministically.
+            stage = os.path.join(root, f"stage_{r}")
+            toks.filter(F.col("residue") == r).select("tok").coalesce(
+                1
+            ).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
             path = os.path.join(landing, f"chunk_{r:03d}.parquet")
-            pdf[pdf["residue"] == r][["tok"]].to_parquet(path, index=False)
-            # The file source orders by modification time: stagger the
-            # stamps so batch id == residue deterministically (same-
-            # second writes would tie and leave the order to listing
-            # luck).
+            os.rename(part, path)
             os.utime(path, (now + r, now + r))
         src = (
             spark.readStream.schema("tok string")
@@ -417,11 +430,15 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
             key_col="tok",
             k=_WTT_K,
             keep_per_batch=True,
+            available_now=True,
         )
         try:
-            q.processAllAvailable()
-            q.stop()
+            # availableNow terminates after draining, so this timeout
+            # is LIVE — a wedged micro-batch raises instead of hanging
+            # the driver (review finding, r9: stop() before
+            # awaitTermination made the old guard dead code).
             if not q.awaitTermination(300):
+                q.stop()
                 raise RuntimeError("q120 streaming replay timed out")
         finally:
             if q.isActive:

@@ -62,6 +62,7 @@ def run_streaming_sketch(
     key_col: str,
     k: int = 4096,
     keep_per_batch: bool = False,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """Fold a streaming source into versioned MG sketch state:
     ``state_dir/v{batch_id}`` holds the merged k-bounded summary (plus
@@ -103,11 +104,16 @@ def run_streaming_sketch(
             os.path.join(state_dir, f"v{batch_id}")
         )
 
-    return (
-        source.writeStream.foreachBatch(process_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .start()
+    writer = source.writeStream.foreachBatch(process_batch).option(
+        "checkpointLocation", checkpoint_dir
     )
+    if available_now:
+        # Bounded replay mode: the query TERMINATES after draining, so
+        # a caller can put a real timeout on awaitTermination (a bare
+        # processAllAvailable blocks unboundedly if a batch wedges —
+        # review finding, r9).
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def windowed_sketch_state(

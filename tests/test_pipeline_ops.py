@@ -1130,7 +1130,7 @@ def test_empty_embedding_rows_are_invisible_to_vector_queries(spark):
         df = real(spark_, sf_, name)
         if name == "embeddings":
             extra = spark_.createDataFrame(
-                [(999_983, [])],
+                [(999_983, []), (999_984, None)],
                 "vec_id long, embedding array<float>",
             ).withColumn("label", F.lit(0).cast(dict(df.dtypes)["label"]))
             df = df.unionByName(extra)
