@@ -403,8 +403,33 @@ def minhash_near_dup(
     if dfcache.MATERIALIZE:
         sigs = sigs.localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, portable=portable)
-    s1 = sigs.select(F.col("id").alias("id1"), F.col("signature").alias("sig1"))
-    s2 = sigs.select(F.col("id").alias("id2"), F.col("signature").alias("sig2"))
+    pairs = (
+        signature_est_jaccard(cand, sigs, num_perm)
+        .select("id1", "id2", "est_jaccard")
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+    if dfcache.MATERIALIZE:
+        _PAIR_CACHE.put(df, pairs, extra=params)
+    return pairs
+
+
+def signature_est_jaccard(
+    pairs: DataFrame,
+    sigs: DataFrame,
+    num_perm: int = 128,
+    id1: str = "id1",
+    id2: str = "id2",
+) -> DataFrame:
+    """Append ``est_jaccard`` (signature agreement fraction) to a pair
+    frame by joining both endpoints against a signature table — the
+    verify step shared by the full self-join path
+    (:func:`minhash_near_dup`) and incremental consumers scoring
+    candidates against a persisted signature table (one implementation
+    of the agreement expression, so the estimate can never silently
+    diverge between the batch and incremental paths). Keeps every
+    input column of ``pairs``."""
+    s1 = sigs.select(F.col("id").alias(id1), F.col("signature").alias("sig1"))
+    s2 = sigs.select(F.col("id").alias(id2), F.col("signature").alias("sig2"))
     est = (
         F.aggregate(
             F.zip_with("sig1", "sig2", lambda x, y: (x == y).cast("int")),
@@ -413,15 +438,12 @@ def minhash_near_dup(
         ).cast("double")
         / num_perm
     )
-    pairs = (
-        cand.join(s1, "id1")
-        .join(s2, "id2")
-        .select("id1", "id2", est.alias("est_jaccard"))
-        .filter(F.col("est_jaccard") >= threshold)
+    return (
+        pairs.join(s1, id1)
+        .join(s2, id2)
+        .withColumn("est_jaccard", est)
+        .drop("sig1", "sig2")
     )
-    if dfcache.MATERIALIZE:
-        _PAIR_CACHE.put(df, pairs, extra=params)
-    return pairs
 
 
 def simhash_bits(

@@ -289,6 +289,11 @@ _REPORT_TAIL = (
     # window is SQL-reproducible), oracle-backed; r10 rotation
     # candidate.
     "q120_windowed_trending_tags",
+    # q121 — new r9 (the daily incremental near-dup index update as a
+    # composed hash-checkable query; oracle = full recompute
+    # restricted to touched components), oracle-backed; r10 rotation
+    # candidate.
+    "q121_incremental_cluster_update",
     # q101-q114 (new r8) rotated INTO the window in r9 per the
     # pre-staged COVERAGE.md plan — see the r9 rotation note above.
 )

@@ -1618,3 +1618,85 @@ def q118(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+_ICU_MOD = 4  # doc_id % 4 == 0 plays the daily increment
+
+
+def _q121_oracle() -> str:
+    """Full-recompute twin: the q30 pair chain over the WHOLE corpus,
+    the recursive min-label closure, restricted to components touched
+    by the increment — by the incremental==full parity the operator
+    proves, that is exactly what the star-retrieval update returns."""
+    return f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+{_cc_closure_ctes()},
+touched AS (
+  SELECT DISTINCT comp FROM comp WHERE id % {_ICU_MOD} = 0
+)
+SELECT c.id, c.comp
+FROM comp c JOIN touched t ON c.comp = t.comp
+ORDER BY c.id
+"""
+
+
+@query("q121_incremental_cluster_update", oracle=_q121_oracle())
+def q121(spark: SparkSession, sf: str) -> DataFrame:
+    """The daily-batch near-dup index update, end to end, as one
+    hash-checkable query: the base corpus (doc_id % {4} != 0) has a
+    PERSISTED index — band rows, signature table, CC cluster labels —
+    and the day's increment (doc_id % 4 == 0) is signed, banded
+    against the stored index (``lsh_incremental_pairs`` — the base is
+    never re-shingled), candidate pairs are verified with the shared
+    agreement estimate (``signature_est_jaccard``), and
+    ``connected_components_incremental`` pulls ONLY the touched
+    components' star edges to produce the updated labels. Returns
+    (id, comp) for every node of a touched component.
+
+    The oracle is the FULL recompute restricted to touched components
+    — the parity the incremental operators prove in pytest, here
+    driver-hash-checked end to end on the composed pipeline. Declared
+    portable (md5); production default stays xxhash64.
+
+    Scale shape: increment work ∝ increment (sign + band equi-join +
+    candidate-bounded verify); base index retrieval is a keyed
+    semi-join (touched components only); the closure runs on the
+    star-compressed touched subgraph, never the base graph.
+    """
+    from alt_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    base = docs.filter(F.col("doc_id") % _ICU_MOD != 0)
+    inc = docs.filter(F.col("doc_id") % _ICU_MOD == 0)
+
+    # The persisted artifacts a production pipeline reads from storage:
+    # base signatures, base band index, base cluster labels.
+    base_sigs = dedup.minhash_signatures(base, portable=True)
+    if _dfcache.MATERIALIZE:
+        base_sigs = base_sigs.localCheckpoint(eager=False)
+    base_bands = dedup.band_rows(base_sigs, portable=True)
+    base_labels = connected_components(
+        dedup.minhash_near_dup(base, threshold=0.7, portable=True)
+    )
+
+    new_sigs = dedup.minhash_signatures(inc, portable=True)
+    if _dfcache.MATERIALIZE:
+        new_sigs = new_sigs.localCheckpoint(eager=False)
+    cand = dedup.lsh_incremental_pairs(new_sigs, base_bands, portable=True)
+    verified = (
+        dedup.signature_est_jaccard(
+            cand.select(
+                F.col("new_id").alias("id1"), F.col("match_id").alias("id2")
+            ),
+            base_sigs.unionByName(new_sigs),
+        )
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id1", "id2")
+    )
+    return connected_components_incremental(verified, base_labels).orderBy(
+        "id"
+    )

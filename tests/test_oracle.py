@@ -44,6 +44,7 @@ def _dtype_params():
             "q77_leakage_free_splits",
             "q81_cluster_representatives",
             "q118_ensemble_neardup_clusters",
+            "q121_incremental_cluster_update",
             "q49_streaming_mv_replay",
             "q120_windowed_trending_tags",
         )

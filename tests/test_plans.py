@@ -137,6 +137,7 @@ def dfs(spark):
             "q87_bpe_vocab_learning",
             "q115_unigram_vocab_learning",
             "q118_ensemble_neardup_clusters",
+            "q121_incremental_cluster_update",
             "q49_streaming_mv_replay",
             "q120_windowed_trending_tags",
         )
