@@ -40,8 +40,6 @@ is this query shape at Postgres scale; the sketch is its 100 TB form.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 

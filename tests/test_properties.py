@@ -391,3 +391,38 @@ def test_grouped_top_k_matches_python_sort(spark, rows, k, parts):
             (j + 1, i, s) for j, (i, s) in enumerate(ordered)
         ], g
     assert set(got) == set(want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab ", min_size=12, max_size=40), min_size=3, max_size=10
+    )
+)
+def test_signature_est_jaccard_matches_direct_count(spark, texts):
+    """The shared agreement-fraction helper must equal a direct Python
+    count of equal signature positions for every candidate pair — the
+    verify step batch and incremental dedup now both ride."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        signature_est_jaccard,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).filter(F.size(F.split(F.lower(F.col("text")), r"\W+")) >= 3)
+    if docs.count() < 2:
+        return
+    sigs = minhash_signatures(docs, portable=True)
+    cand = lsh_candidate_pairs(sigs, portable=True)
+    got = {
+        (r["id1"], r["id2"]): r["est_jaccard"]
+        for r in signature_est_jaccard(cand, sigs).collect()
+    }
+    raw = {r["id"]: list(r["signature"]) for r in sigs.collect()}
+    for (a, b), est in got.items():
+        want = sum(x == y for x, y in zip(raw[a], raw[b])) / len(raw[a])
+        assert est == want, (a, b)

@@ -1490,3 +1490,17 @@ def test_windowed_trending_from_per_batch_summaries(spark):
             .collect()
         ]
         assert got == want, f"window ending at batch {end}"
+
+
+def test_windowed_sketch_state_validation(spark):
+    """Error paths of the windowed reconstruction: an empty batch range
+    and a missing per-batch summary must raise loudly (a silent empty
+    window would read as 'nothing trending')."""
+    import pytest as _pt
+
+    from alt_spark.streaming.sketch_stream import windowed_sketch_state
+
+    with _pt.raises(ValueError, match="non-empty"):
+        windowed_sketch_state(spark, "/nonexistent", [], 16)
+    with _pt.raises(FileNotFoundError, match="no per-batch summary"):
+        windowed_sketch_state(spark, "/nonexistent", [0], 16)
