@@ -404,7 +404,7 @@ def minhash_near_dup(
         sigs = sigs.localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, portable=portable)
     pairs = (
-        signature_est_jaccard(cand, sigs, num_perm)
+        signature_est_jaccard(cand, sigs)
         .select("id1", "id2", "est_jaccard")
         .filter(F.col("est_jaccard") >= threshold)
     )
@@ -416,7 +416,6 @@ def minhash_near_dup(
 def signature_est_jaccard(
     pairs: DataFrame,
     sigs: DataFrame,
-    num_perm: int = 128,
     id1: str = "id1",
     id2: str = "id2",
 ) -> DataFrame:
@@ -427,7 +426,15 @@ def signature_est_jaccard(
     candidates against a persisted signature table (one implementation
     of the agreement expression, so the estimate can never silently
     diverge between the batch and incremental paths). Keeps every
-    input column of ``pairs``."""
+    input column of ``pairs``.
+
+    The denominator is the SIGNATURE's own length (review finding,
+    r9): a hard-coded num_perm would silently mis-scale every estimate
+    against a table built with a different width — halved estimates
+    under a >= threshold drop all pairs with no error. A candidate
+    endpoint MISSING from the signature table raises loudly instead of
+    silently vanishing through an inner join (same review): a stale or
+    over-compacted table must not read as 'no duplicates'."""
     s1 = sigs.select(F.col("id").alias(id1), F.col("signature").alias("sig1"))
     s2 = sigs.select(F.col("id").alias(id2), F.col("signature").alias("sig2"))
     est = (
@@ -436,11 +443,20 @@ def signature_est_jaccard(
             F.lit(0),
             lambda acc, v: acc + v,
         ).cast("double")
-        / num_perm
+        / F.size("sig1")
     )
     return (
-        pairs.join(s1, id1)
-        .join(s2, id2)
+        pairs.join(s1, id1, "left")
+        .join(s2, id2, "left")
+        .filter(
+            F.assert_true(
+                F.col("sig1").isNotNull() & F.col("sig2").isNotNull(),
+                F.lit(
+                    "signature_est_jaccard: candidate endpoint missing "
+                    "from the signature table (stale/over-compacted index)"
+                ),
+            ).isNull()
+        )
         .withColumn("est_jaccard", est)
         .drop("sig1", "sig2")
     )

@@ -38,7 +38,12 @@ __all__ = [
 # the reference on evict lets the ContextCleaner reclaim the blocks, so
 # no unpersist-on-evict is needed. Session scoping + collision
 # confirmation come with DataFramePlanCache.
-_CC_CACHE = DataFramePlanCache(max_entries=4, name="cc_labels")
+# max_entries=8 (was 4): q121 adds two label tables per run (base
+# labels + the incremental merged closure) on top of q73/q77/q81/q118's
+# entries — at 4 the suite thrashed (BENCH_DETAIL r9: evictions 4,
+# warm q72 A/B runs re-paying CC convergence; review finding). Entries
+# are label tables (id, comp) — small, bounded by corpus doc count.
+_CC_CACHE = DataFramePlanCache(max_entries=8, name="cc_labels")
 
 
 def connected_components(

@@ -1644,7 +1644,7 @@ ORDER BY c.id
 @query("q121_incremental_cluster_update", oracle=_q121_oracle())
 def q121(spark: SparkSession, sf: str) -> DataFrame:
     """The daily-batch near-dup index update, end to end, as one
-    hash-checkable query: the base corpus (doc_id % {4} != 0) has a
+    hash-checkable query: the base corpus (doc_id % 4 != 0) has a
     PERSISTED index — band rows, signature table, CC cluster labels —
     and the day's increment (doc_id % 4 == 0) is signed, banded
     against the stored index (``lsh_incremental_pairs`` — the base is
@@ -1674,14 +1674,23 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
     inc = docs.filter(F.col("doc_id") % _ICU_MOD == 0)
 
     # The persisted artifacts a production pipeline reads from storage:
-    # base signatures, base band index, base cluster labels.
+    # base signatures, base band index, base cluster labels — derived
+    # ONCE from the checkpointed signature table (review finding, r9:
+    # calling minhash_near_dup here re-shingled the base a second time
+    # behind its own checkpoint, in a query whose docstring promises
+    # the base is never re-shingled).
     base_sigs = dedup.minhash_signatures(base, portable=True)
     if _dfcache.MATERIALIZE:
         base_sigs = base_sigs.localCheckpoint(eager=False)
     base_bands = dedup.band_rows(base_sigs, portable=True)
-    base_labels = connected_components(
-        dedup.minhash_near_dup(base, threshold=0.7, portable=True)
+    base_pairs = (
+        dedup.signature_est_jaccard(
+            dedup.lsh_candidate_pairs(base_sigs, portable=True), base_sigs
+        )
+        .filter(F.col("est_jaccard") >= 0.7)
+        .select("id1", "id2")
     )
+    base_labels = connected_components(base_pairs)
 
     new_sigs = dedup.minhash_signatures(inc, portable=True)
     if _dfcache.MATERIALIZE:

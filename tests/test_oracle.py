@@ -28,7 +28,7 @@ def test_oracle_parity(spark, ddb, qfn, sql):
 
 def _dtype_params():
     qs, os_ = all_queries(), all_oracles()
-    # q73/q77/q81/q118 are excluded: CONSTRUCTING their frames runs the
+    # q73/q77/q81/q118/q121 are excluded: CONSTRUCTING their frames runs the
     # connected-components convergence loop (real executor work — same
     # reason they are excluded from the plan-only audit fixture), which
     # would defeat this test's fast-guard purpose; q49/q120 likewise

@@ -1142,3 +1142,23 @@ def test_empty_embedding_rows_are_invisible_to_vector_queries(spark):
         with mock.patch.object(vx, "load_table", with_empty):
             injected = [tuple(r) for r in qfn(spark, SF_SMOKE).collect()]
         assert injected == base, qname
+
+
+def test_signature_est_jaccard_raises_on_missing_endpoint(spark):
+    """Review finding r9: a candidate pair whose endpoint is missing
+    from the signature table (stale / over-compacted index) must raise
+    loudly, not silently vanish through an inner join."""
+    docs = _docs_small = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures(docs, portable=True)
+    pairs = spark.createDataFrame([(1, 99)], "id1 long, id2 long")
+    with pytest.raises(Exception, match="missing"):
+        dedup.signature_est_jaccard(pairs, sigs).collect()
+    # Healthy pair still scores 1.0 (identical texts).
+    ok = dedup.signature_est_jaccard(
+        spark.createDataFrame([(1, 2)], "id1 long, id2 long"), sigs
+    ).collect()
+    assert ok[0]["est_jaccard"] == 1.0

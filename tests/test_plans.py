@@ -116,11 +116,13 @@ _NESTED_LOOP_OK = {
 
 @pytest.fixture(scope="module")
 def dfs(spark):
-    # q69, q73, q77, q81, q87, q115, q118, q49 and q120 are excluded:
+    # q69, q73, q77, q81, q87, q115, q118, q121, q49 and q120 are
+    # excluded:
     # constructing q69 FITS an MLlib model (Pipeline.fit is an action —
     # percentile_cont pass + L-BFGS iterations); q73/q77/q81/q118 run
     # the connected-components convergence loop (one keyed join + count
-    # per round); q87 runs the full BPE merge loop and q115 the unigram
+    # per round), as does q121's composed index update; q87 runs the
+    # full BPE merge loop and q115 the unigram
     # Viterbi-EM loop (per-round aggregate + collect); q49/q120 run a
     # REAL Structured-Streaming replay. All return driver-local frames
     # any plan audit would pass vacuously — real executor work inside
