@@ -275,7 +275,7 @@ def test_connected_components_label_cache(spark):
         r3: list[int] = []
         connected_components(mk(n), rounds_out=r3).count()
         assert r3[0] >= 1
-    assert len(graph._CC_CACHE) <= 4
+    assert len(graph._CC_CACHE) <= graph._CC_CACHE._max
     graph._CC_CACHE.clear()
 
 
