@@ -1,0 +1,150 @@
+"""Bloom-filter membership prefilter for n-gram decontamination.
+
+The q62 decontamination rule joins corpus grams against the benchmark
+gram SET — at eval-suite scale that set broadcasts fine, but a large
+holdout registry (every eval suite + every customer-provided blocklist)
+can reach hundreds of millions of grams, where a broadcast hash set no
+longer fits. The standard production answer (reference analog: the
+search-indexer's seen-URL prefilter; Bloom 1970) is a fixed-size bit
+array: K salted hashes per gram set K bits; a probe answers "definitely
+absent" or "maybe present" — no false negatives, tunable false-positive
+rate (~(K·n/m)^K), and the structure is CONSTANT-SIZE regardless of the
+benchmark's cardinality.
+
+Spark shape:
+- build: gram → K salted ``portable_hash60`` positions → 32-bit words
+  (``bit_or`` per word, union-filled dense) → ONE row holding the whole
+  bitmap as ``array<long>`` — broadcastable at a few hundred KB even
+  for m = 2^24.
+- probe: a pure in-row Column expression (``element_at`` by word index +
+  mask test), so candidacy runs at scan speed with ZERO exchanges; only
+  the candidates (true hits + the small FP tail) reach the exact verify
+  join. At 100 TB that turns "join every corpus gram" into "join ~0.1%
+  of corpus grams".
+
+Packing uses 32 used bits per 64-bit long: every mask is ``2^b`` for
+b in [0, 31], computed as ``cast(pow(2, b) as long)`` — exact in double
+(< 2^53) and expressible with column-valued exponents, which the
+``shiftleft`` builtin's Python signature is not. The md5-derived
+positions make the structure bit-identical in DuckDB, so queries built
+on it are fully oracle-checkable (see q122).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from alt_spark.functions.hashing import DDB_H60, portable_hash60
+
+__all__ = ["bloom_bitmap", "bloom_hit", "ddb_bloom_words", "ddb_bloom_probe"]
+
+_WORD_BITS = 32  # used bits per array<long> entry (masks stay exact in double)
+
+
+def _position(gram: Column, salt: str, m_bits: int) -> Column:
+    return F.pmod(
+        portable_hash60(F.concat(F.lit(salt + "|"), gram)), F.lit(m_bits)
+    )
+
+
+def bloom_bitmap(
+    grams: DataFrame,
+    gram_col: str = "g",
+    m_bits: int = 1 << 17,
+    salts: tuple[str, ...] = ("bf1", "bf2"),
+) -> DataFrame:
+    """ONE-row frame ``(bloom: array<long>)`` — the dense bitmap over
+    the input gram column (m_bits bits, 32 per entry).
+
+    The build is one bounded shuffle (the per-word ``bit_or``, map-side
+    combinable, over at most ``K·|grams|`` rows); the union with an
+    all-zero word range makes the array dense so probes are O(1)
+    ``element_at`` lookups, never map scans.
+    """
+    if m_bits % _WORD_BITS:
+        raise ValueError(f"m_bits must be a multiple of {_WORD_BITS}")
+    n_words = m_bits // _WORD_BITS
+    # No distinct on positions: bit_or is idempotent, so duplicate
+    # positions fold for free inside the per-word aggregate — one
+    # exchange instead of two.
+    pos = grams.select(
+        F.explode(
+            F.array(*[_position(F.col(gram_col), s, m_bits) for s in salts])
+        ).alias("pos")
+    )
+    sparse = pos.select(
+        F.floor(F.col("pos") / _WORD_BITS).cast("long").alias("wi"),
+        F.pow(F.lit(2.0), F.pmod(F.col("pos"), F.lit(_WORD_BITS)).cast("double"))
+        .cast("long")
+        .alias("w"),
+    )
+    dense = (
+        grams.sparkSession.range(n_words)
+        .select(F.col("id").alias("wi"), F.lit(0).cast("long").alias("w"))
+        .unionByName(sparse)
+        .groupBy("wi")
+        .agg(F.bit_or("w").alias("w"))
+    )
+    return dense.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("wi", "w"))), lambda s: s["w"]
+        ).alias("bloom")
+    )
+
+
+def bloom_hit(
+    bitmap: Column,
+    gram: Column,
+    m_bits: int = 1 << 17,
+    salts: tuple[str, ...] = ("bf1", "bf2"),
+) -> Column:
+    """Boolean probe: all K salted bits set (``maybe present``).
+
+    Pure in-row expression — safe inside ``F.exists``/``F.transform``
+    lambdas, so a whole document's gram array probes without leaving
+    the scan projection.
+    """
+    cond = F.lit(True)
+    for s in salts:
+        p = _position(gram, s, m_bits)
+        wi = F.floor(p / _WORD_BITS).cast("int")
+        mask = (
+            F.pow(F.lit(2.0), F.pmod(p, F.lit(_WORD_BITS)).cast("double"))
+            .cast("long")
+        )
+        cond = cond & (F.element_at(bitmap, wi + 1).bitwiseAND(mask) != 0)
+    return cond
+
+
+def ddb_bloom_words(
+    gram_set_sql: str, m_bits: int, salts: tuple[str, ...]
+) -> str:
+    """DuckDB CTE body: the sparse (wi, w) word table of the bitmap
+    built over ``gram_set_sql`` (a query yielding one column ``g``) —
+    bit-identical to :func:`bloom_bitmap`'s dense array entries."""
+    pos_union = "\nUNION\n".join(
+        f"SELECT {DDB_H60(repr(s + '|') + ' || g')} % {m_bits} AS pos"
+        f" FROM ({gram_set_sql})"
+        for s in salts
+    )
+    return (
+        f"SELECT pos // {_WORD_BITS} AS wi,"
+        f" bit_or(1::BIGINT << (pos % {_WORD_BITS})) AS w"
+        f" FROM ({pos_union}) GROUP BY 1"
+    )
+
+
+def ddb_bloom_probe(
+    gram_expr: str, m_bits: int, salts: tuple[str, ...], words_cte: str
+) -> str:
+    """DuckDB boolean expression: EXISTS word-lookups replaying
+    :func:`bloom_hit` for ``gram_expr`` against ``words_cte``."""
+    checks = []
+    for s in salts:
+        p = f"({DDB_H60(repr(s + '|') + ' || ' + gram_expr)} % {m_bits})"
+        checks.append(
+            f"EXISTS (SELECT 1 FROM {words_cte} w WHERE w.wi = {p} // {_WORD_BITS}"
+            f" AND (w.w & (1::BIGINT << ({p} % {_WORD_BITS}))) <> 0)"
+        )
+    return "(" + " AND ".join(checks) + ")"

@@ -57,7 +57,7 @@ _loaded = False
 # (r3 evidence: 55 registered, exactly positions 50-54 of dict order
 # absent from CORRECTNESS_r03; documented in VERDICT.md r4 §Next and
 # COVERAGE.md — the cap-dependence is deliberate and externally visible,
-# not a code-comment secret). With 121 registered queries, 71 must sit
+# not a code-comment secret). With 124 registered queries, 74 must sit
 # past the window; order the registry so the reported 50 are the
 # strongest evidence: oracle-backed queries in numeric order first,
 # then entries whose correctness is already carried by other green
@@ -294,6 +294,20 @@ _REPORT_TAIL = (
     # restricted to touched components), oracle-backed; r10 rotation
     # candidate.
     "q121_incremental_cluster_update",
+    # q122 — new r9 (Bloom-prefiltered decontamination: the q62 truth
+    # reproduced through a constant-size broadcast bitmap whose
+    # candidate set is itself hash-pinned cross-engine), oracle-backed;
+    # r10 rotation candidate.
+    "q122_bloom_decontamination",
+    # q123 — new r9 (bounded-memory EXACT group quantiles via two-pass
+    # histogram refinement — the 100 TB twin of q04's percentile_cont;
+    # oracle replays the order-statistic definition), oracle-backed;
+    # r10 rotation candidate.
+    "q123_exact_price_quantiles",
+    # q124 — new r9 (integer-exact HITS hubs/authorities on the
+    # bipartite user→event-type graph; unrolled-iteration oracle, the
+    # q114 doctrine), oracle-backed; r10 rotation candidate.
+    "q124_hits_user_event",
     # q101-q114 (new r8) rotated INTO the window in r9 per the
     # pre-staged COVERAGE.md plan — see the r9 rotation note above.
 )

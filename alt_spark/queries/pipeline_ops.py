@@ -1709,3 +1709,160 @@ def q121(spark: SparkSession, sf: str) -> DataFrame:
     return connected_components_incremental(verified, base_labels).orderBy(
         "id"
     )
+
+
+# ---------------------------------------------------------------------------
+_HITS_S = 1_000_000  # score mass per side, micro units
+_HITS_ITERS = 3  # pinned iteration count (a release artifact, like q114's)
+
+
+def _q124_oracle() -> str:
+    stages = [
+        f"""h0 AS MATERIALIZED (
+  SELECT u, CAST({_HITS_S} // nu.n AS BIGINT) AS h FROM ud, nu
+)"""
+    ]
+    for t in range(1, _HITS_ITERS + 1):
+        stages.append(
+            f"""a{t}r AS MATERIALIZED (
+  SELECT e.t, sum(p.h * e.w) AS a
+  FROM edges e JOIN h{t - 1} p ON p.u = e.u GROUP BY 1
+), a{t}n AS (SELECT sum(a) AS s FROM a{t}r),
+a{t} AS MATERIALIZED (
+  SELECT t, CAST(({_HITS_S}::HUGEINT * a) // n.s AS BIGINT) AS a
+  FROM a{t}r, a{t}n n
+), h{t}r AS MATERIALIZED (
+  SELECT e.u, sum(q.a * e.w) AS h
+  FROM edges e JOIN a{t} q ON q.t = e.t GROUP BY 1
+), h{t}n AS (SELECT sum(h) AS s FROM h{t}r),
+h{t} AS MATERIALIZED (
+  SELECT u, CAST(({_HITS_S}::HUGEINT * h) // n.s AS BIGINT) AS h
+  FROM h{t}r, h{t}n n
+)"""
+        )
+    joined = ",\n".join(stages)
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT user_id AS u, event_type AS t, count(*) AS w
+  FROM events GROUP BY 1, 2
+), ud AS MATERIALIZED (
+  SELECT u, CAST(sum(w) AS BIGINT) AS du FROM edges GROUP BY 1
+), td AS MATERIALIZED (
+  SELECT t, CAST(sum(w) AS BIGINT) AS dt FROM edges GROUP BY 1
+), nu AS (SELECT count(*) AS n FROM ud),
+{joined}
+SELECT * FROM (
+  SELECT 'auth' AS side, t AS node, a AS score_micro, dt AS degree
+  FROM a{_HITS_ITERS} JOIN td USING (t)
+  ORDER BY score_micro DESC, node LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+  SELECT 'hub' AS side, CAST(u AS VARCHAR) AS node, h AS score_micro,
+         du AS degree
+  FROM h{_HITS_ITERS} JOIN ud USING (u)
+  ORDER BY score_micro DESC, node LIMIT 10
+)
+ORDER BY side, score_micro DESC, node
+"""
+
+
+@query("q124_hits_user_event", oracle=_q124_oracle())
+def q124(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact WEIGHTED HITS (Kleinberg 1999) on the bipartite
+    user → event-type graph, edge weight = interaction count: hubs are
+    power users concentrating on hot surfaces, authorities the
+    surfaces those users concentrate on — the J4 graph-scoring
+    family's second authority measure next to q114's PageRank (a
+    damping walk vs two-sided mutual reinforcement; structurally
+    different recurrences). Weights matter: the unweighted graph here
+    is near-complete-bipartite (every active user touches every event
+    type eventually), which collapses HITS to a constant vector —
+    interaction counts restore the structure the measure exists for.
+
+    Exactness envelope: per-edge products h·w stay in int64 (h ≤ S =
+    10^6 after each renormalization, so any per-(user,type) count
+    ≤ 9·10^12 is safe); every corpus-scale SUM accumulates in
+    DECIMAL(38,0) (DuckDB: HUGEINT — its sum(BIGINT) already widens),
+    and the renormalization ``(S·x) div Σx`` multiplies in the wide
+    type before the integral divide returns to int64. Mass leaks to
+    floors by contract, as in q114: rankings need a total order, not
+    a distribution.
+
+    Plan (100 TB shape): the weighted edge list is ONE map-side-
+    combinable groupBy over the event scan; each of the 3 pinned
+    iterations is two (edge ⨝ score) equi-joins + two combinable
+    groupBys — O(iters) shuffles, lineage flat, node counts and norms
+    on 1-row broadcasts (no driver collect). Top-10 cuts are
+    TakeOrdered, never a global sort.
+    """
+    ev = (
+        load_table(spark, sf, "events")
+        .groupBy(F.col("user_id").alias("u"), F.col("event_type").alias("t"))
+        .agg(F.count("*").cast("long").alias("w"))
+    )
+    if _dfcache.MATERIALIZE:
+        ev = ev.localCheckpoint(eager=False)
+    ud = ev.groupBy("u").agg(F.sum("w").cast("long").alias("du"))
+    td = ev.groupBy("t").agg(F.sum("w").cast("long").alias("dt"))
+    nu = ud.agg(F.count("*").alias("n"))
+    h = ud.crossJoin(F.broadcast(nu)).select(
+        "u", F.expr(f"CAST({_HITS_S} div n AS BIGINT)").alias("h")
+    )
+    wide = "decimal(38,0)"
+    renorm = f"CAST((CAST({_HITS_S} AS {wide}) * x) div s AS BIGINT)"
+    a = None
+    for _ in range(_HITS_ITERS):
+        ar = (
+            ev.join(h, "u")
+            .groupBy("t")
+            .agg(F.sum((F.col("h") * F.col("w")).cast(wide)).alias("x"))
+        )
+        # Each raw-sum frame feeds BOTH its norm broadcast and the
+        # renormalized scores; ungated, the second consumer re-derives
+        # the whole prior-iteration chain and the recomputation
+        # compounds ~2x per phase (measured 7 s -> ~1 s at sf0.01).
+        # Gated on the hermetic switch (q114 doctrine) so plan audits
+        # still see the full iteration lineage.
+        if _dfcache.MATERIALIZE:
+            ar = ar.localCheckpoint(eager=False)
+        an = ar.agg(F.sum("x").cast(wide).alias("s"))
+        a = ar.crossJoin(F.broadcast(an)).select(
+            "t", F.expr(renorm).alias("a")
+        )
+        hr = (
+            ev.join(a, "t")
+            .groupBy("u")
+            .agg(F.sum((F.col("a") * F.col("w")).cast(wide)).alias("x"))
+        )
+        if _dfcache.MATERIALIZE:
+            hr = hr.localCheckpoint(eager=False)
+        hn = hr.agg(F.sum("x").cast(wide).alias("s"))
+        h = hr.crossJoin(F.broadcast(hn)).select(
+            "u", F.expr(renorm).alias("h")
+        )
+    auth = (
+        a.join(td, "t")
+        .select(
+            F.lit("auth").alias("side"),
+            F.col("t").alias("node"),
+            F.col("a").alias("score_micro"),
+            F.col("dt").alias("degree"),
+        )
+        .orderBy(F.desc("score_micro"), "node")
+        .limit(10)
+    )
+    hub = (
+        h.join(ud, "u")
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("u").cast("string").alias("node"),
+            F.col("h").alias("score_micro"),
+            F.col("du").alias("degree"),
+        )
+        .orderBy(F.desc("score_micro"), "node")
+        .limit(10)
+    )
+    return auth.unionByName(hub).orderBy(
+        "side", F.desc("score_micro"), "node"
+    )

@@ -421,3 +421,70 @@ def q98(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+_QNT_PROBS = (500, 900, 990)
+_QNT_BUCKETS = 512
+
+
+@query(
+    "q123_exact_price_quantiles",
+    oracle=f"""
+WITH v AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+  FROM orders
+), stats AS (
+  SELECT o_orderpriority, count(*) AS n FROM v GROUP BY 1
+), ranked AS (
+  SELECT o_orderpriority, c,
+         row_number() OVER (PARTITION BY o_orderpriority ORDER BY c) AS rn
+  FROM v
+), targets AS (
+  SELECT s.o_orderpriority, p.q_permille,
+         greatest((p.q_permille * s.n + 999) // 1000, 1) AS k
+  FROM stats s
+  CROSS JOIN (SELECT unnest([{", ".join(map(str, _QNT_PROBS))}]) AS q_permille) p
+)
+SELECT t.o_orderpriority,
+       CAST(t.q_permille AS BIGINT) AS q_permille,
+       CAST(t.k AS BIGINT) AS rank_k,
+       r.c AS value_cents
+FROM targets t
+JOIN ranked r
+  ON r.o_orderpriority = t.o_orderpriority AND r.rn = t.k
+ORDER BY 1, 2
+""",
+)
+def q123(spark: SparkSession, sf: str) -> DataFrame:
+    """D4 at the 100 TB grain: EXACT p50/p90/p99 of order value per
+    priority class through the two-pass histogram-refinement operator
+    (operators/quantile.py) — the bounded-memory twin of q04's
+    ``percentile_cont``, whose buffer-every-value aggregation state is
+    exactly what a 10^9-row group overflows. Money rides the proven
+    q57 integer-cents device, so both engines compare the same longs.
+
+    The oracle deliberately replays the DEFINITION (rank k = ceil(q·n/
+    1000), value = k-th smallest via a full sort), not the algorithm:
+    a histogram bug that returns anything but the true order statistic
+    hash-mismatches. The Spark side never sorts a full group — pytest
+    pins the refinement input at bucket size, and the plan audit keeps
+    every exchange hash-partitioned.
+    """
+    from alt_spark.operators.quantile import exact_group_quantiles
+
+    orders = load_table(spark, sf, "orders")
+    v = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    out = exact_group_quantiles(
+        v, "cents", "o_orderpriority", _QNT_PROBS, n_buckets=_QNT_BUCKETS
+    )
+    return out.select(
+        "o_orderpriority",
+        "q_permille",
+        "rank_k",
+        F.col("value").alias("value_cents"),
+    ).orderBy("o_orderpriority", "q_permille")

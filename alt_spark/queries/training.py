@@ -31,7 +31,9 @@ from alt_spark.catalog import load_table
 from alt_spark.functions.cleaning import ddb_scrub_pii
 from alt_spark.functions.hashing import DDB_H60
 from alt_spark.functions.text_analysis import DDB_TOKENS as _DDB_TOKENS
+from alt_spark.operators.bloom import ddb_bloom_probe, ddb_bloom_words
 from alt_spark.operators.dedup import tokens_col
+from alt_spark.plans import dfcache as _dfcache
 from alt_spark.operators.mixing import ddb_sample_bucket, stratified_sample
 from alt_spark.operators.packing import chunk_tokens, pack_contiguous
 from alt_spark.queries import query
@@ -2609,4 +2611,145 @@ def q116(spark: SparkSession, sf: str) -> DataFrame:
             .alias("tok_b"),
         )
         .orderBy("diff_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q122: Bloom-prefiltered decontamination. Same contamination truth as
+# q62 (any shared 5-gram with the benchmark split), but the corpus-side
+# membership test goes through a fixed-size Bloom bitmap instead of a
+# gram-set join: the bitmap is CONSTANT-SIZE however large the holdout
+# registry grows, and the probe is an in-row expression at scan speed.
+# m = 2^17 bits / K = 2 salts are test-scale constants chosen so the
+# false-positive path is actually exercised at sf0.1 (~5e-3 per-gram FP
+# under its ~7% load) while staying negligible at sf0.01; a production
+# deployment sizes m ≈ 1.44·K·n_grams (10 bits/element for 1% FP).
+_BLOOM_M = 1 << 17
+_BLOOM_SALTS = ("bf1", "bf2")
+_BLOOM_WORDS_CTE = ddb_bloom_words(
+    "SELECT g FROM bench_g", _BLOOM_M, _BLOOM_SALTS
+)
+
+
+@query(
+    "q122_bloom_decontamination",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, lang, {_DDB_TOKENS} AS toks FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(toks, s + 1, s + {_DECON_N}), ' ') AS g
+  FROM (
+    SELECT doc_id, toks, unnest(generate_series(0, len(toks) - {_DECON_N}, 1)) AS s
+    FROM tok WHERE len(toks) >= {_DECON_N}
+  )
+), bench_g AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+), words AS (
+  {_BLOOM_WORDS_CTE}
+), cand AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 50 <> 0
+    AND {ddb_bloom_probe('g', _BLOOM_M, _BLOOM_SALTS, 'words')}
+), cont AS (
+  SELECT DISTINCT doc_id FROM grams
+  WHERE doc_id % 50 <> 0 AND g IN (SELECT g FROM bench_g)
+)
+SELECT d.lang,
+       count(*) AS n_docs,
+       CAST(count(ca.doc_id) AS BIGINT) AS n_candidates,
+       CAST(coalesce(sum(CASE WHEN ca.doc_id IS NOT NULL THEN d.doc_id END), 0)
+            AS BIGINT) AS cand_checksum,
+       CAST(count(co.doc_id) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(sum(CASE WHEN co.doc_id IS NOT NULL THEN d.doc_id END), 0)
+            AS BIGINT) AS cont_checksum,
+       CAST(count(ca.doc_id) - count(co.doc_id) AS BIGINT) AS n_false_positive
+FROM documents d
+LEFT JOIN cand ca ON ca.doc_id = d.doc_id
+LEFT JOIN cont co ON co.doc_id = d.doc_id
+WHERE d.doc_id % 50 <> 0
+GROUP BY d.lang
+ORDER BY d.lang
+""",
+)
+def q122(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination, with the filter's
+    economics made visible: per language, how many corpus docs the
+    bitmap flags as candidates (cand_checksum pins the exact candidate
+    SET — the Bloom structure itself is hash-verified cross-engine, not
+    just the final answer), how many are truly contaminated under the
+    q62 gram rule, and the false-positive tail the exact verify pays
+    for. No false negatives by construction (every benchmark gram's
+    bits are set), so verifying ONLY candidates reproduces the exact
+    q62 truth — pytest pins that equality.
+
+    Plan at 100 TB: the bitmap builds from the benchmark side in two
+    bounded shuffles and broadcasts as ONE row (~32 KB here; a few
+    hundred MB serves billions of holdout grams); candidacy is
+    F.exists over the in-row gram array — zero exchanges on the corpus
+    scan; only candidate docs explode grams into the exact-verify
+    broadcast join. The corpus is never shuffled by the check.
+    """
+    from alt_spark.operators.bloom import bloom_bitmap, bloom_hit
+    from alt_spark.operators.dedup import shingles
+
+    docs = load_table(spark, sf, "documents")
+    base = docs.select(
+        "doc_id", "lang", shingles(_tokens_col(), _DECON_N).alias("grams")
+    )
+    bench_g = (
+        base.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    # bench_g feeds the bitmap build AND the exact-verify join; probed
+    # feeds the verify branch AND the final aggregate. Gated lazy
+    # checkpoints stop each second consumer from re-deriving the gram
+    # explode + bitmap chain (hermetic switch off -> plan audits see
+    # the full lineage).
+    if _dfcache.MATERIALIZE:
+        bench_g = bench_g.localCheckpoint(eager=False)
+    bitmap = bloom_bitmap(bench_g, "g", _BLOOM_M, _BLOOM_SALTS)
+    corpus = base.filter(F.col("doc_id") % 50 != 0)
+    probed = corpus.crossJoin(F.broadcast(bitmap)).select(
+        "doc_id",
+        "lang",
+        "grams",
+        F.exists(
+            "grams", lambda g: bloom_hit(F.col("bloom"), g, _BLOOM_M, _BLOOM_SALTS)
+        ).alias("is_cand"),
+    )
+    if _dfcache.MATERIALIZE:
+        probed = probed.localCheckpoint(eager=False)
+    cont = (
+        probed.filter("is_cand")
+        .select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_g), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_cont", F.lit(True))
+    )
+    return (
+        probed.drop("grams")
+        .join(cont, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(F.col("is_cand"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_candidates"),
+            F.sum(F.when(F.col("is_cand"), F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("cand_checksum"),
+            F.sum(F.when(F.col("is_cont"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum(F.when(F.col("is_cont"), F.col("doc_id")).otherwise(0))
+            .cast("long")
+            .alias("cont_checksum"),
+        )
+        .withColumn(
+            "n_false_positive", F.col("n_candidates") - F.col("n_contaminated")
+        )
+        .orderBy("lang")
     )

@@ -1161,3 +1161,54 @@ def test_grouped_top_k_supports_map_payload(spark):
         rows.sort()
         scores = [(-s, i) for _, s, i in rows]
         assert scores == sorted(scores), g
+
+
+def test_q124_hits_matches_python_reference_on_planted_graph(spark):
+    """Planted bipartite graph (3 users x 3 types, skewed integer
+    weights) replayed against a pure-Python weighted HITS with the
+    identical floor-division renormalization contract."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import alt_spark.queries.pipeline_ops as po
+
+    # Events: weight w(u, t) encoded as w duplicate rows.
+    weights = {(1, "a"): 5, (1, "b"): 1, (2, "a"): 2, (2, "c"): 4, (3, "b"): 3}
+    rows = []
+    for (u, t), w in weights.items():
+        rows += [Row(user_id=u, event_type=t)] * w
+    ev = spark.createDataFrame(rows)
+
+    with mock.patch.object(po, "load_table", lambda *_a, **_k: ev):
+        got = {
+            (r["side"], r["node"]): (r["score_micro"], r["degree"])
+            for r in po.q124(spark, "ignored").collect()
+        }
+
+    S, iters = po._HITS_S, po._HITS_ITERS
+    users = sorted({u for u, _ in weights})
+    types = sorted({t for _, t in weights})
+    h = {u: S // len(users) for u in users}
+    a: dict[str, int] = {}
+    for _ in range(iters):
+        raw_a = {
+            t: sum(h[u] * w for (u, tt), w in weights.items() if tt == t)
+            for t in types
+        }
+        sa = sum(raw_a.values())
+        a = {t: (S * raw_a[t]) // sa for t in types}
+        raw_h = {
+            u: sum(a[t] * w for (uu, t), w in weights.items() if uu == u)
+            for u in users
+        }
+        sh = sum(raw_h.values())
+        h = {u: (S * raw_h[u]) // sh for u in users}
+    du = {u: sum(w for (uu, _), w in weights.items() if uu == u) for u in users}
+    dt = {t: sum(w for (_, tt), w in weights.items() if tt == t) for t in types}
+    for t in types:
+        assert got[("auth", t)] == (a[t], dt[t]), t
+    for u in users:
+        assert got[("hub", str(u))] == (h[u], du[u]), u
+    # Structure sanity: weights must differentiate the scores.
+    assert len({v[0] for k, v in got.items() if k[0] == "auth"}) > 1

@@ -57,6 +57,14 @@ def _raw_scoring_lineage():
 # Queries allowed to contain a broadcast nested-loop (1-row cursor /
 # corpus-stat cross joins — bounded by construction).
 _NESTED_LOOP_OK = {
+    # 1-row Bloom-bitmap frame crossed onto the corpus scan so the
+    # candidate probe is an in-row expression (operators/bloom.py) —
+    # bounded by construction (m_bits/32 longs in one row).
+    "q122_bloom_decontamination",
+    # 1-row node-count and per-iteration norm frames crossed onto the
+    # node tables (q114's no-driver-collect device, twice per HITS
+    # iteration) — all bounded by construction.
+    "q124_hits_user_event",
     "q13_keyset_pagination",
     "q14_paged_window_count",
     "q18_tfidf_doc0",

@@ -1207,3 +1207,66 @@ def test_unigram_em_scale_invariant_at_100k(spark):
     for p, (ms, cnt) in small.items():
         assert bigv[p] == (ms, cnt * REPLICAS), p
     assert _t.monotonic() - t0 < 240, "EM smoke exceeded budget"
+
+
+def test_bloom_prefilter_at_100k(spark):
+    """The Bloom decon prefilter at 100k docs. The benchmark is rep 0
+    of every 50th SOURCE doc (10 docs), so the planted truth is known:
+    the other 199 replicas of those sources share the source's interior
+    grams and MUST all be candidates (no false negatives), while the
+    ~97.6k other-source docs are clean except for cross-source gram
+    collisions — the measured FP tail the prefilter's economics rest
+    on. The replicated corpus is repartitioned before gram
+    construction: a crossJoin inherits the 1-file scan's single
+    partition, and 100k docs of shingling in one task is a 5-minute
+    stall (measured) vs seconds spread over the cluster."""
+    from alt_spark.operators.bloom import bloom_bitmap, bloom_hit
+    from alt_spark.operators.dedup import shingles, tokens_col
+
+    corpus = (
+        _big_corpus(spark)
+        .repartition(32, "doc_id")
+        .select("doc_id", shingles(tokens_col("text"), 5).alias("grams"))
+        .localCheckpoint()
+    )
+    is_bench = (F.col("doc_id") % 200 == 0) & (
+        (F.col("doc_id") / 200).cast("long") % 50 == 0
+    )
+    bench_g = (
+        corpus.filter(is_bench).select(F.explode("grams").alias("g")).distinct()
+    )
+    m = 1 << 20
+    bitmap = bloom_bitmap(bench_g, "g", m_bits=m, salts=("bf1", "bf2"))
+    rest = corpus.filter(~is_bench)
+    probed = rest.crossJoin(F.broadcast(bitmap)).select(
+        "doc_id",
+        F.exists(
+            "grams", lambda g: bloom_hit(F.col("bloom"), g, m, ("bf1", "bf2"))
+        ).alias("is_cand"),
+    ).localCheckpoint()
+    n_rest = probed.count()
+    n_cand = probed.filter("is_cand").count()
+    truth = (
+        rest.select("doc_id", F.explode("grams").alias("g"))
+        .join(F.broadcast(bench_g), "g")
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint()
+    )
+    n_truth = truth.count()
+    missed = truth.join(probed.filter("is_cand"), "doc_id", "left_anti").count()
+    assert missed == 0, "false negative at scale"
+    # Planted recall: every non-bench replica of a bench source shares
+    # the source's interior grams, so truth covers all 10*199 of them.
+    planted = rest.filter((F.col("doc_id") / 200).cast("long") % 50 == 0)
+    n_planted = planted.count()
+    planted_missed = planted.join(truth, "doc_id", "left_anti").count()
+    assert n_planted == 10 * 199 and planted_missed == 0
+    # The FP tail must stay a small fraction of the non-contaminated
+    # corpus (the prefilter's whole point): at ~5% load the per-gram FP
+    # is ~2.5e-3; allow a generous 20% of clean docs before failing.
+    assert n_cand - n_truth <= max(100, (n_rest - n_truth) // 5), (
+        n_rest,
+        n_cand,
+        n_truth,
+    )

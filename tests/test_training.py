@@ -1577,3 +1577,79 @@ def test_q116_release_diff_invariants(spark):
     assert sum(r["n_docs"] for r in rows.values()) == sum(
         len(v) for v in want.values()
     )
+
+
+# ----------------------------------------------------------------- q122 bloom
+def test_bloom_filter_has_no_false_negatives(spark):
+    """Every inserted gram must probe positive — the property q122's
+    exactness rests on (verify-only-candidates reproduces the q62
+    truth). Checked over every benchmark gram, not a sample."""
+    from alt_spark.operators.bloom import bloom_bitmap, bloom_hit
+    from alt_spark.operators.dedup import shingles, tokens_col
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    grams = (
+        docs.select(F.explode(shingles(tokens_col("text"), 5)).alias("g"))
+        .distinct()
+    )
+    bitmap = bloom_bitmap(grams, "g", m_bits=1 << 14, salts=("bf1", "bf2"))
+    misses = (
+        grams.crossJoin(F.broadcast(bitmap))
+        .filter(~bloom_hit(F.col("bloom"), F.col("g"), 1 << 14, ("bf1", "bf2")))
+        .count()
+    )
+    assert misses == 0, "Bloom filter produced a false negative"
+    # Dense layout contract: one long per 32 bits, element_at-addressable.
+    row = bitmap.collect()[0]
+    assert len(row["bloom"]) == (1 << 14) // 32
+
+
+def test_bloom_filter_rejects_absent_grams_at_sane_rate(spark):
+    """Probing grams that were NEVER inserted must mostly miss — a
+    bitmap that answers 'maybe' for everything is the silent failure
+    mode (wrong m, broken masks) the FP accounting would hide."""
+    from alt_spark.operators.bloom import bloom_bitmap, bloom_hit
+
+    grams = spark.range(500).select(F.concat(F.lit("in-"), "id").alias("g"))
+    absent = spark.range(2000).select(F.concat(F.lit("out-"), "id").alias("g"))
+    m = 1 << 14
+    bitmap = bloom_bitmap(grams, "g", m_bits=m, salts=("bf1", "bf2"))
+    fp = (
+        absent.crossJoin(F.broadcast(bitmap))
+        .filter(bloom_hit(F.col("bloom"), F.col("g"), m, ("bf1", "bf2")))
+        .count()
+    )
+    # load = 2*500/16384 ≈ 6.1% → per-probe FP ≈ 0.4%; 2000 probes give
+    # an expected ~7.5 hits. 60 (3% of probes) is >7 sigma away.
+    assert fp < 60, f"false-positive rate implausibly high: {fp}/2000"
+
+
+def test_q122_exact_set_matches_brute_force_decontamination(spark):
+    """The Bloom path's contaminated set must equal the q62 brute-force
+    rule exactly (no false negatives ⇒ verify-only-candidates is
+    lossless), and candidates must be a superset of the truth."""
+    from alt_spark.operators.dedup import shingles, tokens_col
+    from alt_spark.queries import all_queries
+
+    res = all_queries()["q122_bloom_decontamination"](spark, SF_SMOKE).collect()
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "lang", shingles(tokens_col("text"), 5).alias("grams")
+    )
+    bench_g = (
+        docs.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+    )
+    brute = (
+        docs.filter(F.col("doc_id") % 50 != 0)
+        .select("doc_id", "lang", F.explode("grams").alias("g"))
+        .join(bench_g, "g")
+        .groupBy("lang")
+        .agg(F.countDistinct("doc_id").alias("n"))
+        .collect()
+    )
+    brute_by_lang = {r["lang"]: r["n"] for r in brute}
+    for row in res:
+        assert row["n_contaminated"] == brute_by_lang.get(row["lang"], 0)
+        assert row["n_candidates"] >= row["n_contaminated"]
+        assert row["n_false_positive"] == row["n_candidates"] - row["n_contaminated"]
