@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 
 from alt_spark.functions.hashing import DDB_H60, portable_hash60
 
-__all__ = ["bloom_bitmap", "bloom_hit", "ddb_bloom_words", "ddb_bloom_probe"]
+__all__ = [
+    "bloom_bitmap",
+    "bloom_hit",
+    "ddb_bloom_words",
+    "ddb_bloom_probe",
+    "merge_bloom_bitmaps",
+]
 
 _WORD_BITS = 32  # used bits per array<long> entry (masks stay exact in double)
 
@@ -148,3 +154,27 @@ def ddb_bloom_probe(
             f" AND (w.w & (1::BIGINT << ({p} % {_WORD_BITS}))) <> 0)"
         )
     return "(" + " AND ".join(checks) + ")"
+
+
+def merge_bloom_bitmaps(a: DataFrame, b: DataFrame) -> DataFrame:
+    """OR-merge two one-row bitmaps built with the SAME (m_bits, salts).
+
+    Bloom filters are mergeable — union of insertions == bitwise OR of
+    bitmaps — which is what makes the structure streamable and
+    generation-partitionable. A Bloom filter cannot DELETE, so
+    retention follows the generational pattern rather than
+    index_maintenance's stamped-row compaction: keep one bitmap per
+    batch window (physically ``partitionBy(batch)``), OR the in-horizon
+    generations together at read time, and expire a window by dropping
+    its partition — never by unsetting bits. Dropping a generation
+    reproduces the freshly-built in-horizon filter BIT FOR BIT
+    (pytest-pinned), the same compacted==full contract the stamped
+    indexes carry.
+    """
+    return (
+        a.select(F.col("bloom").alias("_a"))
+        .crossJoin(b.select(F.col("bloom").alias("_b")))
+        .select(
+            F.zip_with("_a", "_b", lambda x, y: x.bitwiseOR(y)).alias("bloom")
+        )
+    )

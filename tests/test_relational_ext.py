@@ -357,3 +357,36 @@ def test_q123_quantiles_have_no_single_partition_exchange(spark):
         spark, "/root/testdata/sf0.001"
     )
     assert not audit.single_partition_data_exchanges(df), audit.physical_plan(df)
+
+
+def test_exact_quantiles_hypothesis_sweep(spark):
+    """Randomized adversary for the histogram-refinement operator:
+    arbitrary long lists (including negatives and heavy ties) and
+    arbitrary probability sets must always return the true k-th
+    smallest. One Spark job per example is too slow for hypothesis's
+    default budget, so examples batch into one multi-group frame."""
+    import random
+
+    from alt_spark.operators.quantile import exact_group_quantiles
+
+    rng = random.Random(20260816)
+    groups = {}
+    for gi in range(25):
+        n = rng.randint(1, 400)
+        lo = rng.choice([-(10**12), -5, 0, 3])
+        hi = lo + rng.choice([0, 1, 17, 10**6, 10**13])
+        groups[f"g{gi}"] = [rng.randint(lo, hi) for _ in range(n)]
+    rows = [(g, v) for g, vals in groups.items() for v in vals]
+    df = spark.createDataFrame(rows, "grp string, v long").repartition(16)
+    probs = (1, 137, 500, 999, 1000)
+    got = {
+        (r["grp"], r["q_permille"]): (r["rank_k"], r["value"])
+        for r in exact_group_quantiles(df, "v", "grp", probs, n_buckets=32).collect()
+    }
+    assert len(got) == len(groups) * len(probs)
+    for g, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        for p in probs:
+            k = max((p * n + 999) // 1000, 1)
+            assert got[(g, p)] == (k, vals[k - 1]), (g, p, n)

@@ -1653,3 +1653,44 @@ def test_q122_exact_set_matches_brute_force_decontamination(spark):
         assert row["n_contaminated"] == brute_by_lang.get(row["lang"], 0)
         assert row["n_candidates"] >= row["n_contaminated"]
         assert row["n_false_positive"] == row["n_candidates"] - row["n_contaminated"]
+
+
+def test_bloom_bitmaps_merge_losslessly_and_forget_by_generation(spark):
+    """Mergeability (the streaming/incremental contract): OR of
+    per-generation bitmaps == the bitmap of the union, bit for bit.
+    Retention (the compacted==full contract of the stamped indexes,
+    generational form): dropping the expired generation reproduces the
+    freshly-built in-horizon filter exactly — and the expired
+    generation's unique grams stop probing positive (loud forgetting),
+    modulo the declared FP rate."""
+    from alt_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_hit,
+        merge_bloom_bitmaps,
+    )
+
+    m, salts = 1 << 14, ("bf1", "bf2")
+    gens = [
+        spark.range(300).select(F.concat(F.lit(f"g{i}-"), "id").alias("g"))
+        for i in range(3)
+    ]
+    bms = [bloom_bitmap(g, "g", m, salts) for g in gens]
+    # Merge == rebuild, exactly.
+    merged_all = merge_bloom_bitmaps(merge_bloom_bitmaps(bms[0], bms[1]), bms[2])
+    rebuilt_all = bloom_bitmap(gens[0].union(gens[1]).union(gens[2]), "g", m, salts)
+    assert merged_all.collect()[0]["bloom"] == rebuilt_all.collect()[0]["bloom"]
+    # Generational retention: horizon = generations 1-2.
+    retained = merge_bloom_bitmaps(bms[1], bms[2])
+    rebuilt_horizon = bloom_bitmap(gens[1].union(gens[2]), "g", m, salts)
+    assert (
+        retained.collect()[0]["bloom"] == rebuilt_horizon.collect()[0]["bloom"]
+    )
+    # In-horizon grams all probe positive; expired generation mostly not
+    # (its grams are unique by construction, so hits are pure FP).
+    hit = lambda grams, bm: (
+        grams.crossJoin(F.broadcast(bm))
+        .filter(bloom_hit(F.col("bloom"), F.col("g"), m, salts))
+        .count()
+    )
+    assert hit(gens[1], retained) == 300 and hit(gens[2], retained) == 300
+    assert hit(gens[0], retained) < 60, "expired generation still resident"
