@@ -20,7 +20,16 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-__all__ = ["SCHEMAS", "LOG_SCHEMAS", "TABLES", "load_table", "load_all", "sf_dir"]
+__all__ = [
+    "SCHEMAS",
+    "LOG_SCHEMAS",
+    "TABLES",
+    "load_table",
+    "load_all",
+    "sf_dir",
+    "register_views",
+    "sql",
+]
 
 _S = T.StructType
 _F = T.StructField
@@ -247,3 +256,29 @@ def load_table(spark: SparkSession, sf: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf: str) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf, name) for name in SCHEMAS}
+
+
+def register_views(spark: SparkSession, sf: str, suffix: str = "") -> None:
+    """Register every engine table as a temp view so users can issue
+    plain ``spark.sql`` — the reference's primary query surface is SQL
+    (ClickHouse over HTTP; alt-backend builds SQL strings), so API
+    parity includes "point your SQL at it", not only the DataFrame
+    callables. Views go through :func:`load_table`, so the pinned
+    schemas, the events timestamp-layout probe, and column pruning all
+    apply identically to SQL and DataFrame consumers.
+
+    ``suffix`` namespaces the views (``orders_a`` / ``orders_b``) for
+    cross-SF comparisons in one session.
+    """
+    for name in SCHEMAS:
+        load_table(spark, sf, name).createOrReplaceTempView(name + suffix)
+
+
+def sql(spark: SparkSession, sf: str, query: str) -> DataFrame:
+    """One-call SQL entry point: register the sf's views, run the
+    statement. Catalyst sees the same logical plans the DataFrame API
+    builds — SURVEY §4's optimizer guarantees (pushdown, pruning, AQE)
+    hold for both surfaces; tests pin plan equality on representative
+    §2 shapes."""
+    register_views(spark, sf)
+    return spark.sql(query)

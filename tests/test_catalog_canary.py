@@ -140,3 +140,72 @@ def test_every_table_loads_value_identical_to_independent_reader(spark):
                 + "; ".join(f"{got[i]} != {want[i]}" for i in diffs)
             )
     con.close()
+
+
+# ------------------------------------------------------------------ SQL facade
+def test_sql_facade_matches_dataframe_results_and_plans(spark):
+    """catalog.sql is the reference-parity surface (ClickHouse users
+    issue SQL): a representative §2 join+agg shape must return the
+    SAME rows AND compile to the same physical plan as its DataFrame
+    twin — proof the facade adds no plan divergence, so every
+    optimizer pin in test_plans transfers to SQL consumers."""
+    from pyspark.sql import functions as F
+
+    from alt_spark import catalog
+    from alt_spark.plans import audit
+
+    sf = "/root/testdata/sf0.001"
+    got = catalog.sql(
+        spark,
+        sf,
+        """
+        SELECT c.c_mktsegment AS seg, count(*) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1 ORDER BY 1
+        """,
+    )
+    orders = catalog.load_table(spark, sf, "orders")
+    cust = catalog.load_table(spark, sf, "customer")
+    twin = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents"),
+        )
+        .orderBy("seg")
+    )
+    assert got.collect() == twin.collect()
+    # Same optimized shape: scans broadcast-join, no extra exchanges.
+    assert audit.broadcast_join_count(got) == audit.broadcast_join_count(twin)
+    assert audit.shuffle_count(got) == audit.shuffle_count(twin)
+
+
+def test_sql_facade_events_view_carries_ts_probe(spark):
+    """SQL consumers must inherit the events timestamp-layout probe:
+    a 1970 timestamp through the view means the footer branch was
+    bypassed (the r3 regression, SQL-surface edition)."""
+    from alt_spark import catalog
+
+    row = catalog.sql(
+        spark,
+        "/root/testdata/sf0.001",
+        "SELECT min(ts) AS lo, max(ts) AS hi FROM events",
+    ).collect()[0]
+    assert row["lo"].year > 1990, row
+
+
+def test_sql_facade_suffix_namespaces_cross_sf(spark):
+    from alt_spark import catalog
+
+    catalog.register_views(spark, "/root/testdata/sf0.001", suffix="_a")
+    catalog.register_views(spark, "/root/testdata/sf0.01", suffix="_b")
+    n = spark.sql(
+        "SELECT (SELECT count(*) FROM orders_a) AS a,"
+        " (SELECT count(*) FROM orders_b) AS b"
+    ).collect()[0]
+    assert 0 < n["a"] < n["b"]
