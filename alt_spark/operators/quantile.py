@@ -53,12 +53,19 @@ def exact_group_quantiles(
     Returns ``(group_col, q_permille, rank_k, value)`` — one row per
     (group, quantile). ``value_col`` must be integral (long); ties are
     harmless (the k-th smallest of a multiset is well-defined whatever
-    order equal values sort in).
+    order equal values sort in). NULL values are excluded up front —
+    the SQL quantile convention (percentile_cont / quantile_disc both
+    ignore NULLs), and necessary for cross-engine exactness: counting
+    them would let rank k exceed the sortable rows, and Spark windows
+    default NULLS FIRST where DuckDB defaults NULLS LAST, so any NULL
+    reaching the refinement sort would diverge silently.
     """
     if not probs_permille or any(not (0 < p <= 1000) for p in probs_permille):
         raise ValueError("probs_permille must be within (0, 1000]")
     grp, val = group_col, value_col
-    v = df.select(F.col(grp), F.col(val).cast("long").alias("_c"))
+    v = df.select(F.col(grp), F.col(val).cast("long").alias("_c")).filter(
+        F.col("_c").isNotNull()
+    )
 
     # Pass A: group frame (count, min, max) -> integer bucket width.
     # width = (max-min) div B + 1 guarantees bucket ids in [0, B).

@@ -435,6 +435,7 @@ WITH v AS (
   SELECT o_orderpriority,
          CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
   FROM orders
+  WHERE o_totalprice IS NOT NULL
 ), stats AS (
   SELECT o_orderpriority, count(*) AS n FROM v GROUP BY 1
 ), ranked AS (

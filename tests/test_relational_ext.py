@@ -307,8 +307,6 @@ def test_exact_quantiles_refinement_stays_bucket_bounded(spark):
     """The scale claim itself: the final per-(group, quantile) sort must
     see ~n/n_buckets rows, never the group. Pin it by counting the rows
     that reach the refinement join on a 200k-row group."""
-    from pyspark.sql.window import Window
-
     from alt_spark.operators.quantile import exact_group_quantiles
 
     df = spark.range(200_000).select(
@@ -337,7 +335,6 @@ def test_exact_quantiles_refinement_stays_bucket_bounded(spark):
     out = exact_group_quantiles(df, "v", "grp", (500, 990), n_buckets=n_buckets)
     rows = {(r["q_permille"]): r for r in out.collect()}
     # Cross-check one rank against a full sort.
-    w = Window.orderBy("v")
     n = width["n"]
     k = max((990 * n + 999) // 1000, 1)
     truth = (
@@ -390,3 +387,21 @@ def test_exact_quantiles_hypothesis_sweep(spark):
         for p in probs:
             k = max((p * n + 999) // 1000, 1)
             assert got[(g, p)] == (k, vals[k - 1]), (g, p, n)
+
+
+def test_exact_quantiles_ignore_nulls(spark):
+    """NULL values must be excluded before counting (the SQL quantile
+    convention) — counting them would let rank k exceed the sortable
+    rows, and the engines disagree on NULL sort position (Spark NULLS
+    FIRST vs DuckDB NULLS LAST), so this is a silent-divergence class,
+    not a cosmetic choice."""
+    from alt_spark.operators.quantile import exact_group_quantiles
+
+    rows = [("g", v) for v in [10, None, 20, None, 30, 40, None]]
+    df = spark.createDataFrame(rows, "grp string, v long")
+    got = {
+        r["q_permille"]: (r["rank_k"], r["value"])
+        for r in exact_group_quantiles(df, "v", "grp", (500, 1000)).collect()
+    }
+    # 4 non-null values: k(500) = 2 -> 20, k(1000) = 4 -> 40.
+    assert got == {500: (2, 20), 1000: (4, 40)}

@@ -1504,3 +1504,87 @@ def test_windowed_sketch_state_validation(spark):
         windowed_sketch_state(spark, "/nonexistent", [], 16)
     with _pt.raises(FileNotFoundError, match="no per-batch summary"):
         windowed_sketch_state(spark, "/nonexistent", [0], 16)
+
+
+def test_streaming_bloom_generations_match_batch_bitmap(spark):
+    """The generational Bloom pattern under real Structured Streaming:
+    each micro-batch folds its grams into that generation's bitmap
+    (foreachBatch — the per-window physical artifact the retention
+    story drops whole), and the OR of all generations must equal the
+    bitmap built over the whole corpus in one batch pass, bit for bit
+    (mergeability is what makes the decon filter incrementally
+    maintainable; the operator-form merge==rebuild pin lives in
+    test_training). A two-generation horizon is also checked against a
+    fresh build over just those files — expiry == partition drop."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.bloom import bloom_bitmap
+    from alt_spark.operators.dedup import shingles, tokens_col
+
+    m, salts = 1 << 14, ("bf1", "bf2")
+    root = _fresh("bloom_stream")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+    t = pq.read_table(f"{SF}/documents.parquet").select(["doc_id", "text"])
+    n = t.num_rows
+    bounds = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        path = os.path.join(landing, f"gen_{i:03d}.parquet")
+        pq.write_table(t.slice(bounds[i], bounds[i + 1] - bounds[i]), path)
+        # Stagger mtimes so the file source's modification-time ordering
+        # matches file index (the q120 device) — the horizon check below
+        # maps batch ids back to files.
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    gens: dict[int, list[int]] = {}
+
+    def fold(batch_df, batch_id: int) -> None:
+        grams = batch_df.select(
+            F.explode(shingles(tokens_col("text"), 5)).alias("g")
+        )
+        gens[batch_id] = bloom_bitmap(grams, "g", m, salts).collect()[0]["bloom"]
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(fold)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    assert len(gens) == 3, f"expected 3 micro-batches, saw {sorted(gens)}"
+    merged = [0] * (m // 32)
+    for bloom in gens.values():
+        merged = [x | y for x, y in zip(merged, bloom)]
+    batch_df = spark.read.parquet(landing)
+    full = bloom_bitmap(
+        batch_df.select(F.explode(shingles(tokens_col("text"), 5)).alias("g")),
+        "g",
+        m,
+        salts,
+    ).collect()[0]["bloom"]
+    assert merged == full, "streamed generations diverge from the batch bitmap"
+    # Horizon = newest two generations == fresh build over those files.
+    last_two_ids = sorted(gens)[-2:]
+    horizon = [0] * (m // 32)
+    for b in last_two_ids:
+        horizon = [x | y for x, y in zip(horizon, gens[b])]
+    # Batch ids are assigned in landing order (maxFilesPerTrigger=1 over
+    # lexicographically-named files), so files 1-2 are the horizon.
+    hz_df = spark.read.parquet(
+        os.path.join(landing, "gen_001.parquet"),
+        os.path.join(landing, "gen_002.parquet"),
+    )
+    hz_full = bloom_bitmap(
+        hz_df.select(F.explode(shingles(tokens_col("text"), 5)).alias("g")),
+        "g",
+        m,
+        salts,
+    ).collect()[0]["bloom"]
+    assert horizon == hz_full, "generation drop diverged from fresh horizon build"
