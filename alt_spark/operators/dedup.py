@@ -106,15 +106,19 @@ def shingles(tokens: Column, k: int = 3) -> Column:
 
     Guarded for short rows: Spark's sequence(0, negative) would count
     *down*, so rows with fewer than k tokens yield an empty array.
+
+    Each window is ``concat_ws(slice(...))`` — one array pass — not a
+    chain of k ``element_at`` lookups: higher-order-function lambdas
+    evaluate interpreted, and the k-lookup form measured 4-5x slower
+    over the sf0.1 gram workload (18 s -> 3.7 s single-task). Same
+    device as :func:`sliding_gram_rows`.
     """
     return F.when(
         F.size(tokens) >= k,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(0), F.size(tokens) - k),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(k)]
-                ),
+                lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))

@@ -2711,27 +2711,36 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
         bench_g = bench_g.localCheckpoint(eager=False)
     bitmap = bloom_bitmap(bench_g, "g", _BLOOM_M, _BLOOM_SALTS)
     corpus = base.filter(F.col("doc_id") % 50 != 0)
+    # The checkpoint carries only (doc_id, lang, is_cand) — NOT the
+    # gram arrays: materializing 50-string arrays per doc writes
+    # corpus-scale bytes for rows the verify leg mostly ignores
+    # (measured ~4 s of the sf0.1 wall). The verify leg instead
+    # recomputes grams AFTER the candidate semi-join, so the expensive
+    # projection runs only over the candidate subset.
     probed = corpus.crossJoin(F.broadcast(bitmap)).select(
         "doc_id",
         "lang",
-        "grams",
         F.exists(
             "grams", lambda g: bloom_hit(F.col("bloom"), g, _BLOOM_M, _BLOOM_SALTS)
         ).alias("is_cand"),
     )
     if _dfcache.MATERIALIZE:
         probed = probed.localCheckpoint(eager=False)
+    cand_docs = docs.select("doc_id", "text").join(
+        probed.filter("is_cand").select("doc_id"), "doc_id"
+    )
     cont = (
-        probed.filter("is_cand")
-        .select("doc_id", F.explode("grams").alias("g"))
+        cand_docs.select(
+            "doc_id",
+            F.explode(shingles(_tokens_col(), _DECON_N)).alias("g"),
+        )
         .join(F.broadcast(bench_g), "g")
         .select("doc_id")
         .distinct()
         .withColumn("is_cont", F.lit(True))
     )
     return (
-        probed.drop("grams")
-        .join(cont, "doc_id", "left")
+        probed.join(cont, "doc_id", "left")
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
