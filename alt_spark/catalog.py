@@ -272,13 +272,26 @@ def register_views(spark: SparkSession, sf: str, suffix: str = "") -> None:
     """
     for name in SCHEMAS:
         load_table(spark, sf, name).createOrReplaceTempView(name + suffix)
+    _REGISTERED[(_session_key(spark), suffix)] = sf
+
+
+# (session, suffix) -> registered sf. Keyed by the JVM session object's
+# identity so a stopped-and-recreated session re-registers.
+_REGISTERED: dict[tuple[int, str], str] = {}
+
+
+def _session_key(spark: SparkSession) -> int:
+    return id(spark._jsparkSession)
 
 
 def sql(spark: SparkSession, sf: str, query: str) -> DataFrame:
-    """One-call SQL entry point: register the sf's views, run the
-    statement. Catalyst sees the same logical plans the DataFrame API
-    builds — SURVEY §4's optimizer guarantees (pushdown, pruning, AQE)
-    hold for both surfaces; tests pin plan equality on representative
-    §2 shapes."""
-    register_views(spark, sf)
+    """One-call SQL entry point: register the sf's views (memoized per
+    session — re-registering every call would re-probe the events
+    parquet footer and churn the temp catalog once per statement), run
+    the statement. Catalyst sees the same logical plans the DataFrame
+    API builds — SURVEY §4's optimizer guarantees (pushdown, pruning,
+    AQE) hold for both surfaces; tests pin plan equality on
+    representative §2 shapes. Switching ``sf`` re-registers."""
+    if _REGISTERED.get((_session_key(spark), "")) != sf:
+        register_views(spark, sf)
     return spark.sql(query)

@@ -73,8 +73,12 @@ def bloom_bitmap(
     n_words = m_bits // _WORD_BITS
     # No distinct on positions: bit_or is idempotent, so duplicate
     # positions fold for free inside the per-word aggregate — one
-    # exchange instead of two.
-    pos = grams.select(
+    # exchange instead of two. NULL grams are dropped up front: a NULL
+    # position would survive the groupBy as a (NULL, NULL) word, sort
+    # FIRST in the dense assembly, and shift every real word by one
+    # slot — silent false negatives, the one failure the structure
+    # must never have.
+    pos = grams.filter(F.col(gram_col).isNotNull()).select(
         F.explode(
             F.array(*[_position(F.col(gram_col), s, m_bits) for s in salts])
         ).alias("pos")
@@ -175,6 +179,18 @@ def merge_bloom_bitmaps(a: DataFrame, b: DataFrame) -> DataFrame:
         a.select(F.col("bloom").alias("_a"))
         .crossJoin(b.select(F.col("bloom").alias("_b")))
         .select(
-            F.zip_with("_a", "_b", lambda x, y: x.bitwiseOR(y)).alias("bloom")
+            # Loud misuse guard: zip_with NULL-pads the shorter array,
+            # so merging bitmaps of different m_bits would return NULL
+            # words that probe as misses — false negatives. Raise
+            # instead (the q110 strict-guard doctrine). The assert is
+            # FOLDED INTO the kept column: a standalone guard column
+            # gets pruned away by the optimizer and never evaluates.
+            F.when(
+                F.assert_true(
+                    F.size("_a") == F.size("_b"),
+                    F.lit("merge_bloom_bitmaps: mismatched m_bits"),
+                ).isNull(),
+                F.zip_with("_a", "_b", lambda x, y: x.bitwiseOR(y)),
+            ).alias("bloom"),
         )
     )

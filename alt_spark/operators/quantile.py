@@ -60,8 +60,23 @@ def exact_group_quantiles(
     default NULLS FIRST where DuckDB defaults NULLS LAST, so any NULL
     reaching the refinement sort would diverge silently.
     """
-    if not probs_permille or any(not (0 < p <= 1000) for p in probs_permille):
-        raise ValueError("probs_permille must be within (0, 1000]")
+    probs = [int(p) for p in probs_permille]
+    if not probs or any(
+        p != raw or not (0 < p <= 1000)
+        for p, raw in zip(probs, probs_permille)
+    ):
+        raise ValueError("probs_permille must be integers within (0, 1000]")
+    if n_buckets < 4:
+        # Keeps width = range/B + 1 inside int64 even for the full long
+        # domain (see the DECIMAL note below).
+        raise ValueError("n_buckets must be >= 4")
+    if len(set(probs)) != len(probs):
+        # A duplicated prob would duplicate its (group, bucket) row in
+        # the needed-bucket join, fan every refinement row out twice,
+        # and make row_number land on the WRONG element — a silently
+        # wrong 'exact' quantile, not a cosmetic redundancy.
+        raise ValueError("probs_permille must be distinct")
+    probs_permille = tuple(probs)
     grp, val = group_col, value_col
     v = df.select(F.col(grp), F.col(val).cast("long").alias("_c")).filter(
         F.col("_c").isNotNull()
@@ -69,6 +84,13 @@ def exact_group_quantiles(
 
     # Pass A: group frame (count, min, max) -> integer bucket width.
     # width = (max-min) div B + 1 guarantees bucket ids in [0, B).
+    # The range subtraction and the per-row offset run in DECIMAL(38,0):
+    # a group spanning most of the long domain makes (_mx - _mn) exceed
+    # int64, and with ANSI off the wrap would send bucket ids out of
+    # order — a silently wrong 'exact' quantile. The WIDTH itself fits
+    # long for any n_buckets >= 4 (range/B + 1 <= 2^64/4), and the
+    # bucket id fits int by construction, so only the two differences
+    # need the wide type.
     stats = (
         v.groupBy(grp)
         .agg(
@@ -77,13 +99,25 @@ def exact_group_quantiles(
             F.max("_c").alias("_mx"),
         )
         .withColumn(
-            "_width", F.expr(f"(_mx - _mn) div {int(n_buckets)} + 1")
+            "_width",
+            F.expr(
+                "CAST((CAST(_mx AS DECIMAL(38,0)) - CAST(_mn AS DECIMAL(38,0)))"
+                f" div {int(n_buckets)} + 1 AS BIGINT)"
+            ),
         )
     )
 
     # Pass B: bounded histogram — at most n_buckets rows per group.
-    bucketed = v.join(F.broadcast(stats), grp).withColumn(
-        "_bucket", F.expr("(_c - _mn) div _width")
+    # stats/needed join without forced broadcast hints: they are
+    # group-table-sized, tiny for analytic group columns, but a hard
+    # F.broadcast would OOM on a high-cardinality group_col — let the
+    # planner's size threshold decide (it still broadcasts small ones).
+    bucketed = v.join(stats, grp).withColumn(
+        "_bucket",
+        F.expr(
+            "CAST((CAST(_c AS DECIMAL(38,0)) - CAST(_mn AS DECIMAL(38,0)))"
+            " div _width AS BIGINT)"
+        ),
     )
     hist = bucketed.groupBy(grp, "_bucket").agg(F.count("*").alias("_cnt"))
     wcum = (
@@ -125,7 +159,7 @@ def exact_group_quantiles(
     # out once per quantile that landed in its bucket; the window then
     # sorts ~n/n_buckets rows per (group, quantile) — never the group.
     refined = bucketed.select(grp, "_c", "_bucket").join(
-        F.broadcast(needed), [grp, "_bucket"]
+        needed, [grp, "_bucket"]
     )
     wv = Window.partitionBy(grp, "q_permille").orderBy("_c")
     return (

@@ -1806,8 +1806,21 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
     ud = ev.groupBy("u").agg(F.sum("w").cast("long").alias("du"))
     td = ev.groupBy("t").agg(F.sum("w").cast("long").alias("dt"))
     nu = ud.agg(F.count("*").alias("n"))
+    # Strict guard (the q110 doctrine): once the node count reaches the
+    # mass S, h0 = S div n floors to 0, the first norm divides 0 by 0,
+    # and NULL cascades through every iteration — both engines replay
+    # the same degenerate recurrence, so parity would stay green while
+    # the ranking is garbage. Raise instead; a production deployment
+    # raises S (micro -> nano units) with the node population.
     h = ud.crossJoin(F.broadcast(nu)).select(
-        "u", F.expr(f"CAST({_HITS_S} div n AS BIGINT)").alias("h")
+        "u",
+        F.when(
+            F.assert_true(
+                F.col("n") < F.lit(_HITS_S),
+                F.lit(f"q124: node count >= S ({_HITS_S}); raise _HITS_S"),
+            ).isNull(),
+            F.expr(f"CAST({_HITS_S} div n AS BIGINT)"),
+        ).alias("h"),
     )
     wide = "decimal(38,0)"
     renorm = f"CAST((CAST({_HITS_S} AS {wide}) * x) div s AS BIGINT)"

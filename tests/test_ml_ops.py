@@ -1212,3 +1212,24 @@ def test_q124_hits_matches_python_reference_on_planted_graph(spark):
         assert got[("hub", str(u))] == (h[u], du[u]), u
     # Structure sanity: weights must differentiate the scores.
     assert len({v[0] for k, v in got.items() if k[0] == "auth"}) > 1
+
+
+def test_q124_raises_when_node_count_reaches_mass(spark):
+    """Once the user population reaches S, h0 floors to 0 and the first
+    renorm divides 0 by 0 — BOTH engines replay the degenerate
+    recurrence, so parity would stay green while every score is NULL.
+    The strict guard must raise instead (the q110 doctrine)."""
+    from unittest import mock
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    import alt_spark.queries.pipeline_ops as po
+
+    ev = spark.createDataFrame(
+        [Row(user_id=u, event_type="a") for u in range(5)]
+    )
+    with mock.patch.object(po, "load_table", lambda *_a, **_k: ev):
+        with mock.patch.object(po, "_HITS_S", 4):
+            with _pytest.raises(Exception, match="raise _HITS_S"):
+                po.q124(spark, "ignored").collect()

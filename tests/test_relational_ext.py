@@ -405,3 +405,38 @@ def test_exact_quantiles_ignore_nulls(spark):
     }
     # 4 non-null values: k(500) = 2 -> 20, k(1000) = 4 -> 40.
     assert got == {500: (2, 20), 1000: (4, 40)}
+
+
+def test_exact_quantiles_reject_degenerate_probs(spark):
+    """Duplicate probs would fan refinement rows out twice and make
+    row_number select the WRONG element; float probs would silently
+    truncate. Both must raise, not return plausible numbers."""
+    import pytest as _pytest
+
+    from alt_spark.operators.quantile import exact_group_quantiles
+
+    df = spark.createDataFrame([("g", 1)], "grp string, v long")
+    with _pytest.raises(ValueError, match="distinct"):
+        exact_group_quantiles(df, "v", "grp", (1000, 1000))
+    with _pytest.raises(ValueError, match="integers"):
+        exact_group_quantiles(df, "v", "grp", (0.5,))
+    with _pytest.raises(ValueError, match="n_buckets"):
+        exact_group_quantiles(df, "v", "grp", (500,), n_buckets=2)
+
+
+def test_exact_quantiles_survive_full_long_range(spark):
+    """A group spanning most of the int64 domain: (max - min) exceeds
+    long, so the width/bucket arithmetic must run in DECIMAL — with the
+    wrapped-subtraction form this returned out-of-order bucket ids and
+    a silently wrong order statistic."""
+    from alt_spark.operators.quantile import exact_group_quantiles
+
+    lo, hi = -(2**62) - 7, 2**62 + 9
+    vals = [lo, -55, -1, 0, 3, 1017, hi]
+    df = spark.createDataFrame([("g", v) for v in vals], "grp string, v long")
+    got = {
+        r["q_permille"]: (r["rank_k"], r["value"])
+        for r in exact_group_quantiles(df, "v", "grp", (1, 500, 1000)).collect()
+    }
+    s = sorted(vals)
+    assert got == {1: (1, s[0]), 500: (4, s[3]), 1000: (7, s[6])}

@@ -1694,3 +1694,37 @@ def test_bloom_bitmaps_merge_losslessly_and_forget_by_generation(spark):
     )
     assert hit(gens[1], retained) == 300 and hit(gens[2], retained) == 300
     assert hit(gens[0], retained) < 60, "expired generation still resident"
+
+
+def test_bloom_build_ignores_null_grams_and_merge_guards_m_bits(spark):
+    """A NULL gram must not shift the dense word array (that would be
+    a silent false-negative class); merging bitmaps of different
+    m_bits must raise, not NULL-pad."""
+    import pytest as _pytest
+
+    from alt_spark.operators.bloom import (
+        bloom_bitmap,
+        bloom_hit,
+        merge_bloom_bitmaps,
+    )
+
+    m, salts = 1 << 14, ("bf1", "bf2")
+    clean = spark.createDataFrame([("a b c",), ("d e f",)], "g string")
+    dirty = clean.union(spark.createDataFrame([(None,)], "g string"))
+    bm_clean = bloom_bitmap(clean, "g", m, salts).collect()[0]["bloom"]
+    bm_dirty = bloom_bitmap(dirty, "g", m, salts).collect()[0]["bloom"]
+    assert len(bm_dirty) == m // 32
+    assert bm_clean == bm_dirty
+    hits = (
+        clean.crossJoin(
+            F.broadcast(bloom_bitmap(dirty, "g", m, salts))
+        )
+        .filter(bloom_hit(F.col("bloom"), F.col("g"), m, salts))
+        .count()
+    )
+    assert hits == 2
+    with _pytest.raises(Exception, match="mismatched m_bits"):
+        merge_bloom_bitmaps(
+            bloom_bitmap(clean, "g", 1 << 14, salts),
+            bloom_bitmap(clean, "g", 1 << 15, salts),
+        ).collect()
