@@ -57,7 +57,7 @@ _loaded = False
 # (r3 evidence: 55 registered, exactly positions 50-54 of dict order
 # absent from CORRECTNESS_r03; documented in VERDICT.md r4 §Next and
 # COVERAGE.md — the cap-dependence is deliberate and externally visible,
-# not a code-comment secret). With 124 registered queries, 74 must sit
+# not a code-comment secret). With 125 registered queries, 75 must sit
 # past the window; order the registry so the reported 50 are the
 # strongest evidence: oracle-backed queries in numeric order first,
 # then entries whose correctness is already carried by other green
@@ -308,6 +308,11 @@ _REPORT_TAIL = (
     # bipartite user→event-type graph; unrolled-iteration oracle, the
     # q114 doctrine), oracle-backed; r10 rotation candidate.
     "q124_hits_user_event",
+    # q125 — new r9 (hash-derandomized Poisson-bootstrap confidence
+    # intervals for corpus metrics — the uncertainty column next to
+    # q82's card and q113's drift gate), oracle-backed; r10 rotation
+    # candidate.
+    "q125_bootstrap_quality_ci",
     # q101-q114 (new r8) rotated INTO the window in r9 per the
     # pre-staged COVERAGE.md plan — see the r9 rotation note above.
 )

@@ -2762,3 +2762,125 @@ def q122(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125: Poisson-bootstrap confidence intervals for a corpus metric.
+# Weights are hash-derandomized: replica r draws w(doc, r) from
+# Poisson(1) by comparing the doc's 60-bit hash against the cumulative
+# pmf scaled to 2^60 (constants computed once in Python; both engines
+# replay the identical integer comparisons, so the whole resampling
+# chain is oracle-exact). Capped at 6 (P[X>5] ~ 6e-4).
+_BOOT_B = 64
+_BOOT_CUM = (
+    424136118829305344,
+    848272237658610688,
+    1060340297073263360,
+    1131029650211480960,
+    1148701988496035328,
+    1152236456152946176,
+)
+_BOOT_LO_K = 4  # ceil(0.05 * 64): 4th smallest replica mean
+_BOOT_HI_K = 61  # ceil(0.95 * 64): 61st smallest replica mean
+
+
+def _boot_w_sql(h: str) -> str:
+    arms = " ".join(
+        f"WHEN {h} < {c} THEN {k}" for k, c in enumerate(_BOOT_CUM)
+    )
+    return f"(CASE {arms} ELSE 6 END)"
+
+
+@query(
+    "q125_bootstrap_quality_ci",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, len({_DDB_TOKENS}) AS n_tok FROM documents
+), rep AS (
+  SELECT d.*, r FROM d, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r)
+), w AS (
+  SELECT lang, r, n_tok,
+         {_boot_w_sql(DDB_H60("doc_id || '|' || r || '|bs'"))} AS w
+  FROM rep
+), rm AS (
+  SELECT lang, r,
+         CAST((1000 * sum(w * n_tok)) // greatest(sum(w), 1) AS BIGINT) AS m
+  FROM w GROUP BY lang, r
+), ranked AS (
+  SELECT lang, m, row_number() OVER (PARTITION BY lang ORDER BY m, r) AS rn
+  FROM rm
+), point AS (
+  SELECT lang, count(*) AS n_docs,
+         CAST((1000 * sum(n_tok)) // count(*) AS BIGINT) AS mean_milli
+  FROM d GROUP BY lang
+)
+SELECT p.lang, p.n_docs, p.mean_milli,
+       lo.m AS ci_lo_milli, hi.m AS ci_hi_milli
+FROM point p
+JOIN ranked lo ON lo.lang = p.lang AND lo.rn = {_BOOT_LO_K}
+JOIN ranked hi ON hi.lang = p.lang AND hi.rn = {_BOOT_HI_K}
+ORDER BY p.lang
+""",
+)
+def q125(spark: SparkSession, sf: str) -> DataFrame:
+    """Bootstrap confidence intervals for a per-language corpus metric
+    (mean tokens per document, integer milli units) — the uncertainty
+    column a dataset card (q82) or drift gate (q113) needs before a
+    release decision is defensible: 'mean length moved 2%' means
+    nothing without the resampling spread. The estimator is the
+    POISSON bootstrap (the production distributed form: per-row i.i.d.
+    Poisson(1) weights approximate multinomial resampling without ever
+    materializing a resample), hash-derandomized so both engines draw
+    identical weights — no RNG crosses the oracle boundary. CI bounds
+    are the 4th / 61st smallest of the 64 replica means (ties broken
+    by replica id so the rank join is total-ordered).
+
+    Plan (100 TB shape): weights are in-row CASE comparisons on the
+    doc hash; the replica explode fans 64x but collapses immediately
+    through ONE map-side-combinable groupBy into (lang, 64) partial
+    rows — the shuffle carries replica partials, never documents; the
+    rank window sorts 64 rows per language. Point estimate rides a
+    second bounded aggregate over the same scan.
+    """
+    from alt_spark.functions.hashing import portable_hash60
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", F.size(_tokens_col()).cast("long").alias("n_tok")
+    )
+    rep = docs.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r")
+    )
+    h = portable_hash60(
+        F.concat_ws("|", F.col("doc_id"), F.col("r"), F.lit("bs"))
+    )
+    w = F.lit(6)
+    for k, c in reversed(list(enumerate(_BOOT_CUM))):
+        w = F.when(h < c, k).otherwise(w)
+    rm = (
+        rep.withColumn("w", w)
+        .groupBy("lang", "r")
+        .agg(
+            F.expr(
+                "CAST((1000 * sum(w * n_tok)) div greatest(sum(w), 1) AS BIGINT)"
+            ).alias("m")
+        )
+    )
+    from pyspark.sql.window import Window
+
+    rk = Window.partitionBy("lang").orderBy("m", "r")
+    ranked = rm.withColumn("rn", F.row_number().over(rk))
+    point = docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("CAST((1000 * sum(n_tok)) div count(*) AS BIGINT)").alias(
+            "mean_milli"
+        ),
+    )
+    lo = ranked.filter(F.col("rn") == _BOOT_LO_K).select(
+        "lang", F.col("m").alias("ci_lo_milli")
+    )
+    hi = ranked.filter(F.col("rn") == _BOOT_HI_K).select(
+        "lang", F.col("m").alias("ci_hi_milli")
+    )
+    return (
+        point.join(lo, "lang").join(hi, "lang").orderBy("lang")
+    )

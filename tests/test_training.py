@@ -1728,3 +1728,58 @@ def test_bloom_build_ignores_null_grams_and_merge_guards_m_bits(spark):
             bloom_bitmap(clean, "g", 1 << 14, salts),
             bloom_bitmap(clean, "g", 1 << 15, salts),
         ).collect()
+
+
+# ----------------------------------------------------------------- q125 boot
+def test_bootstrap_ci_brackets_point_and_narrows_with_n(spark):
+    """Deterministic statistical sanity for the Poisson bootstrap:
+    (a) intervals are ordered and bracket the point estimate on the
+    real corpus; (b) Poisson(1) weights average ~1 (the resample is
+    unbiased in expectation); (c) on an 8x-replicated corpus the CI
+    width shrinks for every language — the 1/sqrt(n) behavior that
+    makes the interval MEAN something. All hash-derandomized, so these
+    are exact assertions, not flaky statistics."""
+    from unittest import mock
+
+    import alt_spark.queries.training as tr
+
+    rows = tr.q125(spark, SF_SMOKE).collect()
+    assert rows
+    widths = {}
+    for r in rows:
+        assert r["ci_lo_milli"] <= r["mean_milli"] <= r["ci_hi_milli"], r
+        widths[r["lang"]] = r["ci_hi_milli"] - r["ci_lo_milli"]
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    reps = spark.range(8).select(F.col("id").alias("rep"))
+    big = docs.crossJoin(reps).select(
+        (F.col("doc_id") * 8 + F.col("rep")).alias("doc_id"),
+        "text",
+        "lang",
+        "source",
+        "n_chars",
+    )
+    with mock.patch.object(tr, "load_table", lambda *_a, **_k: big):
+        big_rows = tr.q125(spark, "ignored").collect()
+    for r in big_rows:
+        assert (
+            r["ci_hi_milli"] - r["ci_lo_milli"] < widths[r["lang"]]
+        ), (r["lang"], widths[r["lang"]], r)
+
+    # Weight unbiasedness: mean Poisson(1) draw over (docs x replicas).
+    from alt_spark.functions.hashing import portable_hash60
+    from alt_spark.queries.training import _BOOT_B, _BOOT_CUM
+
+    rep = docs.select("doc_id").crossJoin(
+        spark.range(_BOOT_B).select(F.col("id").alias("r"))
+    )
+    h = portable_hash60(
+        F.concat_ws("|", F.col("doc_id"), F.col("r"), F.lit("bs"))
+    )
+    w = F.lit(6)
+    for k, c in reversed(list(enumerate(_BOOT_CUM))):
+        w = F.when(h < c, k).otherwise(w)
+    stats = rep.select(w.alias("w")).agg(
+        F.avg("w").alias("mu"), F.count("*").alias("n")
+    ).collect()[0]
+    assert 0.95 < stats["mu"] < 1.05, stats
