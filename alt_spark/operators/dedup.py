@@ -83,6 +83,7 @@ __all__ = [
     "minhash_near_dup",
     "simhash_bits",
     "simhash_near_dup",
+    "hamming_blocked_pairs",
     "decontaminate",
     "segment_rows",
     "segment_dedup",
@@ -545,18 +546,49 @@ def simhash_near_dup(
     hit = _SIMHASH_PAIR_CACHE.get(df, extra=params) if dfcache.MATERIALIZE else None
     if hit is not None:
         return hit
-    width = 64 // bands
-    mask = (1 << width) - 1
     sh = simhash_bits(df, text_col, id_col, portable=portable)
     if dfcache.MATERIALIZE:
         sh = sh.localCheckpoint(eager=False)
+    pairs = hamming_blocked_pairs(
+        sh, "simhash", "id", max_hamming=max_hamming, bands=bands
+    )
+    if dfcache.MATERIALIZE:
+        _SIMHASH_PAIR_CACHE.put(df, pairs, extra=params)
+    return pairs
+
+
+def hamming_blocked_pairs(
+    sig: DataFrame,
+    hash_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(id1, id2, hamming) pairs with Hamming(hash) <= max_hamming over
+    ANY 64-bit fingerprint column — the pigeonhole block join factored
+    out of :func:`simhash_near_dup` so other 64-bit perceptual hashes
+    (image aHash, `operators/multimodal.image_near_dup_pairs`) reuse
+    the same never-all-pairs device: split the fingerprint into
+    ``bands`` blocks; any pair within Hamming distance bands-1 agrees
+    on at least one block, so candidates come from equi-joins on
+    (block_idx, block_value); verification is one popcount on XOR.
+    ``max_hamming`` must stay <= bands-1 for the pigeonhole guarantee.
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"pigeonhole guarantee needs max_hamming <= bands-1 "
+            f"({max_hamming} > {bands - 1})"
+        )
+    width = 64 // bands
+    mask = (1 << width) - 1
+    sh = sig.select(F.col(id_col).alias("id"), F.col(hash_col).alias("__h"))
     blocks = sh.select(
         "id",
-        "simhash",
+        "__h",
         F.posexplode(
             F.array(
                 *[
-                    F.shiftrightunsigned("simhash", i * width).bitwiseAND(F.lit(mask))
+                    F.shiftrightunsigned("__h", i * width).bitwiseAND(F.lit(mask))
                     for i in range(bands)
                 ]
             )
@@ -573,18 +605,15 @@ def simhash_near_dup(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            F.col("a.simhash").alias("h1"),
-            F.col("b.simhash").alias("h2"),
+            F.col("a.__h").alias("h1"),
+            F.col("b.__h").alias("h2"),
         )
         .distinct()
     )
     ham = F.bit_count(F.col("h1").bitwiseXOR(F.col("h2")))
-    pairs = cand.select("id1", "id2", ham.alias("hamming")).filter(
+    return cand.select("id1", "id2", ham.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
-    if dfcache.MATERIALIZE:
-        _SIMHASH_PAIR_CACHE.put(df, pairs, extra=params)
-    return pairs
 
 
 def decontaminate(

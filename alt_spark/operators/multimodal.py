@@ -29,7 +29,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-__all__ = ["MEDIA_SCHEMA", "media_table", "decode_features", "resize_plan", "frame_sample_plan"]
+__all__ = [
+    "MEDIA_SCHEMA",
+    "media_table",
+    "decode_features",
+    "resize_plan",
+    "frame_sample_plan",
+    "image_ahash",
+    "image_near_dup_pairs",
+]
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -68,15 +76,13 @@ def media_table(df: DataFrame) -> DataFrame:
     )
 
 
-def _decode_bmp(payload: bytes | None, dim: int) -> list[float] | None:
+def _bmp_luma(payload: bytes | None):
     """REAL decode of an uncompressed 24-bit BMP (stdlib struct + numpy,
-    no external codec): parse the BITMAPINFOHEADER, reject anything but
-    BI_RGB 24bpp, then pool mean luminance (ITU-R BT.601 weights) over
-    `dim` vertical column bands, scaled to [0,1]. Returns None when the
-    payload is not a decodable BMP (caller falls back to the stub).
-    Row order (bottom-up vs top-down) cannot affect column-band means,
-    so the sign of the height field needs no special-casing.
-    """
+    no external codec) to its 2-D BT.601 luminance matrix (float64,
+    0..255); None when the payload is not a decodable BMP. Row order
+    (bottom-up vs top-down) is left as stored — column-band pooling is
+    order-insensitive and the aHash grid only needs a CONSISTENT
+    orientation, not a canonical one."""
     import struct
 
     import numpy as np
@@ -104,23 +110,33 @@ def _decode_bmp(payload: bytes | None, dim: int) -> list[float] | None:
     ).reshape(h_abs, row_size)
     pix = rows[:, : w * 3].reshape(h_abs, w, 3).astype(np.float64)
     # BGR byte order: BT.601 luma = 0.114 B + 0.587 G + 0.299 R.
-    lum = pix[:, :, 0] * 0.114 + pix[:, :, 1] * 0.587 + pix[:, :, 2] * 0.299
-    band = (np.arange(w) * dim) // w
-    out = []
-    for i in range(dim):
-        cols = lum[:, band == i]
-        out.append(float(cols.mean()) / 255.0 if cols.size else 0.0)
-    return out
+    return pix[:, :, 0] * 0.114 + pix[:, :, 1] * 0.587 + pix[:, :, 2] * 0.299
 
 
-def _decode_png(payload: bytes | None, dim: int) -> list[float] | None:
+def _band_pool(lum, dim: int) -> list[float]:
+    """Mean luminance over `dim` vertical column bands, scaled [0,1]."""
+    import numpy as np
+
+    band = (np.arange(lum.shape[1]) * dim) // lum.shape[1]
+    return [
+        float(lum[:, band == i].mean()) / 255.0 if (band == i).any() else 0.0
+        for i in range(dim)
+    ]
+
+
+def _decode_bmp(payload: bytes | None, dim: int) -> list[float] | None:
+    lum = _bmp_luma(payload)
+    return None if lum is None else _band_pool(lum, dim)
+
+
+def _png_luma(payload: bytes | None):
     """REAL decode of a PNG (stdlib zlib + struct + numpy, no external
-    codec): chunk walk, IDAT inflate, full scanline unfilter (filter
-    types 0-4: None/Sub/Up/Average/Paeth per the PNG spec §9), then the
-    same BT.601 luminance column-band pooling as the BMP kernel.
-    Supports 8-bit greyscale (color type 0), RGB (2) and RGBA (6),
-    non-interlaced. Returns None for anything else (palette, 16-bit,
-    Adam7) — caller falls back to the stub.
+    codec) to its 2-D BT.601 luminance matrix: chunk walk, IDAT
+    inflate, full scanline unfilter (filter types 0-4:
+    None/Sub/Up/Average/Paeth per the PNG spec §9). Supports 8-bit
+    greyscale (color type 0), RGB (2) and RGBA (6), non-interlaced.
+    Returns None for anything else (palette, 16-bit, Adam7) — callers
+    fall back to the stub.
     """
     import struct
     import zlib
@@ -193,14 +209,14 @@ def _decode_png(payload: bytes | None, dim: int) -> list[float] | None:
         out[y] = rec & 0xFF
     pix = out.reshape(h, w, channels).astype(np.float64)
     if channels == 1:
-        lum = pix[:, :, 0]
-    else:  # RGB(A) byte order: BT.601 luma = 0.299 R + 0.587 G + 0.114 B
-        lum = pix[:, :, 0] * 0.299 + pix[:, :, 1] * 0.587 + pix[:, :, 2] * 0.114
-    band = (np.arange(w) * dim) // w
-    return [
-        float(lum[:, band == i].mean()) / 255.0 if (band == i).any() else 0.0
-        for i in range(dim)
-    ]
+        return pix[:, :, 0]
+    # RGB(A) byte order: BT.601 luma = 0.299 R + 0.587 G + 0.114 B
+    return pix[:, :, 0] * 0.299 + pix[:, :, 1] * 0.587 + pix[:, :, 2] * 0.114
+
+
+def _decode_png(payload: bytes | None, dim: int) -> list[float] | None:
+    lum = _png_luma(payload)
+    return None if lum is None else _band_pool(lum, dim)
 
 
 def _decode_wav(payload: bytes | None, dim: int) -> list[float] | None:
@@ -347,4 +363,89 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
         F.explode(
             F.transform(F.sequence(F.lit(0), n), lambda i: i * every_ms)
         ).alias("frame_ts_ms"),
+    )
+
+
+def _ahash64(lum, grid: int = 8) -> int:
+    """Average-hash of a luminance matrix: pool to a grid x grid block-
+    mean thumbnail (same integer band mapping as the feature pooling),
+    threshold each block at the thumbnail mean (>= -> 1), pack row-major
+    into a SIGNED 64-bit int (grid=8). The standard perceptual aHash
+    (the cheapest of the pHash family): brightness/contrast shifts move
+    every block AND the mean together, so the bit pattern survives them;
+    content changes flip bits roughly in proportion to changed area.
+    """
+    import numpy as np
+
+    h, w = lum.shape
+    rb = (np.arange(h) * grid) // h
+    cb = (np.arange(w) * grid) // w
+    blocks = np.zeros((grid, grid), dtype=np.float64)
+    for r in range(grid):
+        rows = lum[rb == r]
+        if rows.size == 0:
+            continue
+        for c in range(grid):
+            cell = rows[:, cb == c]
+            blocks[r, c] = cell.mean() if cell.size else 0.0
+    mean = blocks.mean()
+    bits = 0
+    for r in range(grid):
+        for c in range(grid):
+            if blocks[r, c] >= mean:
+                bits |= 1 << (r * grid + c)
+    if bits >= 1 << 63:
+        bits -= 1 << 64
+    return bits
+
+
+_AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+    ]
+)
+
+
+def image_ahash(media: DataFrame, grid: int = 8) -> DataFrame:
+    """(media_id, ahash) — 64-bit perceptual average-hash per image,
+    NULL for payloads the real kernels cannot decode (JPEG/video stay
+    declared stubs; hashing a stub vector would manufacture fake
+    near-dups between unrelated files). Arrow-batched mapInPandas,
+    narrow (runs inside the scan stage) — the image sibling of
+    ``simhash_bits``."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                mime = None if m is None else m["mime"]
+                lum = None
+                if mime == "image/bmp":
+                    lum = _bmp_luma(p)
+                elif mime == "image/png":
+                    lum = _png_luma(p)
+                out.append(None if lum is None else _ahash64(lum, grid))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": pd.array(out, dtype="Int64")}
+            )
+
+    return media.mapInPandas(kernel, schema=_AHASH_SCHEMA)
+
+
+def image_near_dup_pairs(
+    media: DataFrame, max_hamming: int = 3, bands: int = 4, grid: int = 8
+) -> DataFrame:
+    """(id1, id2, hamming) image near-duplicate candidates — perceptual
+    dedup for a multimodal training corpus (the image-side sibling of
+    the MinHash/SimHash text family): aHash fingerprints, then the
+    SAME pigeonhole block equi-join + popcount verify the SimHash
+    pipeline uses (``dedup.hamming_blocked_pairs``) — never all-pairs,
+    candidates bounded by 16-bit block agreement. Undecodable payloads
+    (NULL hash) never pair."""
+    from alt_spark.operators.dedup import hamming_blocked_pairs
+
+    h = image_ahash(media, grid).filter(F.col("ahash").isNotNull())
+    return hamming_blocked_pairs(
+        h, "ahash", "media_id", max_hamming=max_hamming, bands=bands
     )

@@ -1162,3 +1162,71 @@ def test_signature_est_jaccard_raises_on_missing_endpoint(spark):
         spark.createDataFrame([(1, 2)], "id1 long, id2 long"), sigs
     ).collect()
     assert ok[0]["est_jaccard"] == 1.0
+
+
+def test_image_ahash_perceptual_dedup(spark):
+    """Perceptual image dedup over the REAL BMP kernel: a uniformly
+    brightness-shifted copy keeps the identical aHash (every block and
+    the mean move together), a structurally different image lands far
+    away in Hamming space, and undecodable payloads (declared JPEG
+    stub) hash NULL and never pair. Pair generation goes through the
+    same pigeonhole block join as SimHash — never all-pairs."""
+    from alt_spark.operators.multimodal import (
+        image_ahash,
+        image_near_dup_pairs,
+        media_table,
+    )
+
+    def grad(c, r):
+        v = 40 if c < 16 else 200  # left dark, right bright
+        return (v, v, v)
+
+    def grad_bright(c, r):
+        v = (40 if c < 16 else 200) + 30
+        return (v, v, v)
+
+    def checker(c, r):
+        v = 220 if (c // 4 + r // 4) % 2 == 0 else 20
+        return (v, v, v)
+
+    from alt_spark.operators.multimodal import MEDIA_SCHEMA
+
+    meta = ("image/bmp", 32, 32, None)
+    rows = [
+        (1, _make_bmp(32, 32, grad), meta),
+        (2, _make_bmp(32, 32, grad_bright), meta),
+        (3, _make_bmp(32, 32, checker), meta),
+        (4, b"\xff\xd8not-a-decodable-jpeg", ("image/jpeg", 8, 8, None)),
+    ]
+    media = media_table(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    hashes = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert hashes[4] is None, "stub mime must hash NULL, not a fake value"
+    assert hashes[1] == hashes[2], "brightness shift must not move the aHash"
+    assert hashes[1] != hashes[3]
+    pairs = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in image_near_dup_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 0
+    assert all(4 not in p for p in pairs)
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_hamming_blocked_pairs_guard_and_simhash_equivalence(spark):
+    """The factored block join must refuse max_hamming beyond the
+    pigeonhole guarantee, and the SimHash pipeline built on it must
+    still find exactly its pairs (refactor regression)."""
+    import pytest as _pytest
+
+    from alt_spark.operators import dedup
+
+    sig = spark.createDataFrame([(1, 7), (2, 7)], "id long, h long")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        dedup.hamming_blocked_pairs(sig, "h", "id", max_hamming=4, bands=4)
+    got = {
+        (r["id1"], r["id2"]): r["hamming"]
+        for r in dedup.hamming_blocked_pairs(
+            sig, "h", "id", max_hamming=0, bands=4
+        ).collect()
+    }
+    assert got == {(1, 2): 0}
