@@ -574,6 +574,13 @@ def hamming_blocked_pairs(
     (block_idx, block_value); verification is one popcount on XOR.
     ``max_hamming`` must stay <= bands-1 for the pigeonhole guarantee.
     """
+    if not (1 <= bands <= 64) or 64 % bands:
+        # bands > 64 would make width 0 and mask 0 — every block value
+        # 0, the equi-join degenerates to ALL-PAIRS silently, the exact
+        # blowup this function exists to prevent. Non-divisors leave
+        # high bits uncovered by any block (recall still holds, but the
+        # declared band geometry would be a lie) — refuse both loudly.
+        raise ValueError(f"bands must divide 64 (got {bands})")
     if max_hamming > bands - 1:
         raise ValueError(
             f"pigeonhole guarantee needs max_hamming <= bands-1 "

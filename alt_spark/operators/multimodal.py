@@ -79,10 +79,12 @@ def media_table(df: DataFrame) -> DataFrame:
 def _bmp_luma(payload: bytes | None):
     """REAL decode of an uncompressed 24-bit BMP (stdlib struct + numpy,
     no external codec) to its 2-D BT.601 luminance matrix (float64,
-    0..255); None when the payload is not a decodable BMP. Row order
-    (bottom-up vs top-down) is left as stored — column-band pooling is
-    order-insensitive and the aHash grid only needs a CONSISTENT
-    orientation, not a canonical one."""
+    0..255), CANONICALIZED top-down; None when the payload is not a
+    decodable BMP. Orientation is a per-file property (positive height
+    = bottom-up, negative = top-down), so consumers with 2-D structure
+    (the aHash grid) would silently miss a true duplicate stored with
+    the other sign — or the same image saved as PNG (always top-down) —
+    if rows were left as stored; column-band pooling never noticed."""
     import struct
 
     import numpy as np
@@ -110,7 +112,9 @@ def _bmp_luma(payload: bytes | None):
     ).reshape(h_abs, row_size)
     pix = rows[:, : w * 3].reshape(h_abs, w, 3).astype(np.float64)
     # BGR byte order: BT.601 luma = 0.114 B + 0.587 G + 0.299 R.
-    return pix[:, :, 0] * 0.114 + pix[:, :, 1] * 0.587 + pix[:, :, 2] * 0.299
+    lum = pix[:, :, 0] * 0.114 + pix[:, :, 1] * 0.587 + pix[:, :, 2] * 0.299
+    # Positive height = bottom-up storage: flip to top-down canonical.
+    return lum[::-1] if h > 0 else lum
 
 
 def _band_pool(lum, dim: int) -> list[float]:

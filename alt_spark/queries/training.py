@@ -2780,8 +2780,12 @@ _BOOT_CUM = (
     1148701988496035328,
     1152236456152946176,
 )
-_BOOT_LO_K = 4  # ceil(0.05 * 64): 4th smallest replica mean
-_BOOT_HI_K = 61  # ceil(0.95 * 64): 61st smallest replica mean
+# CI ranks are ceil-percentiles of the NON-EMPTY replica count, not of
+# B: a replica whose Poisson weights all drew 0 has no mean — mapping
+# it to 0 would inject spurious zeros and collapse ci_lo for strata
+# small enough that P(sum w = 0) = e^-n is non-negligible (review
+# finding). With every stratum non-tiny all 64 replicas survive and
+# the ranks are 4/61, the classic 90% interval.
 
 
 def _boot_w_sql(h: str) -> str:
@@ -2804,21 +2808,25 @@ WITH d AS (
   FROM rep
 ), rm AS (
   SELECT lang, r,
-         CAST((1000 * sum(w * n_tok)) // greatest(sum(w), 1) AS BIGINT) AS m
-  FROM w GROUP BY lang, r
+         CAST((1000 * sum(w * n_tok)) // sum(w) AS BIGINT) AS m
+  FROM w GROUP BY lang, r HAVING sum(w) > 0
 ), ranked AS (
-  SELECT lang, m, row_number() OVER (PARTITION BY lang ORDER BY m, r) AS rn
+  SELECT lang, m,
+         row_number() OVER (PARTITION BY lang ORDER BY m, r) AS rn,
+         count(*) OVER (PARTITION BY lang) AS nrep
   FROM rm
+), sel AS (
+  SELECT lang,
+         max(CASE WHEN rn = (5 * nrep + 99) // 100 THEN m END) AS ci_lo_milli,
+         max(CASE WHEN rn = (95 * nrep + 99) // 100 THEN m END) AS ci_hi_milli
+  FROM ranked GROUP BY lang
 ), point AS (
   SELECT lang, count(*) AS n_docs,
          CAST((1000 * sum(n_tok)) // count(*) AS BIGINT) AS mean_milli
   FROM d GROUP BY lang
 )
-SELECT p.lang, p.n_docs, p.mean_milli,
-       lo.m AS ci_lo_milli, hi.m AS ci_hi_milli
-FROM point p
-JOIN ranked lo ON lo.lang = p.lang AND lo.rn = {_BOOT_LO_K}
-JOIN ranked hi ON hi.lang = p.lang AND hi.rn = {_BOOT_HI_K}
+SELECT p.lang, p.n_docs, p.mean_milli, s.ci_lo_milli, s.ci_hi_milli
+FROM point p JOIN sel s USING (lang)
 ORDER BY p.lang
 """,
 )
@@ -2832,7 +2840,9 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     Poisson(1) weights approximate multinomial resampling without ever
     materializing a resample), hash-derandomized so both engines draw
     identical weights — no RNG crosses the oracle boundary. CI bounds
-    are the 4th / 61st smallest of the 64 replica means (ties broken
+    are the ceil(5%)/ceil(95%) smallest of the NON-EMPTY replica means
+    — 4th/61st when all 64 survive; a replica whose weights all drew 0
+    is excluded rather than forced to mean 0 (ties broken
     by replica id so the rank join is total-ordered).
 
     Plan (100 TB shape): weights are in-row CASE comparisons on the
@@ -2856,31 +2866,44 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     w = F.lit(6)
     for k, c in reversed(list(enumerate(_BOOT_CUM))):
         w = F.when(h < c, k).otherwise(w)
+    # Empty replicas (every weight drew 0 — P = e^-n per replica) are
+    # EXCLUDED, not mapped to 0: a forced 0 would enter the rank order
+    # and collapse ci_lo for small strata. CI ranks are ceil-percentiles
+    # of the surviving replica count.
     rm = (
         rep.withColumn("w", w)
         .groupBy("lang", "r")
         .agg(
-            F.expr(
-                "CAST((1000 * sum(w * n_tok)) div greatest(sum(w), 1) AS BIGINT)"
-            ).alias("m")
+            F.sum("w").alias("_ws"),
+            F.expr("sum(w * n_tok)").alias("_wt"),
+        )
+        .filter(F.col("_ws") > 0)
+        .select(
+            "lang",
+            "r",
+            F.expr("CAST((1000 * _wt) div _ws AS BIGINT)").alias("m"),
         )
     )
     from pyspark.sql.window import Window
 
     rk = Window.partitionBy("lang").orderBy("m", "r")
-    ranked = rm.withColumn("rn", F.row_number().over(rk))
+    ranked = rm.withColumn("rn", F.row_number().over(rk)).withColumn(
+        "nrep", F.count("*").over(Window.partitionBy("lang"))
+    )
+    # Both bounds from ONE pass over the windowed frame (two filtered
+    # joins would re-run the 64x explode chain once per leg).
+    sel = ranked.groupBy("lang").agg(
+        F.max(
+            F.when(F.expr("rn = (5 * nrep + 99) div 100"), F.col("m"))
+        ).alias("ci_lo_milli"),
+        F.max(
+            F.when(F.expr("rn = (95 * nrep + 99) div 100"), F.col("m"))
+        ).alias("ci_hi_milli"),
+    )
     point = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.expr("CAST((1000 * sum(n_tok)) div count(*) AS BIGINT)").alias(
             "mean_milli"
         ),
     )
-    lo = ranked.filter(F.col("rn") == _BOOT_LO_K).select(
-        "lang", F.col("m").alias("ci_lo_milli")
-    )
-    hi = ranked.filter(F.col("rn") == _BOOT_HI_K).select(
-        "lang", F.col("m").alias("ci_hi_milli")
-    )
-    return (
-        point.join(lo, "lang").join(hi, "lang").orderBy("lang")
-    )
+    return point.join(sel, "lang").orderBy("lang")

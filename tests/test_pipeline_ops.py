@@ -1230,3 +1230,36 @@ def test_hamming_blocked_pairs_guard_and_simhash_equivalence(spark):
         ).collect()
     }
     assert got == {(1, 2): 0}
+
+
+def test_image_ahash_is_orientation_canonical(spark):
+    """The SAME picture stored bottom-up (positive-height BMP), stored
+    top-down (negative-height BMP), and encoded as PNG (always
+    top-down) must hash identically — orientation is a per-FILE
+    property, so without canonicalization a true duplicate pair with
+    mixed storage would be silently missed (review finding)."""
+    import struct
+
+    from alt_spark.operators.multimodal import MEDIA_SCHEMA, image_ahash, media_table
+
+    def px(c, r):  # vertically asymmetric: bright top rows, dark bottom
+        v = 230 if r < 8 else 25
+        return (v, v, v)
+
+    w, h = 16, 16
+    bottom_up = _make_bmp(w, h, lambda c, r: px(c, h - 1 - r))
+    # Top-down twin: negative height, rows written in visual order.
+    td = bytearray(_make_bmp(w, h, px))
+    struct.pack_into("<i", td, 22, -h)
+    top_down = bytes(td)
+    # PNG rows are always top-down visual order; pixel_fn gets RGB.
+    png = _make_png(w, h, lambda c, r: px(c, r)[::-1], color_type=2)
+    rows = [
+        (1, bottom_up, ("image/bmp", w, h, None)),
+        (2, top_down, ("image/bmp", w, h, None)),
+        (3, png, ("image/png", w, h, None)),
+    ]
+    media = media_table(spark.createDataFrame(rows, MEDIA_SCHEMA))
+    hashes = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
+    assert hashes[1] is not None
+    assert hashes[1] == hashes[2] == hashes[3], hashes

@@ -1783,3 +1783,24 @@ def test_bootstrap_ci_brackets_point_and_narrows_with_n(spark):
         F.avg("w").alias("mu"), F.count("*").alias("n")
     ).collect()[0]
     assert 0.95 < stats["mu"] < 1.05, stats
+
+
+def test_bootstrap_ci_small_stratum_excludes_empty_replicas(spark):
+    """A 1-document stratum: ~e^-1 of replicas draw weight 0 and have
+    NO mean — they must be excluded, not forced to 0, or ci_lo
+    collapses to 0 and the interval reflects the zero-guard instead of
+    resampling spread (review finding). With one document every
+    surviving replica's mean equals the document's token count, so the
+    interval is exactly degenerate."""
+    from unittest import mock
+
+    import alt_spark.queries.training as tr
+
+    one = spark.createDataFrame(
+        [(1, "hello world tokens here", "xx", "s", 23)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with mock.patch.object(tr, "load_table", lambda *_a, **_k: one):
+        r = tr.q125(spark, "ignored").collect()[0]
+    assert r["mean_milli"] == 4000
+    assert r["ci_lo_milli"] == r["ci_hi_milli"] == 4000, r
