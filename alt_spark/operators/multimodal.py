@@ -375,7 +375,10 @@ def _ahash64(lum, grid: int = 8) -> int:
     mean thumbnail (same integer band mapping as the feature pooling),
     threshold each block at the thumbnail mean (>= -> 1), pack row-major
     into a SIGNED 64-bit int (grid=8). The standard perceptual aHash
-    (the cheapest of the pHash family): brightness/contrast shifts move
+    (Krawetz's average hash, the cheapest of the pHash family;
+    reference analog: the og-image payloads of
+    alt-backend/app/shared/driver/alt_db/ogp_image_driver.go are the
+    rows this dedups): brightness/contrast shifts move
     every block AND the mean together, so the bit pattern survives them;
     content changes flip bits roughly in proportion to changed area.
     """

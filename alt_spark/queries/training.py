@@ -2836,9 +2836,11 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     column a dataset card (q82) or drift gate (q113) needs before a
     release decision is defensible: 'mean length moved 2%' means
     nothing without the resampling spread. The estimator is the
-    POISSON bootstrap (the production distributed form: per-row i.i.d.
-    Poisson(1) weights approximate multinomial resampling without ever
-    materializing a resample), hash-derandomized so both engines draw
+    POISSON bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams" — the production distributed form:
+    per-row i.i.d. Poisson(1) weights approximate multinomial
+    resampling without ever materializing a resample; Efron 1979 for
+    the bootstrap itself), hash-derandomized so both engines draw
     identical weights — no RNG crosses the oracle boundary. CI bounds
     are the ceil(5%)/ceil(95%) smallest of the NON-EMPTY replica means
     — 4th/61st when all 64 survive; a replica whose weights all drew 0
