@@ -388,7 +388,14 @@ def learn_unigram_vocab(
         .localCheckpoint()  # the ONE corpus scan
     )
     # --- seed ---
-    seed_rows = (
+    # Selection stays ENGINE-SIDE: the substring-count table is word
+    # types x avg-word-length x max_piece_len rows — collecting it
+    # whole (the r9 first-cut form) was a driver-OOM at exactly the
+    # scale the module's contract claims. Only the two vocab-sized
+    # results cross to the driver: every single char (alphabet-bounded)
+    # and the TakeOrdered top-seed_multi multis under the same
+    # (count desc, piece asc) total order the Python sort used.
+    seed_counts_df = (
         types.select(
             "cnt",
             F.explode(_substring_pieces(F.col("word"), max_piece_len)).alias(
@@ -397,20 +404,24 @@ def learn_unigram_vocab(
         )
         .groupBy("piece")
         .agg(F.sum("cnt").alias("n"))
-        .collect()
+        .localCheckpoint(eager=False)  # two consumers, one computation
     )
-    seed_counts = {r["piece"]: int(r["n"]) for r in seed_rows}
-    singles = {p for p in seed_counts if len(p) == 1}
-    multi = sorted(
-        (
-            (p, c)
-            for p, c in seed_counts.items()
-            if len(p) > 1 and c >= min_piece_cnt
-        ),
-        key=lambda pc: (-pc[1], pc[0]),
-    )[:seed_multi]
-    kept = {p: seed_counts[p] for p in singles}
-    kept.update(dict(multi))
+    kept = {
+        r["piece"]: int(r["n"])
+        for r in seed_counts_df.filter(F.length("piece") == 1).collect()
+    }
+    kept.update(
+        {
+            r["piece"]: int(r["n"])
+            for r in seed_counts_df.filter(
+                (F.length("piece") > 1) & (F.col("n") >= min_piece_cnt)
+            )
+            .orderBy(F.desc("n"), "piece")
+            .limit(seed_multi)
+            .collect()
+        }
+    )
+    singles = {p for p in kept if len(p) == 1}
     vocab = _milli_logp(kept)
 
     piece_counts: dict[str, int] = dict(kept)

@@ -390,10 +390,16 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     import glob
 
     docs = load_table(spark, sf, "documents")
+    # Four consumers read the exploded token frame (three residue
+    # landings + the window verification scan); without the checkpoint
+    # each paid its own full corpus scan + tokenize (review finding).
+    # q120's construction is never plan-only (it writes landing files
+    # and runs a real stream), so an unconditional eager checkpoint is
+    # consistent with the hermetic-switch doctrine.
     toks = docs.select(
         (F.col("doc_id") % _WTT_BATCHES).alias("residue"),
         F.explode(tokens_col("text")).alias("tok"),
-    )
+    ).localCheckpoint()
 
     root = tempfile.mkdtemp(prefix="q120_trending_")
     landing = os.path.join(root, "landing")

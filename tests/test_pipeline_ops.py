@@ -1148,7 +1148,7 @@ def test_signature_est_jaccard_raises_on_missing_endpoint(spark):
     """Review finding r9: a candidate pair whose endpoint is missing
     from the signature table (stale / over-compacted index) must raise
     loudly, not silently vanish through an inner join."""
-    docs = _docs_small = spark.createDataFrame(
+    docs = spark.createDataFrame(
         [(1, "alpha beta gamma delta epsilon zeta"),
          (2, "alpha beta gamma delta epsilon zeta")],
         "doc_id long, text string",

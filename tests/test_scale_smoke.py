@@ -1185,7 +1185,12 @@ def test_unigram_em_scale_invariant_at_100k(spark):
     count by N, leaving every c/T ratio — hence every milli-log-prob,
     every Viterbi decision, and the prune order — EXACTLY unchanged,
     so the learned vocabulary must equal the unreplicated corpus's
-    piece-for-piece (scores identical, counts x200)."""
+    piece-for-piece (scores identical, counts x200). min_piece_cnt is
+    pinned to 1: the default threshold of 2 is an ABSOLUTE count, so a
+    count-1 substring is seed-ineligible small but eligible x200 —
+    the invariance argument only holds for ratio-pure selection rules
+    (review finding; with the threshold disarmed every rule in the
+    chain is a ratio or a rank)."""
     import time as _t
 
     from alt_spark.operators.unigram import learn_unigram_vocab
@@ -1194,7 +1199,10 @@ def test_unigram_em_scale_invariant_at_100k(spark):
     docs = load_table(spark, SF, "documents").select("text")
     reps = spark.range(REPLICAS).select(F.col("id").alias("rep"))
     big = docs.crossJoin(reps).select("text")
-    params = dict(target_multi=16, rounds=2, max_piece_len=4, seed_multi=64)
+    params = dict(
+        target_multi=16, rounds=2, max_piece_len=4, seed_multi=64,
+        min_piece_cnt=1,
+    )
     small = {
         r["piece"]: (r["milli_logp"], r["piece_cnt"])
         for r in learn_unigram_vocab(docs, **params).collect()
