@@ -4,19 +4,33 @@ data-processing capabilities of Kaikei-e/Alt (reference surveyed in
 
 Layout:
     session.py    SparkSession builder with the engine's tuned config profile
-    catalog.py    explicit StructType schemas + loaders for the test tables
-    queries/      declared query inventory (SURVEY.md §2.Q): relational core
-                  Q01-Q16 (+ coverage Q34-Q38, SQL-surface ⊕ Q56-Q58), text
-                  Q17/Q18/Q23/Q24, vectors Q19/Q25/Q26, events Q20-Q22 +
-                  time-series Q42-Q44, LLM-pipeline Q27-Q33 (+ production
-                  hash twins Q53-Q55), search Q39-Q41, graph/rouge/logs/
-                  cleaning Q45-Q52 — each a (name -> Spark callable) plus,
-                  where SQL-expressible, a (name -> DuckDB oracle SQL)
-                  entry (54 of 58)
-    operators/    dedup family (exact / MinHash-LSH / SimHash), ANN search
-                  (brute-force / SRP-LSH / IVF), distributed global rank,
-                  as-of join, bucketed range join, rollup cascade,
-                  multimodal binary columns (real BMP/PNG/WAV kernels)
+    catalog.py    explicit StructType schemas + loaders for the test tables,
+                  plus the SQL entry point (register_views / sql) — the
+                  reference's users issue SQL, so parity includes it
+    queries/      declared query inventory (SURVEY.md §2.Q): 125 queries
+                  Q01-Q125 — relational core (joins/aggs/windows/set ops,
+                  grouping sets, frame specs, exact + bounded-memory
+                  quantiles), log analytics + SLI read models (cohorts,
+                  funnels, integer 3-sigma anomaly flags), text/search
+                  (TF-IDF, BM25, RRF, rerank), vectors (kNN/ANN, RAG
+                  capstone, retrieval metrics, contrastive mining), graph
+                  (CC, label propagation, PageRank, weighted HITS), the
+                  full training-data pipeline (every dedup grain incl.
+                  Bloom-prefiltered + semantic decontamination, mixing,
+                  tokenizers, quality gates, release governance with
+                  bootstrap CIs), and streaming sketch replays — each a
+                  (name -> Spark callable) plus, where SQL-expressible, a
+                  (name -> DuckDB oracle SQL) entry (117 of 125)
+    operators/    dedup family (exact / MinHash-LSH / SimHash / span /
+                  segment / Bloom bitmap, all with incremental indexes +
+                  retention), ANN search (brute-force / SRP-LSH / IVF /
+                  PQ-ADC), distributed global rank, partition-salted
+                  grouped top-k, as-of join, bucketed range join, rollup
+                  cascade, two-pass exact quantiles, Misra-Gries sketches,
+                  BPE + unigram-LM tokenizers, mixing/packing/splits,
+                  connected components (batch + incremental), multimodal
+                  binary columns (real BMP/PNG/WAV kernels + perceptual
+                  aHash image dedup)
     functions/    text-analysis expressions (quality, lang-ID, token stats,
                   shuffle-free winnowing fingerprints), portable
                   Spark<->DuckDB hashing, cleaning/NFKC, ROUGE, LLM UDF
@@ -36,4 +50,4 @@ Layout:
                   (applyInPandasWithState + transformWithState twin)
 """
 
-__version__ = "0.3.0"
+__version__ = "0.9.0"
