@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import functools
 import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
@@ -272,16 +273,18 @@ def register_views(spark: SparkSession, sf: str, suffix: str = "") -> None:
     """
     for name in SCHEMAS:
         load_table(spark, sf, name).createOrReplaceTempView(name + suffix)
-    _REGISTERED[(_session_key(spark), suffix)] = sf
+    _REGISTERED.setdefault(spark, {})[suffix] = sf
 
 
-# (session, suffix) -> registered sf. Keyed by the JVM session object's
-# identity so a stopped-and-recreated session re-registers.
-_REGISTERED: dict[tuple[int, str], str] = {}
-
-
-def _session_key(spark: SparkSession) -> int:
-    return id(spark._jsparkSession)
+# session -> {suffix: registered sf}. A WeakKeyDictionary keyed on the
+# PYTHON SparkSession: identity of a live key object cannot collide, and
+# a stopped session's entry vanishes when its wrapper is collected — the
+# id(jvm-proxy) scheme this replaces could see a new session reuse a
+# garbage-collected proxy's CPython address and falsely skip
+# registration (TABLE_OR_VIEW_NOT_FOUND instead of a re-register).
+_REGISTERED: "weakref.WeakKeyDictionary[SparkSession, dict[str, str]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def sql(spark: SparkSession, sf: str, query: str) -> DataFrame:
@@ -291,7 +294,12 @@ def sql(spark: SparkSession, sf: str, query: str) -> DataFrame:
     the statement. Catalyst sees the same logical plans the DataFrame
     API builds — SURVEY §4's optimizer guarantees (pushdown, pruning,
     AQE) hold for both surfaces; tests pin plan equality on
-    representative §2 shapes. Switching ``sf`` re-registers."""
-    if _REGISTERED.get((_session_key(spark), "")) != sf:
+    representative §2 shapes. Switching ``sf`` re-registers. A cheap
+    catalog probe backs the memo: if the views were dropped out from
+    under it (clearCache/dropTempView by the caller), re-register
+    instead of failing the statement."""
+    if _REGISTERED.get(spark, {}).get("") != sf or not spark.catalog.tableExists(
+        "region"
+    ):
         register_views(spark, sf)
     return spark.sql(query)

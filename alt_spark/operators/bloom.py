@@ -96,10 +96,19 @@ def bloom_bitmap(
         .groupBy("wi")
         .agg(F.bit_or("w").alias("w"))
     )
+    # The frame carries its OWN (m_bits, salts) so a merge can verify
+    # hash-family compatibility from the data, not a docstring contract:
+    # two bitmaps of equal length but different salts would OR into a
+    # structure that probes as misses for half the insertions — the
+    # false-negative class the merge guard exists to prevent.
     return dense.agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("wi", "w"))), lambda s: s["w"]
         ).alias("bloom")
+    ).select(
+        "bloom",
+        F.lit(m_bits).alias("m_bits"),
+        F.lit("|".join(salts)).alias("salts"),
     )
 
 
@@ -176,21 +185,40 @@ def merge_bloom_bitmaps(a: DataFrame, b: DataFrame) -> DataFrame:
     indexes carry.
     """
     return (
-        a.select(F.col("bloom").alias("_a"))
-        .crossJoin(b.select(F.col("bloom").alias("_b")))
+        a.select(
+            F.col("bloom").alias("_a"),
+            F.col("m_bits").alias("_am"),
+            F.col("salts").alias("_as"),
+        )
+        .crossJoin(
+            b.select(
+                F.col("bloom").alias("_b"),
+                F.col("m_bits").alias("_bm"),
+                F.col("salts").alias("_bs"),
+            )
+        )
         .select(
             # Loud misuse guard: zip_with NULL-pads the shorter array,
             # so merging bitmaps of different m_bits would return NULL
-            # words that probe as misses — false negatives. Raise
-            # instead (the q110 strict-guard doctrine). The assert is
-            # FOLDED INTO the kept column: a standalone guard column
-            # gets pruned away by the optimizer and never evaluates.
+            # words that probe as misses — false negatives; and equal-
+            # size bitmaps built with DIFFERENT salts would OR into a
+            # structure whose probes miss half the insertions — the
+            # same false-negative class with no size symptom. Both are
+            # checked against the metadata the frames carry (plus the
+            # physical size as belt-and-braces) and raise instead (the
+            # q110 strict-guard doctrine). The assert is FOLDED INTO
+            # the kept column: a standalone guard column gets pruned
+            # away by the optimizer and never evaluates.
             F.when(
                 F.assert_true(
-                    F.size("_a") == F.size("_b"),
-                    F.lit("merge_bloom_bitmaps: mismatched m_bits"),
+                    (F.col("_am") == F.col("_bm"))
+                    & (F.col("_as") == F.col("_bs"))
+                    & (F.size("_a") == F.size("_b")),
+                    F.lit("merge_bloom_bitmaps: mismatched (m_bits, salts)"),
                 ).isNull(),
                 F.zip_with("_a", "_b", lambda x, y: x.bitwiseOR(y)),
             ).alias("bloom"),
+            F.col("_am").alias("m_bits"),
+            F.col("_as").alias("salts"),
         )
     )

@@ -185,9 +185,69 @@ _loaded = False
 #         re-derives the q96 piece masses (consistency pytest-pinned);
 #   q97 — span trim; 1 green (r8); q95 (span coverage) and q100 (the
 #         capstone composing trim) stay in-window.
+#   r10 rotation (VERDICT r9 item 1, pre-staged in COVERAGE.md): the
+#         ten oracle-backed r9 additions q116-q125 (release doc diff,
+#         contrastive pair mining, ensemble near-dup clustering,
+#         retrieval metrics, windowed streaming trending, incremental
+#         cluster-index update, Bloom-prefiltered decontamination,
+#         bounded-memory exact quantiles, weighted HITS, bootstrap
+#         CIs) moved INTO the window to earn their first driver hash
+#         rows, PLUS six recency picks from the long-parked q01-q18
+#         block — q01, q04, q07, q10, q11, q15 (6 greens each, none
+#         since r6; every §2 family they anchor). Sixteen entries
+#         rotated out in exchange, each with fresh r9 greens and ≥2
+#         surviving in-window family rows:
+#   q57 — E7 frame-spec windows; 5 greens (r5-r9); rank/frame windows
+#         stay in-window via q94/q100/q112 and the rotating-in q10;
+#   q58 — G2 INTERSECT/EXCEPT; 5 greens; G1 union keeps q94/q110 (+
+#         the rotating-in q10); Catalyst plans G2 as the same semi/
+#         anti hash joins q112's candidate joins exercise in-window;
+#   q59/q61 — stratified mixing / sequence packing; 5 greens each
+#         (r5 red was the oracle HUGEINT artifact, values identical);
+#         the mixing/packing family keeps q70/q77/q79/q94/q103/q111
+#         in-window;
+#   q62 — gram decontamination; 4 greens; q83 (per-item audit) stays
+#         in-window and the rotating-in q122 hash-checks the EXACT
+#         q62 truth through the Bloom path (pytest pins the equality);
+#   q63/q64/q65 — PII scrub / repetition / char-LM; 4 greens each;
+#         q66 composes scrub, q72 composes repetition + LM typicality,
+#         both in-window alongside q75/q92;
+#   q67/q68 — segment dedup / shuffle shards; 4 greens each; the dedup
+#         family keeps q66/q73/q81/q90/q91/q93/q95/q100 (+ rotating-in
+#         q118/q121) in-window; the shard permutation keeps its
+#         position-weighted-checksum pytest oracle;
+#   q74/q76/q78 — token budget / CCNet buckets / DSIR selection; 3
+#         greens each; q79 shares q74's plan CTEs verbatim in-window,
+#         q77 keeps the CDF-bucket device, selection evidence rides
+#         q94/q103/q111;
+#   q104 — padding waste audit; 1 green (r9) but its invariants are
+#         pytest-pinned and q61's packing oracle keeps 5 greens of
+#         family history (COVERAGE.md's own suggested pick);
+#   q106 — tokenizer bake-off; 1 green (r9); q88/q89/q105 keep the
+#         tokenizer family in-window and q106 re-derives q96's masses
+#         (consistency pytest-pinned);
+#   q113 — corpus drift report; 1 green (r9); release governance keeps
+#         q82/q100/q101 in-window plus the rotating-in q116/q125.
 # The rotation ledger in COVERAGE.md tracks per-query driver-row
 # history across rounds.
 _REPORT_TAIL = (
+    # r10 rotated-out set (rationale above).
+    "q57_frame_spec_windows",
+    "q58_intersect_except",
+    "q59_stratified_mixing",
+    "q61_sequence_packing",
+    "q62_decontamination",
+    "q63_pii_scrub",
+    "q64_repetition_filter",
+    "q65_charlm_score",
+    "q67_segment_dedup",
+    "q68_shuffle_shards",
+    "q74_token_budget_plan",
+    "q76_ccnet_buckets",
+    "q78_target_domain_selection",
+    "q104_padding_waste_audit",
+    "q106_tokenizer_bakeoff",
+    "q113_corpus_drift_report",
     # r9 rotated-out set (rationale above).
     "q19_embedding_outlier_filter",
     "q25_vector_knn",
@@ -248,12 +308,9 @@ _REPORT_TAIL = (
     "q28_token_stats",
     "q44_rollup_cascade",
     "q51_nfkc_normalize",
-    "q01_endpoint_stats",
-    "q04_latency_quantiles",
-    "q07_orders_item_counts",
-    "q10_rrf_suppliers",
-    "q11_latest_order_per_customer",
-    "q15_brand_order_counts",
+    # q01/q04/q07/q10/q11/q15 rotated INTO the window in r10 (recency
+    # picks: 6 greens each but no driver row since r6 — see the r10
+    # rotation note above).
     # q69 — trained quality classifier; rows-only by design (MLlib
     # L-BFGS is not SQL-expressible); AUC/separation/determinism
     # property-tested in tests/test_training.py.
@@ -273,48 +330,9 @@ _REPORT_TAIL = (
     # lattice); full-chain exactness pinned vs a pure-Python replay in
     # tests/test_ml_ops.py.
     "q115_unigram_vocab_learning",
-    # q116/q117 — new r9 additions (doc-grain release diff; contrastive
-    # pair mining), oracle-backed (in-pytest parity every CI pass),
-    # parked in the tail as the newest entries; r10 rotation candidates.
-    "q116_release_doc_diff",
-    "q117_contrastive_pairs",
-    # q118/q119 — new r9 (ensemble near-dup clustering over the
-    # MinHash∪SimHash pair union; integer-exact retrieval-quality
-    # metrics: MRR / recall@k / precision@k in permyriad),
-    # oracle-backed; r10 rotation candidates alongside q116/q117.
-    "q118_ensemble_neardup_clusters",
-    "q119_retrieval_quality_metrics",
-    # q120 — new r9 (windowed trending tags through a REAL streaming
-    # sketch replay; batch membership is a doc_id residue so the
-    # window is SQL-reproducible), oracle-backed; r10 rotation
-    # candidate.
-    "q120_windowed_trending_tags",
-    # q121 — new r9 (the daily incremental near-dup index update as a
-    # composed hash-checkable query; oracle = full recompute
-    # restricted to touched components), oracle-backed; r10 rotation
-    # candidate.
-    "q121_incremental_cluster_update",
-    # q122 — new r9 (Bloom-prefiltered decontamination: the q62 truth
-    # reproduced through a constant-size broadcast bitmap whose
-    # candidate set is itself hash-pinned cross-engine), oracle-backed;
-    # r10 rotation candidate.
-    "q122_bloom_decontamination",
-    # q123 — new r9 (bounded-memory EXACT group quantiles via two-pass
-    # histogram refinement — the 100 TB twin of q04's percentile_cont;
-    # oracle replays the order-statistic definition), oracle-backed;
-    # r10 rotation candidate.
-    "q123_exact_price_quantiles",
-    # q124 — new r9 (integer-exact HITS hubs/authorities on the
-    # bipartite user→event-type graph; unrolled-iteration oracle, the
-    # q114 doctrine), oracle-backed; r10 rotation candidate.
-    "q124_hits_user_event",
-    # q125 — new r9 (hash-derandomized Poisson-bootstrap confidence
-    # intervals for corpus metrics — the uncertainty column next to
-    # q82's card and q113's drift gate), oracle-backed; r10 rotation
-    # candidate.
-    "q125_bootstrap_quality_ci",
-    # q101-q114 (new r8) rotated INTO the window in r9 per the
-    # pre-staged COVERAGE.md plan — see the r9 rotation note above.
+    # q116-q125 (new r9, all oracle-backed) rotated INTO the window in
+    # r10 per the pre-staged COVERAGE.md plan — see the r10 rotation
+    # note above. q101-q114 (new r8) rotated in the same way in r9.
 )
 
 

@@ -2883,7 +2883,15 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         .select(
             "lang",
             "r",
-            F.expr("CAST((1000 * _wt) div _ws AS BIGINT)").alias("m"),
+            # The 1000x multiply runs in DECIMAL(38,0) (the q124 device;
+            # DuckDB's sum(BIGINT) already widens to HUGEINT): a
+            # per-(lang, replica) weighted token sum above ~9.2e15 would
+            # otherwise wrap silently in int64 with ANSI off — inside
+            # the 100 TB envelope once per-language corpora reach ~10^13
+            # tokens at mean Poisson weight 1.
+            F.expr(
+                "CAST((1000 * CAST(_wt AS DECIMAL(38,0))) div _ws AS BIGINT)"
+            ).alias("m"),
         )
     )
     from pyspark.sql.window import Window
@@ -2904,8 +2912,11 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
     )
     point = docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.expr("CAST((1000 * sum(n_tok)) div count(*) AS BIGINT)").alias(
-            "mean_milli"
-        ),
+        # Same DECIMAL(38,0) widening as the replica means: the point
+        # estimate's token sum is the largest accumulator in the query.
+        F.expr(
+            "CAST((1000 * CAST(sum(n_tok) AS DECIMAL(38,0))) div count(*)"
+            " AS BIGINT)"
+        ).alias("mean_milli"),
     )
     return point.join(sel, "lang").orderBy("lang")

@@ -787,7 +787,7 @@ ORDER BY anchor_id, pair_type, rnk
 def q117(spark: SparkSession, sf: str) -> DataFrame:
     """Contrastive pair mining for embedding-model training: per eval
     anchor, the nearest SAME-label candidate (the positive) and the
-    top-2 (_CPM_NEG_K) nearest DIFFERENT-label candidates (the classic
+    top ``_CPM_NEG_K`` nearest DIFFERENT-label candidates (the classic
     hard negatives — near in embedding space, wrong by label), ranks
     broken on the 6-digit-rounded cosine then candidate id so both
     engines draw identical pairs. Every 50th vector plays the anchor
@@ -900,7 +900,7 @@ ORDER BY r.anchor_id
 """,
 )
 def q119(spark: SparkSession, sf: str) -> DataFrame:
-    """Retrieval-quality metrics at k=10 (_RQM_K): per eval anchor, the
+    """Retrieval-quality metrics at k = ``_RQM_K``: per eval anchor, the
     rank of the first relevant hit, reciprocal rank in permyriad
     (10000 div rank — the integer-exact MRR surface), hits@k,
     recall@k and precision@k in permyriad — the evaluation table a

@@ -93,48 +93,27 @@ def test_report_window_contains_every_reportable_oracle():
 
     undocumented = [n for n in tail if n not in _REPORT_TAIL]
     assert not undocumented, f"undocumented tail entries: {undocumented}"
-    # The r9 rotation (VERDICT r8 item 1) puts the 14 oracle-backed r8
-    # additions q101-q114 plus q49 inside the window so every one of
-    # them earns its first driver hash row; earlier rotations' members
-    # that were NOT rotated out in r9 stay in-window (q57-q59, q61-q68,
-    # q70, q72-q83, q88-q95, q98-q100 — see queries/__init__.py for the
-    # per-query rotate-out rationale of q19/q25/q39/q42/q43/q45/q50/
-    # q52/q56/q60/q84-q86/q96/q97).
+    # The r10 rotation (VERDICT r9 item 1, pre-staged in COVERAGE.md)
+    # puts the ten oracle-backed r9 additions q116-q125 plus the six
+    # recency picks q01/q04/q07/q10/q11/q15 inside the window so every
+    # one of them earns a driver hash row; members of earlier rotations
+    # that were NOT rotated out in r10 stay in-window — see
+    # queries/__init__.py for the per-query rotate-out rationale of
+    # q57-q59/q61-q65/q67/q68/q74/q76/q78/q104/q106/q113.
     for n in (
+        "q01_endpoint_stats",
+        "q04_latency_quantiles",
+        "q07_orders_item_counts",
+        "q10_rrf_suppliers",
+        "q11_latest_order_per_customer",
+        "q15_brand_order_counts",
         "q49_streaming_mv_replay",
-        "q101_index_retention",
-        "q102_semantic_decontamination",
-        "q103_target_mixture_rebalance",
-        "q104_padding_waste_audit",
-        "q105_unigram_segmentation",
-        "q106_tokenizer_bakeoff",
-        "q107_cohort_retention",
-        "q108_conversion_funnel",
-        "q109_sli_anomaly_flags",
-        "q110_heavy_hitters",
-        "q111_weighted_priority_sample",
-        "q112_rag_context_assembly",
-        "q113_corpus_drift_report",
-        "q114_pagerank_integer",
-        "q57_frame_spec_windows",
-        "q58_intersect_except",
-        "q59_stratified_mixing",
-        "q61_sequence_packing",
-        "q62_decontamination",
-        "q63_pii_scrub",
-        "q64_repetition_filter",
-        "q65_charlm_score",
         "q66_corpus_prep_pipeline",
-        "q67_segment_dedup",
-        "q68_shuffle_shards",
         "q70_temperature_mixing",
         "q72_quality_gate_pipeline",
         "q73_neardup_clusters",
-        "q74_token_budget_plan",
         "q75_gopher_signals",
-        "q76_ccnet_buckets",
         "q77_leakage_free_splits",
-        "q78_target_domain_selection",
         "q79_epoch_expansion",
         "q80_bpe_pair_counts",
         "q81_cluster_representatives",
@@ -151,6 +130,27 @@ def test_report_window_contains_every_reportable_oracle():
         "q98_join_key_skew_audit",
         "q99_neardup_threshold_histogram",
         "q100_release_pipeline",
+        "q101_index_retention",
+        "q102_semantic_decontamination",
+        "q103_target_mixture_rebalance",
+        "q105_unigram_segmentation",
+        "q107_cohort_retention",
+        "q108_conversion_funnel",
+        "q109_sli_anomaly_flags",
+        "q110_heavy_hitters",
+        "q111_weighted_priority_sample",
+        "q112_rag_context_assembly",
+        "q114_pagerank_integer",
+        "q116_release_doc_diff",
+        "q117_contrastive_pairs",
+        "q118_ensemble_neardup_clusters",
+        "q119_retrieval_quality_metrics",
+        "q120_windowed_trending_tags",
+        "q121_incremental_cluster_update",
+        "q122_bloom_decontamination",
+        "q123_exact_price_quantiles",
+        "q124_hits_user_event",
+        "q125_bootstrap_quality_ci",
     ):
         assert n in head, f"{n} must sit inside the driver report window"
     # No registry entry is lost by the ordering: compare against the raw

@@ -1699,7 +1699,12 @@ def test_bloom_bitmaps_merge_losslessly_and_forget_by_generation(spark):
 def test_bloom_build_ignores_null_grams_and_merge_guards_m_bits(spark):
     """A NULL gram must not shift the dense word array (that would be
     a silent false-negative class); merging bitmaps of different
-    m_bits must raise, not NULL-pad."""
+    m_bits must raise, not NULL-pad — and merging SAME-size bitmaps
+    built with different salts must raise too (equal arrays, disjoint
+    hash families: the OR would probe as misses for half the
+    insertions with no size symptom; the frames carry their own
+    (m_bits, salts) metadata so the guard checks compatibility from
+    data, not docstring discipline)."""
     import pytest as _pytest
 
     from alt_spark.operators.bloom import (
@@ -1723,10 +1728,15 @@ def test_bloom_build_ignores_null_grams_and_merge_guards_m_bits(spark):
         .count()
     )
     assert hits == 2
-    with _pytest.raises(Exception, match="mismatched m_bits"):
+    with _pytest.raises(Exception, match=r"mismatched \(m_bits, salts\)"):
         merge_bloom_bitmaps(
             bloom_bitmap(clean, "g", 1 << 14, salts),
             bloom_bitmap(clean, "g", 1 << 15, salts),
+        ).collect()
+    with _pytest.raises(Exception, match=r"mismatched \(m_bits, salts\)"):
+        merge_bloom_bitmaps(
+            bloom_bitmap(clean, "g", m, ("bf1", "bf2")),
+            bloom_bitmap(clean, "g", m, ("bf3", "bf4")),
         ).collect()
 
 
