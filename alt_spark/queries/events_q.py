@@ -502,34 +502,58 @@ def q108(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Loud envelope for the LONG sumsq accumulation below: a 60-bucket sum
+# of n^2 stays under 2^63 iff every bucket count n <= sqrt(2^63/60)
+# ~ 3.92e8. 3.9e8 events per minute for ONE series key (~6.5M/s
+# sustained) is ~6x the reference's entire-ingest target, so the guard
+# is headroom, not a constraint — and crossing it RAISES rather than
+# wrapping silently (the q110 strict-guard doctrine; silent wrap is
+# exactly the r8 defect class).
+_ANOM_N_MAX = 390_000_000
+
+
 def anomaly_flags(buckets: DataFrame) -> DataFrame:
     """The integer 3-sigma flag derivation shared by batch q109 and the
     streaming projection parity test (one implementation — review
     finding, r8): from a pre-aggregated (event_type, bucket, n) series
     to the ordered flagged frame."""
     win = Window.partitionBy("event_type").orderBy("bucket").rowsBetween(-60, -1)
-    # The squared-comparison operands live in DECIMAL(38,0), not LONG
+    # The squared-COMPARISON operands live in DECIMAL(38,0), not LONG
     # (the q74 device): with ANSI off a LONG multiply WRAPS silently,
     # so the old all-long form was silently wrong (and diverged from
     # the oracle, which errors) once (k*n-s)^2*(k-1) crossed 2^63 —
     # per-minute-per-key counts of only ~2e6 with k=60, 20x below the
-    # envelope the r8 docstring claimed (ADVICE r8, medium). In
-    # DECIMAL(38,0) the binding term 9k*(k*sumsq) <= 540*3600*n^2 needs
-    # n < ~2e15 before any operand leaves 38 digits — effectively
-    # unbounded for a per-minute series; sumsq itself is accumulated in
-    # decimal so n^2 never wraps either. Past ~2e15 Spark yields NULL
-    # (no flag, ANSI off) while the HUGEINT oracle stays exact to
-    # ~1.7e38 — documented residual, far outside any real series.
+    # envelope the r8 docstring claimed (ADVICE r8, medium).
+    #
+    # The sumsq ACCUMULATION, by contrast, runs in LONG under a LOUD
+    # per-row guard (n <= _ANOM_N_MAX keeps the 60-bucket sum of n^2
+    # under 2^63; past it the assert raises — never a silent wrap).
+    # VERDICT r9 item 4's A/B (sf0.1, interleaved best-of-3, identical
+    # oracle hash): decimal-accumulated 2.36-2.94 s vs long-accumulated
+    # 1.20-1.39 s — the sliding decimal SUM was the whole q109
+    # regression, so the decimal arithmetic is confined to the
+    # window-aggregate OUTPUTS where exactness actually needs it.
+    # Beyond the guard the decimal comparison itself is good to
+    # n < ~2e15 before any operand leaves 38 digits; the HUGEINT
+    # oracle stays exact to ~1.7e38 — documented residual, far outside
+    # any real series.
     dec = "decimal(38,0)"
+    guarded_sq = F.when(
+        F.assert_true(
+            F.col("n") <= F.lit(_ANOM_N_MAX),
+            F.lit(
+                "anomaly_flags: per-bucket count exceeds the long sumsq"
+                f" envelope ({_ANOM_N_MAX})"
+            ),
+        ).isNull(),
+        F.col("n") * F.col("n"),
+    )
     w = (
         buckets.withColumn("win_k", F.count("*").over(win).cast("long"))
         .withColumn("win_sum", F.coalesce(F.sum("n").over(win), F.lit(0)).cast("long"))
         .withColumn(
             "win_sumsq",
-            F.coalesce(
-                F.sum(F.col("n").cast(dec) * F.col("n")).over(win),
-                F.lit(0),
-            ).cast(dec),
+            F.coalesce(F.sum(guarded_sq).over(win), F.lit(0)).cast("long"),
         )
     )
     d = F.col("win_k").cast(dec) * F.col("n") - F.col("win_sum")
@@ -541,7 +565,7 @@ def anomaly_flags(buckets: DataFrame) -> DataFrame:
             >= F.lit(9).cast(dec)
             * F.col("win_k")
             * (
-                F.col("win_k").cast(dec) * F.col("win_sumsq")
+                F.col("win_k").cast(dec) * F.col("win_sumsq").cast(dec)
                 - F.col("win_sum").cast(dec) * F.col("win_sum")
             )
         )
@@ -596,16 +620,18 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
     is squared into (k*n - s)^2 * (k-1) >= 9k * (k*sumsq - s^2), so no
     float ever crosses the oracle boundary and bucket flags replay
     bit-for-bit (the q75/q94 doctrine applied to variance). The squared
-    operands are DECIMAL(38,0) on the Spark side and HUGEINT in the
-    oracle (the q74 device — ADVICE r8 corrected the old all-LONG form,
-    whose true safe envelope was only ~2e6 per-minute-per-key before a
-    silent 2^63 wrap: 9k*(k*sumsq) = 540*60*sumsq crosses 2^63 at
-    n ~ 2.2e6 with k=60, not the ~5e7 the r8 docstring claimed).
-    Decimal envelope: 9k*(k*sumsq) <= 1.944e6 * n^2 stays within 38
-    digits for n < ~2e15 per minute per key — document, don't fake;
-    past that Spark NULLs the flag (ANSI off) while HUGEINT stays
-    exact to ~1.7e38. Warm-up (fewer than 30 trailing buckets) never
-    flags. The exact-arithmetic derivation lives in
+    COMPARISON operands are DECIMAL(38,0) on the Spark side and HUGEINT
+    in the oracle (the q74 device — ADVICE r8 corrected the old
+    all-LONG form, whose true safe envelope was only ~2e6
+    per-minute-per-key before a silent 2^63 wrap). The sumsq
+    ACCUMULATION is LONG under a loud per-row guard (n <= 3.9e8 per
+    minute-bucket, ~6x the reference's entire-ingest rate for ONE
+    series key; crossing it raises, never wraps) — VERDICT r9 item 4's
+    A/B showed the sliding decimal SUM was the whole r9 q109
+    regression (sf0.1: 2.36-2.94 s decimal-accumulated vs 1.20-1.39 s
+    long-accumulated, identical oracle hash), so decimal is confined
+    to the window-aggregate outputs. Warm-up (fewer than 30 trailing
+    buckets) never flags. The exact-arithmetic derivation lives in
     :func:`anomaly_flags`, shared with the streaming parity test.
 
     Plan (100 TB shape): the q02 pre-aggregation is the ONLY

@@ -270,6 +270,56 @@ def test_q109_decimal_arithmetic_survives_large_counts(spark):
     assert got[65] == 1 and sum(got.values()) == 1
 
 
+def test_q109_sumsq_envelope_guard_raises_loudly(spark):
+    """The r10 A/B moved the sumsq accumulation back to LONG for speed
+    (the sliding decimal SUM was the whole r9 q109 regression), which
+    reintroduces a wrap hazard at n > ~3.9e8 per minute-bucket — so
+    the operator must RAISE there, never wrap silently (the q110
+    strict-guard doctrine; silent wrap is exactly the r8 defect
+    class). Counts at the guard boundary still flag correctly."""
+    import datetime as dt
+
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from alt_spark.queries.events_q import _ANOM_N_MAX, anomaly_flags
+
+    t0 = dt.datetime(2024, 1, 1)
+    over = spark.createDataFrame(
+        [
+            Row(event_type="x", bucket=t0 + dt.timedelta(minutes=i), n=n)
+            for i, n in enumerate([_ANOM_N_MAX + 1] * 35)
+        ]
+    )
+    with _pytest.raises(Exception, match="envelope"):
+        anomaly_flags(over).collect()
+    # At exactly the envelope the math is exact: 60 * _ANOM_N_MAX^2 < 2^63.
+    assert 60 * _ANOM_N_MAX * _ANOM_N_MAX < 2**63
+    ns = [_ANOM_N_MAX - 1_000 + (i * 7919) % 500 for i in range(70)]
+    ns[65] = _ANOM_N_MAX  # spike inside the envelope
+    at_cap = spark.createDataFrame(
+        [
+            Row(event_type="x", bucket=t0 + dt.timedelta(minutes=i), n=n)
+            for i, n in enumerate(ns)
+        ]
+    )
+    got = {
+        r["bucket"].minute + 60 * r["bucket"].hour: r["is_spike"]
+        for r in anomaly_flags(at_cap).collect()
+    }
+    hist: list[int] = []
+    for i, n in enumerate(ns):
+        w = hist[-60:]
+        kk, s, sq = len(w), sum(w), sum(x * x for x in w)
+        d = kk * n - s
+        want = int(
+            kk >= 30 and d > 0 and d * d * (kk - 1) >= 9 * kk * (kk * sq - s * s)
+        )
+        assert got[i] == want, (i, n, got[i], want)
+        hist.append(n)
+    assert got[65] == 1
+
+
 # -------------------------------------------------------------- q123 quantile
 def test_exact_quantiles_match_python_sort_on_random_groups(spark):
     """The two-pass histogram refinement must return the TRUE order
