@@ -209,3 +209,60 @@ def test_sql_facade_suffix_namespaces_cross_sf(spark):
         " (SELECT count(*) FROM orders_b) AS b"
     ).collect()[0]
     assert 0 < n["a"] < n["b"]
+
+
+# The §2.Q queries whose DuckDB oracle text is ALSO valid Spark SQL and
+# returns value-identical rows through the facade (probed r10; the rest
+# use DuckDB-dialect devices — HUGEINT casts, `//` floor division,
+# list_* functions, recursive CTEs — and are covered by the DataFrame
+# path + DuckDB parity instead). The sweep keeps the SQL surface honest
+# on every relational family: aggregates (q01/q02), percentiles (q04),
+# self/theta joins (q05/q06), left+agg (q07), anti-join (q08), RRF
+# (q10), lateral top-1 (q11), keyset pagination (q13), multi-way join
+# (q15), dedup (q17), fold (q20), digests (q21), prefix search (q35),
+# top-k windows (q36), label prop (q45), MV replay shape (q49),
+# normalization (q51), RSS parse (q52), ROLLUP (q56), INTERSECT/EXCEPT
+# (q58).
+_SQL_PORTABLE = (
+    "q01_endpoint_stats",
+    "q02_sli_error_rate",
+    "q04_latency_quantiles",
+    "q05_event_type_pairs",
+    "q06_part_cooccurrence",
+    "q07_orders_item_counts",
+    "q08_customers_without_orders",
+    "q10_rrf_suppliers",
+    "q11_latest_order_per_customer",
+    "q13_keyset_pagination",
+    "q15_brand_order_counts",
+    "q17_exact_dedup",
+    "q20_event_fold",
+    "q21_digest_counters",
+    "q35_prefix_search_sample",
+    "q36_per_group_topk",
+    "q45_label_propagation",
+    "q49_streaming_mv_replay",
+    "q51_nfkc_normalize",
+    "q52_rss_atom_parse",
+    "q56_grouping_sets_rollup",
+    "q58_intersect_except",
+)
+
+
+@pytest.mark.parametrize("name", _SQL_PORTABLE)
+def test_sql_facade_parity_sweep(spark, name):
+    """VERDICT r9 item 6: the reference's users issue SQL, so the SQL
+    entry point must not rot behind the DataFrame callables. For every
+    query whose oracle text is engine-portable, `catalog.sql(oracle)`
+    must return the same multiset of rows as the DataFrame form — two
+    independent plan constructions of the same §2 semantics inside one
+    engine (the DuckDB oracle separately validates both cross-engine)."""
+    from alt_spark import catalog
+    from alt_spark.queries import all_oracles, all_queries
+
+    sf = "/root/testdata/sf0.001"
+    qs, oracles = all_queries(), all_oracles()
+    got = [tuple(r) for r in catalog.sql(spark, sf, oracles[name]).collect()]
+    want = [tuple(r) for r in qs[name](spark, sf).collect()]
+    assert len(got) == len(want)
+    assert sorted(map(repr, got)) == sorted(map(repr, want))

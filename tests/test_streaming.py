@@ -1173,6 +1173,196 @@ def test_streaming_incremental_span_coverage_parity(spark):
     assert found_high_coverage
 
 
+def test_streaming_incremental_band_cc_index_parity(spark):
+    """The band/CC incremental index family driven from a REAL
+    micro-batch stream (VERDICT r9 item 2 — the symmetry with the
+    span-gram streaming loop): each micro-batch is signed, banded
+    against the index AS OF ITS ARRIVAL (``lsh_incremental_pairs``),
+    candidates verify through the shared agreement estimate, and
+    ``connected_components_incremental`` relabels only the touched
+    components; then the batch's signatures/band rows/labels fold into
+    the state. Parity per batch: the emitted (id, comp) rows must
+    equal the FULL recompute over (base ∪ batches seen so far)
+    restricted to the same node set — q121's daily batch, across
+    micro-batch boundaries. End state: the maintained label index must
+    equal the full-corpus clustering for every clustered node."""
+    import pyarrow as _pa
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.dedup import (
+        band_rows,
+        lsh_incremental_pairs,
+        minhash_near_dup,
+        minhash_signatures,
+        signature_est_jaccard,
+    )
+    from alt_spark.operators.graph import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    THRESH = 0.7
+    root = _fresh("band_cc_stream")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+
+    t = pq.read_table(f"{SF}/documents.parquet").select(["doc_id", "text"])
+    n = t.num_rows
+    base_t, rest = t.slice(0, n // 2), t.slice(n // 2)
+    m = rest.num_rows
+    chunks = [rest.slice(0, m // 2), rest.slice(m // 2)]
+    # Redeliver base texts under NEW ids in both chunks: chunk-0's twin
+    # must merge into its base component via the stored index; chunk-1's
+    # twin (same base text again) must merge into the SAME component via
+    # labels folded after chunk 0 — an index-evolution dependency a
+    # fresh-per-batch index would miss.
+    twin0 = base_t.slice(0, 3).set_column(
+        0, "doc_id", _pa.array([10**9 + i for i in range(3)], _pa.int64())
+    )
+    twin1 = base_t.slice(0, 3).set_column(
+        0, "doc_id", _pa.array([2 * 10**9 + i for i in range(3)], _pa.int64())
+    )
+    chunks[0] = _pa.concat_tables([twin0, chunks[0]])
+    chunks[1] = _pa.concat_tables([twin1, chunks[1]])
+    for i, c in enumerate(chunks):
+        path = os.path.join(landing, f"chunk_{i:03d}.parquet")
+        pq.write_table(c, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    base = spark.createDataFrame(base_t.to_pandas())
+    base_sigs = minhash_signatures(base, portable=True).localCheckpoint(
+        eager=True
+    )
+    base_pairs = minhash_near_dup(
+        base, threshold=THRESH, portable=True
+    ).select("id1", "id2")
+    state = {
+        "sigs": base_sigs,
+        "bands": band_rows(base_sigs, portable=True).localCheckpoint(
+            eager=True
+        ),
+        "labels": connected_components(base_pairs).localCheckpoint(eager=True),
+    }
+    seen: list[tuple[int, list, set]] = []
+
+    def step(bdf, batch_id):
+        if bdf.isEmpty():
+            return
+        bdf = bdf.localCheckpoint(eager=True)
+        new_sigs = minhash_signatures(bdf, portable=True).localCheckpoint(
+            eager=True
+        )
+        cand = lsh_incremental_pairs(new_sigs, state["bands"], portable=True)
+        verified = (
+            signature_est_jaccard(
+                cand.select(
+                    F.col("new_id").alias("id1"),
+                    F.col("match_id").alias("id2"),
+                ),
+                state["sigs"].unionByName(new_sigs),
+            )
+            .filter(F.col("est_jaccard") >= THRESH)
+            .select("id1", "id2")
+        )
+        result = connected_components_incremental(
+            verified, state["labels"]
+        ).localCheckpoint(eager=True)
+        seen.append(
+            (
+                batch_id,
+                [r["doc_id"] for r in bdf.select("doc_id").collect()],
+                {tuple(r) for r in result.collect()},
+            )
+        )
+        # Fold the batch into the index: signatures append, band rows
+        # append, labels take the documented caller update (untouched
+        # rows kept, touched components replaced) plus singleton labels
+        # for unpaired batch docs so the index stays total.
+        singles = (
+            bdf.select(F.col("doc_id").alias("id"))
+            .join(result.select("id"), "id", "left_anti")
+            .select("id", F.col("id").alias("comp"))
+        )
+        state["sigs"] = (
+            state["sigs"].unionByName(new_sigs).localCheckpoint(eager=True)
+        )
+        state["bands"] = (
+            state["bands"]
+            .unionByName(band_rows(new_sigs, portable=True))
+            .localCheckpoint(eager=True)
+        )
+        state["labels"] = (
+            state["labels"]
+            .join(result, "id", "left_anti")
+            .unionByName(result)
+            .unionByName(singles)
+            .localCheckpoint(eager=True)
+        )
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    assert sum(len(ids) for _, ids, _ in seen) == rest.num_rows + 6
+    all_new = spark.createDataFrame(
+        _pa.concat_tables(chunks).to_pandas()
+    )
+    prefix_ids: list[int] = []
+    merged_twins: set[int] = set()
+    for _bid, ids, got in sorted(seen, key=lambda x: x[0]):
+        prefix_ids.extend(ids)
+        corpus = base.unionByName(
+            all_new.filter(F.col("doc_id").isin(prefix_ids))
+        )
+        full_pairs = minhash_near_dup(
+            corpus, threshold=THRESH, portable=True
+        ).select("id1", "id2")
+        full_labels = connected_components(full_pairs)
+        got_ids = {r[0] for r in got}
+        want = {
+            tuple(r)
+            for r in full_labels.filter(
+                F.col("id").isin(list(got_ids))
+            ).collect()
+        }
+        assert got == want, (len(got), len(want))
+        # Every emitted comp label must be the FULL recompute's label —
+        # including nodes the full graph clusters that the increment
+        # merely touched (set equality above covers both directions).
+        # A twin re-emitted by a later batch (its component was touched
+        # again) counts once — distinct ids, not emissions.
+        for r in got:
+            if r[0] >= 10**9:
+                merged_twins.add(r[0])
+                assert r[1] < 10**9, r  # twin joined its base component
+    assert len(merged_twins) == 6, "all six redelivered twins must cluster"
+    # Chunk-1 twins must share components with chunk-0 twins (same base
+    # text): the dependency that proves the INDEX evolved across batches.
+    final = {r["id"]: r["comp"] for r in state["labels"].collect()}
+    for i in range(3):
+        assert final[2 * 10**9 + i] == final[10**9 + i]
+    # End state: the maintained index == full recompute for every
+    # clustered (non-singleton) node.
+    full_pairs = minhash_near_dup(
+        base.unionByName(all_new), threshold=THRESH, portable=True
+    ).select("id1", "id2")
+    full_final = {
+        r["id"]: r["comp"] for r in connected_components(full_pairs).collect()
+    }
+    for node, comp in full_final.items():
+        assert final.get(node) == comp, (node, comp, final.get(node))
+
+
 def test_streaming_epoch_draw_and_carve_parity(spark):
     """VERDICT r7 item 6: the multi-epoch draw (epoch_expand, q79's
     operator) and the exact-k eval carve under a micro-batched corpus.
