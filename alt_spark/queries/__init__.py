@@ -333,6 +333,12 @@ _REPORT_TAIL = (
     # q116-q125 (new r9, all oracle-backed) rotated INTO the window in
     # r10 per the pre-staged COVERAGE.md plan — see the r10 rotation
     # note above. q101-q114 (new r8) rotated in the same way in r9.
+    # q126+ — new r10 additions, oracle-backed (in-pytest parity every
+    # CI pass), parked in the tail as the newest entries; r11 rotation
+    # candidates per the pre-staged COVERAGE.md plan.
+    "q126_image_phash_dedup",
+    "q127_release_ks_drift",
+    "q128_curriculum_schedule",
 )
 
 

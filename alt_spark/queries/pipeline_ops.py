@@ -1889,3 +1889,186 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
     return auth.unionByName(hub).orderBy(
         "side", F.desc("score_micro"), "node"
     )
+
+
+# ---------------------------------------------------------------------------
+# q126: perceptual image dedup, END TO END through the REAL decode
+# kernel (VERDICT r9 item 5). Images are synthesized deterministically
+# from doc_id (md5-nibble grey pixels in an 8x8 24-bit BMP), so the
+# DuckDB oracle can rebuild the FINGERPRINTS from first principles —
+# what the hash row then pins cross-engine is the whole Spark-side
+# chain: BMP header walk, BGR luma, orientation canonicalization
+# (bottom-up vs top-down storage alternates by doc parity, and each
+# planted twin is stored in the OPPOSITE orientation), grid pooling,
+# mean threshold, 64-bit pack, pigeonhole block join, popcount verify.
+#
+# Tie-free by construction: pixels are grey (B=G=R), so each aHash
+# block equals its integer pixel value, and the 64th pixel is chosen
+# to make the pixel sum ≡ 33 (mod 64) — the thumbnail mean can never
+# equal a block value, so the kernel's float-64 threshold and the
+# oracle's exact-integer threshold (64*v > Σv) provably agree (gap
+# >= 1/64 vs ~1e-12 float error). Brightness-shifted twins (+16 on
+# every pixel, no clamp by construction) shift every block AND the
+# mean together — the aHash invariance the operator promises, here
+# hash-checked: twins must pair at hamming 0.
+_IMG_TWIN_MOD = 20  # every 20th doc gets a shifted, re-oriented twin
+_IMG_TWIN_BASE = 1_000_000_000
+_IMG_SHIFT = 16
+
+
+def _img_pixels(doc_id: int, shift: int) -> list[int]:
+    """The 64 canonical top-down grey pixel values for a doc's synthetic
+    image — 63 md5 nibbles scaled into [64, 184], the last chosen so the
+    sum is ≡ 33 (mod 64) (tie-free threshold, see above). Python here,
+    md5()+strpos in the oracle: both engines derive identical bytes."""
+    import hashlib
+
+    s = f"img|{doc_id}"
+    hx = (
+        hashlib.md5(f"{s}|p0".encode()).hexdigest()
+        + hashlib.md5(f"{s}|p1".encode()).hexdigest()
+    )
+    v = [64 + 8 * int(c, 16) for c in hx[:63]]
+    v.append(64 + (1 - sum(v)) % 64)
+    return [x + shift for x in v]
+
+
+def _img_bmp(vals: list[int], bottom_up: bool) -> bytes:
+    """Pack canonical top-down pixels into a REAL 24-bit BMP payload,
+    stored bottom-up (positive height) or top-down (negative height) —
+    the decode kernel must canonicalize both to the same fingerprint."""
+    import struct
+
+    rows = [vals[r * 8 : (r + 1) * 8] for r in range(8)]
+    stored = rows[::-1] if bottom_up else rows
+    pad = (-(8 * 3)) % 4  # row stride pads to a 4-byte boundary (0 at w=8)
+    data = bytearray()
+    for row in stored:
+        for v in row:
+            data += bytes((v, v, v))  # BGR, grey
+        data += b"\x00" * pad
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(data), 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40, 8, 8 if bottom_up else -8, 1, 24, 0, len(data), 2835, 2835, 0, 0,
+    )
+    return bytes(hdr + dib + data)
+
+
+def _q126_oracle() -> str:
+    pack_bit = (
+        "CASE WHEN 64 * v > t.s THEN"
+        " CASE WHEN i = 63 THEN -9223372036854775808"
+        " ELSE (1::BIGINT << i) END ELSE 0 END"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id, 0 AS shift FROM documents
+  UNION ALL
+  SELECT {_IMG_TWIN_BASE} + doc_id, doc_id, {_IMG_SHIFT} FROM documents
+  WHERE doc_id % {_IMG_TWIN_MOD} = 0
+), hx AS (
+  SELECT media_id, shift,
+         md5('img|' || doc_id || '|p0') || md5('img|' || doc_id || '|p1') AS hex
+  FROM m
+), px0 AS (
+  SELECT media_id, shift, i,
+         64 + 8 * (strpos('0123456789abcdef', substr(hex, i + 1, 1)) - 1) AS v
+  FROM hx, (SELECT unnest(generate_series(0, 62)) AS i)
+), s63 AS (
+  SELECT media_id, any_value(shift) AS shift, sum(v) AS s
+  FROM px0 GROUP BY media_id
+), px AS (
+  SELECT media_id, i, v + shift AS v FROM px0
+  UNION ALL
+  SELECT media_id, 63, 64 + (((1 - s) % 64) + 64) % 64 + shift FROM s63
+), tot AS (
+  SELECT media_id, sum(v) AS s FROM px GROUP BY 1
+), fp AS (
+  SELECT px.media_id, sum({pack_bit}) AS ahash
+  FROM px JOIN tot t USING (media_id) GROUP BY 1
+)
+SELECT a.media_id AS id1, b.media_id AS id2,
+       CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+FROM fp a JOIN fp b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+ORDER BY id1, id2
+"""
+
+
+@query("q126_image_phash_dedup", oracle=_q126_oracle())
+def q126(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual image dedup end to end (J11 as a driver-hash-checked
+    QUERY, VERDICT r9 item 5): every document carries a synthetic 8x8
+    grey 24-bit BMP derived from md5(doc_id); every ``_IMG_TWIN_MOD``-th
+    doc additionally ships a brightness-shifted (+16) twin stored in
+    the OPPOSITE row orientation. The REAL stdlib BMP decode kernel
+    (``operators/multimodal.image_ahash``: header walk, BGR luma,
+    bottom-up/top-down canonicalization, grid pooling, mean threshold)
+    fingerprints each payload, and near-dup pairs come from the
+    pigeonhole block equi-join + popcount verify shared with the
+    SimHash family (``dedup.hamming_blocked_pairs``).
+
+    The oracle rebuilds the fingerprints in exact integer arithmetic
+    (tie-free by the sum ≡ 33 mod 64 construction — header comment) and
+    brute-forces Hamming <= 3; with bands=4 the pigeonhole guarantee
+    makes the blocked join lossless at that radius, so blocked ==
+    brute force is part of what the hash pins. Expected pairs: exactly
+    the planted twins at hamming 0 (random 64-bit fingerprints at
+    Hamming <= 3 have probability ~2^-46 per pair — and the result is
+    deterministic either way, so the hash cannot flake).
+
+    Plan (100 TB shape): synthesis + decode are ONE narrow Arrow
+    mapInPandas inside the scan stage (payloads never shuffle); the
+    pair stage moves 64-bit fingerprints through a 4-way block
+    explode + equi-join — never all-pairs, never pixel data.
+    """
+    from alt_spark.operators.multimodal import image_ahash, media_table
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+
+    meta_t = (
+        "struct<mime:string,width:int,height:int,duration_ms:bigint>"
+    )
+    out_schema = (
+        f"media_id long, payload binary, meta {meta_t}"
+    )
+
+    def synth(batches):
+        import pandas as _pd
+
+        meta = {
+            "mime": "image/bmp",
+            "width": 8,
+            "height": 8,
+            "duration_ms": None,
+        }
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                base_bu = d % 2 == 0
+                ids.append(d)
+                payloads.append(_img_bmp(_img_pixels(d, 0), base_bu))
+                if d % _IMG_TWIN_MOD == 0:
+                    # Twin: +16 brightness, OPPOSITE stored orientation.
+                    ids.append(_IMG_TWIN_BASE + d)
+                    payloads.append(
+                        _img_bmp(_img_pixels(d, _IMG_SHIFT), not base_bu)
+                    )
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.array(ids, dtype="Int64"),
+                    "payload": payloads,
+                    "meta": [meta] * len(ids),
+                }
+            )
+
+    media = media_table(docs.mapInPandas(synth, schema=out_schema))
+    fps = image_ahash(media).filter(F.col("ahash").isNotNull())
+    pairs = dedup.hamming_blocked_pairs(
+        fps, "ahash", "media_id", max_hamming=3, bands=4
+    )
+    return pairs.select(
+        "id1", "id2", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id1", "id2")

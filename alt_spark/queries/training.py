@@ -2920,3 +2920,266 @@ def q125(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("mean_milli"),
     )
     return point.join(sel, "lang").orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# q127: exact two-sample Kolmogorov-Smirnov drift test between releases.
+# Integer-exact: the statistic is computed CROSS-MULTIPLIED —
+# Ds = max over values v of |cumA(v)*nB - cumB(v)*nA| — so no division
+# happens before the max, and the significance gate squares Ds against
+# the classic large-sample critical value c(0.05) = 1.358
+# (10^4 * Ds^2 > 18442 * nA*nB*(nA+nB), with c^2 * 10^4 = 18442). Both
+# engines replay the identical integer comparisons. Two comparisons are
+# built so BOTH verdicts are exercised at every SF: 'resample' (even vs
+# odd doc_ids — same generator, must NOT flag) and 'reclean' (raw vs
+# stopword-cleaned token counts — a real shift, must flag).
+_KS_C2_E4 = 18442  # ceil(1.358^2 * 1e4): alpha = 0.05 critical constant
+# Release B's re-clean for the 'reclean' comparison: drop short tokens.
+# Deliberately a LARGE shift (the corpus vocabulary is short-token-
+# heavy) so the drifted comparison clears the alpha=0.05 bar at every
+# generated per-language sample size; q116's gentler stopword re-clean
+# shifts counts by ~2 tokens/doc, which an exact KS test at n ~ 10^2
+# correctly refuses to call significant.
+_KS_MIN_TOKEN_LEN = 4
+
+
+@query(
+    "q127_release_ks_drift",
+    oracle=f"""
+WITH d AS (
+  SELECT doc_id, lang, len({_DDB_TOKENS}) AS n_raw,
+         len(list_filter({_DDB_TOKENS},
+             t -> length(t) > {_KS_MIN_TOKEN_LEN})) AS n_clean
+  FROM documents
+), tall AS (
+  SELECT 'resample' AS cmp, lang, n_raw AS v,
+         CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS a,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS b
+  FROM d
+  UNION ALL
+  SELECT 'reclean', lang, n_raw, 1, 0 FROM d
+  UNION ALL
+  SELECT 'reclean', lang, n_clean, 0, 1 FROM d
+), pv AS (
+  SELECT cmp, lang, v, sum(a) AS ca, sum(b) AS cb
+  FROM tall GROUP BY 1, 2, 3
+), cum AS (
+  SELECT cmp, lang, v,
+         sum(ca) OVER w AS cum_a, sum(cb) OVER w AS cum_b,
+         sum(ca) OVER t AS n_a, sum(cb) OVER t AS n_b
+  FROM pv
+  WINDOW w AS (PARTITION BY cmp, lang ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         t AS (PARTITION BY cmp, lang)
+), ks AS (
+  SELECT cmp, lang, any_value(n_a) AS n_a, any_value(n_b) AS n_b,
+         max(abs(CAST(cum_a AS HUGEINT) * n_b
+                 - CAST(cum_b AS HUGEINT) * n_a)) AS ds
+  FROM cum GROUP BY 1, 2
+)
+SELECT cmp, lang, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST((10000 * ds) // (CAST(n_a AS HUGEINT) * n_b) AS BIGINT) AS ks_pm,
+       CAST(CASE WHEN 10000 * ds * ds
+                      > {_KS_C2_E4} * CAST(n_a AS HUGEINT) * n_b * (n_a + n_b)
+                 THEN 1 ELSE 0 END AS BIGINT) AS drift_flag
+FROM ks
+ORDER BY cmp, lang
+""",
+)
+def q127(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov drift test between releases,
+    integer-exact — the SIGNIFICANCE column next to q113's drift
+    magnitudes and q125's bootstrap CIs: per (comparison, lang), the
+    scaled KS statistic in permyriad and an alpha=0.05 verdict. The
+    'resample' comparison (even vs odd doc_ids, same generator) must
+    not flag; the 'reclean' comparison (raw vs short-token-stripped
+    counts — a release-B re-clean in the q116 mold, sized so the shift
+    clears the bar at generated sample sizes) is a real distribution
+    shift and must. Cross-multiplied cumulative counts make the statistic
+    exact (no float CDF ever crosses the oracle boundary); the gate
+    squares the statistic against c(0.05)^2 = 1.8442 scaled to 1e4.
+
+    Exactness envelope (document, don't fake): Ds <= nA*nB, so the
+    squared gate operand Ds^2*(nA+nB)*1e4 stays inside DECIMAL(38,0)/
+    HUGEINT while nA*nB < ~3e16 — per-stratum release samples up to
+    ~1.7e8 docs each. Past that, run the test on a uniform doc_id
+    subsample: KS is distribution-free and already absurdly
+    overpowered at 1e8 (the flag becomes a practical-significance
+    question, not a compute one).
+
+    Plan (100 TB shape): one corpus scan fans into the three tall
+    legs IN-ROW (no self-join of releases — the q116 doctrine); the
+    per-(cmp, lang, value) pre-aggregate is map-side combinable and
+    collapses the corpus to value-histogram grain before the window;
+    the cumulative window then orders ~|distinct lengths| rows per
+    stratum — bounded by content, not corpus size.
+    """
+    toks = _tokens_col()
+    clean = F.filter(toks, lambda t: F.length(t) > _KS_MIN_TOKEN_LEN)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_raw"),
+        F.size(clean).alias("n_clean"),
+    )
+    even = (F.col("doc_id") % 2 == 0).cast("long")
+    tall = (
+        d.select(
+            F.lit("resample").alias("cmp"),
+            "lang",
+            F.col("n_raw").alias("v"),
+            even.alias("a"),
+            (1 - even).alias("b"),
+        )
+        .unionByName(
+            d.select(
+                F.lit("reclean").alias("cmp"),
+                "lang",
+                F.col("n_raw").alias("v"),
+                F.lit(1).alias("a"),
+                F.lit(0).alias("b"),
+            )
+        )
+        .unionByName(
+            d.select(
+                F.lit("reclean").alias("cmp"),
+                "lang",
+                F.col("n_clean").alias("v"),
+                F.lit(0).alias("a"),
+                F.lit(1).alias("b"),
+            )
+        )
+    )
+    pv = tall.groupBy("cmp", "lang", "v").agg(
+        F.sum("a").alias("ca"), F.sum("b").alias("cb")
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy("cmp", "lang")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = Window.partitionBy("cmp", "lang")
+    dec = "decimal(38,0)"
+    cum = pv.select(
+        "cmp",
+        "lang",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(t).alias("n_a"),
+        F.sum("cb").over(t).alias("n_b"),
+    )
+    ks = cum.groupBy("cmp", "lang").agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(
+            F.abs(
+                F.col("cum_a").cast(dec) * F.col("n_b")
+                - F.col("cum_b").cast(dec) * F.col("n_a")
+            )
+        ).alias("ds"),
+    )
+    return ks.select(
+        "cmp",
+        "lang",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.expr(
+            "CAST((10000 * ds) div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+            " AS BIGINT)"
+        ).alias("ks_pm"),
+        F.expr(
+            f"CAST(CASE WHEN 10000 * ds * ds > {_KS_C2_E4}"
+            " * CAST(n_a AS DECIMAL(38,0)) * n_b * (n_a + n_b)"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("drift_flag"),
+    ).orderBy("cmp", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q128: quality-ordered curriculum schedule. The one §2.E1 surface that
+# had plan/pytest evidence but no driver hash row: operators/rank.py's
+# DISTRIBUTED global row numbering (range-repartition + per-partition
+# rank + broadcast offsets — no SinglePartition sort of the data). A
+# curriculum batch schedule is its natural consumer: order the corpus
+# once by a quality score, cut into fixed-size training steps, report
+# each step's language mix — high-quality-first ordering is the
+# standard curriculum shape (Bengio 2009) and the global order is
+# exactly what a naive `row_number() OVER (ORDER BY ...)` cannot do at
+# corpus scale.
+_CURR_STEP = 50  # docs per training step (a config knob; fixed for the oracle)
+
+
+@query(
+    "q128_curriculum_schedule",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         (10000 * length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+           // greatest(length(text), 1) AS score_pm
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang,
+         row_number() OVER (ORDER BY score_pm DESC, doc_id) AS rn
+  FROM scored
+)
+SELECT (rn - 1) // {_CURR_STEP} AS step, lang,
+       count(*) AS n_docs,
+       CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+       CAST(min(rn) AS BIGINT) AS rank_lo,
+       CAST(max(rn) AS BIGINT) AS rank_hi
+FROM ranked
+GROUP BY 1, 2
+ORDER BY step, lang
+""",
+)
+def q128(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-ordered curriculum schedule: the corpus is globally
+    ordered by an integer quality score (alphanumeric-density
+    permyriad, the q27/q82 device — exact, so both engines produce the
+    identical total order under the (score desc, doc_id) tiebreak),
+    cut into fixed ``_CURR_STEP``-document training steps, and each
+    (step, lang) cell reports its count, id checksum (exact membership
+    pin), and global rank span. High-quality-first is the standard
+    curriculum ordering; the per-step language mix is what an operator
+    reads before trusting the schedule.
+
+    The load-bearing device is :func:`alt_spark.operators.rank.
+    global_row_number` — E1's 100 TB form: range-repartition on the
+    sort keys, rank locally, shift by broadcast per-partition offsets.
+    A plain ``row_number() OVER (ORDER BY ...)`` funnels the corpus
+    through ONE task; this plan's only data exchanges are the range
+    partitioning and the final (step, lang) aggregate (map-side
+    combinable). The oracle replays the naive window — same total
+    order, so any offset/boundary bug in the distributed form
+    hash-mismatches.
+    """
+    from alt_spark.operators.rank import global_row_number
+
+    scored = load_table(spark, sf, "documents").select(
+        "doc_id",
+        "lang",
+        F.expr(
+            "(10000 * length(regexp_replace(text, '[^A-Za-z0-9 ]', '')))"
+            " div greatest(length(text), 1)"
+        ).alias("score_pm"),
+    )
+    ranked = global_row_number(
+        scored, [F.desc("score_pm"), F.asc("doc_id")], out_col="rn"
+    )
+    return (
+        ranked.groupBy(
+            # Integer div, not float-divide-then-cast: ranks are exact
+            # int64 and must stay exact past 2^53 docs.
+            F.expr(f"(rn - 1) div {_CURR_STEP}").alias("step"),
+            "lang",
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("id_checksum"),
+            F.min("rn").cast("long").alias("rank_lo"),
+            F.max("rn").cast("long").alias("rank_hi"),
+        )
+        .orderBy("step", "lang")
+    )

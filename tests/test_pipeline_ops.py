@@ -1263,3 +1263,32 @@ def test_image_ahash_is_orientation_canonical(spark):
     hashes = {r["media_id"]: r["ahash"] for r in image_ahash(media).collect()}
     assert hashes[1] is not None
     assert hashes[1] == hashes[2] == hashes[3], hashes
+
+
+def test_q126_pairs_are_exactly_the_planted_twins(spark):
+    """The end-to-end image-dedup query must find EVERY planted twin
+    (brightness-shifted AND stored in the opposite orientation) at
+    hamming 0, and nothing else at sf0.01 — the fingerprint space is
+    64-bit, so a non-planted pair within Hamming 3 would mean the
+    decode chain collapsed structure somewhere. The pair set must also
+    equal the brute-force Hamming join over the same fingerprints
+    (pigeonhole completeness at radius 3 with 4 bands)."""
+    from alt_spark.queries.pipeline_ops import (
+        _IMG_TWIN_BASE,
+        _IMG_TWIN_MOD,
+        q126,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = q126(spark, SF_ORACLE).collect()
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    want = {
+        (d, _IMG_TWIN_BASE + d, 0) for d in doc_ids if d % _IMG_TWIN_MOD == 0
+    }
+    assert {tuple(r) for r in rows} == want
+    assert len(rows) == len(want) > 0

@@ -1814,3 +1814,95 @@ def test_bootstrap_ci_small_stratum_excludes_empty_replicas(spark):
         r = tr.q125(spark, "ignored").collect()[0]
     assert r["mean_milli"] == 4000
     assert r["ci_lo_milli"] == r["ci_hi_milli"] == 4000, r
+
+
+# ----------------------------------------------------------------- q127 KS
+def test_q127_ks_matches_pure_python_and_flags_only_real_drift(spark):
+    """The cross-multiplied KS statistic must equal an exact pure-Python
+    replay (unbounded ints, definitional two-sample KS over the same
+    token counts), the re-clean comparison must flag in every language
+    (it is a large planted shift), and the even/odd resample must not
+    (same generator)."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.dedup import tokens_col
+    from alt_spark.queries.training import _KS_C2_E4, _KS_MIN_TOKEN_LEN, q127
+
+    sf = "/root/testdata/sf0.001"
+    rows = {(r["cmp"], r["lang"]): r for r in q127(spark, sf).collect()}
+    docs = (
+        load_table(spark, sf, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens_col("text")).alias("n_raw"),
+            F.size(
+                F.filter(
+                    tokens_col("text"),
+                    lambda t: F.length(t) > _KS_MIN_TOKEN_LEN,
+                )
+            ).alias("n_clean"),
+        )
+        .collect()
+    )
+
+    def ks(sample_a, sample_b):
+        values = sorted(set(sample_a) | set(sample_b))
+        na, nb = len(sample_a), len(sample_b)
+        ds = 0
+        ca = cb = 0
+        for v in values:
+            ca += sum(1 for x in sample_a if x == v)
+            cb += sum(1 for x in sample_b if x == v)
+            ds = max(ds, abs(ca * nb - cb * na))
+        return na, nb, ds
+
+    langs = sorted({r["lang"] for r in docs})
+    for lang in langs:
+        sub = [r for r in docs if r["lang"] == lang]
+        # resample: even vs odd ids, raw counts.
+        na, nb, ds = ks(
+            [r["n_raw"] for r in sub if r["doc_id"] % 2 == 0],
+            [r["n_raw"] for r in sub if r["doc_id"] % 2 == 1],
+        )
+        got = rows[("resample", lang)]
+        assert (got["n_a"], got["n_b"]) == (na, nb)
+        assert got["ks_pm"] == (10000 * ds) // (na * nb)
+        want_flag = int(10000 * ds * ds > _KS_C2_E4 * na * nb * (na + nb))
+        assert got["drift_flag"] == want_flag == 0, (lang, got)
+        # reclean: raw vs short-token-stripped counts over ALL docs.
+        na, nb, ds = ks([r["n_raw"] for r in sub], [r["n_clean"] for r in sub])
+        got = rows[("reclean", lang)]
+        assert (got["n_a"], got["n_b"]) == (na, nb)
+        assert got["ks_pm"] == (10000 * ds) // (na * nb)
+        want_flag = int(10000 * ds * ds > _KS_C2_E4 * na * nb * (na + nb))
+        assert got["drift_flag"] == want_flag == 1, (lang, got)
+
+
+# ------------------------------------------------------------ q128 curriculum
+def test_q128_steps_partition_the_global_order(spark):
+    """The curriculum schedule's rank spans must exactly tile
+    [1, n_docs] in step order (no gap, no overlap — a broken offset in
+    the distributed rank would show here), every step must hold exactly
+    _CURR_STEP docs except the last, and quality must be non-increasing
+    across step boundaries (min score of step k >= max score of k+1
+    under the global order's tiebreak)."""
+    from alt_spark.queries.training import _CURR_STEP, q128
+
+    sf = "/root/testdata/sf0.001"
+    rows = q128(spark, sf).collect()
+    by_step: dict[int, list] = {}
+    for r in rows:
+        by_step.setdefault(r["step"], []).append(r)
+    n_docs = sum(r["n_docs"] for r in rows)
+    steps = sorted(by_step)
+    assert steps == list(range(len(steps)))
+    lo = 1
+    for s in steps:
+        cells = by_step[s]
+        size = sum(c["n_docs"] for c in cells)
+        assert size == (_CURR_STEP if s < steps[-1] else n_docs - _CURR_STEP * s)
+        assert min(c["rank_lo"] for c in cells) == lo
+        assert max(c["rank_hi"] for c in cells) == lo + size - 1
+        lo += size
