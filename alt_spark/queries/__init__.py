@@ -339,6 +339,8 @@ _REPORT_TAIL = (
     "q126_image_phash_dedup",
     "q127_release_ks_drift",
     "q128_curriculum_schedule",
+    "q129_collocation_lift",
+    "q130_session_paths",
 )
 
 

@@ -646,3 +646,91 @@ def q109(spark: SparkSession, sf: str) -> DataFrame:
         "event_type", F.date_trunc("minute", F.col("ts")).alias("bucket")
     ).agg(F.count("*").alias("n"))
     return anomaly_flags(b)
+
+
+# ---------------------------------------------------------------------------
+# q130: session path mining — the DISCOVERY sibling of q108's fixed
+# funnel: instead of checking one declared view→cart→purchase path,
+# surface the top recurring 3-step event-type paths actually taken
+# inside sessions (q22's exact 30-minute-gap session semantics, shared
+# verbatim so the families compose). This is the product-analytics read
+# model behind "most common journeys" dashboards.
+_PATH_TOP = 20
+
+
+@query(
+    "q130_session_paths",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+), flagged AS (
+  SELECT user_id, event_id, event_type, tus,
+         CASE WHEN tus - lag(tus) OVER w > 1800000000 OR lag(tus) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+), sess AS (
+  SELECT user_id, event_id, event_type, tus,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+), steps AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER s AS e2,
+         lead(event_type, 2) OVER s AS e3
+  FROM sess
+  WINDOW s AS (PARTITION BY user_id, session_id ORDER BY tus, event_id)
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+FROM steps WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 20
+""",
+)
+def q130(spark: SparkSession, sf: str) -> DataFrame:
+    """Top recurring 3-step session paths: sessionize exactly as q22
+    (30-minute inactivity gap, (ts, event_id) total order), slide a
+    3-event window inside each session with lead(), and count each
+    event-type path — funnel DISCOVERY next to q108's fixed-funnel
+    check. Counts are exact integers; the top cut is total-ordered by
+    (n desc, path).
+
+    Plan (100 TB shape): both windows are partitioned by user (then
+    (user, session)) — per-user history is bounded, no global sort of
+    events; the path count is ONE map-side-combinable aggregate whose
+    key space is |event_type|^3 (bounded by content); the final cut is
+    TakeOrdered. The session assembly reuses q22's exact semantics so
+    the E8 family cannot drift apart.
+    """
+    ev = load_table(spark, sf, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros("ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(F.col("tus") - F.lag("tus").over(w) > 1_800_000_000, 1)
+        .when(F.lag("tus").over(w).isNull(), 1)
+        .otherwise(0),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    s = Window.partitionBy("user_id", "session_id").orderBy("tus", "event_id")
+    steps = sess.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(s).alias("e2"),
+        F.lead("event_type", 2).over(s).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        steps.groupBy(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(_PATH_TOP)
+    )

@@ -460,3 +460,116 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q129: collocation mining by integer lift. The I13 keyword family
+# mines single terms (TF-IDF); production corpus analysis also ships
+# PAIR statistics (collocations — Manning & Schütze ch. 5): token pairs
+# that co-occur in documents far more than independence predicts. The
+# association measure here is document-level LIFT in permyriad —
+# (10000 * c_xy * N) div (c_x * c_y) — instead of log-PMI, because the
+# ordering is identical (log is monotone) and the integer form replays
+# bit-for-bit cross-engine (no transcendental crosses the oracle
+# boundary — the q114/q115 doctrine).
+_COLL_SUPPORT_PM = 300  # min document support for a pair: c_xy * 1e4 >= 300 * N
+_COLL_TOP = 30
+
+
+@query(
+    "q129_collocation_lift",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct({_DDB_TOKENS})) AS t FROM documents
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), df AS (
+  SELECT t, count(*) AS c FROM toks GROUP BY t
+), pairs AS (
+  SELECT a.t AS t1, b.t AS t2, count(*) AS c_xy
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND a.t < b.t
+  GROUP BY 1, 2
+), scored AS (
+  SELECT t1, t2, c_xy, da.c AS c_x, db.c AS c_y,
+         CAST((10000 * CAST(c_xy AS HUGEINT) * n.n_docs)
+              // (CAST(da.c AS HUGEINT) * db.c) AS BIGINT) AS lift_pm
+  FROM pairs, n
+  JOIN df da ON da.t = pairs.t1
+  JOIN df db ON db.t = pairs.t2
+  WHERE 10000 * c_xy >= {_COLL_SUPPORT_PM} * n.n_docs
+)
+SELECT t1, t2, CAST(c_xy AS BIGINT) AS c_xy,
+       CAST(c_x AS BIGINT) AS c_x, CAST(c_y AS BIGINT) AS c_y, lift_pm
+FROM scored
+ORDER BY lift_pm DESC, c_xy DESC, t1, t2
+LIMIT {_COLL_TOP}
+""",
+)
+def q129(spark: SparkSession, sf: str) -> DataFrame:
+    """Top collocations by integer document-level lift: token pairs
+    (t1 < t2, distinct-per-document) whose co-occurrence beats
+    independence, support-gated at ``_COLL_SUPPORT_PM`` permyriad of
+    the corpus so rare flukes never rank. Lift in permyriad is the
+    exact integer surface (log-PMI orders identically; the monotone
+    transform is dropped so no float crosses the oracle boundary).
+
+    Plan (100 TB shape): pair generation is IN-ROW — each document's
+    sorted distinct-token array expands to its own (t1 < t2) pairs via
+    nested array transforms inside the scan projection, so there is NO
+    token-level self-join (the oracle replays the same pair SET with a
+    within-doc join, affordable at oracle scale): the corpus-scale
+    exchange is one map-side-combinable pair count, bounded by the
+    vocabulary-pair space actually observed, and the support gate
+    broadcasts as one scalar. Per-document cost is quadratic in the
+    document's DISTINCT vocabulary — the classic collocation-mining
+    envelope, bounded by content (a Zipf vocabulary), not corpus size.
+    Final cut is a TakeOrdered top-{_COLL_TOP}, never a global sort.
+    """
+    docs = load_table(spark, sf, "documents")
+    toks = F.array_sort(F.array_distinct(_token_col()))
+    # In-row unordered pairs of a sorted array: for index i, pair t[i]
+    # with every later element — flatten(transform-with-index).
+    pairs_col = F.flatten(
+        F.transform(
+            toks,
+            lambda x, i: F.transform(
+                F.slice(toks, i + 2, F.size(toks)),
+                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            ),
+        )
+    )
+    pair_rows = docs.select(F.explode(pairs_col).alias("p")).select(
+        F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2")
+    )
+    c_xy = pair_rows.groupBy("t1", "t2").agg(F.count("*").alias("c_xy"))
+    tok_rows = docs.select(F.explode(toks).alias("t"))
+    df_t = tok_rows.groupBy("t").agg(F.count("*").alias("c"))
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        c_xy.crossJoin(F.broadcast(n_docs))
+        .filter(F.lit(10000) * F.col("c_xy") >= _COLL_SUPPORT_PM * F.col("n_docs"))
+        .join(
+            F.broadcast(df_t.withColumnRenamed("t", "t1").withColumnRenamed("c", "c_x")),
+            "t1",
+        )
+        .join(
+            F.broadcast(df_t.withColumnRenamed("t", "t2").withColumnRenamed("c", "c_y")),
+            "t2",
+        )
+        .select(
+            "t1",
+            "t2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.col("c_x").cast("long").alias("c_x"),
+            F.col("c_y").cast("long").alias("c_y"),
+            # `div`, not decimal `/`-then-cast: the cast ROUNDS half-up
+            # where DuckDB's `//` floors — a 1-unit hash mismatch class.
+            F.expr(
+                "CAST((10000 * CAST(c_xy AS DECIMAL(38,0)) * n_docs)"
+                " div (CAST(c_x AS DECIMAL(38,0)) * c_y) AS BIGINT)"
+            ).alias("lift_pm"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("lift_pm"), F.desc("c_xy"), "t1", "t2"
+    ).limit(_COLL_TOP)

@@ -1292,3 +1292,49 @@ def test_q126_pairs_are_exactly_the_planted_twins(spark):
     }
     assert {tuple(r) for r in rows} == want
     assert len(rows) == len(want) > 0
+
+
+def test_q129_inrow_pairs_equal_self_join_and_lift_replay(spark):
+    """q129's in-row pair generation (the 100 TB path: no token-level
+    self-join) must produce exactly the pair multiset a within-document
+    self-join produces, and the integer lift must equal a pure-Python
+    replay over the same counts — including the floor semantics at the
+    permyriad division."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.dedup import tokens_col
+    from alt_spark.queries.text import _COLL_SUPPORT_PM, _COLL_TOP, q129
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        "doc_id", F.array_distinct(tokens_col("text")).alias("ts")
+    )
+    rows = [(r["doc_id"], sorted(r["ts"])) for r in docs.collect()]
+    n_docs = len(rows)
+    from collections import Counter
+
+    c_xy: Counter = Counter()
+    c_t: Counter = Counter()
+    for _id, ts in rows:
+        for t in ts:
+            c_t[t] += 1
+        for i, x in enumerate(ts):
+            for y in ts[i + 1 :]:
+                c_xy[(x, y)] += 1
+    scored = [
+        (
+            t1,
+            t2,
+            c,
+            c_t[t1],
+            c_t[t2],
+            (10000 * c * n_docs) // (c_t[t1] * c_t[t2]),
+        )
+        for (t1, t2), c in c_xy.items()
+        if 10000 * c >= _COLL_SUPPORT_PM * n_docs
+    ]
+    scored.sort(key=lambda r: (-r[5], -r[2], r[0], r[1]))
+    want = scored[:_COLL_TOP]
+    got = [tuple(r) for r in q129(spark, SF_ORACLE).collect()]
+    assert got == want

@@ -490,3 +490,55 @@ def test_exact_quantiles_survive_full_long_range(spark):
     }
     s = sorted(vals)
     assert got == {1: (1, s[0]), 500: (4, s[3]), 1000: (7, s[6])}
+
+
+# ------------------------------------------------------------- q130 paths
+def test_q130_session_boundaries_break_paths(spark, monkeypatch):
+    """Path mining must honor the q22 session semantics: a 3-step path
+    never spans a 30-minute gap, sub-3-event sessions contribute
+    nothing, and counts replay a hand-computed log exactly."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from alt_spark.queries import events_q as eq
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(eid, uid, etype, minutes):
+        return Row(
+            event_id=eid,
+            ts=t0 + dt.timedelta(minutes=minutes),
+            user_id=uid,
+            event_type=etype,
+            value=0.0,
+            props="{}",
+        )
+
+    rows = [
+        # user 1, session 1: A B C D -> paths A>B>C, B>C>D
+        ev(1, 1, "A", 0),
+        ev(2, 1, "B", 1),
+        ev(3, 1, "C", 2),
+        ev(4, 1, "D", 3),
+        # 31-minute gap -> session 2: C D E -> path C>D>E (the would-be
+        # D>C>D across the gap must NOT appear)
+        ev(5, 1, "C", 34),
+        ev(6, 1, "D", 35),
+        ev(7, 1, "E", 36),
+        # user 2: two events only -> no 3-step path
+        ev(8, 2, "A", 0),
+        ev(9, 2, "B", 1),
+        # user 3: same-minute ties -> ordered by event_id: A B C
+        ev(12, 3, "C", 5),
+        ev(10, 3, "A", 5),
+        ev(11, 3, "B", 5),
+    ]
+    df = spark.createDataFrame(rows)
+    monkeypatch.setattr(eq, "load_table", lambda s, sf, name: df)
+    got = {(r["path"], r["n"]) for r in eq.q130(spark, "ignored").collect()}
+    assert got == {
+        ("A>B>C", 2),  # user 1 session 1 + user 3 tie-ordered
+        ("B>C>D", 1),
+        ("C>D>E", 1),
+    }
