@@ -341,6 +341,7 @@ _REPORT_TAIL = (
     "q128_curriculum_schedule",
     "q129_collocation_lift",
     "q130_session_paths",
+    "q131_streaming_dedup_replay",
 )
 
 

@@ -2072,3 +2072,175 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select(
         "id1", "id2", F.col("hamming").cast("long").alias("hamming")
     ).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+# q131: streaming exact-dedup replay — the q49/q120 doctrine applied to
+# K3's stateful content-hash dedup, which until now carried only pytest
+# parity evidence: the corpus re-lands as residue-keyed micro-batches
+# (mtime-staggered so batch order == residue order) PLUS a final batch
+# of redelivered twins (same text, new ids — must be dropped by state
+# that survived earlier batches) and suffixed variants (new text — must
+# survive), flows through a REAL Structured-Streaming dropDuplicates on
+# the portable content hash, and the per-batch survivor counts +
+# id checksums are SQL-reproducible because arrival order is a doc_id
+# residue. Each landing batch is pre-deduped batch-internally
+# first-wins (min doc_id per hash) — exact_dedup_incremental's
+# documented batch semantics — so the only nondeterminism
+# dropDuplicates could introduce (arbitrary winner within one
+# micro-batch) is defined away; cross-batch arbitration is the
+# stream's own state.
+_SDR_BATCHES = 3
+_SDR_TWIN_MOD = 5  # every 5th doc redelivers its text under a new id
+_SDR_VAR_MOD = 7  # every 7th doc ships a ' v2'-suffixed variant
+_SDR_TWIN_BASE = 1_000_000_000
+_SDR_VAR_BASE = 2_000_000_000
+
+
+def _q131_oracle() -> str:
+    return f"""
+WITH raw AS (
+  SELECT doc_id % {_SDR_BATCHES} AS batch, doc_id AS id, md5(text) AS h
+  FROM documents
+  UNION ALL
+  SELECT {_SDR_BATCHES}, {_SDR_TWIN_BASE} + doc_id, md5(text)
+  FROM documents WHERE doc_id % {_SDR_TWIN_MOD} = 0
+  UNION ALL
+  SELECT {_SDR_BATCHES}, {_SDR_VAR_BASE} + doc_id, md5(text || ' v2')
+  FROM documents WHERE doc_id % {_SDR_VAR_MOD} = 0
+), reps AS (
+  SELECT batch, h, min(id) AS id FROM raw GROUP BY batch, h
+), surv AS (
+  SELECT r.batch, r.id FROM reps r
+  WHERE NOT EXISTS (
+    SELECT 1 FROM raw e WHERE e.h = r.h AND e.batch < r.batch
+  )
+), n_in AS (
+  SELECT batch, count(*) AS n_in FROM raw GROUP BY batch
+)
+SELECT n.batch, n.n_in,
+       CAST(coalesce(count(s.id), 0) AS BIGINT) AS n_out,
+       CAST(coalesce(sum(s.id), 0) AS BIGINT) AS id_checksum
+FROM n_in n LEFT JOIN surv s ON s.batch = n.batch
+GROUP BY n.batch, n.n_in
+ORDER BY n.batch
+"""
+
+
+@query("q131_streaming_dedup_replay", oracle=_q131_oracle())
+def q131(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming exact-dedup, driver-hash-checked: per
+    micro-batch, how many rows arrived and which survived the
+    content-hash state as of arrival. Batches 0-2 are the corpus keyed
+    by doc_id residue; batch 3 redelivers every ``_SDR_TWIN_MOD``-th
+    text under a new id (state must drop it — proof the dedup state
+    SURVIVED batch boundaries) and ships a ``' v2'``-suffixed variant
+    of every ``_SDR_VAR_MOD``-th doc (new content — must survive).
+    The oracle replays first-wins by (batch, then min-id within batch)
+    in plain SQL; the landing pre-dedupes each batch internally
+    (min doc_id per hash — ``exact_dedup_incremental``'s documented
+    batch rule), so the replay is total and the hash cannot flake.
+
+    Scale shape: the stream state is one row per distinct content
+    hash (what a production ingest keeps anyway); per-batch work is a
+    narrow hash projection + the keyed state lookup. The memory-sink
+    materialization and re-landing are harness economics (the q49/q120
+    device) — a production pipeline writes survivors to the corpus
+    store via foreachBatch.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    docs = load_table(spark, sf, "documents")
+    raw = (
+        docs.select(
+            (F.col("doc_id") % _SDR_BATCHES).alias("batch"),
+            F.col("doc_id").alias("id"),
+            F.md5("text").alias("h"),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _SDR_TWIN_MOD == 0).select(
+                F.lit(_SDR_BATCHES).alias("batch"),
+                (F.lit(_SDR_TWIN_BASE) + F.col("doc_id")).alias("id"),
+                F.md5("text").alias("h"),
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % _SDR_VAR_MOD == 0).select(
+                F.lit(_SDR_BATCHES).alias("batch"),
+                (F.lit(_SDR_VAR_BASE) + F.col("doc_id")).alias("id"),
+                F.md5(F.concat(F.col("text"), F.lit(" v2"))).alias("h"),
+            )
+        )
+        .localCheckpoint()  # landing writes + n_in both read it
+    )
+    n_in = raw.groupBy("batch").agg(F.count("*").alias("n_in"))
+    # Batch-internal first-wins BEFORE landing (see header comment).
+    reps = raw.groupBy("batch", "h").agg(F.min("id").alias("id"))
+
+    root = tempfile.mkdtemp(prefix="q131_dedup_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    sink = "q131_out_" + uuid.uuid4().hex[:8]
+    try:
+        now = time.time()
+        for b in range(_SDR_BATCHES + 1):
+            stage = os.path.join(root, f"stage_{b}")
+            reps.filter(F.col("batch") == b).select(
+                "id", "h", "batch"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            path = os.path.join(landing, f"chunk_{b:03d}.parquet")
+            os.rename(part, path)
+            os.utime(path, (now + b, now + b))
+        src = (
+            spark.readStream.schema("id long, h string, batch long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = (
+            src.dropDuplicates(["h"])
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .option(
+                "checkpointLocation",
+                os.path.join(root, "ckpt" + uuid.uuid4().hex[:8]),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("q131 streaming replay timed out")
+        finally:
+            if q.isActive:
+                q.stop()
+        surv = spark.table(sink).groupBy("batch").agg(
+            F.count("*").alias("n_out"),
+            F.sum("id").alias("id_checksum"),
+        )
+        out = (
+            n_in.join(surv, "batch", "left")
+            .select(
+                "batch",
+                "n_in",
+                F.coalesce("n_out", F.lit(0)).cast("long").alias("n_out"),
+                F.coalesce("id_checksum", F.lit(0))
+                .cast("long")
+                .alias("id_checksum"),
+            )
+            .orderBy("batch")
+        )
+        # Materialize before the sink table / temp dirs go away.
+        return spark.createDataFrame(out.collect(), out.schema).orderBy(
+            "batch"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        spark.catalog.dropTempView(sink) if spark.catalog.tableExists(sink) else None

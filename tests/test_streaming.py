@@ -1778,3 +1778,33 @@ def test_streaming_bloom_generations_match_batch_bitmap(spark):
         salts,
     ).collect()[0]["bloom"]
     assert horizon == hz_full, "generation drop diverged from fresh horizon build"
+
+
+def test_q131_state_survives_batches_and_variants_survive(spark):
+    """The q131 replay's semantic pins: batch 3's redelivered twins are
+    ALL dropped (the dedup state crossed three batch boundaries) while
+    every suffixed variant survives; batches 0-2 survive in full at a
+    SF with no cross-residue duplicate texts."""
+    from alt_spark.queries.pipeline_ops import (
+        _SDR_TWIN_MOD,
+        _SDR_VAR_MOD,
+        q131,
+    )
+
+    rows = {r["batch"]: r for r in q131(spark, SF).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    n_twins = sum(1 for d in doc_ids if d % _SDR_TWIN_MOD == 0)
+    n_vars = sum(1 for d in doc_ids if d % _SDR_VAR_MOD == 0)
+    b3 = rows[3]
+    assert b3["n_in"] == n_twins + n_vars
+    assert b3["n_out"] == n_vars, "twins must be dropped, variants kept"
+    for b in (0, 1, 2):
+        # sf0.001 has no duplicate texts at all, so every original row
+        # survives its own batch.
+        assert rows[b]["n_out"] == rows[b]["n_in"]
