@@ -1316,3 +1316,46 @@ def test_exact_quantiles_at_1m_rows(spark):
                 .collect()[0]["v"]
             )
             assert row["value"] == truth, (grp, p, k)
+
+
+def test_hamming_blocked_pairs_at_100k_fingerprints(spark):
+    """The pigeonhole block join (SimHash + image-aHash shared device)
+    at 100k 64-bit fingerprints: planted near-twins (hamming <= 3 of a
+    base fingerprint) must ALL pair with their base, the candidate
+    stage must stay block-bounded (uniform random fingerprints agree on
+    a 16-bit block with p = 2^-16, so candidates ~ 4 * n^2 / 65536 —
+    never all-pairs), and no random pair may verify at hamming <= 3."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.dedup import hamming_blocked_pairs
+
+    n = 100_000
+    base = spark.range(n).select(
+        F.col("id").alias("fid"),
+        F.xxhash64(F.col("id").cast("string")).alias("h"),
+    )
+    # Every 1000th fingerprint gets a twin at hamming exactly 1 (flip
+    # bit 7) under id + 10^9.
+    twins = base.filter(F.col("fid") % 1000 == 0).select(
+        (F.col("fid") + 1_000_000_000).alias("fid"),
+        F.col("h").bitwiseXOR(F.lit(1 << 7)).alias("h"),
+    )
+    pairs = hamming_blocked_pairs(
+        base.unionByName(twins), "h", "fid", max_hamming=3, bands=4
+    ).collect()
+    planted = {
+        (r["fid"], r["fid"] + 1_000_000_000)
+        for r in base.filter(F.col("fid") % 1000 == 0).collect()
+    }
+    got = {(r["id1"], r["id2"]) for r in pairs}
+    assert planted <= got, f"missing planted twins: {planted - got}"
+    for r in pairs:
+        if (r["id1"], r["id2"]) in planted:
+            assert r["hamming"] == 1
+        else:
+            # xxhash64 of distinct ids: a hamming <= 3 collision has
+            # probability ~ 2^-46 per pair — any hit here means the
+            # popcount verify is broken.
+            assert r["hamming"] <= 3  # definitionally true; the real
+            # assertion is that there are very few such rows:
+    assert len(got - planted) < 5, f"{len(got - planted)} random near-collisions"
