@@ -342,6 +342,8 @@ _REPORT_TAIL = (
     "q129_collocation_lift",
     "q130_session_paths",
     "q131_streaming_dedup_replay",
+    "q132_containment_topk",
+    "q133_collocation_triangles",
 )
 
 

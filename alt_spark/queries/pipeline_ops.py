@@ -2244,3 +2244,114 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
     finally:
         shutil.rmtree(root, ignore_errors=True)
         spark.catalog.dropTempView(sink) if spark.catalog.tableExists(sink) else None
+
+
+# ---------------------------------------------------------------------------
+# q132: containment detection — the ASYMMETRIC sibling of near-dup:
+# Jaccard-style symmetric measures miss "document A is quoted inside
+# document B" (|A| << |B| drags the union down), but the winnowing
+# guarantee (shared substrings of length >= k+w-1 share fingerprints —
+# Schleimer 2003, the q33 chain) makes containment(A->B) =
+# |fp(A) ∩ fp(B)| / |fp(A)| the standard detector for quotation /
+# partial duplication in a training corpus. Integer permyriad, floor
+# division, both directions reported.
+_CTN_MIN_FP = 20  # ignore docs with too few fingerprints to score stably
+_CTN_THRESH_PM = 6000  # report containment >= 60%
+_CTN_TOP = 25
+
+
+@query(
+    "q132_containment_topk",
+    oracle=f"""
+WITH g AS (
+  SELECT doc_id AS id, i - 1 AS pos, {_h60("substr(text, i, 5)")} AS h
+  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) u(i)
+  WHERE length(text) >= 5
+), w AS (
+  SELECT id, pos,
+         min(h) OVER (PARTITION BY id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
+         count(*) OVER (PARTITION BY id) AS n_grams
+  FROM g
+), fps AS (
+  SELECT DISTINCT id, wm FROM w WHERE pos <= n_grams - 4
+), sz AS (
+  SELECT id, count(*) AS n_fp FROM fps GROUP BY id
+), inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared
+  FROM fps a JOIN fps b ON a.wm = b.wm AND a.id <> b.id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT i.id_a, i.id_b, i.shared,
+         sa.n_fp AS n_fp_a,
+         CAST((10000 * i.shared) // sa.n_fp AS BIGINT) AS containment_pm
+  FROM inter i JOIN sz sa ON sa.id = i.id_a
+  WHERE sa.n_fp >= {_CTN_MIN_FP}
+)
+SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+       CAST(n_fp_a AS BIGINT) AS n_fp_a, containment_pm
+FROM scored WHERE containment_pm >= {_CTN_THRESH_PM}
+ORDER BY containment_pm DESC, shared DESC, id_a, id_b
+LIMIT {_CTN_TOP}
+""",
+)
+def q132(spark: SparkSession, sf: str) -> DataFrame:
+    """Top containment pairs: per directed pair (A, B), the fraction of
+    A's winnowing fingerprints also present in B, in permyriad — the
+    quotation / partial-duplication detector symmetric near-dup misses
+    (q30's Jaccard punishes |A| << |B|; containment does not). Shares
+    the exact q33 fingerprint chain (k=5 char-grams, window 4, portable
+    md5 — the winnowing guarantee makes shared substrings of length
+    >= 8 produce shared fingerprints), so the oracle replays hash →
+    sliding min → distinct → intersect verbatim.
+
+    Plan (100 TB shape): the only corpus-scale join is the fingerprint
+    equi-join on wm — bucket sizes are hash-uniform (the LSH-band
+    argument), never all-pairs; the intersect count is a map-side-
+    combinable aggregate over shared-fingerprint pairs only; sizes are
+    a broadcastable doc-grain table; the cut is TakeOrdered. Low-
+    fingerprint docs are gated out BEFORE scoring so the permyriad is
+    stable.
+    """
+    from alt_spark.functions.text_analysis import winnowing_fingerprints
+
+    docs = load_table(spark, sf, "documents")
+    fp = winnowing_fingerprints(docs, portable=True)
+    fps = fp.select("id", F.explode("fingerprints").alias("wm"))
+    if _dfcache.MATERIALIZE:
+        fps = fps.localCheckpoint(eager=False)
+    sz = fp.select("id", F.size("fingerprints").alias("n_fp"))
+    a, b = fps.alias("a"), fps.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.wm") == F.col("b.wm")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    scored = (
+        inter.join(
+            F.broadcast(
+                sz.filter(F.col("n_fp") >= _CTN_MIN_FP).select(
+                    F.col("id").alias("id_a"), F.col("n_fp").alias("n_fp_a")
+                )
+            ),
+            "id_a",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.col("shared").cast("long").alias("shared"),
+            F.col("n_fp_a").cast("long").alias("n_fp_a"),
+            F.expr("CAST((10000 * shared) div n_fp_a AS BIGINT)").alias(
+                "containment_pm"
+            ),
+        )
+        .filter(F.col("containment_pm") >= _CTN_THRESH_PM)
+    )
+    return scored.orderBy(
+        F.desc("containment_pm"), F.desc("shared"), "id_a", "id_b"
+    ).limit(_CTN_TOP)

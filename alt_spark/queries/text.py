@@ -20,6 +20,7 @@ from pyspark.sql.window import Window
 
 from alt_spark.catalog import load_table
 from alt_spark.functions.text_analysis import DDB_TOKENS as _DDB_TOKENS
+from alt_spark.plans import dfcache as _dfcache
 from alt_spark.queries import query
 
 
@@ -573,3 +574,181 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     return scored.orderBy(
         F.desc("lift_pm"), F.desc("c_xy"), "t1", "t2"
     ).limit(_COLL_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q133: triangle counting + clustering coefficients on the adjacency-
+# bigram graph — the J4 family's local-structure measure next to CC
+# (global connectivity), PageRank/HITS (centrality) and label
+# propagation: a token's clustering coefficient says whether its
+# frequent neighbors also neighbor EACH OTHER (topical cohesion vs
+# hub-ness). Edges are ABOVE-RATE bigrams (unordered adjacent-token
+# pairs whose occurrence rate clears a permyriad-of-corpus gate —
+# adjacency is the grain Manning & Schütze's collocation chapter
+# actually measures, and the rate gate leaves a non-complete graph
+# with real degree variance at every generated SF, where q129's
+# document-co-occurrence relation is near-complete on this
+# vocabulary). The algorithm is the degree-ordered compact-forward
+# scheme (Latapy 2008; Suri & Vassilvitskii 2011 for the MapReduce
+# form): orient every edge from the (degree, node)-smaller endpoint
+# to the larger, count wedges (u->v, u->w) closed by an oriented
+# (v->w) edge — each triangle counted exactly once, and the wedge
+# join's fan-out is bounded by out-degree <= O(sqrt(m)) instead of
+# max raw degree (the hub that kills naive wedge counting).
+_TRI_TOP = 15
+_BG_SUPPORT_PM = 1250  # bigram occurrences per doc >= 0.125 to edge
+
+
+@query(
+    "q133_collocation_triangles",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_DDB_TOKENS} AS ts FROM documents
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), bg AS (
+  SELECT least(ts[i], ts[i + 1]) AS t1, greatest(ts[i], ts[i + 1]) AS t2
+  FROM toks, unnest(range(1, len(ts))) u(i)
+  WHERE ts[i] <> ts[i + 1]
+), pairs AS (
+  SELECT t1, t2 FROM bg
+  GROUP BY 1, 2
+  HAVING 10000 * count(*) >= {_BG_SUPPORT_PM} * (SELECT n_docs FROM n)
+), deg AS (
+  SELECT t, count(*) AS d FROM (
+    SELECT t1 AS t FROM pairs UNION ALL SELECT t2 FROM pairs
+  ) GROUP BY t
+), o AS (
+  SELECT CASE WHEN (da.d, p.t1) < (db.d, p.t2) THEN p.t1 ELSE p.t2 END AS src,
+         CASE WHEN (da.d, p.t1) < (db.d, p.t2) THEN p.t2 ELSE p.t1 END AS dst
+  FROM pairs p JOIN deg da ON da.t = p.t1 JOIN deg db ON db.t = p.t2
+), tri AS (
+  SELECT e1.src AS u, e1.dst AS v, e2.dst AS w
+  FROM o e1 JOIN o e2 ON e1.src = e2.src AND e1.dst <> e2.dst
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+), pernode AS (
+  SELECT t, count(*) AS n_tri FROM (
+    SELECT u AS t FROM tri UNION ALL SELECT v FROM tri UNION ALL SELECT w FROM tri
+  ) GROUP BY t
+)
+SELECT d.t AS token, CAST(d.d AS BIGINT) AS degree,
+       CAST(coalesce(p.n_tri, 0) AS BIGINT) AS n_triangles,
+       CAST(CASE WHEN d.d >= 2
+                 THEN (10000 * 2 * coalesce(p.n_tri, 0)) // (d.d * (d.d - 1))
+                 ELSE 0 END AS BIGINT) AS clustering_pm
+FROM deg d LEFT JOIN pernode p ON p.t = d.t
+ORDER BY n_triangles DESC, token
+LIMIT {_TRI_TOP}
+""",
+)
+def q133(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-token triangle counts and clustering coefficients over the
+    above-rate adjacency-bigram graph (edge iff the unordered adjacent
+    pair's occurrence rate clears ``_BG_SUPPORT_PM`` permyriad of the
+    corpus doc count). Coefficient = 2T/(d(d-1)) in permyriad, floor
+    division — integer-exact cross-engine.
+
+    Plan (100 TB shape): bigram extraction is one in-row zip of two
+    array slices inside the scan projection (no self-join), collapsed
+    by one map-side-combinable count; degrees are one combinable
+    aggregate; the triangle join is compact-forward — the wedge
+    fan-out after degree orientation is bounded by out-degree <=
+    O(sqrt(m)), and the closing edge check is an equi-join on (v, w),
+    never an all-wedges materialize-and-filter against raw hub
+    degrees. Per-node attribution is a 3-way union of triangle corners
+    into one combinable count; the final cut is TakeOrdered
+    top-{_TRI_TOP}.
+    """
+    docs = load_table(spark, sf, "documents")
+    ts = _token_col()
+    bigrams = F.filter(
+        F.zip_with(
+            F.slice(ts, 1, F.size(ts) - 1),
+            F.slice(ts, 2, F.size(ts) - 1),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("t1"), F.greatest(a, b).alias("t2")
+            ),
+        ),
+        lambda p: p["t1"] != p["t2"],
+    )
+    pair_rows = (
+        docs.filter(F.size(ts) >= 2)
+        .select(F.explode(bigrams).alias("p"))
+        .select(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
+    )
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    edges = (
+        pair_rows.groupBy("t1", "t2")
+        .agg(F.count("*").alias("c_xy"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.lit(10000) * F.col("c_xy") >= _BG_SUPPORT_PM * F.col("n_docs")
+        )
+        .select("t1", "t2")
+    )
+    if _dfcache.MATERIALIZE:
+        edges = edges.localCheckpoint(eager=False)
+    deg = (
+        edges.select(F.col("t1").alias("t"))
+        .unionByName(edges.select(F.col("t2").alias("t")))
+        .groupBy("t")
+        .agg(F.count("*").alias("d"))
+    )
+    e = (
+        edges.join(
+            F.broadcast(deg.select(F.col("t").alias("t1"), F.col("d").alias("d1"))),
+            "t1",
+        ).join(
+            F.broadcast(deg.select(F.col("t").alias("t2"), F.col("d").alias("d2"))),
+            "t2",
+        )
+    )
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2"))
+    )
+    o = e.select(
+        F.when(fwd, F.col("t1")).otherwise(F.col("t2")).alias("src"),
+        F.when(fwd, F.col("t2")).otherwise(F.col("t1")).alias("dst"),
+    )
+    if _dfcache.MATERIALIZE:
+        o = o.localCheckpoint(eager=False)
+    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    tri = (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") != F.col("e2.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("v"),
+            F.col("e2.dst").alias("w"),
+        )
+    )
+    pernode = (
+        tri.select(F.col("u").alias("t"))
+        .unionByName(tri.select(F.col("v").alias("t")))
+        .unionByName(tri.select(F.col("w").alias("t")))
+        .groupBy("t")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        deg.join(pernode, "t", "left")
+        .select(
+            F.col("t").alias("token"),
+            F.col("d").cast("long").alias("degree"),
+            F.coalesce("n_tri", F.lit(0)).cast("long").alias("n_triangles"),
+            F.expr(
+                "CAST(CASE WHEN d >= 2"
+                " THEN (10000 * 2 * coalesce(n_tri, 0)) div (d * (d - 1))"
+                " ELSE 0 END AS BIGINT)"
+            ).alias("clustering_pm"),
+        )
+        .orderBy(F.desc("n_triangles"), "token")
+        .limit(_TRI_TOP)
+    )

@@ -1338,3 +1338,70 @@ def test_q129_inrow_pairs_equal_self_join_and_lift_replay(spark):
     want = scored[:_COLL_TOP]
     got = [tuple(r) for r in q129(spark, SF_ORACLE).collect()]
     assert got == want
+
+
+def test_q133_triangles_match_pure_python_and_containment_is_directional(spark):
+    """q133's compact-forward count must equal a brute-force pure-Python
+    triangle count over the same gated bigram edge set (orientation /
+    wedge-dedup bugs show here), and q132's containment must be
+    DIRECTIONAL: every full-containment pair (A inside B) reports from
+    the smaller fingerprint set's side."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.catalog import load_table
+    from alt_spark.operators.dedup import tokens_col
+    from alt_spark.queries.pipeline_ops import q132
+    from alt_spark.queries.text import _BG_SUPPORT_PM, q133
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents").select(
+        tokens_col("text").alias("ts")
+    )
+    from collections import Counter
+
+    c: Counter = Counter()
+    n_docs = 0
+    for r in docs.collect():
+        n_docs += 1
+        ts = r["ts"]
+        for a, b in zip(ts, ts[1:]):
+            if a != b:
+                c[(min(a, b), max(a, b))] += 1
+    edges = {p for p, k in c.items() if 10000 * k >= _BG_SUPPORT_PM * n_docs}
+    adj: dict[str, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    from itertools import combinations
+
+    tri = {
+        t: sum(
+            1
+            for u, v in combinations(sorted(adj[t]), 2)
+            if (min(u, v), max(u, v)) in edges
+        )
+        for t in adj
+    }
+    want = sorted(
+        (
+            (
+                t,
+                len(adj[t]),
+                tri[t],
+                (10000 * 2 * tri[t]) // (len(adj[t]) * (len(adj[t]) - 1))
+                if len(adj[t]) >= 2
+                else 0,
+            )
+            for t in adj
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )[:15]
+    got = [tuple(r) for r in q133(spark, SF_ORACLE).collect()]
+    assert got == want
+    # q132 directionality: for every reported full containment the
+    # denominator is the REPORTING side's own fingerprint count.
+    rows = q132(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        assert r["shared"] <= r["n_fp_a"]
+        assert r["containment_pm"] == (10000 * r["shared"]) // r["n_fp_a"]
