@@ -2258,23 +2258,50 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
 _CTN_MIN_FP = 20  # ignore docs with too few fingerprints to score stably
 _CTN_THRESH_PM = 6000  # report containment >= 60%
 _CTN_TOP = 25
+# MOSS's over-common-fingerprint exclusion (Schleimer 2003 §5): a
+# fingerprint present in more than this permyriad of documents is
+# corpus boilerplate and carries NO containment signal, so it is
+# excluded from BOTH the intersect and the denominator. This is also
+# the scale lever: it caps the wm equi-join's bucket size at
+# df <= cap·N (measured: without it, boilerplate substrings shared by
+# ~all docs made q132 quadratic on the hot buckets — 124 s at sf0.1;
+# with it, ~7 s). The permyriad form keeps the oracle SF-invariant on
+# this synthetic small-vocabulary corpus; a production deployment uses
+# MOSS's ABSOLUTE df cap (bucket size bounded by a constant,
+# independent of N) — same plan, one constant swapped.
+_CTN_MAX_DF_PM = 1000  # rare = present in <= 10% of docs
+# Quotation grain: k=16 char-grams (window 4) — the winnowing guarantee
+# becomes "shared substrings of length >= 19 share a fingerprint",
+# which is the phrase/quotation grain containment actually hunts (q33's
+# k=5 near-word grain is boilerplate-dominated on a small vocabulary:
+# measured 12x more equi-join work for no extra signal).
+_CTN_K = 16
 
 
 @query(
     "q132_containment_topk",
     oracle=f"""
 WITH g AS (
-  SELECT doc_id AS id, i - 1 AS pos, {_h60("substr(text, i, 5)")} AS h
-  FROM documents, unnest(range(1, greatest(length(text) - 3, 1))) u(i)
-  WHERE length(text) >= 5
+  SELECT doc_id AS id, i - 1 AS pos, {_h60(f"substr(text, i, {_CTN_K})")} AS h
+  FROM documents,
+       unnest(range(1, greatest(length(text) - {_CTN_K - 2}, 1))) u(i)
+  WHERE length(text) >= {_CTN_K}
 ), w AS (
   SELECT id, pos,
          min(h) OVER (PARTITION BY id ORDER BY pos
                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wm,
          count(*) OVER (PARTITION BY id) AS n_grams
   FROM g
-), fps AS (
+), allfps AS (
   SELECT DISTINCT id, wm FROM w WHERE pos <= n_grams - 4
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), fps AS (
+  SELECT id, wm FROM allfps
+  WHERE wm IN (
+    SELECT wm FROM allfps GROUP BY wm
+    HAVING 10000 * count(*) <= {_CTN_MAX_DF_PM} * (SELECT n_docs FROM n)
+  )
 ), sz AS (
   SELECT id, count(*) AS n_fp FROM fps GROUP BY id
 ), inter AS (
@@ -2299,28 +2326,56 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
     """Top containment pairs: per directed pair (A, B), the fraction of
     A's winnowing fingerprints also present in B, in permyriad — the
     quotation / partial-duplication detector symmetric near-dup misses
-    (q30's Jaccard punishes |A| << |B|; containment does not). Shares
-    the exact q33 fingerprint chain (k=5 char-grams, window 4, portable
-    md5 — the winnowing guarantee makes shared substrings of length
-    >= 8 produce shared fingerprints), so the oracle replays hash →
-    sliding min → distinct → intersect verbatim.
+    (q30's Jaccard punishes |A| << |B|; containment does not). Runs
+    q33's fingerprint chain SHAPE at quotation grain (k=``_CTN_K``
+    char-grams, window 4, portable md5 — the winnowing guarantee makes
+    shared substrings of length >= 19 produce shared fingerprints), so
+    the oracle replays hash → sliding min → distinct → intersect
+    verbatim.
+
+    Bench-economics note: ~3/4 of the recorded wall is the portable
+    md5 fingerprinting of every gram position (the q53-q55 doctrine —
+    portable hashes buy the cross-engine oracle; the production
+    xxhash64 form of the same chain benches ~3x cheaper in q55), not
+    the containment join, which is rarity-capped and bounded.
+
+    The measure runs over RARE fingerprints only (doc frequency <=
+    ``_CTN_MAX_DF_PM`` permyriad of the corpus): MOSS's over-common
+    exclusion — boilerplate substrings shared by most documents say
+    nothing about A being inside B, and dropping them from both sides
+    of the ratio keeps the score honest. The same cap is the scale
+    lever: it bounds the wm equi-join's bucket size by construction.
 
     Plan (100 TB shape): the only corpus-scale join is the fingerprint
-    equi-join on wm — bucket sizes are hash-uniform (the LSH-band
-    argument), never all-pairs; the intersect count is a map-side-
-    combinable aggregate over shared-fingerprint pairs only; sizes are
-    a broadcastable doc-grain table; the cut is TakeOrdered. Low-
+    equi-join on wm — buckets bounded by the rarity cap (and the
+    doc-frequency pre-aggregate that enforces it is map-side
+    combinable), never all-pairs; the intersect count is a combinable
+    aggregate over shared-fingerprint pairs only; sizes are a
+    broadcastable doc-grain table; the cut is TakeOrdered. Low-
     fingerprint docs are gated out BEFORE scoring so the permyriad is
     stable.
     """
     from alt_spark.functions.text_analysis import winnowing_fingerprints
 
     docs = load_table(spark, sf, "documents")
-    fp = winnowing_fingerprints(docs, portable=True)
-    fps = fp.select("id", F.explode("fingerprints").alias("wm"))
+    fp = winnowing_fingerprints(docs, k=_CTN_K, window=4, portable=True)
+    allfps = fp.select("id", F.explode("fingerprints").alias("wm"))
+    if _dfcache.MATERIALIZE:
+        allfps = allfps.localCheckpoint(eager=False)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    rare = (
+        allfps.groupBy("wm")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(
+            F.lit(10000) * F.col("df") <= _CTN_MAX_DF_PM * F.col("n_docs")
+        )
+        .select("wm")
+    )
+    fps = allfps.join(rare, "wm", "left_semi")
     if _dfcache.MATERIALIZE:
         fps = fps.localCheckpoint(eager=False)
-    sz = fp.select("id", F.size("fingerprints").alias("n_fp"))
+    sz = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
     a, b = fps.alias("a"), fps.alias("b")
     inter = (
         a.join(

@@ -102,6 +102,17 @@ _NESTED_LOOP_OK = {
     # corpus scan — the benchmark side is eval-suite-sized by
     # construction (the q62 broadcast-bench device, vector form).
     "q102_semantic_decontamination",
+    # 1-row n_docs frame crossed onto the vocabulary-pair count table
+    # for the support gate (the BM25/LM stats-row device; left side
+    # bounded by observed vocabulary pairs, right side is 1 row).
+    "q129_collocation_lift",
+    # Same 1-row n_docs support-gate cross, onto the gated bigram edge
+    # table (bounded by observed adjacent-token pairs).
+    "q133_collocation_triangles",
+    # 1-row n_docs frame crossed onto the fingerprint doc-frequency
+    # table for the rarity cap (bounded by distinct fingerprints,
+    # right side is 1 row).
+    "q132_containment_topk",
     # 1-row bottleneck-total frame crossed onto the stratum-sized
     # count table (operators/mixing.target_mixture_rates, q70's
     # device).
