@@ -385,16 +385,26 @@ def _ahash64(lum, grid: int = 8) -> int:
     import numpy as np
 
     h, w = lum.shape
-    rb = (np.arange(h) * grid) // h
-    cb = (np.arange(w) * grid) // w
-    blocks = np.zeros((grid, grid), dtype=np.float64)
-    for r in range(grid):
-        rows = lum[rb == r]
-        if rows.size == 0:
-            continue
-        for c in range(grid):
-            cell = rows[:, cb == c]
-            blocks[r, c] = cell.mean() if cell.size else 0.0
+    if h % grid == 0 and w % grid == 0:
+        # Exact-divisibility fast path (identical block mapping: with
+        # h = grid*s the band index (r*grid)//h assigns s consecutive
+        # rows per band): one vectorized reshape-mean instead of
+        # grid*grid masked means — measured ~4x on the q126 synthesis
+        # (8x8 inputs make the generic loop pure Python overhead).
+        blocks = lum.reshape(grid, h // grid, grid, w // grid).mean(
+            axis=(1, 3)
+        )
+    else:
+        rb = (np.arange(h) * grid) // h
+        cb = (np.arange(w) * grid) // w
+        blocks = np.zeros((grid, grid), dtype=np.float64)
+        for r in range(grid):
+            rows = lum[rb == r]
+            if rows.size == 0:
+                continue
+            for c in range(grid):
+                cell = rows[:, cb == c]
+                blocks[r, c] = cell.mean() if cell.size else 0.0
     mean = blocks.mean()
     bits = 0
     for r in range(grid):

@@ -529,13 +529,23 @@ def q129(spark: SparkSession, sf: str) -> DataFrame:
     docs = load_table(spark, sf, "documents")
     toks = F.array_sort(F.array_distinct(_token_col()))
     # In-row unordered pairs of a sorted array: for index i, pair t[i]
-    # with every later element — flatten(transform-with-index).
+    # with every later element — flatten(transform-with-index). The
+    # token array is BOUND ONCE as a HOF lambda variable (the winnowing
+    # device): referencing `toks` directly inside the inner lambdas
+    # lets CollapseProject inline the tokenize+distinct+sort chain into
+    # every slice — a per-element re-tokenize measured at 4.7 s vs
+    # 0.8 s at sf0.1.
     pairs_col = F.flatten(
         F.transform(
-            toks,
-            lambda x, i: F.transform(
-                F.slice(toks, i + 2, F.size(toks)),
-                lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+            F.array(toks),
+            lambda ts: F.flatten(
+                F.transform(
+                    ts,
+                    lambda x, i: F.transform(
+                        F.slice(ts, i + 2, F.size(ts)),
+                        lambda y: F.struct(x.alias("t1"), y.alias("t2")),
+                    ),
+                )
             ),
         )
     )
@@ -661,15 +671,23 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
     """
     docs = load_table(spark, sf, "documents")
     ts = _token_col()
-    bigrams = F.filter(
-        F.zip_with(
-            F.slice(ts, 1, F.size(ts) - 1),
-            F.slice(ts, 2, F.size(ts) - 1),
-            lambda a, b: F.struct(
-                F.least(a, b).alias("t1"), F.greatest(a, b).alias("t2")
+    # Token array bound once as a HOF lambda variable (the q129/
+    # winnowing device) so the two slices don't each re-tokenize.
+    bigrams = F.flatten(
+        F.transform(
+            F.array(ts),
+            lambda a: F.filter(
+                F.zip_with(
+                    F.slice(a, 1, F.size(a) - 1),
+                    F.slice(a, 2, F.size(a) - 1),
+                    lambda x, y: F.struct(
+                        F.least(x, y).alias("t1"),
+                        F.greatest(x, y).alias("t2"),
+                    ),
+                ),
+                lambda p: p["t1"] != p["t2"],
             ),
-        ),
-        lambda p: p["t1"] != p["t2"],
+        )
     )
     pair_rows = (
         docs.filter(F.size(ts) >= 2)
