@@ -7,8 +7,8 @@ Layout:
     catalog.py    explicit StructType schemas + loaders for the test tables,
                   plus the SQL entry point (register_views / sql) — the
                   reference's users issue SQL, so parity includes it
-    queries/      declared query inventory (SURVEY.md §2.Q): 133 queries
-                  Q01-Q133 — relational core (joins/aggs/windows/set ops,
+    queries/      declared query inventory (SURVEY.md §2.Q): 134 queries
+                  Q01-Q134 — relational core (joins/aggs/windows/set ops,
                   grouping sets, frame specs, exact + bounded-memory
                   quantiles), log analytics + SLI read models (cohorts,
                   funnels, integer 3-sigma anomaly flags), text/search
@@ -20,10 +20,10 @@ Layout:
                   tokenizers, quality gates, release governance with
                   bootstrap CIs + exact KS drift tests, curriculum
                   schedules, collocations, session path mining,
-                  end-to-end perceptual image dedup), and streaming
+                  end-to-end perceptual image + audio dedup), and streaming
                   sketch + stateful-dedup replays — each a (name -> Spark callable) plus,
                   where SQL-expressible, a (name -> DuckDB oracle SQL)
-                  entry (125 of 133)
+                  entry (126 of 134)
     operators/    dedup family (exact / MinHash-LSH / SimHash / span /
                   segment / Bloom bitmap, all with incremental indexes +
                   retention), ANN search (brute-force / SRP-LSH / IVF /

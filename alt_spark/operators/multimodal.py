@@ -37,6 +37,7 @@ __all__ = [
     "frame_sample_plan",
     "image_ahash",
     "image_near_dup_pairs",
+    "audio_bandhash",
 ]
 
 MEDIA_SCHEMA = T.StructType(
@@ -466,3 +467,56 @@ def image_near_dup_pairs(
     return hamming_blocked_pairs(
         h, "ahash", "media_id", max_hamming=max_hamming, bands=bands
     )
+
+
+_BANDHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("bandhash", T.LongType()),
+    ]
+)
+
+
+def audio_bandhash(media: DataFrame, dim: int = 64) -> DataFrame:
+    """(media_id, bandhash) — 64-bit perceptual audio fingerprint per
+    PCM WAV payload: the REAL decode kernel's per-band RMS energies
+    (``_decode_wav``: RIFF walk, channel average, time-band RMS)
+    thresholded at their mean and packed row-major into a signed long —
+    the audio sibling of ``image_ahash`` (an energy-envelope average
+    hash: a global GAIN change scales every band AND the mean together,
+    so the bit pattern survives it, exactly as aHash survives
+    brightness). NULL for payloads the real kernel cannot decode
+    (compressed audio stays a declared stub; hashing a stub vector
+    would manufacture fake near-dups). Arrow-batched mapInPandas,
+    narrow — runs inside the scan stage."""
+    if not 1 <= dim <= 64:
+        raise ValueError(f"dim must be in [1, 64] (got {dim})")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_rows: list[int | None]
+        for pdf in batches:
+            out_rows = []
+            for p, m in zip(pdf["payload"], pdf["meta"]):
+                mime = None if m is None else m["mime"]
+                vals = None
+                if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
+                    vals = _decode_wav(p, dim)
+                if vals is None:
+                    out_rows.append(None)
+                    continue
+                mean = sum(vals) / len(vals)
+                bits = 0
+                for i, v in enumerate(vals):
+                    if v >= mean:
+                        bits |= 1 << i
+                if bits >= 1 << 63:
+                    bits -= 1 << 64
+                out_rows.append(bits)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "bandhash": pd.array(out_rows, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(kernel, schema=_BANDHASH_SCHEMA)

@@ -344,6 +344,7 @@ _REPORT_TAIL = (
     "q131_streaming_dedup_replay",
     "q132_containment_topk",
     "q133_collocation_triangles",
+    "q134_audio_fingerprint_dedup",
 )
 
 

@@ -1914,6 +1914,13 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
 _IMG_TWIN_MOD = 20  # every 20th doc gets a shifted, re-oriented twin
 _IMG_TWIN_BASE = 1_000_000_000
 _IMG_SHIFT = 16
+# Third member per twin-doc: the SAME canonical pixels brightness-
+# shifted again and encoded as a GREYSCALE PNG (zlib, filter-0 rows,
+# always top-down) — the cross-CODEC pin: BMP and PNG payloads of one
+# image must land in one hamming-0 group, which hash-checks the PNG
+# chunk walk + inflate + luma path against the BMP path cross-engine.
+_IMG_PNG_BASE = 3_000_000_000
+_IMG_PNG_SHIFT = 32
 
 
 def _img_pixels(doc_id: int, shift: int) -> list[int]:
@@ -1955,6 +1962,34 @@ def _img_bmp(vals: list[int], bottom_up: bool) -> bytes:
     return bytes(hdr + dib + data)
 
 
+def _img_png(vals: list[int], shift: int = 0) -> bytes:
+    """Pack canonical top-down pixels into a REAL greyscale PNG (zlib
+    deflate, filter-0 scanlines, correct chunk CRCs) — the cross-codec
+    member the decode kernel must reduce to the same fingerprint."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + typ
+            + body
+            + struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    raw = b"".join(
+        b"\x00" + bytes(v + shift for v in vals[r * 8 : (r + 1) * 8])
+        for r in range(8)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _q126_oracle() -> str:
     pack_bit = (
         "CASE WHEN 64 * v > t.s THEN"
@@ -1966,6 +2001,9 @@ WITH m AS (
   SELECT doc_id AS media_id, doc_id, 0 AS shift FROM documents
   UNION ALL
   SELECT {_IMG_TWIN_BASE} + doc_id, doc_id, {_IMG_SHIFT} FROM documents
+  WHERE doc_id % {_IMG_TWIN_MOD} = 0
+  UNION ALL
+  SELECT {_IMG_PNG_BASE} + doc_id, doc_id, {_IMG_PNG_SHIFT} FROM documents
   WHERE doc_id % {_IMG_TWIN_MOD} = 0
 ), hx AS (
   SELECT media_id, shift,
@@ -2001,11 +2039,15 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     """Perceptual image dedup end to end (J11 as a driver-hash-checked
     QUERY, VERDICT r9 item 5): every document carries a synthetic 8x8
     grey 24-bit BMP derived from md5(doc_id); every ``_IMG_TWIN_MOD``-th
-    doc additionally ships a brightness-shifted (+16) twin stored in
-    the OPPOSITE row orientation. The REAL stdlib BMP decode kernel
+    doc additionally ships (a) a brightness-shifted (+16) BMP twin
+    stored in the OPPOSITE row orientation and (b) a +32-shifted
+    greyscale PNG of the same canonical pixels — the CROSS-CODEC pin:
+    all three payloads must land in one hamming-0 group, which
+    hash-checks the PNG chunk walk + inflate + luma path against the
+    BMP path cross-engine. The REAL stdlib decode kernels
     (``operators/multimodal.image_ahash``: header walk, BGR luma,
     bottom-up/top-down canonicalization, grid pooling, mean threshold)
-    fingerprints each payload, and near-dup pairs come from the
+    fingerprint each payload, and near-dup pairs come from the
     pigeonhole block equi-join + popcount verify shared with the
     SimHash family (``dedup.hamming_blocked_pairs``).
 
@@ -2043,24 +2085,34 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
             "height": 8,
             "duration_ms": None,
         }
+        png_meta = dict(meta, mime="image/png")
         for pdf in batches:
-            ids, payloads = [], []
+            ids, payloads, metas = [], [], []
             for doc_id in pdf["doc_id"]:
                 d = int(doc_id)
                 base_bu = d % 2 == 0
                 ids.append(d)
                 payloads.append(_img_bmp(_img_pixels(d, 0), base_bu))
+                metas.append(meta)
                 if d % _IMG_TWIN_MOD == 0:
                     # Twin: +16 brightness, OPPOSITE stored orientation.
                     ids.append(_IMG_TWIN_BASE + d)
                     payloads.append(
                         _img_bmp(_img_pixels(d, _IMG_SHIFT), not base_bu)
                     )
+                    metas.append(meta)
+                    # Cross-codec member: +32 brightness as a greyscale
+                    # PNG — must join the SAME hamming-0 group.
+                    ids.append(_IMG_PNG_BASE + d)
+                    payloads.append(
+                        _img_png(_img_pixels(d, 0), _IMG_PNG_SHIFT)
+                    )
+                    metas.append(png_meta)
             yield _pd.DataFrame(
                 {
                     "media_id": _pd.array(ids, dtype="Int64"),
                     "payload": payloads,
-                    "meta": [meta] * len(ids),
+                    "meta": metas,
                 }
             )
 
@@ -2410,3 +2462,159 @@ def q132(spark: SparkSession, sf: str) -> DataFrame:
     return scored.orderBy(
         F.desc("containment_pm"), F.desc("shared"), "id_a", "id_b"
     ).limit(_CTN_TOP)
+
+
+# ---------------------------------------------------------------------------
+# q134: perceptual AUDIO dedup end to end through the real PCM WAV
+# decode kernel — the audio sibling of q126 (which pins the BMP image
+# chain). Synthetic 64-sample mono 8-bit WAVs per doc, amplitudes from
+# md5 nibbles; every _SND_TWIN_MOD-th doc ships a 2x-GAIN twin (every
+# sample amplitude doubled, no clamp by construction) — the energy-
+# envelope hash is gain-invariant exactly as aHash is brightness-
+# invariant, so twins must pair at hamming 0. EXACT-float by design:
+# 8-bit samples give band values a/128 (power-of-two denominator —
+# representable), one sample per band makes RMS = |a|/128 exactly, and
+# the amplitude sum is forced to 3 (mod 32) so "band >= mean" never
+# ties (64*a ≡ 0 mod 32 can never equal a sum ≡ 3 mod 32) — both
+# engines' comparisons are exact, not epsilon-lucky.
+_SND_TWIN_MOD = 25
+_SND_TWIN_BASE = 1_000_000_000
+_SND_GAIN = 2
+
+
+def _snd_amplitudes(doc_id: int, gain: int) -> list[int]:
+    """The 64 sample amplitudes (|s - 128|) of a doc's synthetic WAV —
+    63 md5 nibbles scaled into [2, 62], the last chosen so the sum is
+    ≡ 3 (mod 32) (tie-free threshold, header comment)."""
+    import hashlib
+
+    s = f"snd|{doc_id}"
+    hx = (
+        hashlib.md5(f"{s}|p0".encode()).hexdigest()
+        + hashlib.md5(f"{s}|p1".encode()).hexdigest()
+    )
+    a = [2 + 4 * int(c, 16) for c in hx[:63]]
+    a.append(2 + (1 - sum(a)) % 32)
+    return [x * gain for x in a]
+
+
+def _snd_wav(amps: list[int]) -> bytes:
+    """Pack amplitudes into a REAL mono 8-bit PCM WAV (44-byte RIFF
+    header + unsigned samples centered at 128)."""
+    import struct
+
+    data = bytes(128 + a for a in amps)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def _q134_oracle() -> str:
+    pack_bit = (
+        "CASE WHEN 64 * a >= t.s THEN"
+        " CASE WHEN i = 63 THEN -9223372036854775808"
+        " ELSE (1::BIGINT << i) END ELSE 0 END"
+    )
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, doc_id FROM documents
+  UNION ALL
+  SELECT {_SND_TWIN_BASE} + doc_id, doc_id FROM documents
+  WHERE doc_id % {_SND_TWIN_MOD} = 0
+), hx AS (
+  SELECT media_id,
+         md5('snd|' || doc_id || '|p0') || md5('snd|' || doc_id || '|p1') AS hex
+  FROM m
+), a0 AS (
+  SELECT media_id, i,
+         2 + 4 * (strpos('0123456789abcdef', substr(hex, i + 1, 1)) - 1) AS a
+  FROM hx, (SELECT unnest(generate_series(0, 62)) AS i)
+), s63 AS (
+  SELECT media_id, sum(a) AS s FROM a0 GROUP BY media_id
+), amp AS (
+  -- gain cancels in every comparison (64*g*a vs g*sum), so the oracle
+  -- computes the UNSCALED amplitudes for twins and originals alike.
+  SELECT media_id, i, a FROM a0
+  UNION ALL
+  SELECT media_id, 63, 2 + (((1 - s) % 32) + 32) % 32 FROM s63
+), tot AS (
+  SELECT media_id, sum(a) AS s FROM amp GROUP BY 1
+), fp AS (
+  SELECT amp.media_id, sum({pack_bit}) AS bandhash
+  FROM amp JOIN tot t USING (media_id) GROUP BY 1
+)
+SELECT x.media_id AS id1, y.media_id AS id2,
+       CAST(bit_count(xor(x.bandhash, y.bandhash)) AS BIGINT) AS hamming
+FROM fp x JOIN fp y ON x.media_id < y.media_id
+WHERE bit_count(xor(x.bandhash, y.bandhash)) <= 3
+ORDER BY id1, id2
+"""
+
+
+@query("q134_audio_fingerprint_dedup", oracle=_q134_oracle())
+def q134(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual audio dedup end to end (J11's WAV kernel as a
+    driver-hash-checked QUERY, completing the real-codec trio: q126
+    pins the BMP image chain, this pins RIFF walk → PCM parse →
+    channel average → band RMS → mean threshold → 64-bit pack →
+    pigeonhole block join). Twins are 2x-gain re-encodes — the
+    energy-envelope hash must be gain-invariant, and the oracle
+    rebuilds the fingerprints from the md5 amplitude formulas in pure
+    integer arithmetic (the gain cancels; ties are impossible by the
+    sum ≡ 3 mod 32 construction, and every float the kernel touches is
+    a/128 — exactly representable — so kernel and oracle provably
+    agree bit for bit). Expected pairs: exactly the planted twins at
+    hamming 0.
+
+    Plan (100 TB shape): synthesis + decode are ONE narrow Arrow
+    mapInPandas inside the scan (payloads never shuffle); pairing
+    moves 64-bit fingerprints through the shared 4-block pigeonhole
+    equi-join — never all-pairs, never waveform data.
+    """
+    from alt_spark.operators.multimodal import audio_bandhash, media_table
+
+    docs = load_table(spark, sf, "documents").select("doc_id")
+    meta_t = "struct<mime:string,width:int,height:int,duration_ms:bigint>"
+    out_schema = f"media_id long, payload binary, meta {meta_t}"
+
+    def synth(batches):
+        import pandas as _pd
+
+        meta = {
+            "mime": "audio/wav",
+            "width": None,
+            "height": None,
+            "duration_ms": 8,
+        }
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ids.append(d)
+                payloads.append(_snd_wav(_snd_amplitudes(d, 1)))
+                if d % _SND_TWIN_MOD == 0:
+                    ids.append(_SND_TWIN_BASE + d)
+                    payloads.append(_snd_wav(_snd_amplitudes(d, _SND_GAIN)))
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.array(ids, dtype="Int64"),
+                    "payload": payloads,
+                    "meta": [meta] * len(ids),
+                }
+            )
+
+    media = media_table(docs.mapInPandas(synth, schema=out_schema))
+    fps = audio_bandhash(media).filter(F.col("bandhash").isNotNull())
+    pairs = dedup.hamming_blocked_pairs(
+        fps, "bandhash", "media_id", max_hamming=3, bands=4
+    )
+    return pairs.select(
+        "id1", "id2", F.col("hamming").cast("long").alias("hamming")
+    ).orderBy("id1", "id2")

@@ -249,6 +249,64 @@ def main() -> int:
         except Exception as exc:
             ab["error"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # q121 cost-split recording (VERDICT r9 item 3): the driver needs a
+    # self-contained hash-checkable plan, so q121 REBUILDS the base
+    # index artifacts (signatures, band rows, CC labels) that a
+    # production daily batch reads from storage. Record, per round, how
+    # much of q121's wall is that rebuild: "base_only_s" derives and
+    # materializes just the base artifacts; full - base_only is the
+    # increment path's cost (sign the batch, band against the index,
+    # verify candidates, close touched components).
+    ab121: dict[str, object] = {}
+    if "q121_incremental_cluster_update" in timings:
+        try:
+            from pyspark.sql import functions as F
+
+            from alt_spark.catalog import load_table
+            from alt_spark.operators import dedup as _dedup
+            from alt_spark.operators.graph import connected_components
+            from alt_spark.plans import dfcache as _dfc121
+            from alt_spark.queries.pipeline_ops import _ICU_MOD
+
+            def _base_only() -> float:
+                _dfc121.clear_all()
+                t0 = time.perf_counter()
+                docs = load_table(spark, sf_dir, "documents").select(
+                    "doc_id", "text"
+                )
+                base = docs.filter(F.col("doc_id") % _ICU_MOD != 0)
+                sigs = _dedup.minhash_signatures(base, portable=True)
+                if _dfc121.MATERIALIZE:
+                    sigs = sigs.localCheckpoint(eager=False)
+                bands = _dedup.band_rows(sigs, portable=True)
+                pairs = (
+                    _dedup.signature_est_jaccard(
+                        _dedup.lsh_candidate_pairs(sigs, portable=True), sigs
+                    )
+                    .filter(F.col("est_jaccard") >= 0.7)
+                    .select("id1", "id2")
+                )
+                labels = connected_components(pairs)
+                bands.write.mode("overwrite").format("noop").save()
+                labels.write.mode("overwrite").format("noop").save()
+                spark.catalog.clearCache()
+                return round(time.perf_counter() - t0, 3)
+
+            def _full() -> float:
+                _dfc121.clear_all()
+                t0 = time.perf_counter()
+                queries["q121_incremental_cluster_update"](
+                    spark, sf_dir
+                ).write.mode("overwrite").format("noop").save()
+                spark.catalog.clearCache()
+                return round(time.perf_counter() - t0, 3)
+
+            ab121["full_s"] = [_full() for _ in range(2)]
+            ab121["base_only_s"] = [_base_only() for _ in range(2)]
+            ab121["suite_s"] = timings["q121_incremental_cluster_update"]
+        except Exception as exc:
+            ab121["error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # On the cache counters (VERDICT r7 item 3): they record which named
     # cache served reuse, which paid a materialization, and how often —
     # so suite-order effects (the q66/q70/q72 r7 regression class) are
@@ -279,6 +337,7 @@ def main() -> int:
         "ingestion": ingestion,
         "caches": caches,
         "ab_q72": ab,
+        "ab_q121": ab121,
         "failed": failed,
     }
     try:

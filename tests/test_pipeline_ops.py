@@ -1267,13 +1267,14 @@ def test_image_ahash_is_orientation_canonical(spark):
 
 def test_q126_pairs_are_exactly_the_planted_twins(spark):
     """The end-to-end image-dedup query must find EVERY planted twin
-    (brightness-shifted AND stored in the opposite orientation) at
-    hamming 0, and nothing else at sf0.01 — the fingerprint space is
-    64-bit, so a non-planted pair within Hamming 3 would mean the
-    decode chain collapsed structure somewhere. The pair set must also
-    equal the brute-force Hamming join over the same fingerprints
-    (pigeonhole completeness at radius 3 with 4 bands)."""
+    group at hamming 0 — the brightness-shifted opposite-orientation
+    BMP twin AND the +32-shifted greyscale PNG member (the cross-codec
+    pin: BMP and PNG payloads of one image reduce to one fingerprint)
+    — and nothing else at sf0.01: the fingerprint space is 64-bit, so
+    a non-planted pair within Hamming 3 would mean the decode chain
+    collapsed structure somewhere."""
     from alt_spark.queries.pipeline_ops import (
+        _IMG_PNG_BASE,
         _IMG_TWIN_BASE,
         _IMG_TWIN_MOD,
         q126,
@@ -1287,9 +1288,12 @@ def test_q126_pairs_are_exactly_the_planted_twins(spark):
         .select("doc_id")
         .collect()
     ]
-    want = {
-        (d, _IMG_TWIN_BASE + d, 0) for d in doc_ids if d % _IMG_TWIN_MOD == 0
-    }
+    twins = [d for d in doc_ids if d % _IMG_TWIN_MOD == 0]
+    want = (
+        {(d, _IMG_TWIN_BASE + d, 0) for d in twins}
+        | {(d, _IMG_PNG_BASE + d, 0) for d in twins}
+        | {(_IMG_TWIN_BASE + d, _IMG_PNG_BASE + d, 0) for d in twins}
+    )
     assert {tuple(r) for r in rows} == want
     assert len(rows) == len(want) > 0
 
@@ -1405,3 +1409,44 @@ def test_q133_triangles_match_pure_python_and_containment_is_directional(spark):
     for r in rows:
         assert r["shared"] <= r["n_fp_a"]
         assert r["containment_pm"] == (10000 * r["shared"]) // r["n_fp_a"]
+
+
+def test_q134_gain_twins_pair_and_undecodable_never_pairs(spark):
+    """Audio dedup invariants: every 2x-gain twin pairs with its
+    original at hamming 0 (energy-envelope gain invariance through the
+    REAL WAV kernel), nothing else pairs at sf0.01, and a payload the
+    kernel cannot decode hashes NULL (never manufactures pairs)."""
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.multimodal import audio_bandhash, media_table
+    from alt_spark.queries.pipeline_ops import (
+        _SND_TWIN_BASE,
+        _SND_TWIN_MOD,
+        q134,
+    )
+    from tests.conftest import SF_ORACLE
+
+    rows = q134(spark, SF_ORACLE).collect()
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+        .select("doc_id")
+        .collect()
+    ]
+    want = {
+        (d, _SND_TWIN_BASE + d, 0) for d in doc_ids if d % _SND_TWIN_MOD == 0
+    }
+    assert {tuple(r) for r in rows} == want
+    assert len(rows) == len(want) > 0
+    # Undecodable payloads (wrong mime, truncated bytes) hash NULL.
+    bad = spark.createDataFrame(
+        [
+            (1, b"RIFFxxxx", ("audio/wav", None, None, None)),
+            (2, b"\x00" * 200, ("audio/mp3", None, None, None)),
+        ],
+        "media_id long, payload binary,"
+        " meta struct<mime:string,width:int,height:int,duration_ms:bigint>",
+    )
+    got = audio_bandhash(media_table(bad)).collect()
+    assert all(r["bandhash"] is None for r in got)
