@@ -2295,7 +2295,12 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
-        spark.catalog.dropTempView(sink) if spark.catalog.tableExists(sink) else None
+        # Never mask the real error with a cleanup failure: the sink
+        # view may not exist if the stream died before its first batch.
+        try:
+            spark.catalog.dropTempView(sink)
+        except Exception:
+            pass
 
 
 # ---------------------------------------------------------------------------
