@@ -345,6 +345,7 @@ _REPORT_TAIL = (
     "q132_containment_topk",
     "q133_collocation_triangles",
     "q134_audio_fingerprint_dedup",
+    "q135_dedup_yield_report",
 )
 
 

@@ -2623,3 +2623,90 @@ def q134(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.select(
         "id1", "id2", F.col("hamming").cast("long").alias("hamming")
     ).orderBy("id1", "id2")
+
+
+# ---------------------------------------------------------------------------
+@query(
+    "q135_dedup_yield_report",
+    oracle=f"""
+WITH RECURSIVE {_minhash_pair_ctes()},
+{_cc_closure_ctes()}, sizes AS (
+  SELECT comp, count(*) AS k FROM comp GROUP BY comp
+), n AS (
+  SELECT count(*) AS n_corpus FROM documents
+), hist AS (
+  SELECT k AS cluster_size, count(*) AS n_clusters,
+         CAST(k * count(*) AS BIGINT) AS n_docs,
+         CAST((k - 1) * count(*) AS BIGINT) AS n_removable
+  FROM sizes GROUP BY k
+  UNION ALL
+  SELECT 1, n.n_corpus - coalesce((SELECT sum(k) FROM sizes), 0),
+         CAST(n.n_corpus - coalesce((SELECT sum(k) FROM sizes), 0) AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM n
+)
+SELECT cluster_size, n_clusters, n_docs, n_removable,
+       CAST((10000 * n_removable) // (SELECT n_corpus FROM n) AS BIGINT)
+         AS yield_pm
+FROM hist
+ORDER BY cluster_size
+""",
+)
+def q135(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup yield report — the go/no-go table an operator reads before
+    scheduling the dedup batch: per near-dup cluster size k (q73's CC
+    clusters over the q30 pair graph; size 1 = unclustered singletons),
+    how many clusters, how many documents they hold, how many are
+    REMOVABLE under keep-one-per-cluster (k-1 each), and that mass as a
+    permyriad of the corpus. The reference stops at pair similarity;
+    q73 adds the clusters; this is the capacity-planning rollup above
+    them (what dedup will actually save).
+
+    Plan (100 TB shape): reuses the CACHED MinHash pair frame and the
+    converged CC label table (one signing + one closure serve q73/q77/
+    q81/q90/q118/q121/q135 — at scale these are WRITTEN tables); above
+    them the report is two combinable aggregates over label-table-sized
+    input (comp sizes, then the size histogram) plus a 1-row corpus
+    count — metadata-sized output, no corpus exchange at all beyond
+    what the shared artifacts already paid.
+    """
+    from alt_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf, "documents")
+    pairs = dedup.minhash_near_dup(docs, threshold=0.7, portable=True)
+    cc = connected_components(pairs)
+    sizes = cc.groupBy("comp").agg(F.count("*").alias("k"))
+    n_corpus = docs.agg(F.count("*").alias("n_corpus"))
+    hist = sizes.groupBy(F.col("k").alias("cluster_size")).agg(
+        F.count("*").alias("n_clusters"),
+        (F.col("k") * F.count("*")).cast("long").alias("n_docs"),
+        ((F.col("k") - 1) * F.count("*")).cast("long").alias("n_removable"),
+    )
+    clustered = sizes.agg(
+        F.coalesce(F.sum("k"), F.lit(0)).alias("n_clustered")
+    )
+    singles = (
+        n_corpus.crossJoin(clustered)
+        .select(
+            F.lit(1).alias("cluster_size"),
+            (F.col("n_corpus") - F.col("n_clustered")).alias("n_clusters"),
+            (F.col("n_corpus") - F.col("n_clustered"))
+            .cast("long")
+            .alias("n_docs"),
+            F.lit(0).cast("long").alias("n_removable"),
+        )
+    )
+    return (
+        hist.unionByName(singles)
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            "n_docs",
+            "n_removable",
+            F.expr("CAST((10000 * n_removable) div n_corpus AS BIGINT)").alias(
+                "yield_pm"
+            ),
+        )
+        .orderBy("cluster_size")
+    )

@@ -1450,3 +1450,29 @@ def test_q134_gain_twins_pair_and_undecodable_never_pairs(spark):
     )
     got = audio_bandhash(media_table(bad)).collect()
     assert all(r["bandhash"] is None for r in got)
+
+
+def test_q135_reconciles_with_q73_clusters(spark):
+    """The yield report's clustered rows must reconcile exactly with
+    q73's cluster table (same pair graph, same closure — shared cached
+    artifacts): per-size counts sum to q73's docs and drops, singletons
+    fill the corpus, and every yield_pm replays the floor division."""
+    from alt_spark.queries.pipeline_ops import q135
+    from alt_spark.queries import all_queries
+    from tests.conftest import SF_ORACLE
+
+    rows = q135(spark, SF_ORACLE).collect()
+    q73_rows = all_queries()["q73_neardup_clusters"](spark, SF_ORACLE).collect()
+    clustered_docs = sum(r["n_docs"] for r in rows if r["cluster_size"] >= 2)
+    clustered_drop = sum(r["n_removable"] for r in rows if r["cluster_size"] >= 2)
+    assert clustered_docs == sum(r["n_docs"] for r in q73_rows)
+    assert clustered_drop == sum(r["n_dropped"] for r in q73_rows)
+    n_corpus = sum(r["n_docs"] for r in rows)
+    n_docs_table = (
+        spark.read.parquet(f"{SF_ORACLE}/documents.parquet").count()
+    )
+    assert n_corpus == n_docs_table
+    for r in rows:
+        assert r["yield_pm"] == (10000 * r["n_removable"]) // n_corpus
+        assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+        assert r["n_removable"] == (r["cluster_size"] - 1) * r["n_clusters"]
