@@ -113,6 +113,10 @@ _NESTED_LOOP_OK = {
     # table for the rarity cap (bounded by distinct fingerprints,
     # right side is 1 row).
     "q132_containment_topk",
+    # Two 1-row crosses: corpus count x clustered-mass (both 1-row
+    # aggregates, the singleton complement) and corpus count onto the
+    # size histogram (bounded by distinct cluster sizes) for yield_pm.
+    "q135_dedup_yield_report",
     # 1-row bottleneck-total frame crossed onto the stratum-sized
     # count table (operators/mixing.target_mixture_rates, q70's
     # device).
