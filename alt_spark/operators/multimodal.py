@@ -264,6 +264,15 @@ def _decode_wav(payload: bytes | None, dim: int) -> list[float] | None:
     if bits == 8:
         samples -= 128.0  # 8-bit WAV is unsigned, centered at 128
     mono = samples.reshape(-1, channels).mean(axis=1) / full
+    if len(mono) % dim == 0:
+        # Exact-divisibility fast path (identical band mapping: with
+        # len = dim*s the band index (idx*dim)//len assigns s
+        # consecutive samples per band): one vectorized reshape-RMS
+        # instead of dim masked selects — the _ahash64 device on the
+        # time axis (measured ~3x on the q134 synthesis, where every
+        # band is a single sample).
+        seg = mono.reshape(dim, -1)
+        return [float(x) for x in np.sqrt((seg * seg).mean(axis=1))]
     band = (np.arange(len(mono)) * dim) // len(mono)
     out = []
     for i in range(dim):
