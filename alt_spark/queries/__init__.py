@@ -228,9 +228,64 @@ _loaded = False
 #         (consistency pytest-pinned);
 #   q113 — corpus drift report; 1 green (r9); release governance keeps
 #         q82/q100/q101 in-window plus the rotating-in q116/q125.
+#   r11 rotation (VERDICT r10 item 1, pre-staged in COVERAGE.md): the
+#         ten oracle-backed r10 additions q126-q135 (perceptual image
+#         dedup incl. the cross-codec BMP==PNG pin, exact KS drift,
+#         curriculum schedule via distributed rank, collocation lift,
+#         session path mining, streaming exact-dedup replay,
+#         containment top-k, compact-forward triangles, perceptual
+#         audio dedup, dedup yield report) moved INTO the window to
+#         earn their first driver hash rows, PLUS the six recency
+#         picks from the long-parked q02-q09 block — q02, q03, q05,
+#         q06, q08, q09 (5-7 greens each, none since r7; they anchor
+#         the C-join/D-agg/B-extraction families). Sixteen entries
+#         rotated out in exchange, each with fresh r10 greens and ≥2
+#         surviving in-window family rows:
+#   q70/q77/q79 — temperature mixing / leakage-free splits / epoch
+#         expansion; 3-4 greens each; the mixing/packing/selection
+#         family keeps q94/q103/q111 in-window;
+#   q75/q92 — Gopher signals / gate funnel; 3-4 greens; the quality
+#         family keeps q66 (corpus prep) + q72 (gate pipeline);
+#   q80/q89 — BPE pair counts / vocab coverage; 3 greens each; the
+#         tokenizer family keeps q88 (BPE segmentation) + q105
+#         (unigram Viterbi) in-window;
+#   q81/q90/q93 — cluster representatives / cross-source matrix /
+#         sentence dedup; 3 greens each; the dedup family keeps
+#         q73/q91/q95/q99/q118/q121 in-window plus the rotating-in
+#         q126/q131/q134/q135;
+#   q83 — contamination audit; 3 greens; decontamination keeps
+#         q102 (semantic) + q122 (Bloom) in-window;
+#   q98 — join-key skew audit; 3 greens; the salted-join device it
+#         audits is load-bearing inside in-window q121, and the
+#         rotating-in q135 rides the same shared cluster artifacts;
+#   q101 — index retention; 2 greens (r9, r10); the streaming index
+#         family keeps q120 in-window plus the rotating-in q131
+#         replay, and compaction parity is pytest-pinned;
+#   q107/q108 — cohort retention / ordered funnel; 2 greens each; the
+#         events family gains the rotating-in q130 session paths plus
+#         recency picks q02/q03/q05 (events-table joins/aggs);
+#   q110 — heavy-hitters sketch; 2 greens; q120 (windowed trending,
+#         same MG-sketch operator) stays in-window.
 # The rotation ledger in COVERAGE.md tracks per-query driver-row
 # history across rounds.
 _REPORT_TAIL = (
+    # r11 rotated-out set (rationale above).
+    "q70_temperature_mixing",
+    "q75_gopher_signals",
+    "q77_leakage_free_splits",
+    "q79_epoch_expansion",
+    "q80_bpe_pair_counts",
+    "q81_cluster_representatives",
+    "q83_contamination_audit",
+    "q89_vocab_coverage",
+    "q90_cross_source_dup_matrix",
+    "q92_gate_funnel",
+    "q93_sentence_dedup",
+    "q98_join_key_skew_audit",
+    "q101_index_retention",
+    "q107_cohort_retention",
+    "q108_conversion_funnel",
+    "q110_heavy_hitters",
     # r10 rotated-out set (rationale above).
     "q57_frame_spec_windows",
     "q58_intersect_except",
@@ -264,12 +319,8 @@ _REPORT_TAIL = (
     "q86_readability_bands",
     "q96_tokenizer_fertility",
     "q97_span_trim",
-    # r8 rotated-out set (rationale above).
-    "q02_sli_error_rate",
-    "q03_trend_buckets_full_outer",
-    "q06_part_cooccurrence",
-    "q08_customers_without_orders",
-    "q09_building_orders_per_day",
+    # r8 rotated-out set (rationale above). q02/q03/q06/q08/q09
+    # rotated back INTO the window in r11 as recency picks.
     "q17_exact_dedup",
     "q20_event_fold",
     "q22_sessionization",
@@ -299,7 +350,7 @@ _REPORT_TAIL = (
     "q23_bm25",
     "q26_hybrid_rrf",
     "q35_prefix_search_sample",
-    "q05_event_type_pairs",
+    # q05 rotated back INTO the window in r11 (recency pick).
     "q16_conditional_extraction",
     "q18_tfidf_doc0",
     "q21_digest_counters",
@@ -332,20 +383,8 @@ _REPORT_TAIL = (
     "q115_unigram_vocab_learning",
     # q116-q125 (new r9, all oracle-backed) rotated INTO the window in
     # r10 per the pre-staged COVERAGE.md plan — see the r10 rotation
-    # note above. q101-q114 (new r8) rotated in the same way in r9.
-    # q126+ — new r10 additions, oracle-backed (in-pytest parity every
-    # CI pass), parked in the tail as the newest entries; r11 rotation
-    # candidates per the pre-staged COVERAGE.md plan.
-    "q126_image_phash_dedup",
-    "q127_release_ks_drift",
-    "q128_curriculum_schedule",
-    "q129_collocation_lift",
-    "q130_session_paths",
-    "q131_streaming_dedup_replay",
-    "q132_containment_topk",
-    "q133_collocation_triangles",
-    "q134_audio_fingerprint_dedup",
-    "q135_dedup_yield_report",
+    # note above. q101-q114 (new r8) rotated in the same way in r9,
+    # and q126-q135 (new r10) in r11 — see the r11 rotation note.
 )
 
 

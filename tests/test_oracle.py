@@ -93,51 +93,42 @@ def test_report_window_contains_every_reportable_oracle():
 
     undocumented = [n for n in tail if n not in _REPORT_TAIL]
     assert not undocumented, f"undocumented tail entries: {undocumented}"
-    # The r10 rotation (VERDICT r9 item 1, pre-staged in COVERAGE.md)
-    # puts the ten oracle-backed r9 additions q116-q125 plus the six
-    # recency picks q01/q04/q07/q10/q11/q15 inside the window so every
+    # The r11 rotation (VERDICT r10 item 1, pre-staged in COVERAGE.md)
+    # puts the ten oracle-backed r10 additions q126-q135 plus the six
+    # recency picks q02/q03/q05/q06/q08/q09 inside the window so every
     # one of them earns a driver hash row; members of earlier rotations
-    # that were NOT rotated out in r10 stay in-window — see
+    # that were NOT rotated out in r11 stay in-window — see
     # queries/__init__.py for the per-query rotate-out rationale of
-    # q57-q59/q61-q65/q67/q68/q74/q76/q78/q104/q106/q113.
+    # q70/q75/q77/q79/q80/q81/q83/q89/q90/q92/q93/q98/q101/q107/q108/
+    # q110.
     for n in (
         "q01_endpoint_stats",
+        "q02_sli_error_rate",
+        "q03_trend_buckets_full_outer",
         "q04_latency_quantiles",
+        "q05_event_type_pairs",
+        "q06_part_cooccurrence",
         "q07_orders_item_counts",
+        "q08_customers_without_orders",
+        "q09_building_orders_per_day",
         "q10_rrf_suppliers",
         "q11_latest_order_per_customer",
         "q15_brand_order_counts",
         "q49_streaming_mv_replay",
         "q66_corpus_prep_pipeline",
-        "q70_temperature_mixing",
         "q72_quality_gate_pipeline",
         "q73_neardup_clusters",
-        "q75_gopher_signals",
-        "q77_leakage_free_splits",
-        "q79_epoch_expansion",
-        "q80_bpe_pair_counts",
-        "q81_cluster_representatives",
         "q82_dataset_card",
-        "q83_contamination_audit",
         "q88_bpe_segmentation",
-        "q89_vocab_coverage",
-        "q90_cross_source_dup_matrix",
         "q91_embedding_neardup_lsh",
-        "q92_gate_funnel",
-        "q93_sentence_dedup",
         "q94_exact_k_holdout",
         "q95_dup_span_coverage",
-        "q98_join_key_skew_audit",
         "q99_neardup_threshold_histogram",
         "q100_release_pipeline",
-        "q101_index_retention",
         "q102_semantic_decontamination",
         "q103_target_mixture_rebalance",
         "q105_unigram_segmentation",
-        "q107_cohort_retention",
-        "q108_conversion_funnel",
         "q109_sli_anomaly_flags",
-        "q110_heavy_hitters",
         "q111_weighted_priority_sample",
         "q112_rag_context_assembly",
         "q114_pagerank_integer",
@@ -151,6 +142,16 @@ def test_report_window_contains_every_reportable_oracle():
         "q123_exact_price_quantiles",
         "q124_hits_user_event",
         "q125_bootstrap_quality_ci",
+        "q126_image_phash_dedup",
+        "q127_release_ks_drift",
+        "q128_curriculum_schedule",
+        "q129_collocation_lift",
+        "q130_session_paths",
+        "q131_streaming_dedup_replay",
+        "q132_containment_topk",
+        "q133_collocation_triangles",
+        "q134_audio_fingerprint_dedup",
+        "q135_dedup_yield_report",
     ):
         assert n in head, f"{n} must sit inside the driver report window"
     # No registry entry is lost by the ordering: compare against the raw
