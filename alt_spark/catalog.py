@@ -295,11 +295,13 @@ def sql(spark: SparkSession, sf: str, query: str) -> DataFrame:
     API builds — SURVEY §4's optimizer guarantees (pushdown, pruning,
     AQE) hold for both surfaces; tests pin plan equality on
     representative §2 shapes. Switching ``sf`` re-registers. A cheap
-    catalog probe backs the memo: if the views were dropped out from
-    under it (clearCache/dropTempView by the caller), re-register
-    instead of failing the statement."""
-    if _REGISTERED.get(spark, {}).get("") != sf or not spark.catalog.tableExists(
-        "region"
+    catalog probe backs the memo: if ANY of the views were dropped out
+    from under it (clearCache, or a caller's dropTempView of a single
+    view — a partial drop must re-register too, not just a full one),
+    re-register instead of failing the statement. One listTables call
+    covers all names — not a per-view tableExists loop."""
+    if _REGISTERED.get(spark, {}).get("") != sf or not set(SCHEMAS).issubset(
+        {t.name for t in spark.catalog.listTables()}
     ):
         register_views(spark, sf)
     return spark.sql(query)

@@ -726,9 +726,17 @@ def q130(spark: SparkSession, sf: str) -> DataFrame:
         F.lead("event_type", 1).over(s).alias("e2"),
         F.lead("event_type", 2).over(s).alias("e3"),
     ).filter(F.col("e3").isNotNull())
+    # NULL semantics must match the oracle's `e1 || '>' || e2 || '>' ||
+    # e3`, which NULLs the whole path — concat_ws would silently SKIP a
+    # NULL element instead (latent cross-engine divergence if
+    # events.event_type is ever NULL; the schema permits it). e3 is
+    # already filtered NOT NULL above; lead() windows mean e1 NULL ⇒
+    # e2/e3 NULL too, so filtering e3 covers the chain for non-NULL
+    # event_type data — the NULL-propagating concat() makes the
+    # agreement unconditional.
     return (
         steps.groupBy(
-            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+            F.concat("e1", F.lit(">"), "e2", F.lit(">"), "e3").alias("path")
         )
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "path")

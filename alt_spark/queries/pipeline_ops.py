@@ -1904,7 +1904,7 @@ def q124(spark: SparkSession, sf: str) -> DataFrame:
 #
 # Tie-free by construction: pixels are grey (B=G=R), so each aHash
 # block equals its integer pixel value, and the 64th pixel is chosen
-# to make the pixel sum ≡ 33 (mod 64) — the thumbnail mean can never
+# to make the pixel sum ≡ 1 (mod 64) — the thumbnail mean can never
 # equal a block value, so the kernel's float-64 threshold and the
 # oracle's exact-integer threshold (64*v > Σv) provably agree (gap
 # >= 1/64 vs ~1e-12 float error). Brightness-shifted twins (+16 on
@@ -1926,7 +1926,7 @@ _IMG_PNG_SHIFT = 32
 def _img_pixels(doc_id: int, shift: int) -> list[int]:
     """The 64 canonical top-down grey pixel values for a doc's synthetic
     image — 63 md5 nibbles scaled into [64, 184], the last chosen so the
-    sum is ≡ 33 (mod 64) (tie-free threshold, see above). Python here,
+    sum is ≡ 1 (mod 64) (tie-free threshold, see above). Python here,
     md5()+strpos in the oracle: both engines derive identical bytes."""
     import hashlib
 
@@ -2052,7 +2052,7 @@ def q126(spark: SparkSession, sf: str) -> DataFrame:
     SimHash family (``dedup.hamming_blocked_pairs``).
 
     The oracle rebuilds the fingerprints in exact integer arithmetic
-    (tie-free by the sum ≡ 33 mod 64 construction — header comment) and
+    (tie-free by the sum ≡ 1 mod 64 construction — header comment) and
     brute-forces Hamming <= 3; with bands=4 the pigeonhole guarantee
     makes the blocked join lossless at that radius, so blocked ==
     brute force is part of what the hash pins. Expected pairs: exactly

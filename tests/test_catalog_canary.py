@@ -199,6 +199,22 @@ def test_sql_facade_events_view_carries_ts_probe(spark):
     assert row["lo"].year > 1990, row
 
 
+def test_sql_facade_survives_partial_view_drop(spark):
+    """ADVICE r10: the staleness probe behind catalog.sql's memo used a
+    single-canary tableExists('region') — dropping any OTHER registered
+    view while region survived left the memo claiming registered and the
+    statement failing with TABLE_OR_VIEW_NOT_FOUND. The probe now checks
+    the full SCHEMAS name set (one listTables call), so a partial drop
+    re-registers just like a full one."""
+    from alt_spark import catalog
+
+    sf = "/root/testdata/sf0.001"
+    catalog.sql(spark, sf, "SELECT count(*) AS n FROM documents").collect()
+    spark.catalog.dropTempView("documents")  # region still exists
+    n = catalog.sql(spark, sf, "SELECT count(*) AS n FROM documents").collect()[0]["n"]
+    assert n > 0
+
+
 def test_sql_facade_suffix_namespaces_cross_sf(spark):
     from alt_spark import catalog
 
