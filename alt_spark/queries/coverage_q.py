@@ -281,7 +281,7 @@ def _q48_log_line() -> Column:
     )
 
 
-def _q48_envelope(line: Column) -> Column:
+def _q48_envelope(line: Column, container: str = "/nginx") -> Column:
     """The hand-concatenated Docker NDJSON envelope around a log line.
 
     Escapes backslashes FIRST, then quotes (r8, after r7 ADVICE: the
@@ -291,18 +291,118 @@ def _q48_envelope(line: Column) -> Column:
     both escapes the form matches ``to_json`` for any line free of
     control characters — equality is pinned permanently in
     tests/test_ndjson_logs.py::test_q48_envelope_matches_to_json,
-    including a planted backslash+quote row."""
+    including a planted backslash+quote row. The ESC byte (the one
+    control character the meilisearch lines carry) is \\u001b-escaped
+    AFTER the backslash pass, exactly what Docker's json-file driver
+    does to control bytes — raw ESC inside a JSON string would make
+    Jackson reject the whole envelope."""
     esc = F.replace(
-        F.replace(line, F.lit("\\"), F.lit("\\\\")),
-        F.lit('"'),
-        F.lit('\\"'),
+        F.replace(
+            F.replace(line, F.lit("\\"), F.lit("\\\\")),
+            F.lit('"'),
+            F.lit('\\"'),
+        ),
+        F.lit("\x1b"),
+        F.lit("\\u001b"),
     )
     return F.concat(
         F.lit('{"time":"'),
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
-        F.lit('","stream":"stdout","container_name":"/nginx","log":"'),
+        F.lit(f'","stream":"stdout","container_name":"{container}","log":"'),
         esc,
         F.lit('"}'),
+    )
+
+
+def _q48_postgres_line() -> Column:
+    """Planted postgres text-format lines (unbound column refs over
+    events): level residue r=(event_id div 10)%6 walks the vocabulary
+    LOG/ERROR/WARNING/DEBUG3/FATAL plus the greedy-regex pin
+    `LOG:  statement: select N` (the reference's own test line shape,
+    tests/parser/test_service_parsers.rs:52-63 — the pattern's greedy
+    `.+` binds the LAST `word:`, so level word = "statement" → info and
+    message = "select N"); rows with user_id%13==0 swap in a line with
+    NO leading timestamp, exercising the no-match fallback
+    (info + raw message, postgres.rs:110-127)."""
+    r = F.expr("event_id div 10") % 6
+    prefix = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+        F.lit(" UTC ["),
+        (F.col("event_id") % 32768).cast("string"),
+        F.lit("] "),
+    )
+    body = (
+        F.when(
+            r == 0,
+            F.concat(
+                F.lit("LOG:  checkpoint complete wal="),
+                (F.col("event_id") % 97).cast("string"),
+            ),
+        )
+        .when(
+            r == 1,
+            F.concat(
+                F.lit("ERROR:  deadlock detected on relation r"),
+                (F.col("event_id") % 13).cast("string"),
+            ),
+        )
+        .when(
+            r == 2,
+            F.concat(
+                F.lit("WARNING:  long transaction t"),
+                (F.col("event_id") % 7).cast("string"),
+            ),
+        )
+        .when(
+            r == 3,
+            F.concat(
+                F.lit("DEBUG3:  rewriting block b"),
+                (F.col("event_id") % 11).cast("string"),
+            ),
+        )
+        .when(
+            r == 4,
+            F.concat(
+                F.lit("FATAL:  connection limit reached c"),
+                (F.col("event_id") % 5).cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("LOG:  statement: select "),
+                (F.col("event_id") % 23).cast("string"),
+            )
+        )
+    )
+    fallback = F.concat(
+        F.lit("could not receive data from client: connection reset e"),
+        (F.col("event_id") % 9).cast("string"),
+    )
+    return F.when(F.col("user_id") % 13 == 0, fallback).otherwise(
+        F.concat(prefix, body)
+    )
+
+
+def _q48_meili_line() -> Column:
+    """Planted meilisearch lines with REAL ANSI escape sequences (dim
+    timestamp, reset, green target — the tracing-subscriber palette the
+    reference strips, meilisearch.rs:23-45). Level residue
+    m=(event_id div 10)%4 walks INFO/WARN/ERROR/DEBUG as ` WORD `
+    tokens on the cleaned line."""
+    m = F.expr("event_id div 10") % 4
+    word = (
+        F.when(m == 1, F.lit("WARN"))
+        .when(m == 2, F.lit("ERROR"))
+        .when(m == 3, F.lit("DEBUG"))
+        .otherwise(F.lit("INFO"))
+    )
+    return F.concat(
+        F.lit("\x1b[2m"),
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+        F.lit("\x1b[0m  "),
+        word,
+        F.lit(" \x1b[32mactix_web\x1b[0m: HTTP request served path=/indexes/i"),
+        (F.col("event_id") % 9).cast("string"),
     )
 
 
@@ -319,28 +419,86 @@ WITH src AS (
               ELSE event_id % 1000 END AS bytes,
          '/' || event_type || '/' || CAST(event_id % 50 AS VARCHAR) AS path
   FROM events
+), http AS (
+  SELECT 'http:' || CAST(status AS VARCHAR) AS k,
+         count(*) AS n,
+         CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         count(DISTINCT path) AS n_paths,
+         CAST(NULL AS VARCHAR) AS lo_msg,
+         CAST(NULL AS VARCHAR) AS hi_msg
+  FROM src
+  GROUP BY 1
+), pg AS (
+  SELECT CASE WHEN user_id % 13 = 0 THEN 'info'
+              WHEN (event_id // 10) % 6 = 1 THEN 'error'
+              WHEN (event_id // 10) % 6 = 2 THEN 'warn'
+              WHEN (event_id // 10) % 6 = 3 THEN 'debug'
+              WHEN (event_id // 10) % 6 = 4 THEN 'fatal'
+              ELSE 'info' END AS level,
+         CASE WHEN user_id % 13 = 0
+                THEN 'could not receive data from client: connection reset e'
+                     || CAST(event_id % 9 AS VARCHAR)
+              WHEN (event_id // 10) % 6 = 0
+                THEN 'checkpoint complete wal=' || CAST(event_id % 97 AS VARCHAR)
+              WHEN (event_id // 10) % 6 = 1
+                THEN 'deadlock detected on relation r' || CAST(event_id % 13 AS VARCHAR)
+              WHEN (event_id // 10) % 6 = 2
+                THEN 'long transaction t' || CAST(event_id % 7 AS VARCHAR)
+              WHEN (event_id // 10) % 6 = 3
+                THEN 'rewriting block b' || CAST(event_id % 11 AS VARCHAR)
+              WHEN (event_id // 10) % 6 = 4
+                THEN 'connection limit reached c' || CAST(event_id % 5 AS VARCHAR)
+              ELSE 'select ' || CAST(event_id % 23 AS VARCHAR) END AS message
+  FROM events WHERE event_id % 10 = 0
+), meili AS (
+  SELECT CASE (event_id // 10) % 4 WHEN 1 THEN 'warn' WHEN 2 THEN 'error'
+              WHEN 3 THEN 'debug' ELSE 'info' END AS level,
+         strftime(ts, '%Y-%m-%dT%H:%M:%SZ') || '  ' ||
+         CASE (event_id // 10) % 4 WHEN 1 THEN 'WARN' WHEN 2 THEN 'ERROR'
+              WHEN 3 THEN 'DEBUG' ELSE 'INFO' END ||
+         ' actix_web: HTTP request served path=/indexes/i'
+         || CAST(event_id % 9 AS VARCHAR) AS message
+  FROM events WHERE event_id % 10 = 5
+), svc AS (
+  SELECT 'postgres:' || level AS k, count(*) AS n,
+         CAST(NULL AS BIGINT) AS total_bytes, CAST(NULL AS BIGINT) AS n_paths,
+         min(message) AS lo_msg, max(message) AS hi_msg
+  FROM pg GROUP BY 1
+  UNION ALL
+  SELECT 'meilisearch:' || level, count(*),
+         CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), min(message), max(message)
+  FROM meili GROUP BY 1
 )
-SELECT status AS status_code,
-       count(*) AS n,
-       CAST(sum(bytes) AS BIGINT) AS total_bytes,
-       count(DISTINCT path) AS n_paths
-FROM src
-GROUP BY 1
-ORDER BY 1
+SELECT * FROM http
+UNION ALL
+SELECT * FROM svc
+ORDER BY k
 """,
 )
 def q48(spark: SparkSession, sf: str) -> DataFrame:
-    """nginx access-log parse → http_logs projection (A3/B3-B5,
-    sources/ndjson_logs.py — the reference's per-service regex parser,
-    rask-log-forwarder src/parser/services/nginx.rs:27-110, and the MV
-    projection 003_create_http_logs_mv.sql:45-82).
+    """Per-service log parse → http_logs projection + level extraction
+    (A3/B3-B5, sources/ndjson_logs.py — the reference's per-service
+    parsers: nginx access regex rask-log-forwarder
+    src/parser/services/nginx.rs:27-110, postgres text format
+    postgres.rs:22-70 with the DEBUG1-5/LOG/NOTICE/WARNING/ERROR/FATAL/
+    PANIC vocabulary, meilisearch ANSI-escape stripping
+    meilisearch.rs:23-45 — and the MV projection
+    003_create_http_logs_mv.sql:45-82).
 
-    Each event renders a combined-log line inside a Docker NDJSON
-    envelope (clicks get size '-' to exercise the OrZero cast); the
-    Spark side runs the REAL parse_logs → http_logs chain, while the
-    oracle states the expected extracted values straight from the
-    generating formula — regex extraction, map-key guards, and casts are
-    all on trial.
+    Every event renders a combined-log line inside a Docker NDJSON
+    envelope (clicks get size '-' to exercise the OrZero cast); every
+    10th event ADDITIONALLY lands a postgres text line (level residues
+    walk the whole vocabulary, one residue plants the greedy-regex
+    `statement:` pin, and user_id%13 rows plant the no-timestamp
+    fallback) and every 10th+5 a meilisearch line wrapped in REAL ANSI
+    escape sequences. The Spark side runs the one shared
+    parse_logs → http_logs chain over the union; the oracle states the
+    expected extracted values straight from the generating formulas —
+    regex extraction, the level vocabulary, ANSI stripping (min/max of
+    the CLEANED messages), map-key guards, and casts are all on trial.
+    The planted lines also pin non-qualification: none of them may leak
+    into the http aggregate, whose rows must stay value-identical to
+    the pre-extension q48 (r1-r7 driver history).
     """
     from alt_spark.sources.ndjson_logs import http_logs, parse_logs
 
@@ -354,18 +512,61 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     # to_json(struct(...)) — byte-identical (pinned permanently by
     # test_q48_envelope_matches_to_json since r8) and 0.04 s/100k
     # cheaper.
-    envelope = _q48_envelope(_q48_log_line())
-    logs = parse_logs(ev.select(envelope.alias("value")))
+    nginx = ev.select(_q48_envelope(_q48_log_line()).alias("value"))
+    pg = ev.filter(F.col("event_id") % 10 == 0).select(
+        _q48_envelope(_q48_postgres_line(), "/postgres").alias("value")
+    )
+    meili = ev.filter(F.col("event_id") % 10 == 5).select(
+        _q48_envelope(_q48_meili_line(), "/meilisearch").alias("value")
+    )
+    # TWO parse passes, each single-consumer: the http pass sees ALL
+    # three producers (so the planted pg/meili lines' NON-qualification
+    # is on trial in the http aggregate), while the level/message pass
+    # re-parses only the pg+meili 20% — parse_logs is deterministic per
+    # line, so this equals filtering one shared parse, without making
+    # the parse subtree a two-consumer CTE that Spark would recompute
+    # over the full corpus twice (at 100 TB the `logs` frame is a
+    # materialized sink — A5 — and both consumers would read it once).
+    logs = parse_logs(nginx.unionAll(pg).unionAll(meili))
+    svc_logs = parse_logs(pg.unionAll(meili))
     hl = http_logs(logs)
-    return (
-        hl.groupBy("status_code")
+    http_agg = hl.groupBy("status_code").agg(
+        F.count("*").alias("n"),
+        F.sum("response_size").alias("total_bytes"),
+        F.countDistinct("path").alias("n_paths"),
+    )
+    http_rows = http_agg.select(
+        F.concat(F.lit("http:"), F.col("status_code").cast("string")).alias(
+            "k"
+        ),
+        "n",
+        "total_bytes",
+        "n_paths",
+        F.lit(None).cast("string").alias("lo_msg"),
+        F.lit(None).cast("string").alias("hi_msg"),
+    )
+    # No service filter here: svc_logs' input is only the pg+meili
+    # envelopes by construction, and an isin() filter would push below
+    # the parse and SUBSTITUTE the service definition (4 from_json
+    # copies per row in the pushed condition — the documented
+    # parse_logs substitution hazard, visible in the optimized plan).
+    svc_rows = (
+        svc_logs.groupBy("service_name", "level")
         .agg(
             F.count("*").alias("n"),
-            F.sum("response_size").alias("total_bytes"),
-            F.countDistinct("path").alias("n_paths"),
+            F.min("message").alias("lo_msg"),
+            F.max("message").alias("hi_msg"),
         )
-        .orderBy("status_code")
+        .select(
+            F.concat_ws(":", "service_name", "level").alias("k"),
+            "n",
+            F.lit(None).cast("long").alias("total_bytes"),
+            F.lit(None).cast("long").alias("n_paths"),
+            "lo_msg",
+            "hi_msg",
+        )
     )
+    return http_rows.unionAll(svc_rows).orderBy("k")
 
 
 # ---------------------------------------------------------------------------

@@ -45,9 +45,33 @@ _NGINX_ACCESS = (
 # nginx error log: `2024/01/01 00:00:00 [error] 123#0: message`
 _NGINX_ERROR = r"^\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2} \[(\w+)\] (.*)$"
 
+# postgres text log (parser/services/postgres.rs:22-70; the validated
+# pattern is assembled in build.rs:40): `ts .+ LEVEL:<ws>message`. The
+# first `.+` is GREEDY in the reference's Rust regex exactly as in
+# Java, so a message like `LOG:  statement: select 1` binds the LAST
+# `word:` — level word "statement" (unknown → info), message
+# "select 1". That greedy behavior is part of the ported surface and
+# q48 plants a line that pins it cross-engine.
+_POSTGRES_LOG = r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) .+ (\w+):\s+(.+)"
+# Level vocabulary (postgres.rs:27-37). Unknown words fall to info.
+_PG_DEBUG = ("DEBUG", "DEBUG1", "DEBUG2", "DEBUG3", "DEBUG4", "DEBUG5")
+_PG_INFO = ("LOG", "INFO")
+_PG_WARN = ("NOTICE", "WARNING")
+_PG_FATAL = ("FATAL", "PANIC")
+
+# meilisearch ANSI escape stripping (meilisearch.rs:23-45): on ESC,
+# a following `[` consumes every char up to and INCLUDING the first
+# ascii letter (or end of line if unterminated); a bare ESC is dropped
+# and the next char kept. One regex reproduces the loop.
+_ANSI_ESCAPE = "\x1b(\\[[^A-Za-z]*[A-Za-z]?)?"
+
 _SERVICE_GROUPS = {
     "nginx": "edge",
     "plecto-proxy": "edge",
+    # The reference's per-service parsers declare log_type "database" /
+    # "search" (postgres.rs:49, meilisearch.rs:74).
+    "postgres": "database",
+    "meilisearch": "search",
 }
 
 
@@ -114,9 +138,13 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
 
     Works identically on a batch or streaming DataFrame of text lines.
     Per-service branches (A3): nginx access (regex), nginx error (regex),
-    structured-JSON services (fields lifted verbatim into the map),
-    free-text fallback (bracket level detection, like the reference's
-    last-resort parser).
+    postgres text format (regex: level vocabulary DEBUG1-5/LOG/NOTICE/
+    WARNING/ERROR/FATAL/PANIC, message rewritten to the captured group,
+    info+raw-line fallback on no-match), meilisearch (ANSI escape
+    stripping, level probed on the cleaned line, message rewritten to
+    the cleaned line), structured-JSON services (fields lifted verbatim
+    into the map), free-text fallback (bracket level detection, like
+    the reference's last-resort parser).
 
     Plan shape: the expensive per-line subtrees (envelope from_json,
     payload from_json, the access regex, the service rewrite) are each
@@ -168,6 +196,22 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
         .otherwise(F.col("cname"))
         .alias("service"),
         _nginx_access_parts(log).alias("parts"),
+        # postgres: the same one-regex-pass → \x01-join trick as the
+        # access line (2 used groups); size(pg)==2 doubles as the match
+        # test. Gated by service so the regex never runs on other
+        # producers' lines.
+        F.when(
+            F.col("service") == "postgres",
+            F.split(
+                F.regexp_replace(log, _POSTGRES_LOG, f"$2{_SEP}$3"), _SEP
+            ),
+        ).alias("pg"),
+        # meilisearch: ANSI-stripped line (the parser rewrites the
+        # MESSAGE to the cleaned text, not just the level probe).
+        F.when(
+            F.col("service") == "meilisearch",
+            F.regexp_replace(log, _ANSI_ESCAPE, ""),
+        ).alias("clean"),
         F.when(
             log.startswith("{"),
             F.from_json(log, T.MapType(T.StringType(), T.StringType())),
@@ -176,20 +220,65 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
 
     # Layer 3: cheap conditional assembly over attributes only.
     service, parts = F.col("service"), F.col("parts")
-    jf = F.col("jf")
+    jf, pg, clean = F.col("jf"), F.col("pg"), F.col("clean")
     is_json_payload = log.startswith("{")
     is_nginx_access = (service == "nginx") & (
         F.size(parts) == len(_ACCESS_KEYS)
     )
     is_nginx_error = (service == "nginx") & log.rlike(_NGINX_ERROR)
+    # Per-service dispatch mirrors the reference's parser registry: a
+    # postgres/meilisearch container's lines go to THAT parser even if
+    # they happen to look like JSON (the service parser runs instead of
+    # the generic one, services/mod.rs dispatch).
+    is_pg = service == "postgres"
+    is_pg_match = is_pg & (F.size(pg) == 2)
+    is_meili = service == "meilisearch"
+    pg_word = pg.getItem(0)
     fields = (
         F.when(is_nginx_access, _nginx_access_fields(parts))
+        # postgres/meilisearch parsers emit an EMPTY fields map
+        # (postgres.rs:58, meilisearch.rs:85), not a lifted payload.
+        .when(
+            is_pg | is_meili, F.create_map().cast("map<string,string>")
+        )
         .when(is_json_payload, jf)
         .otherwise(F.create_map().cast("map<string,string>"))
     )
     level = (
         F.when(is_nginx_access, F.lit("info"))
         .when(is_nginx_error, F.lower(F.regexp_extract(log, _NGINX_ERROR, 1)))
+        .when(
+            is_pg_match,
+            F.when(pg_word.isin(*_PG_DEBUG), F.lit("debug"))
+            .when(pg_word.isin(*_PG_INFO), F.lit("info"))
+            .when(pg_word.isin(*_PG_WARN), F.lit("warn"))
+            .when(pg_word == "ERROR", F.lit("error"))
+            .when(pg_word.isin(*_PG_FATAL), F.lit("fatal"))
+            .otherwise(F.lit("info")),
+        )
+        # Non-matching postgres lines: info, raw message (the
+        # reference's final fallback, postgres.rs:110-127 — its
+        # contains()-based path is dead code behind a pattern-compile
+        # failure that cannot happen at runtime).
+        .when(is_pg, F.lit("info"))
+        .when(
+            is_meili,
+            # Probe order error → warn → debug on the CLEANED line
+            # (meilisearch.rs:49-58).
+            F.when(
+                clean.contains(" ERROR ") | clean.contains("[ERROR]"),
+                F.lit("error"),
+            )
+            .when(
+                clean.contains(" WARN ") | clean.contains("[WARN]"),
+                F.lit("warn"),
+            )
+            .when(
+                clean.contains(" DEBUG ") | clean.contains("[DEBUG]"),
+                F.lit("debug"),
+            )
+            .otherwise(F.lit("info")),
+        )
         .when(
             is_json_payload,
             F.coalesce(F.lower(jf.getItem("level")), F.lit("info")),
@@ -199,12 +288,20 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
         .when(log.contains("[warn]"), F.lit("warn"))
         .otherwise(F.lit("info"))
     )
+    # postgres rewrites message to the regex's message group; the
+    # meilisearch message is the ANSI-stripped line (postgres.rs:39-43,
+    # meilisearch.rs:75). Everything else keeps the raw line.
+    message = (
+        F.when(is_pg_match, pg.getItem(1))
+        .when(is_meili, clean)
+        .otherwise(log)
+    )
 
     return staged.select(
         service.alias("service_name"),
         group_col.alias("service_group"),
         level.alias("level"),
-        log.alias("message"),
+        message.alias("message"),
         F.to_timestamp(F.col("time")).alias("timestamp"),
         F.sha1(F.concat_ws("|", "cname", "time")).alias("container_id"),
         fields.alias("fields"),

@@ -24,6 +24,11 @@ SCRATCH = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__)
 _NGINX_ACCESS_SQL = (
     r'^(\S+) \S+ \S+ \[([^\]]+)\] "(\S+) (\S+)[^"]*" (\d{3}) (\d+|-) "([^"]*)" "([^"]*)"'
 )
+# DuckDB's RE2 shares leftmost-first greedy submatch semantics with the
+# reference's Rust regex crate AND Java's engine, so the greedy `.+` in
+# the postgres pattern binds the same last `word:` in all three.
+_POSTGRES_SQL = r"^(\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}) .+ (\w+):\s+(.+)"
+_ANSI_SQL = r"\x1b(\[[^A-Za-z]*[A-Za-z]?)?"
 
 
 def _gen_lines(n: int = 2000, seed: int = 7) -> list[str]:
@@ -34,7 +39,7 @@ def _gen_lines(n: int = 2000, seed: int = 7) -> list[str]:
     for i in range(n):
         t = f"2024-01-{1 + i % 28:02d}T{i % 24:02d}:{i % 60:02d}:{(i * 7) % 60:02d}.000Z"
         kind = rng.random()
-        if kind < 0.45:  # nginx access
+        if kind < 0.40:  # nginx access
             log = (
                 f"{rng.randrange(1, 255)}.0.0.{rng.randrange(1, 255)} - - "
                 f"[01/Jan/2024:00:00:00 +0000] "
@@ -43,13 +48,13 @@ def _gen_lines(n: int = 2000, seed: int = 7) -> list[str]:
                 f'"-" "Mozilla/5.0"'
             )
             name = "/nginx"
-        elif kind < 0.55:  # nginx error
+        elif kind < 0.48:  # nginx error
             log = (
                 f"2024/01/01 00:00:00 [{rng.choice(['error', 'warn', 'crit'])}] "
                 f"77#0: *{i} upstream timed out"
             )
             name = "/nginx"
-        elif kind < 0.80:  # plecto-proxy structured JSON
+        elif kind < 0.66:  # plecto-proxy structured JSON
             payload = {
                 "level": rng.choice(["info", "info", "warn"]),
                 "method": rng.choice(methods),
@@ -63,11 +68,31 @@ def _gen_lines(n: int = 2000, seed: int = 7) -> list[str]:
                 del payload["status"]  # guard-violating row (B3): must not reach http_logs
             log = json.dumps(payload)
             name = "/plecto-proxy"
-        elif kind < 0.93:  # app service structured JSON (no http keys)
+        elif kind < 0.76:  # app service structured JSON (no http keys)
             log = json.dumps(
                 {"level": rng.choice(["info", "warn", "error"]), "msg": "tick", "n": str(i)}
             )
             name = "/alt-backend"
+        elif kind < 0.86:  # postgres text format (A3 branch, r11)
+            word = rng.choice(
+                ["LOG", "INFO", "NOTICE", "WARNING", "ERROR", "FATAL",
+                 "PANIC", "DEBUG2", "DEBUG5", "STATEMENT"]
+            )
+            if rng.random() < 0.15:  # no-match fallback (no leading ts)
+                log = f"server process exited abnormally code {i % 7}"
+            else:
+                log = (
+                    f"2024-01-{1 + i % 28:02d} 12:00:{i % 60:02d} UTC "
+                    f"[{i % 9999}] {word}:  backend message {i % 41}"
+                )
+            name = "/postgres"
+        elif kind < 0.95:  # meilisearch with ANSI escapes (A3 branch, r11)
+            word = rng.choice(["INFO", "WARN", "ERROR", "DEBUG"])
+            log = (
+                f"\x1b[2m2024-01-01T00:00:{i % 60:02d}Z\x1b[0m  {word} "
+                f"\x1b[32mmilli::update\x1b[0m: processed batch {i % 23}"
+            )
+            name = "/meilisearch"
         else:  # free text fallback
             log = rng.choice(
                 ["plain text line", "something [warn] odd", "failed hard [error] here"]
@@ -109,6 +134,9 @@ def oracle(ndjson_dir):
         SELECT replace(container_name, '/', '') AS service_name, log,
                regexp_matches(log, $${_NGINX_ACCESS_SQL}$$) AS is_access,
                regexp_matches(log, '^\\d{{4}}/\\d{{2}}/\\d{{2}} \\d{{2}}:\\d{{2}}:\\d{{2}} \\[(\\w+)\\]') AS is_err,
+               regexp_matches(log, $${_POSTGRES_SQL}$$) AS is_pg,
+               regexp_extract(log, $${_POSTGRES_SQL}$$, 2) AS pg_word,
+               regexp_replace(log, $${_ANSI_SQL}$$, '', 'g') AS cleaned,
                log LIKE '{{%' AS is_json
         FROM raw
         """
@@ -179,6 +207,19 @@ def test_level_histogram_parity(spark, ndjson_dir, oracle):
                      WHEN service_name = 'nginx' AND is_access THEN 'info'
                      WHEN service_name = 'nginx' AND is_err
                        THEN lower(regexp_extract(log, '\\[(\\w+)\\]', 1))
+                     WHEN service_name = 'postgres' AND is_pg THEN
+                       CASE WHEN pg_word IN ('DEBUG','DEBUG1','DEBUG2','DEBUG3','DEBUG4','DEBUG5') THEN 'debug'
+                            WHEN pg_word IN ('LOG','INFO') THEN 'info'
+                            WHEN pg_word IN ('NOTICE','WARNING') THEN 'warn'
+                            WHEN pg_word = 'ERROR' THEN 'error'
+                            WHEN pg_word IN ('FATAL','PANIC') THEN 'fatal'
+                            ELSE 'info' END
+                     WHEN service_name = 'postgres' THEN 'info'
+                     WHEN service_name = 'meilisearch' THEN
+                       CASE WHEN cleaned LIKE '% ERROR %' OR cleaned LIKE '%[ERROR]%' THEN 'error'
+                            WHEN cleaned LIKE '% WARN %' OR cleaned LIKE '%[WARN]%' THEN 'warn'
+                            WHEN cleaned LIKE '% DEBUG %' OR cleaned LIKE '%[DEBUG]%' THEN 'debug'
+                            ELSE 'info' END
                      WHEN is_json THEN lower(coalesce(json_extract_string(log, '$.level'), 'info'))
                      WHEN log LIKE '%[error]%' THEN 'error'
                      WHEN log LIKE '%[warn]%' THEN 'warn'
@@ -190,6 +231,177 @@ def test_level_histogram_parity(spark, ndjson_dir, oracle):
             """
         ).fetchall()
     }
+    assert got == want
+
+
+def test_service_message_rewrite_parity(spark, ndjson_dir, oracle):
+    """The postgres branch rewrites `message` to the regex's message
+    group (raw line on no-match); meilisearch rewrites to the
+    ANSI-STRIPPED line. Exact min/max/distinct parity per service over
+    the generated corpus."""
+    from pyspark.sql import functions as F
+
+    got = {
+        tuple(r)
+        for r in read_ndjson_logs(spark, ndjson_dir)
+        .filter("service_name IN ('postgres', 'meilisearch')")
+        .groupBy("service_name")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("message").alias("nd"),
+            F.min("message").alias("lo"),
+            F.max("message").alias("hi"),
+        )
+        .collect()
+    }
+    want = {
+        tuple(r)
+        for r in oracle.execute(
+            f"""
+            SELECT service_name, count(*) AS n,
+                   count(DISTINCT m) AS nd, min(m) AS lo, max(m) AS hi
+            FROM (
+              SELECT service_name,
+                     CASE WHEN service_name = 'postgres' AND is_pg
+                            THEN regexp_extract(log, $${_POSTGRES_SQL}$$, 3)
+                          WHEN service_name = 'meilisearch' THEN cleaned
+                          ELSE log END AS m
+              FROM parsed
+              WHERE service_name IN ('postgres', 'meilisearch')
+            )
+            GROUP BY 1
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def _envelope(container: str, log: str) -> str:
+    return json.dumps(
+        {
+            "time": "2024-01-01 00:00:00",
+            "stream": "stdout",
+            "container_name": container,
+            "log": log,
+        }
+    )
+
+
+def test_postgres_branch_planted_semantics(spark):
+    """The reference's postgres parser contract on planted lines
+    (postgres.rs:22-70 + the final fallback 110-127): the full level
+    vocabulary, the GREEDY-regex `statement:` case (the reference's own
+    test line shape — level word binds to the LAST `word:`, falling to
+    info, and the message is what follows it), and the no-timestamp
+    fallback (info + raw line)."""
+    from alt_spark.sources.ndjson_logs import parse_logs
+
+    cases = [
+        ("2024-01-01 12:00:00 UTC [1] LOG:  checkpoint done", "info", "checkpoint done"),
+        ("2024-01-01 12:00:00 UTC [1] INFO:  hello", "info", "hello"),
+        ("2024-01-01 12:00:00 UTC [1] NOTICE:  notice me", "warn", "notice me"),
+        ("2024-01-01 12:00:00 UTC [1] WARNING:  careful", "warn", "careful"),
+        ("2024-01-01 12:00:00 UTC [1] ERROR:  deadlock", "error", "deadlock"),
+        ("2024-01-01 12:00:00 UTC [1] FATAL:  oom", "fatal", "oom"),
+        ("2024-01-01 12:00:00 UTC [1] PANIC:  corrupt", "fatal", "corrupt"),
+        ("2024-01-01 12:00:00 UTC [1] DEBUG1:  d1", "debug", "d1"),
+        ("2024-01-01 12:00:00 UTC [1] DEBUG5:  d5", "debug", "d5"),
+        # Greedy pin: level word = "statement" (unknown -> info).
+        (
+            "2024-01-01 12:00:00 UTC [123] LOG:  statement: SELECT * FROM users WHERE id = $1",
+            "info",
+            "SELECT * FROM users WHERE id = $1",
+        ),
+        # The reference's own test line carries FRACTIONAL seconds —
+        # which the validated pattern's `ts<space>` tail rejects, so it
+        # rides the fallback (its asserts pass either way; ours pins
+        # which path actually fires).
+        (
+            "2024-01-01 12:00:00.123 UTC [123] LOG:  statement: SELECT 1",
+            "info",
+            "2024-01-01 12:00:00.123 UTC [123] LOG:  statement: SELECT 1",
+        ),
+        # Unknown level word -> info.
+        ("2024-01-01 12:00:00 UTC [1] HINT:  try harder", "info", "try harder"),
+        # No-match fallback: info + RAW message.
+        ("no timestamp here ERROR: not a match", "info", "no timestamp here ERROR: not a match"),
+    ]
+    df = parse_logs(
+        spark.createDataFrame(
+            [(_envelope("/postgres", log),) for log, _, _ in cases],
+            "value string",
+        )
+    )
+    got = [(r["level"], r["message"]) for r in df.select("level", "message").collect()]
+    want = [(lv, msg) for _, lv, msg in cases]
+    assert got == want
+
+
+def _strip_ansi_reference(s: str) -> str:
+    """Line-by-line port of the reference's strip loop
+    (meilisearch.rs:23-45): ESC+'[' consumes through the first ascii
+    letter inclusive (or to end of string); a bare ESC is dropped."""
+    out = []
+    it = iter(range(len(s)))
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "\x1b":
+            i += 1
+            if i < len(s) and s[i] == "[":
+                i += 1
+                while i < len(s):
+                    ch = s[i]
+                    i += 1
+                    if ch.isascii() and ch.isalpha():
+                        break
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def test_meilisearch_strip_matches_reference_loop(spark):
+    """Property: the Spark-side ANSI strip + level probe must agree
+    with a Python port of the reference loop on adversarial random
+    strings (bare ESC, unterminated ESC[, nested sequences, bracketed
+    level tokens), evaluated in ONE Spark job."""
+    from alt_spark.sources.ndjson_logs import parse_logs
+
+    rng = random.Random(42)
+    alphabet = list("\x1b[];0123456789m ABCDEFwxyz") + ["[ERROR]", " WARN ", "\x1b[31m"]
+    lines = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 40)))
+        for _ in range(300)
+    ]
+    # The canonical shapes too, verbatim.
+    lines += [
+        "\x1b[2m2024-01-01T00:00:00Z\x1b[0m  ERROR \x1b[32mx\x1b[0m: boom",
+        "plain [WARN] with unterminated \x1b[12;",
+        "bare \x1bescape kept",
+        "\x1b",
+        "\x1b[",
+    ]
+
+    def want_level(clean: str) -> str:
+        if " ERROR " in clean or "[ERROR]" in clean:
+            return "error"
+        if " WARN " in clean or "[WARN]" in clean:
+            return "warn"
+        if " DEBUG " in clean or "[DEBUG]" in clean:
+            return "debug"
+        return "info"
+
+    df = parse_logs(
+        spark.createDataFrame(
+            [(_envelope("/meilisearch", ln),) for ln in lines], "value string"
+        )
+    )
+    got = [(r["level"], r["message"]) for r in df.select("level", "message").collect()]
+    want = [
+        (want_level(_strip_ansi_reference(ln)), _strip_ansi_reference(ln))
+        for ln in lines
+    ]
     assert got == want
 
 

@@ -270,8 +270,21 @@ def test_nginx_parse_expressions_not_duplicated(dfs):
     plan carried 66 copies of the access regex and 90 of from_json per
     input row (measured r5, sf0.1: 6.2 s vs 2.2 s). Pin the property."""
     plan = audit.optimized_plan(dfs["q48_nginx_log_parse"])
-    assert plan.count("regexp_replace") <= 4, plan
-    assert plan.count("from_json") <= 4, plan
+    # Since r11 the query unions three producers and runs TWO parse
+    # passes (http over all three, level/message over pg+meili only —
+    # see the q48 docstring), so the STATIC counts scale with the five
+    # parse-layer instances; the per-ROW bound is one instance: at most
+    # 3 regexp_replace (nginx access / postgres / ANSI rewrites, each
+    # service-gated so one fires) and 2 from_json (envelope + payload).
+    assert plan.count("regexp_replace") <= 5 * 3, plan
+    assert plan.count("from_json") <= 5 * 2, plan
+    # The substitution hazard stays pinned: no pushed Filter may embed
+    # the envelope parse (the r11 svc-filter incident: an isin() on the
+    # derived service column pushed below the parse with 4 from_json
+    # copies in the condition).
+    for line in plan.split("\n"):
+        if "Filter" in line:
+            assert "from_json" not in line, line
 
 
 def test_winnowing_is_map_only(spark):
