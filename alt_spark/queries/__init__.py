@@ -385,6 +385,10 @@ _REPORT_TAIL = (
     # r10 per the pre-staged COVERAGE.md plan — see the r10 rotation
     # note above. q101-q114 (new r8) rotated in the same way in r9,
     # and q126-q135 (new r10) in r11 — see the r11 rotation note.
+    # q136+ — new r11 additions, oracle-backed (in-pytest parity every
+    # CI pass), parked in the tail as the newest entries; r12 rotation
+    # candidates per the pre-staged COVERAGE.md plan.
+    "q136_force_layout_integer",
 )
 
 

@@ -1233,3 +1233,116 @@ def test_q124_raises_when_node_count_reaches_mass(spark):
         with mock.patch.object(po, "_HITS_S", 4):
             with _pytest.raises(Exception, match="raise _HITS_S"):
                 po.q124(spark, "ignored").collect()
+
+
+# ---------------------------------------------------------------------------
+# q136: the integer force layout must replay in pure Python from first
+# principles — tokens, node selection, edges, hash init, and all three
+# iterations re-derived WITHOUT the query's Spark code path (the q114
+# pencil doctrine, third engine next to Spark and the DuckDB oracle).
+
+
+def _fl_idiv_py(n: int, d: int) -> int:
+    return -((-n) // d) if n < 0 else n // d
+
+
+def test_q136_layout_matches_python_replay(spark):
+    import hashlib
+
+    from alt_spark.queries.text import (
+        _FL_CPA,
+        _FL_INIT,
+        _FL_ITERS,
+        _FL_K2,
+        _FL_SCALE,
+        _FL_T,
+        _FL_TOP,
+        _token_col,
+        q136,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    doc_tokens = [
+        sorted(set(r[0]))
+        for r in load_table(spark, sf, "documents")
+        .select(F.array_distinct(_token_col()))
+        .collect()
+    ]
+    # Node selection: top tokens by document frequency, (df DESC, t).
+    from collections import Counter
+
+    dfreq = Counter(t for ts in doc_tokens for t in ts)
+    nodes = sorted(dfreq, key=lambda t: (-dfreq[t], t))[:_FL_TOP]
+    node_set = set(nodes)
+    # Edges: within-doc unordered pairs among node tokens.
+    w = Counter()
+    for ts in doc_tokens:
+        hit = [t for t in ts if t in node_set]
+        for i in range(len(hit)):
+            for j in range(i + 1, len(hit)):
+                w[(hit[i], hit[j])] += 1
+    # Hash-uniform init (portable md5 H60 twin).
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    pos = {t: [h60(f"flx|{t}") % _FL_INIT, h60(f"fly|{t}") % _FL_INIT] for t in nodes}
+
+    saw_capped = saw_uncapped_nonzero = False
+    for it in range(_FL_ITERS):
+        cap = _FL_T[it]
+        xs = [p[0] for p in pos.values()]
+        ys = [p[1] for p in pos.values()]
+        bx0, bx1, by0, by1 = min(xs), max(xs), min(ys), max(ys)
+        spx, spy = max(bx1 - bx0, 1), max(by1 - by0, 1)
+        cell = {
+            t: (
+                min((p[0] - bx0) * _FL_CPA // spx, _FL_CPA - 1),
+                min((p[1] - by0) * _FL_CPA // spy, _FL_CPA - 1),
+            )
+            for t, p in pos.items()
+        }
+        sup = {}
+        for t, c in cell.items():
+            m, sx, sy = sup.get(c, (0, 0, 0))
+            sup[c] = (m + 1, sx + pos[t][0], sy + pos[t][1])
+        sup = {c: (m, sx // m, sy // m) for c, (m, sx, sy) in sup.items()}
+        frc = {t: [0, 0] for t in nodes}
+        for t in nodes:
+            x, y = pos[t]
+            cx, cy = cell[t]
+            for (ox, oy), (m, mx, my) in sup.items():
+                if abs(cx - ox) > 1 or abs(cy - oy) > 1:
+                    d2 = (x - mx) ** 2 + (y - my) ** 2 + 1
+                    frc[t][0] += m * _fl_idiv_py(_FL_K2 * (x - mx), d2)
+                    frc[t][1] += m * _fl_idiv_py(_FL_K2 * (y - my), d2)
+            for o in nodes:
+                if o != t and abs(cx - cell[o][0]) <= 1 and abs(cy - cell[o][1]) <= 1:
+                    ox, oy = pos[o]
+                    d2 = (x - ox) ** 2 + (y - oy) ** 2 + 1
+                    frc[t][0] += _fl_idiv_py(_FL_K2 * (x - ox), d2)
+                    frc[t][1] += _fl_idiv_py(_FL_K2 * (y - oy), d2)
+        for (u, v), wt in w.items():
+            frc[u][0] += -(pos[u][0] - pos[v][0]) * wt
+            frc[u][1] += -(pos[u][1] - pos[v][1]) * wt
+            frc[v][0] += -(pos[v][0] - pos[u][0]) * wt
+            frc[v][1] += -(pos[v][1] - pos[u][1]) * wt
+        for t in nodes:
+            for ax in (0, 1):
+                f = frc[t][ax]
+                raw = abs(f) // _FL_SCALE
+                if raw > cap:
+                    saw_capped = True
+                elif raw > 0:
+                    saw_uncapped_nonzero = True
+                pos[t][ax] += (-1 if f < 0 else 1) * min(raw, cap)
+
+    got = {
+        r["token"]: (r["x_milli"], r["y_milli"])
+        for r in q136(spark, sf).collect()
+    }
+    want = {t: (p[0], p[1]) for t, p in pos.items()}
+    assert got == want
+    # The oracle must exercise BOTH displacement regimes — capped steps
+    # (cooling bites) and uncapped nonzero steps (the floor-division
+    # force magnitudes themselves are on trial, not just signs).
+    assert saw_capped and saw_uncapped_nonzero

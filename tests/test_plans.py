@@ -65,6 +65,12 @@ _NESTED_LOOP_OK = {
     # node tables (q114's no-driver-collect device, twice per HITS
     # iteration) — all bounded by construction.
     "q124_hits_user_event",
+    # q136's non-equi layout joins are all bounded by construction:
+    # the far field broadcasts the <=64-row supernode table (the
+    # adaptive-grid invariant grid_cells pins), the near field
+    # broadcasts the <=40-row tag-cloud position table, and the bbox /
+    # node-array frames are 1-row crosses (the BM25 stats-row device).
+    "q136_force_layout_integer",
     "q13_keyset_pagination",
     "q14_paged_window_count",
     "q18_tfidf_doc0",
