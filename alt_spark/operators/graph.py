@@ -25,6 +25,8 @@ __all__ = [
     "propagate_labels",
     "connected_components",
     "connected_components_incremental",
+    "orient_compact_forward",
+    "compact_forward_triangles",
 ]
 
 # Bounded registry of CONVERGED label tables, keyed by (session, pair
@@ -291,3 +293,62 @@ def propagate_labels(
             best.join(seed_ids, "id", "left_anti")
         )
     return labels
+
+
+def orient_compact_forward(edges: DataFrame) -> DataFrame:
+    """Degree-orient an undirected edge list (t1, t2) into (src, dst)
+    with src the LOWER-degree endpoint (ties broken by name) — the
+    compact-forward orientation (Latapy 2008): every node's out-degree
+    is then <= sqrt(2m), because an out-degree d+ node's out-neighbors
+    all carry degree >= d+, so d+ > sqrt(2m) would force the degree sum
+    past 2m. That bound is what keeps the wedge join below all-pairs on
+    hub-heavy graphs; `tests/test_scale_smoke.py` pins it on a planted
+    100k-edge star."""
+    deg = (
+        edges.select(F.col("t1").alias("t"))
+        .unionByName(edges.select(F.col("t2").alias("t")))
+        .groupBy("t")
+        .agg(F.count("*").alias("d"))
+    )
+    e = edges.join(
+        F.broadcast(deg.select(F.col("t").alias("t1"), F.col("d").alias("d1"))),
+        "t1",
+    ).join(
+        F.broadcast(deg.select(F.col("t").alias("t2"), F.col("d").alias("d2"))),
+        "t2",
+    )
+    fwd = (F.col("d1") < F.col("d2")) | (
+        (F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2"))
+    )
+    return e.select(
+        F.when(fwd, F.col("t1")).otherwise(F.col("t2")).alias("src"),
+        F.when(fwd, F.col("t2")).otherwise(F.col("t1")).alias("dst"),
+    )
+
+
+def compact_forward_triangles(oriented: DataFrame) -> DataFrame:
+    """Close wedges over a compact-forward-oriented edge list: rows
+    (u, v, w) — one per triangle, each exactly once (u is the lowest-
+    degree corner, v before w in orientation order). The wedge build is
+    an equi-join on the shared lower-degree endpoint (fan-out bounded
+    by the orientation's sqrt(2m) out-degree cap) and the close is an
+    equi-join on (v, w) — never an all-wedges filter against raw hub
+    degrees."""
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    return (
+        e1.join(
+            e2,
+            (F.col("e1.src") == F.col("e2.src"))
+            & (F.col("e1.dst") != F.col("e2.dst")),
+        )
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.dst"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("u"),
+            F.col("e1.dst").alias("v"),
+            F.col("e2.dst").alias("w"),
+        )
+    )

@@ -706,48 +706,25 @@ def q133(spark: SparkSession, sf: str) -> DataFrame:
     )
     if _dfcache.MATERIALIZE:
         edges = edges.localCheckpoint(eager=False)
+    # Orientation + wedge close are the shared graph operators (factored
+    # out r11 so the 100k hub-graph smoke drives the exact production
+    # join shape — tests/test_scale_smoke.py pins the sqrt(2m)
+    # out-degree cap on them).
+    from alt_spark.operators.graph import (
+        compact_forward_triangles,
+        orient_compact_forward,
+    )
+
     deg = (
         edges.select(F.col("t1").alias("t"))
         .unionByName(edges.select(F.col("t2").alias("t")))
         .groupBy("t")
         .agg(F.count("*").alias("d"))
     )
-    e = (
-        edges.join(
-            F.broadcast(deg.select(F.col("t").alias("t1"), F.col("d").alias("d1"))),
-            "t1",
-        ).join(
-            F.broadcast(deg.select(F.col("t").alias("t2"), F.col("d").alias("d2"))),
-            "t2",
-        )
-    )
-    fwd = (F.col("d1") < F.col("d2")) | (
-        (F.col("d1") == F.col("d2")) & (F.col("t1") < F.col("t2"))
-    )
-    o = e.select(
-        F.when(fwd, F.col("t1")).otherwise(F.col("t2")).alias("src"),
-        F.when(fwd, F.col("t2")).otherwise(F.col("t1")).alias("dst"),
-    )
+    o = orient_compact_forward(edges)
     if _dfcache.MATERIALIZE:
         o = o.localCheckpoint(eager=False)
-    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
-    tri = (
-        e1.join(
-            e2,
-            (F.col("e1.src") == F.col("e2.src"))
-            & (F.col("e1.dst") != F.col("e2.dst")),
-        )
-        .join(
-            e3,
-            (F.col("e3.src") == F.col("e1.dst"))
-            & (F.col("e3.dst") == F.col("e2.dst")),
-        )
-        .select(
-            F.col("e1.src").alias("u"),
-            F.col("e1.dst").alias("v"),
-            F.col("e2.dst").alias("w"),
-        )
-    )
+    tri = compact_forward_triangles(o)
     pernode = (
         tri.select(F.col("u").alias("t"))
         .unionByName(tri.select(F.col("v").alias("t")))

@@ -1359,3 +1359,160 @@ def test_hamming_blocked_pairs_at_100k_fingerprints(spark):
             assert r["hamming"] <= 3  # definitionally true; the real
             # assertion is that there are very few such rows:
     assert len(got - planted) < 5, f"{len(got - planted)} random near-collisions"
+
+
+def test_triangle_wedge_fanout_bounded_on_100k_edge_star(spark):
+    """q133's compact-forward schedule (operators/graph.py, factored
+    r11) on the adversarial shape the orientation exists for: a 100k-
+    edge star (one hub, 100k spokes) plus planted triangles. Without
+    orientation the hub contributes ~100k²/2 wedges; WITH it every
+    node's out-degree is <= sqrt(2m), so the wedge join input stays
+    linear. Pins the bound AND exact triangle recovery."""
+    from alt_spark.operators.graph import (
+        compact_forward_triangles,
+        orient_compact_forward,
+    )
+
+    n_spokes = 100_000
+    star = spark.range(n_spokes).select(
+        F.lit("hub").alias("t1"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("t2"),
+    )
+    # 50 planted triangles hub–a_i–b_i plus the a_i–b_i closing edges.
+    tri_edges = spark.range(50).select(
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("t1"),
+        F.concat(F.lit("s"), (F.col("id") + 50_000).cast("string")).alias("t2"),
+    )
+    edges = star.unionByName(tri_edges)
+    o = orient_compact_forward(edges).localCheckpoint()
+    m = o.count()
+    assert m == n_spokes + 50
+    max_out = (
+        o.groupBy("src").agg(F.count("*").alias("d")).agg(F.max("d")).first()[0]
+    )
+    assert max_out <= int((2 * m) ** 0.5) + 1, max_out
+    # Wedge-input volume under the cap: sum of outdeg*(outdeg-1) stays
+    # ~linear, nowhere near the hub's unoriented ~5e9 wedges.
+    wedges = (
+        o.groupBy("src")
+        .agg(F.count("*").alias("d"))
+        .agg(F.sum(F.col("d") * (F.col("d") - 1)))
+        .first()[0]
+    )
+    assert wedges <= 10 * m, wedges
+    tris = compact_forward_triangles(o)
+    assert tris.count() == 50
+    # Each planted triangle exactly once, hub a corner of every one.
+    corners = tris.select(
+        F.array_sort(F.array("u", "v", "w")).alias("c")
+    ).distinct()
+    assert corners.count() == 50
+    assert tris.filter(
+        (F.col("u") == "hub") | (F.col("v") == "hub") | (F.col("w") == "hub")
+    ).count() == 50
+
+
+def test_containment_rarity_cap_at_100k(spark):
+    """q132's scale lever at 100k docs: the rarity cap must bound every
+    fingerprint bucket BY CONSTRUCTION (boilerplate shared by half the
+    corpus never reaches the equi-join), and planted quotations —
+    one doc's unique text embedded verbatim in another — must still
+    clear the containment threshold through rare fingerprints alone.
+    Production xxhash64 fingerprints (the q55 twin of q132's portable
+    oracle form); the shapes, caps, and thresholds are q132's own."""
+    from alt_spark.functions.text_analysis import winnowing_fingerprints
+    from alt_spark.queries.pipeline_ops import (
+        _CTN_K,
+        _CTN_MAX_DF_PM,
+        _CTN_MIN_FP,
+        _CTN_THRESH_PM,
+    )
+
+    n = 100_000
+    boiler = "all rights reserved contact the syndication desk for reuse terms"
+    # ~30 distinct pseudo-words per doc -> plenty of rare fingerprints.
+    uniq = F.concat_ws(
+        " ",
+        *[
+            F.concat(
+                F.lit("w"),
+                ((F.col("id") * 31 + i * 7919) % 99_991).cast("string"),
+                F.lit(f"x{i}"),
+            )
+            for i in range(30)
+        ],
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.concat(uniq, F.lit(" " + boiler)))
+        .otherwise(uniq)
+        .alias("text"),
+    )
+    # Planted quotations: doc q+1 = "zz zz " + doc q's unique text +
+    # trailer, for q % 1000 == 0 (100 directed pairs q -> q+1). Doc q+1
+    # keeps its OWN id-derived words out so containment is clean.
+    quoted = spark.range(0, n, 1000).select(
+        (F.col("id") + 1).alias("doc_id"),
+        F.concat(
+            F.lit("zz zz "),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("w"),
+                        ((F.col("id") * 31 + i * 7919) % 99_991).cast("string"),
+                        F.lit(f"x{i}"),
+                    )
+                    for i in range(30)
+                ],
+            ),
+            F.lit(" qq trailing editorial commentary appended here"),
+        ).alias("text"),
+    )
+    corpus = (
+        docs.join(quoted.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(quoted)
+        .persist()
+    )
+    try:
+        fp = winnowing_fingerprints(corpus, k=_CTN_K, window=4, portable=False)
+        allfps = fp.select("id", F.explode("fingerprints").alias("wm"))
+        df_wm = allfps.groupBy("wm").agg(F.count("*").alias("df"))
+        cap = _CTN_MAX_DF_PM * n // 10_000
+        # The boilerplate fingerprints exist and exceed the cap...
+        assert df_wm.filter(F.col("df") > cap).count() > 0
+        rare = df_wm.filter(F.lit(10_000) * F.col("df") <= _CTN_MAX_DF_PM * n)
+        # ...and after the cap, every surviving bucket is bounded.
+        max_bucket = rare.agg(F.max("df")).first()[0]
+        assert max_bucket <= cap, max_bucket
+        fps = allfps.join(rare.select("wm"), "wm", "left_semi").persist()
+        # Planted quotations clear the threshold through rare
+        # fingerprints: containment(q in q+1) >= _CTN_THRESH_PM.
+        planted = spark.range(0, n, 1000).select(
+            F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+        )
+        pair_fps = fps.join(F.broadcast(planted), fps["id"] == F.col("id_a"))
+        sz = pair_fps.groupBy("id_a", "id_b").agg(F.count("*").alias("n_fp_a"))
+        shared = (
+            pair_fps.alias("a")
+            .join(
+                fps.select(F.col("id").alias("id_b"), F.col("wm").alias("bwm")).alias("b"),
+                (F.col("a.id_b") == F.col("b.id_b")) & (F.col("a.wm") == F.col("b.bwm")),
+            )
+            .groupBy("a.id_a", "a.id_b")
+            .agg(F.count("*").alias("shared"))
+        )
+        scored = sz.join(shared, ["id_a", "id_b"], "left").select(
+            "id_a",
+            "n_fp_a",
+            F.expr(
+                "CAST((10000 * coalesce(shared, 0)) div n_fp_a AS BIGINT)"
+            ).alias("containment_pm"),
+        )
+        rows = scored.collect()
+        assert len(rows) == 100
+        assert all(r["n_fp_a"] >= _CTN_MIN_FP for r in rows)
+        low = [r for r in rows if r["containment_pm"] < _CTN_THRESH_PM]
+        assert not low, low[:5]
+    finally:
+        corpus.unpersist()
