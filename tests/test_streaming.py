@@ -1808,3 +1808,196 @@ def test_q131_state_survives_batches_and_variants_survive(spark):
         # sf0.001 has no duplicate texts at all, so every original row
         # survives its own batch.
         assert rows[b]["n_out"] == rows[b]["n_in"]
+
+
+def test_streaming_index_compaction_across_boundary(spark):
+    """Retention driven from a LIVE micro-batch stream (VERDICT r10
+    item 6 — the q101 compaction proven batch-side, here crossed by a
+    running fold): each micro-batch scores against the index as of its
+    arrival, the gram counts / content hashes fold in STAMPED, and
+    `compact_index` runs inside the loop with a one-batch horizon — so
+    batch 3's scoring happens across a real compaction boundary where
+    batch 1's entries were just dropped. Pins, for BOTH the span-gram
+    count index and the exact content-hash index: in-horizon content
+    still dedups exactly, out-of-horizon content is admitted as fresh
+    (forgetting is the policy), and the stream-evolved compacted state
+    scores byte-identically to a batch-rebuilt stamped index compacted
+    at the same cutoff."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators import dedup
+    from alt_spark.operators.index_maintenance import (
+        compact_index,
+        merge_stamped_counts,
+        merge_stamped_rows,
+        stamp_index,
+    )
+
+    W = 8
+    root = _fresh("index_compaction_stream")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+
+    # Disjoint vocabularies by construction: the real corpus shares
+    # boilerplate grams across any split, which REFRESHES their stamps
+    # at every batch and makes "out of horizon" unplanted (observed:
+    # the first draft used documents.parquet slices and batch B kept
+    # every A gram alive).
+    # Stride 37 > 30 tokens/doc keeps every doc's token range disjoint
+    # from every other doc's (the incremental scorer counts WITHIN-batch
+    # cross-doc duplication too, so overlapping probe docs would plant
+    # nonzero coverage the index never saw).
+    def mk_table(prefix: str, ids: list[int]) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(
+                    [
+                        " ".join(f"{prefix}{i * 37 + j}" for j in range(30))
+                        for i in ids
+                    ]
+                ),
+            }
+        )
+
+    a_t = mk_table("alpha", list(range(40)))
+    b_t = mk_table("beta", list(range(100, 140)))
+    # Probe batch: redeliveries of A and B content under NEW ids, plus
+    # fresh synthetic docs no index has seen.
+    probe_t = pa.table(
+        {
+            "doc_id": pa.array(
+                [2_000_000_000 + i for i in range(5)]
+                + [3_000_000_000 + i for i in range(5)]
+                + [4_000_000_000 + i for i in range(3)],
+                pa.int64(),
+            ),
+            "text": pa.array(
+                a_t.column("text").to_pylist()[:5]
+                + b_t.column("text").to_pylist()[:5]
+                + [
+                    f"entirely fresh probe content piece {i} never indexed before"
+                    for i in range(3)
+                ]
+            ),
+        }
+    )
+    now = _time.time()
+    for i, chunk in enumerate((a_t, b_t, probe_t)):
+        p = os.path.join(landing, f"chunk_{i:03d}.parquet")
+        pq.write_table(chunk, p)
+        os.utime(p, (now + 10 * i, now + 10 * i))  # batch order == chunk order
+
+    def grams(bdf):
+        return dedup.span_gram_counts(bdf, width=W, hash_grams=False)
+
+    def hashes(bdf):
+        return bdf.select(F.xxhash64("text").alias("h")).distinct()
+
+    state: dict = {"span": None, "hash": None}
+    seen: list[dict] = []
+
+    def score(bdf, _bid):
+        if bdf.isEmpty():
+            return
+        bdf = bdf.localCheckpoint(eager=True)
+        stamp = len(seen) + 1
+        rec: dict = {"ids": {r["doc_id"] for r in bdf.select("doc_id").collect()}}
+        if state["span"] is not None:
+            # Compact LIVE with a one-batch horizon, replace the state
+            # (fold -> compact -> score across the boundary), then score.
+            cutoff = max(1, stamp - 1)
+            span_c = compact_index(state["span"], min_last_seen=cutoff)
+            hash_c = compact_index(state["hash"], min_last_seen=cutoff)
+            state["span"] = span_c.localCheckpoint(eager=True)
+            state["hash"] = hash_c.localCheckpoint(eager=True)
+            cov = dedup.duplicate_span_coverage_incremental(
+                bdf, state["span"].select("k", "c"), width=W, hash_grams=False
+            )
+            rec["cov"] = {tuple(r) for r in cov.collect()}
+            rec["fresh"] = {
+                r["doc_id"]
+                for r in dedup.exact_dedup_incremental(
+                    bdf, state["hash"].select("h")
+                ).collect()
+            }
+        if state["span"] is None:
+            state["span"] = stamp_index(grams(bdf), stamp).localCheckpoint(
+                eager=True
+            )
+            state["hash"] = stamp_index(hashes(bdf), stamp).localCheckpoint(
+                eager=True
+            )
+        else:
+            state["span"] = merge_stamped_counts(
+                state["span"], grams(bdf), stamp
+            ).localCheckpoint(eager=True)
+            state["hash"] = merge_stamped_rows(
+                state["hash"], hashes(bdf), stamp, id_col="h"
+            ).localCheckpoint(eager=True)
+        seen.append(rec)
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+        .writeStream.foreachBatch(score)
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .start()
+    )
+    try:
+        _drain(q)
+    finally:
+        if q.isActive:
+            q.stop()
+
+    assert len(seen) == 3
+    # The mtime stagger held: batches arrived A, B, probe.
+    assert seen[0]["ids"] == set(a_t.column("doc_id").to_pylist())
+    assert seen[1]["ids"] == set(b_t.column("doc_id").to_pylist())
+    a_ids = {2_000_000_000 + i for i in range(5)}
+    b_ids = {3_000_000_000 + i for i in range(5)}
+    c_ids = {4_000_000_000 + i for i in range(3)}
+    assert seen[2]["ids"] == a_ids | b_ids | c_ids
+
+    # Batch 3 scored across the compaction boundary (cutoff=2: batch-1
+    # entries dropped). Span index: A-redeliveries and fresh docs score
+    # ZERO dup tokens; B-redeliveries near-total.
+    cov = {r[0]: r for r in seen[2]["cov"]}
+    for i in a_ids | c_ids:
+        assert cov[i][3] == 0, cov[i]
+    for i in b_ids:
+        assert cov[i][3] >= cov[i][1] - (W - 1), cov[i]
+    # Hash index: B-redeliveries dropped, A-redeliveries + fresh admitted.
+    assert seen[2]["fresh"] == a_ids | c_ids
+
+    # Stream==batch across the boundary: rebuild the stamped indexes in
+    # batch from the same chunks, compact at the same cutoff, and the
+    # probe's scoring must be byte-identical to the streamed record.
+    a_df = spark.createDataFrame(a_t.to_pandas())
+    b_df = spark.createDataFrame(b_t.to_pandas())
+    probe_df = spark.createDataFrame(probe_t.to_pandas())
+    span_b = compact_index(
+        merge_stamped_counts(stamp_index(grams(a_df), 1), grams(b_df), 2),
+        min_last_seen=2,
+    )
+    want_cov = {
+        tuple(r)
+        for r in dedup.duplicate_span_coverage_incremental(
+            probe_df, span_b.select("k", "c"), width=W, hash_grams=False
+        ).collect()
+    }
+    assert seen[2]["cov"] == want_cov
+    hash_b = compact_index(
+        merge_stamped_rows(stamp_index(hashes(a_df), 1), hashes(b_df), 2, id_col="h"),
+        min_last_seen=2,
+    )
+    want_fresh = {
+        r["doc_id"]
+        for r in dedup.exact_dedup_incremental(
+            probe_df, hash_b.select("h")
+        ).collect()
+    }
+    assert seen[2]["fresh"] == want_fresh
