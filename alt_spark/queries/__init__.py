@@ -389,6 +389,7 @@ _REPORT_TAIL = (
     # CI pass), parked in the tail as the newest entries; r12 rotation
     # candidates per the pre-staged COVERAGE.md plan.
     "q136_force_layout_integer",
+    "q137_kmeans_integer",
 )
 
 

@@ -988,3 +988,202 @@ def q119(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("anchor_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q137: integer-exact k-means (J5 as a driver-hash-checkable QUERY —
+# the q114/q136 doctrine applied to operators/clustering.py). The
+# MLlib float path (`kmeans_assign`, reference util/kmeans.rs:22-92)
+# stays production; this is the fixed-iteration Lloyd twin in integer
+# milli-units: embeddings quantize by floor(x*1000) (float64 widening
+# + multiply are IEEE-identical in the JVM and DuckDB, so the floor is
+# deterministic cross-engine), seeds are the k lowest vec_ids (a
+# pinned seed policy, like a tokenizer vocab), assignment is argmin of
+# the integer squared L2 with ties to the lowest cluster, and each new
+# centroid is the per-dimension TRUNCATED mean (Spark `div` and DuckDB
+# `//` both truncate toward zero — verified, and the pencil replay
+# sign-decomposes to match) — every number either
+# engine touches after quantization is an integer, so three engines
+# agree bit-for-bit (Spark / DuckDB unrolled MATERIALIZED stages /
+# pure-Python pencil in tests/test_ml_ops.py).
+_KM_K = 8
+_KM_ITERS = 3
+_KM_Q = 1000  # quantization: milli-units
+
+
+def _km_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(v.qv, c.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    stages = []
+    for t in range(1, _KM_ITERS + 1):
+        stages.append(
+            f"""a{t} AS MATERIALIZED (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT v.vec_id, v.qv, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM qvecs v CROSS JOIN c{t - 1} c
+  ) WHERE rn = 1
+), m{t} AS (
+  SELECT cluster, u['i'] AS i, sum(u['x']) // count(*) AS val
+  FROM (SELECT cluster,
+               unnest(list_transform(qv, (x, i) -> {{'i': i, 'x': x}})) AS u
+        FROM a{t})
+  GROUP BY 1, 2
+), c{t} AS MATERIALIZED (
+  SELECT cluster, list(val ORDER BY i) AS qv FROM m{t} GROUP BY 1
+  UNION ALL
+  SELECT p.cluster, p.qv FROM c{t - 1} p
+  WHERE p.cluster NOT IN (SELECT cluster FROM m{t})
+)"""
+        )
+    chain = ",\n".join(stages)
+    return f"""
+WITH qvecs AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * {_KM_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         qv
+  FROM (SELECT vec_id, qv FROM qvecs ORDER BY vec_id LIMIT {_KM_K})
+),
+{chain},
+members AS (
+  SELECT cluster, count(*) AS n, sum(vec_id) AS ids
+  FROM a{_KM_ITERS} GROUP BY 1
+)
+SELECT c.cluster,
+       CAST(coalesce(m.n, 0) AS BIGINT) AS n_vecs,
+       CAST(coalesce(m.ids, 0) AS BIGINT) AS id_checksum,
+       CAST(list_sum(list_transform(c.qv, (x, i) -> i * x)) AS BIGINT)
+         AS centroid_checksum
+FROM c{_KM_ITERS} c LEFT JOIN members m ON m.cluster = c.cluster
+ORDER BY c.cluster
+"""
+
+
+@query("q137_kmeans_integer", oracle=_km_oracle())
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact Lloyd k-means over the embeddings table: k={_KM_K}
+    clusters, {_KM_ITERS} fixed iterations, per-dim milli-unit
+    quantization, floor-mean centroid updates, ties to the lowest
+    cluster id, empty clusters keep their previous centroid. Output:
+    per-cluster member count, member-id checksum, and a position-
+    weighted centroid checksum — the full assignment AND the exact
+    centroid arithmetic are on trial.
+
+    Plan (100 TB shape): assignment is IN-ROW — the k current centroids
+    ride a 1-row broadcast as an array of structs and the argmin folds
+    over it inside the scan projection (F.aggregate over zip_with), so
+    the per-iteration corpus work is ONE narrow pass with no vector
+    exchange; the centroid update is one map-side-combinable
+    (cluster, dim) aggregate of k*dim output rows. That is the classic
+    distributed-Lloyd schedule: iterations cost O(scan), state is
+    k x dim integers. MLlib's float KMeans (`kmeans_assign`) stays the
+    engine-native path for production k; this twin pins the semantics
+    the driver can hash.
+    """
+    emb = load_table(spark, sf, "embeddings")
+    qvecs = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: F.floor(x * _KM_Q).cast("long")
+        ).alias("qv"),
+    )
+    from alt_spark.plans import dfcache as _dfcache
+
+    if _dfcache.MATERIALIZE:
+        qvecs = qvecs.localCheckpoint(eager=False)
+    from pyspark.sql.window import Window
+
+    seeds = qvecs.orderBy("vec_id").limit(_KM_K)
+    cents = seeds.select(
+        (
+            F.row_number().over(Window.orderBy("vec_id")) - 1
+        ).cast("int").alias("cluster"),
+        "qv",
+    )
+
+    def dist_to(x):
+        return F.aggregate(
+            F.zip_with(
+                F.col("qv"), x["qv"], lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    big = F.lit(2**62).cast("long")
+    for _ in range(_KM_ITERS):
+        cent_arr = cents.agg(
+            F.array_sort(
+                F.collect_list(F.struct("cluster", "qv"))
+            ).alias("cents")
+        )
+        assigned = (
+            qvecs.crossJoin(F.broadcast(cent_arr))
+            .select(
+                "vec_id",
+                "qv",
+                F.aggregate(
+                    F.col("cents"),
+                    F.struct(
+                        big.alias("d"), F.lit(-1).cast("int").alias("c")
+                    ),
+                    lambda acc, x: F.when(
+                        dist_to(x) < acc["d"],
+                        F.struct(
+                            dist_to(x).alias("d"), x["cluster"].alias("c")
+                        ),
+                    ).otherwise(acc),
+                )["c"].alias("cluster"),
+            )
+        )
+        if _dfcache.MATERIALIZE:
+            assigned = assigned.localCheckpoint(eager=True)
+        dims = assigned.select(
+            "cluster", F.posexplode("qv").alias("i", "v")
+        )
+        means = dims.groupBy("cluster", "i").agg(
+            F.expr("sum(v) div count(*)").alias("val")
+        )
+        new_cents = means.groupBy("cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "val"))),
+                lambda s: s["val"],
+            ).alias("qv")
+        )
+        # Empty clusters keep their previous centroid (deterministic —
+        # never a respawn heuristic that would need a random source).
+        cents = new_cents.unionByName(
+            cents.join(new_cents.select("cluster"), "cluster", "left_anti")
+        )
+        last_assigned = assigned
+    members = last_assigned.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.sum("vec_id").cast("long").alias("id_checksum"),
+    )
+    return (
+        cents.join(members, "cluster", "left")
+        .select(
+            "cluster",
+            F.coalesce("n_vecs", F.lit(0).cast("long")).alias("n_vecs"),
+            F.coalesce("id_checksum", F.lit(0).cast("long")).alias(
+                "id_checksum"
+            ),
+            F.aggregate(
+                F.zip_with(
+                    "qv",
+                    F.sequence(F.lit(1), F.size("qv")),
+                    lambda x, i: x * i.cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            ).alias("centroid_checksum"),
+        )
+        .orderBy("cluster")
+    )

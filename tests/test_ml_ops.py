@@ -1346,3 +1346,72 @@ def test_q136_layout_matches_python_replay(spark):
     # (cooling bites) and uncapped nonzero steps (the floor-division
     # force magnitudes themselves are on trial, not just signs).
     assert saw_capped and saw_uncapped_nonzero
+
+
+def test_q137_kmeans_matches_python_replay(spark):
+    """Integer k-means pencil pin (third engine next to Spark and the
+    DuckDB oracle): quantization, seeding, argmin-with-tie-rule,
+    floor-mean updates, and empty-cluster carry-over re-derived in pure
+    Python from the raw embedding floats."""
+    import math
+
+    from alt_spark.queries.vectors import _KM_ITERS, _KM_K, _KM_Q, q137
+
+    sf = "/root/testdata/sf0.001"
+    rows = (
+        load_table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    qv = {
+        r["vec_id"]: [int(math.floor(float(x) * _KM_Q)) for x in r["embedding"]]
+        for r in rows
+    }
+    cents = {
+        j: list(qv[v]) for j, v in enumerate(sorted(qv)[:_KM_K])
+    }
+    assign = {}
+    for _ in range(_KM_ITERS):
+        assign = {}
+        for v, vec in qv.items():
+            best = None
+            for j in sorted(cents):
+                d = sum((a - b) * (a - b) for a, b in zip(vec, cents[j]))
+                if best is None or d < best[0]:
+                    best = (d, j)
+            assign[v] = best[1]
+        new = {}
+        for j in sorted(cents):
+            members = [qv[v] for v, c in assign.items() if c == j]
+            if members:
+                # Truncation toward zero — Spark's `div` and DuckDB's
+                # `//` both truncate (verified: -7 // 2 = -3 in DuckDB),
+                # where Python's // floors; the sign decomposition makes
+                # the pencil match both engines.
+                def tdiv(s: int, n: int) -> int:
+                    return -((-s) // n) if s < 0 else s // n
+
+                new[j] = [
+                    tdiv(sum(col), len(members)) for col in zip(*members)
+                ]
+            else:
+                new[j] = cents[j]  # empty cluster keeps its centroid
+        cents = new
+
+    want = {}
+    for j in sorted(cents):
+        members = [v for v, c in assign.items() if c == j]
+        want[j] = (
+            len(members),
+            sum(members),
+            sum((i + 1) * x for i, x in enumerate(cents[j])),
+        )
+    got = {
+        r["cluster"]: (r["n_vecs"], r["id_checksum"], r["centroid_checksum"])
+        for r in q137(spark, sf).collect()
+    }
+    assert got == want
+    # Real structure, not a degenerate fixed point: at least two
+    # clusters are populated and assignments moved someone off their
+    # seed (the checksums are pinning arithmetic, not an identity map).
+    assert sum(1 for n, _, _ in want.values() if n > 0) >= 2
