@@ -390,6 +390,7 @@ _REPORT_TAIL = (
     # candidates per the pre-staged COVERAGE.md plan.
     "q136_force_layout_integer",
     "q137_kmeans_integer",
+    "q138_ivf_ann_integer",
 )
 
 

@@ -1011,7 +1011,11 @@ _KM_ITERS = 3
 _KM_Q = 1000  # quantization: milli-units
 
 
-def _km_oracle() -> str:
+def _km_chain_ctes() -> str:
+    """The shared k-means WITH-chain (qvecs → c0 → a1..c{ITERS}) —
+    q137's oracle reports from it; q138's IVF oracle probes against the
+    same fitted quantizer (the q121 rebuild-the-base-artifacts-in-query
+    doctrine, so each query stands alone for the driver)."""
     dist = (
         "list_sum(list_transform(list_zip(v.qv, c.qv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -1040,8 +1044,7 @@ def _km_oracle() -> str:
 )"""
         )
     chain = ",\n".join(stages)
-    return f"""
-WITH qvecs AS MATERIALIZED (
+    return f"""qvecs AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(x * {_KM_Q}) AS BIGINT)) AS qv
@@ -1051,7 +1054,12 @@ WITH qvecs AS MATERIALIZED (
          qv
   FROM (SELECT vec_id, qv FROM qvecs ORDER BY vec_id LIMIT {_KM_K})
 ),
-{chain},
+{chain}"""
+
+
+def _km_oracle() -> str:
+    return f"""
+WITH {_km_chain_ctes()},
 members AS (
   SELECT cluster, count(*) AS n, sum(vec_id) AS ids
   FROM a{_KM_ITERS} GROUP BY 1
@@ -1066,27 +1074,11 @@ ORDER BY c.cluster
 """
 
 
-@query("q137_kmeans_integer", oracle=_km_oracle())
-def q137(spark: SparkSession, sf: str) -> DataFrame:
-    """Integer-exact Lloyd k-means over the embeddings table: k={_KM_K}
-    clusters, {_KM_ITERS} fixed iterations, per-dim milli-unit
-    quantization, floor-mean centroid updates, ties to the lowest
-    cluster id, empty clusters keep their previous centroid. Output:
-    per-cluster member count, member-id checksum, and a position-
-    weighted centroid checksum — the full assignment AND the exact
-    centroid arithmetic are on trial.
-
-    Plan (100 TB shape): assignment is IN-ROW — the k current centroids
-    ride a 1-row broadcast as an array of structs and the argmin folds
-    over it inside the scan projection (F.aggregate over zip_with), so
-    the per-iteration corpus work is ONE narrow pass with no vector
-    exchange; the centroid update is one map-side-combinable
-    (cluster, dim) aggregate of k*dim output rows. That is the classic
-    distributed-Lloyd schedule: iterations cost O(scan), state is
-    k x dim integers. MLlib's float KMeans (`kmeans_assign`) stays the
-    engine-native path for production k; this twin pins the semantics
-    the driver can hash.
-    """
+def _km_fit(spark: SparkSession, sf: str):
+    """Run the integer Lloyd fit; returns (cents, assigned) — the
+    fitted centroids (cluster, qv) and the final assignment
+    (vec_id, qv, cluster). Shared by q137 (reports the fit) and q138
+    (probes the fitted quantizer)."""
     emb = load_table(spark, sf, "embeddings")
     qvecs = emb.select(
         "vec_id",
@@ -1118,6 +1110,7 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
         )
 
     big = F.lit(2**62).cast("long")
+    last_assigned = None
     for _ in range(_KM_ITERS):
         cent_arr = cents.agg(
             F.array_sort(
@@ -1163,6 +1156,31 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
             cents.join(new_cents.select("cluster"), "cluster", "left_anti")
         )
         last_assigned = assigned
+    return cents, last_assigned
+
+
+@query("q137_kmeans_integer", oracle=_km_oracle())
+def q137(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact Lloyd k-means over the embeddings table: k={_KM_K}
+    clusters, {_KM_ITERS} fixed iterations, per-dim milli-unit
+    quantization, floor-mean centroid updates, ties to the lowest
+    cluster id, empty clusters keep their previous centroid. Output:
+    per-cluster member count, member-id checksum, and a position-
+    weighted centroid checksum — the full assignment AND the exact
+    centroid arithmetic are on trial.
+
+    Plan (100 TB shape): assignment is IN-ROW — the k current centroids
+    ride a 1-row broadcast as an array of structs and the argmin folds
+    over it inside the scan projection (F.aggregate over zip_with), so
+    the per-iteration corpus work is ONE narrow pass with no vector
+    exchange; the centroid update is one map-side-combinable
+    (cluster, dim) aggregate of k*dim output rows. That is the classic
+    distributed-Lloyd schedule: iterations cost O(scan), state is
+    k x dim integers. MLlib's float KMeans (`kmeans_assign`) stays the
+    engine-native path for production k; this twin pins the semantics
+    the driver can hash.
+    """
+    cents, last_assigned = _km_fit(spark, sf)
     members = last_assigned.groupBy("cluster").agg(
         F.count("*").cast("long").alias("n_vecs"),
         F.sum("vec_id").cast("long").alias("id_checksum"),
@@ -1186,4 +1204,136 @@ def q137(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("centroid_checksum"),
         )
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q138: IVF approximate-nearest-neighbor search over the q137 coarse
+# quantizer — J8's SCALE path as a driver-hash-checkable query. q25
+# pins the exact brute-force baseline; operators/ann.py carries the
+# float IVF/LSH/PQ production forms with recall pytest; this is the
+# integer twin whose ALGORITHM the oracle replays verbatim: fit the
+# quantizer (the shared q137 chain — the q121 rebuild-in-query
+# doctrine), pick each anchor's _IVF_NPROBE nearest cells, scan ONLY
+# those cells' member lists, and return the top-_IVF_TOPK by integer
+# squared L2 with total-order ties (d2, then candidate id). Recall vs
+# exact is the operator family's property test; what the hash pins is
+# the probe selection + cell-restricted candidate set + ranking.
+_IVF_NPROBE = 2
+_IVF_TOPK = 5
+_IVF_ANCHOR_MOD = 50  # every 50th vector plays the query side
+
+
+def _ivf_oracle() -> str:
+    adist = (
+        "list_sum(list_transform(list_zip(a.aqv, c.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    cdist = (
+        "list_sum(list_transform(list_zip(p.aqv, v.qv),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    return f"""
+WITH {_km_chain_ctes()},
+anchors AS (
+  SELECT vec_id AS aid, qv AS aqv FROM qvecs WHERE vec_id % {_IVF_ANCHOR_MOD} = 0
+), probe AS MATERIALIZED (
+  SELECT aid, aqv, cluster FROM (
+    SELECT a.aid, a.aqv, c.cluster,
+           row_number() OVER (PARTITION BY a.aid
+                              ORDER BY {adist}, c.cluster) AS rn
+    FROM anchors a CROSS JOIN c{_KM_ITERS} c
+  ) WHERE rn <= {_IVF_NPROBE}
+), cand AS (
+  SELECT p.aid, v.vec_id AS cand_id, CAST({cdist} AS BIGINT) AS d2
+  FROM probe p JOIN a{_KM_ITERS} v ON v.cluster = p.cluster
+  WHERE v.vec_id <> p.aid
+)
+SELECT aid, rank, cand_id, d2 FROM (
+  SELECT aid, cand_id, d2,
+         row_number() OVER (PARTITION BY aid ORDER BY d2, cand_id) AS rank
+  FROM cand
+) WHERE rank <= {_IVF_TOPK}
+ORDER BY aid, rank
+"""
+
+
+@query("q138_ivf_ann_integer", oracle=_ivf_oracle())
+def q138(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN: per anchor (every {_IVF_ANCHOR_MOD}th vector), probe
+    the {_IVF_NPROBE} nearest coarse cells of the fitted integer
+    quantizer and rank ONLY their members by integer squared L2 —
+    top-{_IVF_TOPK} with (d2, id) total order.
+
+    Plan (100 TB shape): this is the inverted-file promise made
+    literal — the corpus-scale join is an EQUI-join on cell id between
+    the (anchors × nprobe) probe rows and the assignment table (the
+    persisted IVF lists; partition the list table by cluster and the
+    probe is partition pruning), never a brute-force anchor×corpus
+    cross; probe selection folds in-row over the k-row broadcast
+    centroid array; the per-anchor cut is one bounded window over the
+    probed cells' members. q25 keeps the exact baseline the recall
+    pytest measures the operator family against.
+    """
+    cents, assigned = _km_fit(spark, sf)
+    from pyspark.sql.window import Window
+
+    cent_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "qv"))).alias(
+            "cents"
+        )
+    )
+    anchors = assigned.filter(
+        F.col("vec_id") % _IVF_ANCHOR_MOD == 0
+    ).select(F.col("vec_id").alias("aid"), F.col("qv").alias("aqv"))
+
+    def adist(x):
+        return F.aggregate(
+            F.zip_with(
+                F.col("aqv"), x["qv"], lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    # In-row probe selection: score the sorted centroid array, sort by
+    # (d, cluster) — struct order IS the tie rule — and slice nprobe.
+    probes = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda x: F.struct(
+                    adist(x).alias("d"), x["cluster"].alias("c")
+                ),
+            )
+        ),
+        1,
+        _IVF_NPROBE,
+    )
+    probe = (
+        anchors.crossJoin(F.broadcast(cent_arr))
+        .select("aid", "aqv", F.explode(probes).alias("p"))
+        .select("aid", "aqv", F.col("p.c").alias("cluster"))
+    )
+    cand = (
+        probe.join(assigned, "cluster")
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with(
+                    "aqv", "qv", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            ).alias("d2"),
+        )
+    )
+    w = Window.partitionBy("aid").orderBy("d2", "cand_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("aid", "rank", "cand_id", "d2")
+        .orderBy("aid", "rank")
     )

@@ -1415,3 +1415,56 @@ def test_q137_kmeans_matches_python_replay(spark):
     # clusters are populated and assignments moved someone off their
     # seed (the checksums are pinning arithmetic, not an identity map).
     assert sum(1 for n, _, _ in want.values() if n > 0) >= 2
+
+
+def test_q138_ivf_candidates_live_in_probed_cells_and_recall(spark):
+    """IVF structural invariants at sf0.001: every returned candidate
+    is assigned to one of its anchor's probed cells (the inverted-file
+    contract — the hash pins ranking, this pins the set), and probing
+    2 of 8 cells still recovers a usable fraction of the exact integer
+    top-5 (recall floor — approximate by design, not broken)."""
+    from alt_spark.queries.vectors import (
+        _IVF_NPROBE,
+        _IVF_TOPK,
+        _KM_K,
+        _km_fit,
+        q138,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    cents, assigned = _km_fit(spark, sf)
+    cell_of = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    cent_qv = {r["cluster"]: list(r["qv"]) for r in cents.collect()}
+    assert len(cent_qv) == _KM_K
+    qv = {r["vec_id"]: list(r["qv"]) for r in assigned.select("vec_id", "qv").collect()}
+
+    got = q138(spark, sf).collect()
+    by_anchor: dict = {}
+    for r in got:
+        by_anchor.setdefault(r["aid"], []).append(r)
+
+    def d2(u, v):
+        return sum((a - b) * (a - b) for a, b in zip(u, v))
+
+    recalls = []
+    for aid, rows in by_anchor.items():
+        probed = sorted(
+            cent_qv, key=lambda c: (d2(qv[aid], cent_qv[c]), c)
+        )[:_IVF_NPROBE]
+        # Structural: candidates come only from probed cells, ranks are
+        # 1..k dense, distances match the pencil.
+        assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+        for r in rows:
+            assert cell_of[r["cand_id"]] in probed, (aid, r)
+            assert r["d2"] == d2(qv[aid], qv[r["cand_id"]])
+        exact = sorted(
+            ((d2(qv[aid], v), i) for i, v in qv.items() if i != aid)
+        )[:_IVF_TOPK]
+        hits = len({i for _, i in exact} & {r["cand_id"] for r in rows})
+        recalls.append(hits / _IVF_TOPK)
+    # The synthetic embeddings have weak cluster structure, so probing
+    # 2/8 cells (25% coverage) lands mean recall well above coverage
+    # but far from 1 (measured 0.46 at sf0.001) — the floor pins
+    # "IVF beats its coverage fraction", the structural asserts above
+    # are the exact pins.
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
