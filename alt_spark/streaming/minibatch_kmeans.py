@@ -1,0 +1,175 @@
+"""Sculley mini-batch k-means as a Structured Streaming fold (SURVEY
+§2 J5 — the streaming analog the J5 row declares next to MLlib Lloyd).
+
+Reference: util/kmeans.rs:99-160 — the web-scale mini-batch variant
+(Sculley 2010): per mini-batch, assign members to their nearest
+centroid, then move each centroid toward the batch's member mean with
+a per-centroid learning rate 1/n_c (n_c = members ever assigned). The
+reference applies it per sample; this port applies the standard
+batch-aggregated form of the same update — one vectorized step per
+micro-batch:
+
+    n_c += n_new
+    c   += (sum_x - n_new * c) / n_c
+
+which equals the per-sample rule under a constant within-batch
+assignment and is order-free inside the batch (a distributed fold must
+not depend on row order within a partition).
+
+Engine shape: assignment is IN-ROW over a k-row broadcast centroid
+array (the q137/q138 argmin device, float here); the per-batch
+statistics are ONE map-side-combinable (cluster, dim) aggregate; the
+centroid state is k x dim floats held on the driver between batches —
+model state under the same bounded-driver-state budget as the LM model
+cache and the IVF centroid table (a few KB, independent of corpus
+size). Parity with a sequential numpy replay of the identical
+per-batch updates is pinned in tests/test_streaming.py (float sums
+shuffle-order-vary, so to ~1e-9, never structurally).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "assign_and_summarize",
+    "minibatch_update",
+    "run_streaming_minibatch_kmeans",
+]
+
+
+def assign_and_summarize(
+    batch: DataFrame, cents: list[list[float]]
+) -> dict[int, tuple[int, list[float]]]:
+    """Assign a (vec_id, embedding) batch to its nearest centroid
+    (squared L2, ties to the lowest cluster via strict <) and return
+    per-cluster (n_new, per-dim sums). One narrow pass: the centroids
+    ride a literal broadcast array; no vector ever shuffles — only the
+    k x dim summary comes back."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("c"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("cv"),
+            )
+            for i, vec in enumerate(cents)
+        ]
+    )
+
+    def dist_to(x):
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"), x["cv"], lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0.0),
+            lambda s, d: s + d,
+        )
+
+    big = F.lit(float("inf"))
+    assigned = batch.select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    ).select(
+        "v",
+        F.aggregate(
+            cent_arr,
+            F.struct(big.alias("d"), F.lit(-1).alias("c")),
+            lambda acc, x: F.when(
+                dist_to(x) < acc["d"],
+                F.struct(dist_to(x).alias("d"), x["c"].alias("c")),
+            ).otherwise(acc),
+        )["c"].alias("cluster"),
+    )
+    stats = (
+        assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        .collect()
+    )
+    out: dict[int, tuple[int, list[float]]] = {}
+    dim = len(cents[0])
+    for r in stats:
+        n, sums = out.get(r["cluster"], (0, [0.0] * dim))
+        sums[r["i"]] = r["s"]
+        out[r["cluster"]] = (r["n"], sums)
+    return out
+
+
+def minibatch_update(
+    cents: list[list[float]],
+    counts: list[int],
+    stats: dict[int, tuple[int, list[float]]],
+) -> None:
+    """Apply one batch-aggregated Sculley step in place."""
+    for c, (n_new, sums) in stats.items():
+        if n_new == 0:
+            continue
+        counts[c] += n_new
+        cents[c] = [
+            cv + (sv - n_new * cv) / counts[c]
+            for cv, sv in zip(cents[c], sums)
+        ]
+
+
+def run_streaming_minibatch_kmeans(
+    spark: SparkSession,
+    landing: str,
+    k: int,
+    checkpoint: str,
+    schema: str = "vec_id long, embedding array<float>",
+    max_files_per_trigger: int = 1,
+    timeout_s: int = 300,
+) -> tuple[list[list[float]], list[int], int]:
+    """Fold a parquet landing directory through mini-batch k-means:
+    seeds are the FIRST batch's k lowest vec_ids (a pinned seed policy,
+    like q137's), every subsequent micro-batch applies one aggregated
+    Sculley step. Returns (centroids, per-centroid counts, n_batches).
+    """
+    state: dict = {"cents": None, "counts": None, "batches": 0}
+
+    def step(bdf: DataFrame, _bid: int) -> None:
+        if bdf.isEmpty():
+            return
+        bdf = bdf.localCheckpoint(eager=True)
+        if state["cents"] is None:
+            seeds = (
+                bdf.orderBy("vec_id")
+                .limit(k)
+                .select(
+                    F.transform(
+                        "embedding", lambda x: x.cast("double")
+                    ).alias("v")
+                )
+                .collect()
+            )
+            if len(seeds) < k:
+                raise ValueError(
+                    f"first batch holds {len(seeds)} < k={k} vectors"
+                )
+            state["cents"] = [list(r["v"]) for r in seeds]
+            state["counts"] = [0] * k
+        stats = assign_and_summarize(bdf, state["cents"])
+        minibatch_update(state["cents"], state["counts"], stats)
+        state["batches"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", os.path.join(checkpoint, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError("mini-batch k-means stream timed out")
+    finally:
+        if q.isActive:
+            q.stop()
+    if state["cents"] is None:
+        raise ValueError("stream delivered no rows")
+    return state["cents"], state["counts"], state["batches"]

@@ -2001,3 +2001,103 @@ def test_streaming_index_compaction_across_boundary(spark):
         ).collect()
     }
     assert seen[2]["fresh"] == want_fresh
+
+
+def test_streaming_minibatch_kmeans_matches_sequential_replay(spark):
+    """J5's streaming analog (Sculley mini-batch, util/kmeans.rs:99-160
+    in the reference): the Structured-Streaming fold must equal a
+    sequential numpy replay of the identical batch-aggregated updates
+    over the same chunks (float group-sums vary with shuffle order, so
+    to 1e-9 relative — never structurally), and on planted separable
+    clusters the folded centroids must land near the true centers."""
+    import math
+    import time as _time
+
+    import numpy as np
+
+    from alt_spark.streaming.minibatch_kmeans import (
+        run_streaming_minibatch_kmeans,
+    )
+
+    root = _fresh("mbk_stream")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+
+    # Planted data: 3 tight gaussian blobs, 4 chunks.
+    rng = np.random.default_rng(7)
+    centers = np.array([[4.0, 0.0, 0.0], [0.0, 4.0, 0.0], [0.0, 0.0, 4.0]])
+    vecs, ids = [], []
+    for i in range(240):
+        c = i % 3
+        vecs.append(centers[c] + rng.normal(0, 0.25, 3))
+        ids.append(i)
+    vecs = np.array(vecs)
+    chunks = []
+    now = _time.time()
+    for b in range(4):
+        sl = slice(b * 60, (b + 1) * 60)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(ids[sl], pa.int64()),
+                "embedding": pa.array(
+                    [[float(x) for x in v] for v in vecs[sl]],
+                    pa.list_(pa.float32()),
+                ),
+            }
+        )
+        p = os.path.join(landing, f"chunk_{b:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + 10 * b, now + 10 * b))
+        chunks.append(tbl)
+
+    k = 3
+    cents, counts, n_batches = run_streaming_minibatch_kmeans(
+        spark, landing, k=k, checkpoint=root
+    )
+    assert n_batches == 4
+    assert sum(counts) == 240
+
+    # Sequential replay: same seeds (first chunk's k lowest vec_ids,
+    # float32 -> float64 exactly as Spark casts), same aggregated rule.
+    def replay():
+        c0 = None
+        cnts = [0] * k
+        for b, tbl in enumerate(chunks):
+            emb = [
+                [float(np.float32(x)) for x in v]
+                for v in tbl.column("embedding").to_pylist()
+            ]
+            vid = tbl.column("vec_id").to_pylist()
+            if c0 is None:
+                order = np.argsort(vid)[:k]
+                c0 = [list(emb[i]) for i in order]
+            stats = {}
+            for v in emb:
+                best = min(
+                    range(k),
+                    key=lambda j: (
+                        sum((a - b_) ** 2 for a, b_ in zip(v, c0[j])),
+                        j,
+                    ),
+                )
+                n, s = stats.get(best, (0, [0.0] * 3))
+                stats[best] = (n + 1, [a + b_ for a, b_ in zip(s, v)])
+            for j, (n_new, s) in stats.items():
+                cnts[j] += n_new
+                c0[j] = [
+                    cv + (sv - n_new * cv) / cnts[j]
+                    for cv, sv in zip(c0[j], s)
+                ]
+        return c0, cnts
+
+    want_c, want_n = replay()
+    assert counts == want_n
+    for got, want in zip(cents, want_c):
+        assert math.dist(got, want) < 1e-9, (got, want)
+    # Planted recovery: each folded centroid sits near a distinct blob.
+    matched = set()
+    for c in cents:
+        j = min(range(3), key=lambda i: math.dist(c, centers[i]))
+        assert math.dist(c, centers[j]) < 0.5, (c, centers[j])
+        matched.add(j)
+    assert matched == {0, 1, 2}
