@@ -142,9 +142,14 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
     WARNING/ERROR/FATAL/PANIC, message rewritten to the captured group,
     info+raw-line fallback on no-match), meilisearch (ANSI escape
     stripping, level probed on the cleaned line, message rewritten to
-    the cleaned line), structured-JSON services (fields lifted verbatim
-    into the map), free-text fallback (bracket level detection, like
-    the reference's last-resort parser).
+    the cleaned line), structured-JSON services with content-based
+    dialect detection in the reference's priority order — rust-tracing
+    (message nested at $.fields.message, top-level UPPERCASE level),
+    python-structlog (message = "event", CRITICAL→fatal), go slog
+    (message = msg|message, PANIC→fatal) — fields lifted verbatim into
+    the map for all three (the map is the http_logs MV's carrier),
+    free-text fallback (bracket level detection, like the reference's
+    last-resort parser).
 
     Plan shape: the expensive per-line subtrees (envelope from_json,
     payload from_json, the access regex, the service rewrite) are each
@@ -234,6 +239,52 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
     is_pg_match = is_pg & (F.size(pg) == 2)
     is_meili = service == "meilisearch"
     pg_word = pg.getItem(0)
+    # Structured-JSON dialect detection, content-based with the
+    # reference's own contains() heuristics and priority order
+    # (rust-tracing 65 > python-structlog 63 > go slog 60 —
+    # rust_tracing.rs:45-61, python_structlog.rs:45-64, go.rs:130-145):
+    # tracing nests message under "fields", structlog's message key is
+    # "event", go slog uses "msg"/"message". from_json keeps nested
+    # objects as their raw JSON text in the map, so jf stays non-null
+    # for all three.
+    is_tracing = (
+        is_json_payload
+        & jf.isNotNull()
+        & log.contains('"fields":{')
+        & log.contains('"timestamp"')
+        & ~log.contains('"msg"')
+    )
+    is_structlog = (
+        is_json_payload
+        & jf.isNotNull()
+        & log.contains('"event"')
+        & ~log.contains('"msg"')
+        & ~log.contains('"fields":{')
+    )
+
+    def _json_level(word: Column, *, critical: bool, panic: bool) -> Column:
+        """The shared structured-JSON level vocabulary (exact isin sets
+        — the reference matches listed case variants only, so a
+        mixed-case 'Debug' deliberately falls to info in both): base
+        debug/info/warn(+warning)/error/fatal; structlog adds
+        CRITICAL→fatal (python_structlog.rs:90), go adds PANIC→fatal
+        (go.rs:56); unknown/absent → info."""
+        fatal_words = ["fatal", "FATAL"]
+        if critical:
+            fatal_words += ["critical", "CRITICAL"]
+        if panic:
+            fatal_words += ["panic", "PANIC"]
+        return (
+            F.when(word.isin("debug", "DEBUG"), F.lit("debug"))
+            .when(word.isin("info", "INFO"), F.lit("info"))
+            .when(
+                word.isin("warn", "WARN", "warning", "WARNING"),
+                F.lit("warn"),
+            )
+            .when(word.isin("error", "ERROR"), F.lit("error"))
+            .when(word.isin(*fatal_words), F.lit("fatal"))
+            .otherwise(F.lit("info"))
+        )
     fields = (
         F.when(is_nginx_access, _nginx_access_fields(parts))
         # postgres/meilisearch parsers emit an EMPTY fields map
@@ -279,10 +330,9 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
             )
             .otherwise(F.lit("info")),
         )
-        .when(
-            is_json_payload,
-            F.coalesce(F.lower(jf.getItem("level")), F.lit("info")),
-        )
+        .when(is_tracing, _json_level(jf.getItem("level"), critical=False, panic=False))
+        .when(is_structlog, _json_level(jf.getItem("level"), critical=True, panic=False))
+        .when(is_json_payload, _json_level(jf.getItem("level"), critical=False, panic=True))
         # Fallback: bracket scan, like the reference's simple parser.
         .when(log.contains("[error]"), F.lit("error"))
         .when(log.contains("[warn]"), F.lit("warn"))
@@ -290,10 +340,29 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
     )
     # postgres rewrites message to the regex's message group; the
     # meilisearch message is the ANSI-stripped line (postgres.rs:39-43,
-    # meilisearch.rs:75). Everything else keeps the raw line.
+    # meilisearch.rs:75); the JSON dialects extract their message key —
+    # tracing's sits NESTED at $.fields.message (rust_tracing.rs:91-97),
+    # structlog's is "event" (python_structlog.rs:77-82), go slog's is
+    # msg|message (go.rs:59-63), all defaulting to '' like the
+    # reference's unwrap_or(""). Everything else keeps the raw line.
+    # (Deliberate schema deviation, documented: the reference lifts
+    # method/path/status OUT of the fields map into dedicated columns;
+    # here the map is the MV's carrier — http_logs projects them per
+    # 003_create_http_logs_mv.sql — so the map keeps every key.)
     message = (
         F.when(is_pg_match, pg.getItem(1))
         .when(is_meili, clean)
+        .when(
+            is_tracing,
+            F.coalesce(
+                F.get_json_object(log, "$.fields.message"), F.lit("")
+            ),
+        )
+        .when(is_structlog, F.coalesce(jf.getItem("event"), F.lit("")))
+        .when(
+            is_json_payload,
+            F.coalesce(jf.getItem("msg"), jf.getItem("message"), F.lit("")),
+        )
         .otherwise(log)
     )
 

@@ -471,3 +471,55 @@ def test_q48_envelope_matches_to_json(spark):
             F.get_json_object(hand, "$.log").alias("g")
         ).filter("g IS NOT NULL").count()
         assert n_hand == frame.count()
+
+
+def test_structured_json_dialect_semantics(spark):
+    """The three structured-JSON dialects, detected content-based in
+    the reference's priority order (rust-tracing > python-structlog >
+    go slog): per-dialect message extraction (nested $.fields.message /
+    "event" / msg|message, '' when absent) and the exact level
+    vocabularies (CRITICAL→fatal only for structlog, PANIC→fatal only
+    for go, listed case variants only — 'Debug' falls to info)."""
+    from alt_spark.sources.ndjson_logs import parse_logs
+
+    cases = [
+        # rust tracing: nested message, uppercase level, WARNING ok.
+        (
+            '{"timestamp":"t1","level":"INFO","fields":{"message":"job done","alt.job.id":"42"},"target":"alt::w"}',
+            "info",
+            "job done",
+        ),
+        (
+            '{"timestamp":"t1","level":"WARNING","fields":{"message":"slow"},"target":"x"}',
+            "warn",
+            "slow",
+        ),
+        (
+            '{"timestamp":"t1","level":"CRITICAL","fields":{"message":"m"},"target":"x"}',
+            "info",  # tracing vocab has NO critical -> default info
+            "m",
+        ),
+        (
+            '{"timestamp":"t1","level":"ERROR","fields":{"no_message":"x"}}',
+            "error",
+            "",  # absent fields.message -> '' like unwrap_or("")
+        ),
+        # python structlog: message = event, CRITICAL -> fatal.
+        ('{"event":"started","level":"info","timestamp":"t"}', "info", "started"),
+        ('{"event":"bad","level":"CRITICAL","timestamp":"t"}', "fatal", "bad"),
+        ('{"event":"odd","level":"Debug","timestamp":"t"}', "info", "odd"),
+        # go slog: msg|message, PANIC -> fatal, warning normalizes.
+        ('{"level":"PANIC","msg":"dying"}', "fatal", "dying"),
+        ('{"level":"warning","message":"careful"}', "warn", "careful"),
+        ('{"level":"info"}', "info", ""),  # no msg/message -> ''
+        # "msg" present forces go even with an "event" key (priority).
+        ('{"event":"e","msg":"m","level":"error"}', "error", "m"),
+    ]
+    df = parse_logs(
+        spark.createDataFrame(
+            [(_envelope("/alt-backend", log),) for log, _, _ in cases],
+            "value string",
+        )
+    )
+    got = [(r["level"], r["message"]) for r in df.select("level", "message").collect()]
+    assert got == [(lv, m) for _, lv, m in cases]

@@ -71,6 +71,12 @@ _NESTED_LOOP_OK = {
     # broadcasts the <=40-row tag-cloud position table, and the bbox /
     # node-array frames are 1-row crosses (the BM25 stats-row device).
     "q136_force_layout_integer",
+    # q137/q138: the k current centroids ride a 1-row broadcast (an
+    # array of k structs) crossed onto the vector scan so assignment /
+    # probe selection fold in-row — bounded by construction (k x dim
+    # integers), the BM25 stats-row device at model-state size.
+    "q137_kmeans_integer",
+    "q138_ivf_ann_integer",
     "q13_keyset_pagination",
     "q14_paged_window_count",
     "q18_tfidf_doc0",
