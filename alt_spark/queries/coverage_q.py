@@ -512,23 +512,66 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
     # to_json(struct(...)) — byte-identical (pinned permanently by
     # test_q48_envelope_matches_to_json since r8) and 0.04 s/100k
     # cheaper.
-    nginx = ev.select(_q48_envelope(_q48_log_line()).alias("value"))
-    pg = ev.filter(F.col("event_id") % 10 == 0).select(
-        _q48_envelope(_q48_postgres_line(), "/postgres").alias("value")
+    # All three producers synthesize in ONE pass over events: each row
+    # emits its nginx line plus (by residue) a postgres or meilisearch
+    # line as an in-row array -> array_compact -> explode. A 3-frame
+    # union instead costs three events scans AND clones the downstream
+    # parse layer into each union child (3 codegen'd JIT instances —
+    # measured ~2 s of cold wall at sf0.1).
+    lines = ev.select(
+        F.explode(
+            F.array_compact(
+                F.array(
+                    _q48_envelope(_q48_log_line()),
+                    F.when(
+                        F.col("event_id") % 10 == 0,
+                        _q48_envelope(_q48_postgres_line(), "/postgres"),
+                    ),
+                    F.when(
+                        F.col("event_id") % 10 == 5,
+                        _q48_envelope(_q48_meili_line(), "/meilisearch"),
+                    ),
+                )
+            )
+        ).alias("value")
     )
-    meili = ev.filter(F.col("event_id") % 10 == 5).select(
-        _q48_envelope(_q48_meili_line(), "/meilisearch").alias("value")
-    )
-    # TWO parse passes, each single-consumer: the http pass sees ALL
-    # three producers (so the planted pg/meili lines' NON-qualification
-    # is on trial in the http aggregate), while the level/message pass
-    # re-parses only the pg+meili 20% — parse_logs is deterministic per
-    # line, so this equals filtering one shared parse, without making
-    # the parse subtree a two-consumer CTE that Spark would recompute
-    # over the full corpus twice (at 100 TB the `logs` frame is a
-    # materialized sink — A5 — and both consumers would read it once).
-    logs = parse_logs(nginx.unionAll(pg).unionAll(meili))
-    svc_logs = parse_logs(pg.unionAll(meili))
+    # ONE parse pass over the 3-producer union, materialized, feeding
+    # BOTH aggregates — at 100 TB this IS the A5 shape (the parsed
+    # `logs` table is written once; the http MV and the level rollup
+    # both read it), and locally it halves the codegen'd parse
+    # instances (measured: cold 8.0 s -> ~5 s, warm 3.9 -> ~2.6 s at
+    # sf0.1). The http side sees all three producers, so the planted
+    # pg/meili lines' NON-qualification is on trial in the http
+    # aggregate. With the hermetic switch off (plan audits), fall back
+    # to two single-consumer parse passes — parse_logs is deterministic
+    # per line, so the shapes are value-identical; the checkpoint also
+    # cuts lineage so the svc filter below cannot push INTO the parse
+    # (the documented substitution hazard).
+    from alt_spark.plans import dfcache as _dfcache
+
+    logs = parse_logs(lines)
+    if _dfcache.MATERIALIZE:
+        # Checkpoint cuts lineage, so the service filter below reads
+        # materialized rows — it CANNOT push into the parse and
+        # substitute the service definition (the documented hazard).
+        logs = logs.localCheckpoint(eager=False)
+        svc_logs = logs.filter(
+            F.col("service_name").isin("postgres", "meilisearch")
+        )
+    else:
+        # Audit mode (no materialization): give the level/message
+        # aggregate its own parse over only the pg+meili envelopes so
+        # no filter exists to push into the parse — value-identical
+        # (parse_logs is deterministic per line).
+        svc_logs = parse_logs(
+            ev.filter(F.col("event_id") % 10 == 0)
+            .select(_q48_envelope(_q48_postgres_line(), "/postgres").alias("value"))
+            .unionAll(
+                ev.filter(F.col("event_id") % 10 == 5).select(
+                    _q48_envelope(_q48_meili_line(), "/meilisearch").alias("value")
+                )
+            )
+        )
     hl = http_logs(logs)
     http_agg = hl.groupBy("status_code").agg(
         F.count("*").alias("n"),
@@ -545,11 +588,10 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(None).cast("string").alias("lo_msg"),
         F.lit(None).cast("string").alias("hi_msg"),
     )
-    # No service filter here: svc_logs' input is only the pg+meili
-    # envelopes by construction, and an isin() filter would push below
-    # the parse and SUBSTITUTE the service definition (4 from_json
-    # copies per row in the pushed condition — the documented
-    # parse_logs substitution hazard, visible in the optimized plan).
+    # svc_logs is either the checkpointed union filtered to pg/meili
+    # (lineage cut — the filter CANNOT substitute the parse) or, in
+    # audit mode, a parse over only the pg+meili envelopes (no filter
+    # needed, so nothing can push into the parse there either).
     svc_rows = (
         svc_logs.groupBy("service_name", "level")
         .agg(
