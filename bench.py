@@ -307,6 +307,55 @@ def main() -> int:
         except Exception as exc:
             ab121["error"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # q48 cost-split recording (r11): the query grew from nginx-only to
+    # three producers + a second (level/message) aggregate + per-row
+    # service dispatch in parse_logs. Record the r10-EQUIVALENT form
+    # (nginx-only synthesis -> parse -> http aggregate) next to the full
+    # query so a round-over-round q48 delta is attributable to the
+    # extension, not a plan defect — the ab_q121 doctrine.
+    ab48: dict[str, object] = {}
+    if "q48_nginx_log_parse" in timings:
+        try:
+            from pyspark.sql import functions as F
+
+            from alt_spark.catalog import load_table
+            from alt_spark.queries.coverage_q import (
+                _q48_envelope,
+                _q48_log_line,
+            )
+            from alt_spark.sources.ndjson_logs import http_logs, parse_logs
+
+            def _nginx_only() -> float:
+                t0 = time.perf_counter()
+                ev = load_table(spark, sf_dir, "events")
+                logs = parse_logs(
+                    ev.select(_q48_envelope(_q48_log_line()).alias("value"))
+                )
+                hl = http_logs(logs)
+                hl.groupBy("status_code").agg(
+                    F.count("*").alias("n"),
+                    F.sum("response_size").alias("total_bytes"),
+                    F.countDistinct("path").alias("n_paths"),
+                ).orderBy("status_code").write.mode("overwrite").format(
+                    "noop"
+                ).save()
+                spark.catalog.clearCache()
+                return round(time.perf_counter() - t0, 3)
+
+            def _full48() -> float:
+                t0 = time.perf_counter()
+                queries["q48_nginx_log_parse"](spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                spark.catalog.clearCache()
+                return round(time.perf_counter() - t0, 3)
+
+            ab48["full_s"] = [_full48() for _ in range(2)]
+            ab48["nginx_only_s"] = [_nginx_only() for _ in range(2)]
+            ab48["suite_s"] = timings["q48_nginx_log_parse"]
+        except Exception as exc:
+            ab48["error"] = f"{type(exc).__name__}: {exc}"[:200]
+
     # On the cache counters (VERDICT r7 item 3): they record which named
     # cache served reuse, which paid a materialization, and how often —
     # so suite-order effects (the q66/q70/q72 r7 regression class) are
@@ -338,6 +387,7 @@ def main() -> int:
         "caches": caches,
         "ab_q72": ab,
         "ab_q121": ab121,
+        "ab_q48": ab48,
         "failed": failed,
     }
     try:
