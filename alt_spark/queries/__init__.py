@@ -391,6 +391,7 @@ _REPORT_TAIL = (
     "q136_force_layout_integer",
     "q137_kmeans_integer",
     "q138_ivf_ann_integer",
+    "q139_streaming_session_windows",
 )
 
 

@@ -885,3 +885,157 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("feed_url")
     )
+
+
+# ---------------------------------------------------------------------------
+# q139: streaming session windows, driver-hash-checked (K8's session
+# grain on the q49 replay footing). The batch q22/q130 family pins the
+# lag+cumsum formulation; `streaming/mv.py:user_sessions` pins
+# session_window == lag in pytest; this query runs the REAL streaming
+# session_window — append mode, watermark-driven finalization — and
+# hash-checks the folded result against the lag replay in DuckDB.
+#
+# The flush device: append mode only emits sessions the WATERMARK has
+# closed (event time past end+gap), so a replay's trailing sessions
+# would never leave the state store. A sentinel row (user_id = -1) far
+# past max(ts) lands as the second-to-last micro-batch to advance the
+# event-time watermark, and one final EMPTY chunk file forces the batch
+# in which that advanced watermark evicts + emits every real session.
+# The sentinel's own session stays open forever — excluded by
+# construction (nothing ever advances the watermark past it) and
+# filtered besides.
+_SSW_GAP_US = 1_800_000_000  # 30 minutes, the q22 gap
+
+
+@query(
+    "q139_streaming_session_windows",
+    oracle=f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+), flagged AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN tus - lag(tus) OVER w > {_SSW_GAP_US}
+                   OR lag(tus) OVER w IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+), sess AS (
+  SELECT user_id, tus,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+), agg AS (
+  SELECT user_id, sid, count(*) AS n_events,
+         (max(tus) + {_SSW_GAP_US} - min(tus)) // 1000 AS duration_ms
+  FROM sess GROUP BY 1, 2
+)
+SELECT n_events, count(*) AS n_sessions,
+       CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+FROM agg
+GROUP BY 1
+ORDER BY 1
+""",
+)
+def q139(spark: SparkSession, sf: str) -> DataFrame:
+    """Session-size histogram from a REAL Structured-Streaming
+    session_window fold: events re-land as four ts-ordered chunk files
+    plus the watermark sentinel and the flush chunk, the stream groups
+    by (user_id, session_window(ts, 30 min)) in append mode, and the
+    finalized sessions aggregate to (n_events, n_sessions,
+    total_duration_ms) — duration is session_window's OWN definition
+    (last event + gap − first event, exact µs → floor ms). The oracle
+    replays the equivalent lag+cumsum sessionization (q22's device;
+    the two formulations differ only on exact-gap boundaries, absent
+    in µs-resolution data — the standing user_sessions contract).
+
+    Scale shape: session_window streaming state is per-(user, open
+    session) and watermark-evicted — the unbounded-corpus form of E8's
+    batch window; the histogram is one combinable aggregate over the
+    emitted sessions.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alt_spark.streaming.mv import read_events_stream, user_sessions
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    root = tempfile.mkdtemp(prefix="q139_ssw_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    try:
+        t = pq.read_table(os.path.join(sf, "events.parquet"))
+        order = pa.compute.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        n = t.num_rows
+        step = max(1, (n + 3) // 4)
+        for i, off in enumerate(range(0, n, step)):
+            pq.write_table(
+                t.slice(off, step),
+                os.path.join(landing, f"chunk{i:02d}.parquet"),
+            )
+        # Sentinel: one real row re-stamped far past max(ts) under the
+        # reserved user, then the empty flush chunk (a new file IS a
+        # new micro-batch even with zero rows — the offset advances and
+        # the previous batch's watermark evicts the closed sessions).
+        sent = t.slice(0, 1)
+        max_ts = pa.compute.max(t.column("ts")).as_py()
+        import datetime as _dt
+
+        far = max_ts + _dt.timedelta(days=40)
+        sent = sent.set_column(
+            sent.schema.get_field_index("ts"),
+            "ts",
+            pa.array([far], sent.schema.field("ts").type),
+        )
+        sent = sent.set_column(
+            sent.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array([-1], sent.schema.field("user_id").type),
+        )
+        pq.write_table(sent, os.path.join(landing, "chunk98_sentinel.parquet"))
+        pq.write_table(
+            t.slice(0, 0), os.path.join(landing, "chunk99_flush.parquet")
+        )
+        name = "q139_ssw_" + uuid.uuid4().hex[:8]
+        src = read_events_stream(
+            spark, landing, max_files_per_trigger=1
+        ).withWatermark("ts", "0 seconds")
+        sessions = user_sessions(src)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            sq = (
+                sessions.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not sq.awaitTermination(300):
+                sq.stop()
+                raise RuntimeError("q139 streaming replay timed out")
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        emitted = spark.table(name).filter(F.col("user_id") >= 0)
+        out = (
+            emitted.groupBy("n_events")
+            .agg(
+                F.count("*").alias("n_sessions"),
+                F.sum(
+                    F.expr(
+                        "(unix_micros(session_end) - unix_micros(session_start))"
+                        " div 1000"
+                    )
+                )
+                .cast("long")
+                .alias("total_duration_ms"),
+            )
+            .orderBy("n_events")
+        )
+        # Materialize before the landing/checkpoint dirs disappear.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -200,7 +200,13 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
         )
         .otherwise(F.col("cname"))
         .alias("service"),
-        _nginx_access_parts(log).alias("parts"),
+        # Gated by service like the pg/meili scans below: a corpus
+        # dominated by other producers must not pay the access regex
+        # per line (r11; non-nginx rows then see NULL parts, whose
+        # size() is -1 — the same no-match signal as a 1-element split).
+        F.when(
+            F.col("service") == "nginx", _nginx_access_parts(log)
+        ).alias("parts"),
         # postgres: the same one-regex-pass → \x01-join trick as the
         # access line (2 used groups); size(pg)==2 doubles as the match
         # test. Gated by service so the regex never runs on other
