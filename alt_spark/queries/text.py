@@ -894,9 +894,16 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     grain the 3x3 condition join is the same pair set.
     """
     docs = load_table(spark, sf, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(F.array_distinct(_token_col())).alias("t")
+    # Tokenize ONCE: both corpus consumers (the df count and the in-row
+    # edge build) read the materialized per-doc distinct-token arrays
+    # instead of re-running the tokenizer chain per consumer (r11:
+    # second tokenize pass was ~1.5 s of the sf0.1 wall).
+    doc_toks = docs.select(
+        "doc_id", F.array_distinct(_token_col()).alias("dts")
     )
+    if _dfcache.MATERIALIZE:
+        doc_toks = doc_toks.localCheckpoint(eager=False)
+    toks = doc_toks.select("doc_id", F.explode("dts").alias("t"))
     dfreq = toks.groupBy("t").agg(F.count("*").alias("c"))
     nodes = dfreq.orderBy(F.desc("c"), "t").limit(_FL_TOP).select("t")
     # The node set feeds three consumers (init positions, the in-row
@@ -912,9 +919,7 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
     # self-join touches the corpus. The oracle replays the same pair
     # SET with a within-doc join (affordable at oracle scale).
     nodes_arr = nodes.agg(F.collect_list("t").alias("ns"))
-    cloud_toks = F.array_sort(
-        F.array_intersect(F.array_distinct(_token_col()), F.col("ns"))
-    )
+    cloud_toks = F.array_sort(F.array_intersect(F.col("dts"), F.col("ns")))
     pairs_col = F.flatten(
         F.transform(
             F.array(cloud_toks),
@@ -930,7 +935,7 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     edges = (
-        docs.crossJoin(F.broadcast(nodes_arr))
+        doc_toks.crossJoin(F.broadcast(nodes_arr))
         .select(F.explode(pairs_col).alias("p"))
         .groupBy(F.col("p.t1").alias("t1"), F.col("p.t2").alias("t2"))
         .agg(F.count("*").cast("long").alias("w"))
