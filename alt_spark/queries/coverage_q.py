@@ -983,7 +983,15 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
         max_ts = pa.compute.max(t.column("ts")).as_py()
         import datetime as _dt
 
-        far = max_ts + _dt.timedelta(days=40)
+        # The physical ts layout is NOT stable across rounds (the r3
+        # canary incident: TIMESTAMP(NANOS) lands as int64 through this
+        # raw pyarrow read, while read_events_stream probes and
+        # branches) — handle both representations when stamping the
+        # sentinel 40 days past max(ts).
+        if isinstance(max_ts, int):
+            far = max_ts + 40 * 24 * 3600 * 1_000_000_000
+        else:
+            far = max_ts + _dt.timedelta(days=40)
         sent = sent.set_column(
             sent.schema.get_field_index("ts"),
             "ts",
