@@ -1468,3 +1468,43 @@ def test_q138_ivf_candidates_live_in_probed_cells_and_recall(spark):
     # "IVF beats its coverage fraction", the structural asserts above
     # are the exact pins.
     assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_integer_division_contract_across_engines(spark):
+    """The load-bearing arithmetic contract under every integer-twin
+    query (q109/q114/q123/q124/q127/q136-q139...): Spark's `div` and
+    DuckDB's `//` BOTH truncate toward zero on signed operands, and the
+    sign-decomposed `_fl_idiv` form equals plain truncation — checked
+    over a randomized operand grid evaluated in one Spark job and one
+    DuckDB query, plus the adversarial boundary rows."""
+    import random
+
+    import duckdb
+
+    from alt_spark.queries.text import _fl_idiv
+
+    rng = random.Random(13)
+    pairs = [
+        (rng.randrange(-10**12, 10**12), rng.randrange(1, 10**9))
+        for _ in range(400)
+    ] + [(-7, 2), (7, 2), (-1, 10), (1, 10), (0, 5), (-(10**15), 3)]
+
+    def trunc(n: int, d: int) -> int:
+        return -((-n) // d) if n < 0 else n // d
+
+    df = spark.createDataFrame(pairs, "n long, d long")
+    got = df.selectExpr(
+        "n", "d", "n div d AS q", _fl_idiv("n", "d", "div") + " AS qi"
+    ).collect()
+    for r in got:
+        want = trunc(r["n"], r["d"])
+        assert r["q"] == want and r["qi"] == want, (r["n"], r["d"], r["q"])
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE p(n BIGINT, d BIGINT)")
+    con.executemany("INSERT INTO p VALUES (?, ?)", pairs)
+    rows = con.execute(
+        f"SELECT n, d, n // d AS q, {_fl_idiv('n', 'd', '//')} AS qi FROM p"
+    ).fetchall()
+    for n, d, q, qi in rows:
+        assert q == trunc(n, d) and qi == trunc(n, d), (n, d, q)
