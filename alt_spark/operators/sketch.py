@@ -46,6 +46,8 @@ from pyspark.sql import functions as F
 from alt_spark.plans import dfcache
 
 __all__ = [
+    "hll_partial_sketches",
+    "hll_rollup",
     "mg_summaries",
     "merge_mg_summaries",
     "heavy_hitters",
@@ -240,3 +242,42 @@ def exact_verified_top_n(
     # guarantee even though the guard branch is empty at runtime, and
     # the docstring promises (cnt desc, key). (Review finding, r8.)
     return sel.unionByName(guard).orderBy(F.desc("cnt"), "key")
+
+
+def hll_partial_sketches(
+    df: DataFrame,
+    value_col: str,
+    part_cols: list[str],
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-partition HLL sketches of ``value_col`` distinct cardinality
+    (D13 at the 100 TB grain): one Datasketches HLL binary per
+    ``part_cols`` group, persistable next to the partition it
+    summarizes. The point of a sketch TABLE over a plain
+    approx_count_distinct is MERGEABILITY — any rollup window over the
+    partitions unions the stored binaries without rescanning rows (the
+    reference's ClickHouse uniqState/uniqMerge split;
+    009_create_sli_metrics.sql keeps the same insert-time-state /
+    query-time-merge separation for its counters)."""
+    return df.groupBy(*part_cols).agg(
+        F.hll_sketch_agg(value_col, F.lit(lg_k)).alias("hll"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame,
+    group_cols: list[str],
+) -> DataFrame:
+    """Union stored partial sketches up to ``group_cols`` grain and
+    estimate: rows scanned = number of PARTIALS, never source rows.
+    Estimates are tolerance-grade (Datasketches promotion order makes
+    union-of-sketches differ from sketch-of-union by a few counts —
+    the error-bound pytest is the contract, not bit equality)."""
+    agg = [
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("approx_distinct"),
+        F.sum("n_rows").alias("n_rows"),
+    ]
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(*agg)
+    return sketches.agg(*agg)

@@ -1508,3 +1508,52 @@ def test_integer_division_contract_across_engines(spark):
     ).fetchall()
     for n, d, q, qi in rows:
         assert q == trunc(n, d) and qi == trunc(n, d), (n, d, q)
+
+
+def test_hll_partial_sketches_rollup_contract(spark):
+    """D13 mergeability (the ClickHouse uniqState/uniqMerge split): per-day
+    HLL partials over events.user_id union to week- and corpus-grain
+    estimates within HLL's relative error of the exact distinct count,
+    the rollup reads only the partial rows, and adding one more day's
+    sketch updates the estimate without touching the previous days'
+    binaries (incremental == rebuilt, same sketch set)."""
+    from pyspark.sql import functions as F
+
+    from alt_spark.operators.sketch import hll_partial_sketches, hll_rollup
+
+    ev = (
+        load_table(spark, SF, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .withColumn("week", F.weekofyear("day"))
+    )
+    daily = hll_partial_sketches(ev, "user_id", ["week", "day"]).persist()
+    try:
+        n_days = daily.count()
+        assert n_days > 5
+        # Corpus grain: one union over n_days partials.
+        est = hll_rollup(daily, []).first()["approx_distinct"]
+        exact = ev.select("user_id").distinct().count()
+        assert abs(est - exact) <= max(3, 0.05 * exact), (est, exact)
+        # Week grain: every window's union stays in-bound too.
+        wk = {
+            r["week"]: r["approx_distinct"]
+            for r in hll_rollup(daily, ["week"]).collect()
+        }
+        wk_exact = {
+            r["week"]: r["n"]
+            for r in ev.groupBy("week")
+            .agg(F.countDistinct("user_id").alias("n"))
+            .collect()
+        }
+        assert wk.keys() == wk_exact.keys()
+        for k in wk:
+            assert abs(wk[k] - wk_exact[k]) <= max(3, 0.05 * wk_exact[k])
+        # Incremental: union(all days) == union(union(days-1) partial
+        # set + last day's sketch) — same sketch multiset, same estimate.
+        last_day = daily.agg(F.max("day")).first()[0]
+        head = daily.filter(F.col("day") != last_day)
+        tail = daily.filter(F.col("day") == last_day)
+        inc = hll_rollup(head.unionByName(tail), []).first()["approx_distinct"]
+        assert inc == est
+    finally:
+        daily.unpersist()
