@@ -1516,3 +1516,56 @@ def test_containment_rarity_cap_at_100k(spark):
         assert not low, low[:5]
     finally:
         corpus.unpersist()
+
+
+def test_integer_kmeans_assignment_at_100k_vectors(spark):
+    """q137/q138's assignment stage at 100k vectors: the in-row argmin
+    over the broadcast centroid array must stay ONE narrow pass — no
+    exchange between the scan and the per-cluster summary — and every
+    vector lands in exactly one of k clusters. 100k synthetic 64-dim
+    integer vectors (hash-derived, so distinct and spread)."""
+    from alt_spark.plans import audit
+
+    k = 8
+    dim = 64
+    vecs = spark.range(100_000).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {dim}),"
+        " j -> pmod(xxhash64(id, j), 2000) - 1000) AS qv",
+    )
+    cents = vecs.filter(F.col("vec_id") < k).selectExpr(
+        "CAST(vec_id AS INT) AS cluster", "qv"
+    )
+    cent_arr = cents.groupBy().agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "qv"))).alias("cents")
+    )
+
+    def dist_to(x):
+        return F.aggregate(
+            F.zip_with(F.col("qv"), x["qv"], lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    assigned = vecs.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        F.aggregate(
+            F.col("cents"),
+            F.struct(F.lit(2**62).cast("long").alias("d"), F.lit(-1).cast("int").alias("c")),
+            lambda acc, x: F.when(
+                dist_to(x) < acc["d"],
+                F.struct(dist_to(x).alias("d"), x["cluster"].alias("c")),
+            ).otherwise(acc),
+        )["c"].alias("cluster"),
+    )
+    # One narrow pass over the vectors: the only shuffle in the whole
+    # assignment plan is the k-row centroid collect_list aggregate on
+    # the BROADCAST side (model-state-sized); the 100k vector side
+    # flows scan -> project with no exchange.
+    per_cluster = assigned.groupBy("cluster").count()
+    assert audit.shuffle_count(assigned) <= 1, audit.physical_plan(assigned)
+    rows = per_cluster.collect()
+    assert sum(r["count"] for r in rows) == 100_000
+    assert {r["cluster"] for r in rows} <= set(range(8))
+    assert -1 not in {r["cluster"] for r in rows}
+    assert len(rows) >= 2  # hash-spread vectors can't all collapse
