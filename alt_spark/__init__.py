@@ -7,8 +7,8 @@ Layout:
     catalog.py    explicit StructType schemas + loaders for the test tables,
                   plus the SQL entry point (register_views / sql) — the
                   reference's users issue SQL, so parity includes it
-    queries/      declared query inventory (SURVEY.md §2.Q): 139 queries
-                  Q01-Q139 — relational core (joins/aggs/windows/set ops,
+    queries/      declared query inventory (SURVEY.md §2.Q): 140 queries
+                  Q01-Q140 — relational core (joins/aggs/windows/set ops,
                   grouping sets, frame specs, exact + bounded-memory
                   quantiles), log analytics + SLI read models (cohorts,
                   funnels, integer 3-sigma anomaly flags), text/search
@@ -23,7 +23,7 @@ Layout:
                   end-to-end perceptual image + audio dedup), and streaming
                   sketch + stateful-dedup replays — each a (name -> Spark callable) plus,
                   where SQL-expressible, a (name -> DuckDB oracle SQL)
-                  entry (131 of 139)
+                  entry (132 of 140)
     operators/    dedup family (exact / MinHash-LSH / SimHash / span /
                   segment / Bloom bitmap, all with incremental indexes +
                   retention), ANN search (brute-force / SRP-LSH / IVF /

@@ -392,6 +392,7 @@ _REPORT_TAIL = (
     "q137_kmeans_integer",
     "q138_ivf_ann_integer",
     "q139_streaming_session_windows",
+    "q140_otlp_span_stats",
 )
 
 

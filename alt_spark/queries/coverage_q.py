@@ -1047,3 +1047,130 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q140: OTLP trace ingest, driver-hash-checked (A4 — previously
+# pytest-only). Every event renders a REAL OTLP/JSON trace export
+# envelope (resourceSpans → scopeSpans → spans nesting, 64-bit nano
+# timestamps as JSON strings per the OTLP/JSON encoding, service.name
+# as a resource attribute), every 3rd event adds a CHILD span under the
+# root; the Spark side runs the real `parse_otlp_traces` chain
+# (converter.rs shape) and aggregates per (service, kind); the oracle
+# states the expected extracted values straight from the generating
+# formulas — the three-level explode, the attribute-list → map fold,
+# the ns arithmetic, and root/child attribution are all on trial.
+# Durations are whole milliseconds, so (end−start)/1e6 is an
+# integer-valued double and the ms sums are exact in both engines.
+
+
+def _q140_otlp_line() -> Column:
+    eid = F.col("event_id")
+    svc = F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string"))
+    start_ns = F.expr("unix_micros(ts) * 1000")
+    root_end = start_ns + (eid % 5000) * 1_000_000
+    child_end = start_ns + (eid % 700) * 1_000_000
+
+    def span(span_id: Column, parent: Column, name: str, kind: Column, end_ns) -> Column:
+        return F.concat(
+            F.lit('{"traceId":"t'),
+            eid.cast("string"),
+            F.lit('","spanId":"'),
+            span_id,
+            F.lit('","parentSpanId":"'),
+            parent,
+            F.lit(f'","name":"{name}","kind":'),
+            kind.cast("string"),
+            F.lit(',"startTimeUnixNano":"'),
+            start_ns.cast("string"),
+            F.lit('","endTimeUnixNano":"'),
+            end_ns.cast("string"),
+            F.lit('","attributes":[{"key":"http.route","value":{"stringValue":"/'),
+            F.col("event_type"),
+            F.lit('"}}]}'),
+        )
+
+    root = span(
+        F.concat(F.lit("s"), eid.cast("string")),
+        F.lit(""),
+        "handle",
+        F.lit(1) + (eid % 2).cast("int"),
+        root_end,
+    )
+    child = span(
+        F.concat(F.lit("c"), eid.cast("string")),
+        F.concat(F.lit("s"), eid.cast("string")),
+        "db.query",
+        F.lit(3),
+        child_end,
+    )
+    spans = F.when(
+        eid % 3 == 0, F.concat(root, F.lit(","), child)
+    ).otherwise(root)
+    return F.concat(
+        F.lit('{"resourceSpans":[{"resource":{"attributes":[{"key":"service.name","value":{"stringValue":"'),
+        svc,
+        F.lit('"}}]},"scopeSpans":[{"spans":['),
+        spans,
+        F.lit("]}]}]}"),
+    )
+
+
+@query(
+    "q140_otlp_span_stats",
+    oracle="""
+WITH src AS (
+  SELECT event_id, user_id,
+         'svc-' || CAST(user_id % 5 AS VARCHAR) AS service,
+         CAST(1 + event_id % 2 AS INTEGER) AS root_kind,
+         event_id % 5000 AS root_ms,
+         event_id % 700 AS child_ms
+  FROM events
+), spans AS (
+  SELECT service, root_kind AS kind, root_ms AS dur_ms, 1 AS is_root, event_id
+  FROM src
+  UNION ALL
+  SELECT service, CAST(3 AS INTEGER) AS kind, child_ms, 0, event_id
+  FROM src WHERE event_id % 3 = 0
+)
+SELECT service AS service_name, kind,
+       count(*) AS n_spans,
+       count(DISTINCT event_id) AS n_traces,
+       CAST(sum(dur_ms) AS BIGINT) AS total_ms,
+       CAST(sum(is_root) AS BIGINT) AS n_root
+FROM spans
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def q140(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-(service, span-kind) trace statistics through the REAL OTLP
+    ingest chain: span counts, distinct traces, exact total duration
+    ms, and root-span attribution (parentSpanId == '').
+
+    Plan (100 TB shape): the envelope parse + three-level explode run
+    inside the scan projection (one from_json per line, lateral
+    explodes are pipeline-local); the only exchange is the final
+    map-side-combinable (service, kind) aggregate — the A4 converter's
+    economics (converter.rs flattens per received batch; the
+    aggregation grain is ClickHouse's otel_traces rollup).
+    """
+    from alt_spark.sources.otlp import parse_otlp_traces
+
+    ev = load_table(spark, sf, "events")
+    lines = ev.select(_q140_otlp_line().alias("value"))
+    spans = parse_otlp_traces(lines)
+    return (
+        spans.groupBy("service_name", "kind")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.countDistinct("trace_id").alias("n_traces"),
+            F.sum("duration_ms").cast("long").alias("total_ms"),
+            F.sum(
+                F.when(F.col("parent_span_id") == "", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_root"),
+        )
+        .orderBy("service_name", "kind")
+    )
