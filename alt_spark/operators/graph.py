@@ -303,7 +303,16 @@ def orient_compact_forward(edges: DataFrame) -> DataFrame:
     all carry degree >= d+, so d+ > sqrt(2m) would force the degree sum
     past 2m. That bound is what keeps the wedge join below all-pairs on
     hub-heavy graphs; `tests/test_scale_smoke.py` pins it on a planted
-    100k-edge star."""
+    100k-edge star.
+
+    PRECONDITION: `edges` must be a deduplicated, self-loop-free
+    undirected edge list with each unordered pair present EXACTLY once
+    (t1 != t2, and never both (a,b) and (b,a)). A duplicate or
+    reversed-duplicate edge inflates both endpoints' degrees and
+    multiplies the wedge/triangle rows downstream; a self-loop orients
+    to (a,a) and closes spurious triangles. Normalize first with e.g.
+    ``edges.filter("t1 != t2").select(least(t1,t2), greatest(t1,t2))
+    .distinct()`` — q133 does exactly this before calling in."""
     deg = (
         edges.select(F.col("t1").alias("t"))
         .unionByName(edges.select(F.col("t2").alias("t")))
@@ -333,7 +342,12 @@ def compact_forward_triangles(oriented: DataFrame) -> DataFrame:
     an equi-join on the shared lower-degree endpoint (fan-out bounded
     by the orientation's sqrt(2m) out-degree cap) and the close is an
     equi-join on (v, w) — never an all-wedges filter against raw hub
-    degrees."""
+    degrees.
+
+    PRECONDITION: `oriented` must come from `orient_compact_forward`
+    applied to a deduplicated, self-loop-free undirected edge list
+    (see that function's docstring) — duplicate edges multiply wedge
+    rows and over-count triangles."""
     e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
     return (
         e1.join(

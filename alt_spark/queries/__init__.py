@@ -266,9 +266,58 @@ _loaded = False
 #         recency picks q02/q03/q05 (events-table joins/aggs);
 #   q110 — heavy-hitters sketch; 2 greens; q120 (windowed trending,
 #         same MG-sketch operator) stays in-window.
+#   r12 rotation (VERDICT r11 item 1, pre-staged in COVERAGE.md): the
+#         five oracle-backed r11 additions q136-q140 (integer force
+#         layout, integer Lloyd k-means, IVF ANN over the fitted
+#         quantizer, REAL streaming session windows, OTLP trace-ingest
+#         stats) moved INTO the window to earn their first driver hash
+#         rows, PLUS the six recency picks q12/q13/q14/q16/q18/q21
+#         (green driver rows r1-r4/r5 but none since — the E5/E6/E2,
+#         B-extraction, J1 and D11 anchors). Eleven entries rotated
+#         out in exchange, each with fresh r10+r11 greens and ≥2
+#         surviving in-window family rows:
+#   q02 — D8 buckets; 8 greens incl. r11; entry() still runs it every
+#         driver smoke, q49's oracle IS the q02 shape, and q03 keeps
+#         the bucket family in-window (the plan's "one of q02/q03");
+#   q109 — SLI anomaly flags; 3 greens (r9-r11); the events-analysis
+#         family keeps q127 (KS drift), q130 (session paths), q133
+#         (triangles) in-window plus recency picks q21 (digest
+#         counters) and q12 (decay ranking);
+#   q111 — weighted priority sample; 3 greens; mixing/selection keeps
+#         q94 (exact-k holdout) + q103 (mixture rebalance) in-window;
+#   q112 — RAG context capstone; 3 greens; retrieval keeps q10 (RRF)
+#         and gains q138 (IVF ANN); chunking stays pinned via the
+#         shared _CHUNK/_STRIDE pytest consistency checks;
+#   q116/q125 — release doc diff / bootstrap CIs; 2 greens each;
+#         release governance keeps q82 (datasheet ROLLUP), q100
+#         (release capstone), q127 (KS drift) in-window;
+#   q117 — contrastive pair mining; 2 greens; the pair/dedup family
+#         keeps q91/q95/q99/q118/q121/q126/q131/q132/q134/q135;
+#   q119 — retrieval metrics; 2 greens; q10's RRF + the rotating-in
+#         q138 keep ranked-retrieval evidence in-window;
+#   q120 — windowed trending; 2 greens; the streaming family keeps
+#         q49 (MV replay), q131 (dedup replay) and gains q139
+#         (session windows); the MG-sketch operator keeps its
+#         error-bound pytest (q110's footing since r11);
+#   q123/q124 — bounded-memory quantiles / weighted HITS; 2 greens
+#         each; quantiles keep q04 (exact) in-window with the q71
+#         error-bound pytest, graph keeps q114 (PageRank) + q133
+#         (triangles) + q118's CC closure in-window.
 # The rotation ledger in COVERAGE.md tracks per-query driver-row
 # history across rounds.
 _REPORT_TAIL = (
+    # r12 rotated-out set (rationale above).
+    "q02_sli_error_rate",
+    "q109_sli_anomaly_flags",
+    "q111_weighted_priority_sample",
+    "q112_rag_context_assembly",
+    "q116_release_doc_diff",
+    "q117_contrastive_pairs",
+    "q119_retrieval_quality_metrics",
+    "q120_windowed_trending_tags",
+    "q123_exact_price_quantiles",
+    "q124_hits_user_event",
+    "q125_bootstrap_quality_ci",
     # r11 rotated-out set (rationale above).
     "q70_temperature_mixing",
     "q75_gopher_signals",
@@ -344,16 +393,14 @@ _REPORT_TAIL = (
     "q53_minhash_production",
     "q54_simhash_production",
     "q55_winnowing_production",
-    "q12_decay_ranking",
-    "q13_keyset_pagination",
-    "q14_paged_window_count",
+    # q12/q13/q14 rotated back INTO the window in r12 (recency picks:
+    # no driver rows since r4; they anchor E5/E6/E2).
     "q23_bm25",
     "q26_hybrid_rrf",
     "q35_prefix_search_sample",
-    # q05 rotated back INTO the window in r11 (recency pick).
-    "q16_conditional_extraction",
-    "q18_tfidf_doc0",
-    "q21_digest_counters",
+    # q05 rotated back INTO the window in r11 (recency pick);
+    # q16/q18/q21 followed in r12 (no driver rows since r5 — the
+    # B-extraction, J1 TF-IDF and D11 digest-counter anchors).
     "q24_shingle_jaccard",
     "q27_quality_scores",
     "q28_token_stats",
@@ -385,14 +432,11 @@ _REPORT_TAIL = (
     # r10 per the pre-staged COVERAGE.md plan — see the r10 rotation
     # note above. q101-q114 (new r8) rotated in the same way in r9,
     # and q126-q135 (new r10) in r11 — see the r11 rotation note.
-    # q136+ — new r11 additions, oracle-backed (in-pytest parity every
-    # CI pass), parked in the tail as the newest entries; r12 rotation
-    # candidates per the pre-staged COVERAGE.md plan.
-    "q136_force_layout_integer",
-    "q137_kmeans_integer",
-    "q138_ivf_ann_integer",
-    "q139_streaming_session_windows",
-    "q140_otlp_span_stats",
+    # q136-q140 (new r11, all oracle-backed) rotated INTO the window in
+    # r12 per the pre-staged COVERAGE.md plan — see the r12 rotation
+    # note above. q141+ — new r12 additions, oracle-backed (in-pytest
+    # parity every CI pass), parked in the tail as the newest entries;
+    # r13 rotation candidates per the pre-staged COVERAGE.md plan.
 )
 
 

@@ -958,6 +958,11 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
 
     from alt_spark.streaming.mv import read_events_stream, user_sessions
 
+    # session.py already pins UTC session-wide; pin it here too for a
+    # caller running under a different zone (session_window bucketing
+    # is zone-sensitive), but save/restore so the setting never leaks
+    # past this query — same discipline as shuffle.partitions below.
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     root = tempfile.mkdtemp(prefix="q139_ssw_")
     landing = os.path.join(root, "landing")
@@ -1046,6 +1051,7 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
         # Materialize before the landing/checkpoint dirs disappear.
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
         shutil.rmtree(root, ignore_errors=True)
 
 

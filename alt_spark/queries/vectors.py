@@ -1117,21 +1117,29 @@ def _km_fit(spark: SparkSession, sf: str):
                 F.collect_list(F.struct("cluster", "qv"))
             ).alias("cents")
         )
+        # Each centroid distance computed ONCE via transform (HOF
+        # lambdas get no CSE — folding dist_to(x) directly pays the
+        # arithmetic twice per centroid), then an argmin fold over the
+        # (d, cluster) structs; strict < keeps ties at the lowest
+        # cluster, matching the oracle's unrolled argmin.
         assigned = (
             qvecs.crossJoin(F.broadcast(cent_arr))
             .select(
                 "vec_id",
                 "qv",
                 F.aggregate(
-                    F.col("cents"),
+                    F.transform(
+                        F.col("cents"),
+                        lambda x: F.struct(
+                            dist_to(x).alias("d"),
+                            x["cluster"].alias("c"),
+                        ),
+                    ),
                     F.struct(
                         big.alias("d"), F.lit(-1).cast("int").alias("c")
                     ),
                     lambda acc, x: F.when(
-                        dist_to(x) < acc["d"],
-                        F.struct(
-                            dist_to(x).alias("d"), x["cluster"].alias("c")
-                        ),
+                        x["d"] < acc["d"], x
                     ).otherwise(acc),
                 )["c"].alias("cluster"),
             )

@@ -69,17 +69,26 @@ def assign_and_summarize(
         )
 
     big = F.lit(float("inf"))
+    # Precompute each centroid distance ONCE (higher-order-function
+    # lambdas get no CSE, so folding dist_to(x) directly would pay the
+    # distance arithmetic twice per centroid), then argmin-fold over
+    # the (d, c) structs. Strict < keeps ties at the lowest cluster and
+    # leaves c = -1 when every distance is NaN (Spark orders NaN above
+    # all numerics, so NaN < inf is false) — malformed vectors surface
+    # as -1 and fail loudly in minibatch_update instead of silently
+    # corrupting a centroid.
+    dists = F.transform(
+        cent_arr,
+        lambda x: F.struct(dist_to(x).alias("d"), x["c"].alias("c")),
+    )
     assigned = batch.select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     ).select(
         "v",
         F.aggregate(
-            cent_arr,
+            dists,
             F.struct(big.alias("d"), F.lit(-1).alias("c")),
-            lambda acc, x: F.when(
-                dist_to(x) < acc["d"],
-                F.struct(dist_to(x).alias("d"), x["c"].alias("c")),
-            ).otherwise(acc),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
         )["c"].alias("cluster"),
     )
     stats = (
@@ -104,6 +113,12 @@ def minibatch_update(
 ) -> None:
     """Apply one batch-aggregated Sculley step in place."""
     for c, (n_new, sums) in stats.items():
+        if c < 0 or c >= len(cents):
+            raise ValueError(
+                f"invalid cluster id {c} in batch stats — a row whose "
+                "distances were all NaN (malformed embedding) folds to "
+                "-1; refusing to corrupt centroid state"
+            )
         if n_new == 0:
             continue
         counts[c] += n_new

@@ -93,17 +93,15 @@ def test_report_window_contains_every_reportable_oracle():
 
     undocumented = [n for n in tail if n not in _REPORT_TAIL]
     assert not undocumented, f"undocumented tail entries: {undocumented}"
-    # The r11 rotation (VERDICT r10 item 1, pre-staged in COVERAGE.md)
-    # puts the ten oracle-backed r10 additions q126-q135 plus the six
-    # recency picks q02/q03/q05/q06/q08/q09 inside the window so every
+    # The r12 rotation (VERDICT r11 item 1, pre-staged in COVERAGE.md)
+    # puts the five oracle-backed r11 additions q136-q140 plus the six
+    # recency picks q12/q13/q14/q16/q18/q21 inside the window so every
     # one of them earns a driver hash row; members of earlier rotations
-    # that were NOT rotated out in r11 stay in-window — see
+    # that were NOT rotated out in r12 stay in-window — see
     # queries/__init__.py for the per-query rotate-out rationale of
-    # q70/q75/q77/q79/q80/q81/q83/q89/q90/q92/q93/q98/q101/q107/q108/
-    # q110.
+    # q02/q109/q111/q112/q116/q117/q119/q120/q123/q124/q125.
     for n in (
         "q01_endpoint_stats",
-        "q02_sli_error_rate",
         "q03_trend_buckets_full_outer",
         "q04_latency_quantiles",
         "q05_event_type_pairs",
@@ -113,7 +111,13 @@ def test_report_window_contains_every_reportable_oracle():
         "q09_building_orders_per_day",
         "q10_rrf_suppliers",
         "q11_latest_order_per_customer",
+        "q12_decay_ranking",
+        "q13_keyset_pagination",
+        "q14_paged_window_count",
         "q15_brand_order_counts",
+        "q16_conditional_extraction",
+        "q18_tfidf_doc0",
+        "q21_digest_counters",
         "q49_streaming_mv_replay",
         "q66_corpus_prep_pipeline",
         "q72_quality_gate_pipeline",
@@ -128,20 +132,10 @@ def test_report_window_contains_every_reportable_oracle():
         "q102_semantic_decontamination",
         "q103_target_mixture_rebalance",
         "q105_unigram_segmentation",
-        "q109_sli_anomaly_flags",
-        "q111_weighted_priority_sample",
-        "q112_rag_context_assembly",
         "q114_pagerank_integer",
-        "q116_release_doc_diff",
-        "q117_contrastive_pairs",
         "q118_ensemble_neardup_clusters",
-        "q119_retrieval_quality_metrics",
-        "q120_windowed_trending_tags",
         "q121_incremental_cluster_update",
         "q122_bloom_decontamination",
-        "q123_exact_price_quantiles",
-        "q124_hits_user_event",
-        "q125_bootstrap_quality_ci",
         "q126_image_phash_dedup",
         "q127_release_ks_drift",
         "q128_curriculum_schedule",
@@ -152,6 +146,11 @@ def test_report_window_contains_every_reportable_oracle():
         "q133_collocation_triangles",
         "q134_audio_fingerprint_dedup",
         "q135_dedup_yield_report",
+        "q136_force_layout_integer",
+        "q137_kmeans_integer",
+        "q138_ivf_ann_integer",
+        "q139_streaming_session_windows",
+        "q140_otlp_span_stats",
     ):
         assert n in head, f"{n} must sit inside the driver report window"
     # No registry entry is lost by the ordering: compare against the raw
