@@ -37,6 +37,7 @@ __all__ = [
     "hyperplane_buckets",
     "lsh_topk",
     "ivf_index",
+    "ivf_assign_rows",
     "ivf_topk",
     "pq_train",
     "pq_encode",
@@ -418,6 +419,69 @@ def ivf_index(
     )
     centroids = [list(map(float, c)) for c in model.clusterCenters()]
     return assigned, centroids
+
+
+def ivf_assign_rows(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign a vector batch against STORED centroids — the
+    daily-increment path of the IVF index (the lsh_incremental_pairs
+    doctrine applied to J8: the quantizer is fitted once and persisted
+    as a centroid table; each new batch assigns IN-ROW against it and
+    only appends to the touched inverted lists, nothing about the base
+    corpus is recomputed).
+
+    Assignment is the squared-L2 argmin over a broadcast literal
+    centroid array (ties to the lowest list id), folded over
+    transform-precomputed (d, i) structs so each distance is evaluated
+    once — the same device as the mini-batch k-means fold. Returns the
+    input plus ``list_id``; it equals :func:`ivf_index`'s MLlib
+    ``model.transform`` assignment for the same centroids (parity
+    pytest), so stored lists and increments share one rule.
+
+    At 100 TB: the centroid table is nlist x dim floats (driver-tiny);
+    the batch pays one narrow scan, the merged list table stays
+    partitioned by ``list_id``, and probes keep pruning partitions.
+    Rerun-safety comes from the index-maintenance family: stamp the
+    (id, list_id) rows and fold retries through ``merge_stamped_rows``.
+    Reference: rag-orchestrator hybrid_search_repo.go:72-76 (the
+    serving path this index feeds) + search-indexer's incremental
+    index contract.
+    """
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.array(*[F.lit(float(v)) for v in vec]).alias("cv"),
+            )
+            for i, vec in enumerate(centroids)
+        ]
+    )
+
+    def dist_to(x):
+        return F.aggregate(
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                x["cv"],
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda s, d: s + d,
+        )
+
+    dists = F.transform(
+        cent_arr,
+        lambda x: F.struct(dist_to(x).alias("d"), x["i"].alias("i")),
+    )
+    best = F.aggregate(
+        dists,
+        F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
+        lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+    )["i"]
+    return df.withColumn("list_id", best)
 
 
 def ivf_topk(

@@ -437,6 +437,10 @@ _REPORT_TAIL = (
     # note above. q141+ — new r12 additions, oracle-backed (in-pytest
     # parity every CI pass), parked in the tail as the newest entries;
     # r13 rotation candidates per the pre-staged COVERAGE.md plan.
+    "q141_streaming_minibatch_kmeans",
+    "q142_rerank_integer",
+    "q143_ivf_incremental_update",
+    "q144_export_manifest_audit",
 )
 
 

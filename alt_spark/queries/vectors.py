@@ -1011,11 +1011,12 @@ _KM_ITERS = 3
 _KM_Q = 1000  # quantization: milli-units
 
 
-def _km_chain_ctes() -> str:
+def _km_chain_ctes(src: str = "embeddings") -> str:
     """The shared k-means WITH-chain (qvecs → c0 → a1..c{ITERS}) —
     q137's oracle reports from it; q138's IVF oracle probes against the
     same fitted quantizer (the q121 rebuild-the-base-artifacts-in-query
-    doctrine, so each query stands alone for the driver)."""
+    doctrine, so each query stands alone for the driver); q143 fits the
+    chain on a BASE slice via ``src``."""
     dist = (
         "list_sum(list_transform(list_zip(v.qv, c.qv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
@@ -1048,7 +1049,7 @@ def _km_chain_ctes() -> str:
   SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(x * {_KM_Q}) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM {src}
 ), c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
          qv
@@ -1074,18 +1075,65 @@ ORDER BY c.cluster
 """
 
 
-def _km_fit(spark: SparkSession, sf: str):
-    """Run the integer Lloyd fit; returns (cents, assigned) — the
-    fitted centroids (cluster, qv) and the final assignment
-    (vec_id, qv, cluster). Shared by q137 (reports the fit) and q138
-    (probes the fitted quantizer)."""
+def _km_assign(qvecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assign (vec_id, qv) rows to their nearest centroid in the
+    (cluster, qv) table: in-row integer-squared-L2 argmin over a 1-row
+    broadcast centroid array, distances transform-precomputed once,
+    ties to the lowest cluster. Shared by the Lloyd loop (q137/q138)
+    and the q143 increment path — stored lists and daily batches use
+    ONE assignment rule."""
+    cent_arr = cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster", "qv"))
+        ).alias("cents")
+    )
+
+    def dist_to(x):
+        return F.aggregate(
+            F.zip_with(
+                F.col("qv"), x["qv"], lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    big = F.lit(2**62).cast("long")
+    return qvecs.crossJoin(F.broadcast(cent_arr)).select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.transform(
+                F.col("cents"),
+                lambda x: F.struct(
+                    dist_to(x).alias("d"),
+                    x["cluster"].alias("c"),
+                ),
+            ),
+            F.struct(big.alias("d"), F.lit(-1).cast("int").alias("c")),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )["c"].alias("cluster"),
+    )
+
+
+def _km_quantized(spark: SparkSession, sf: str) -> DataFrame:
     emb = load_table(spark, sf, "embeddings")
-    qvecs = emb.select(
+    return emb.select(
         "vec_id",
         F.transform(
             "embedding", lambda x: F.floor(x * _KM_Q).cast("long")
         ).alias("qv"),
     )
+
+
+def _km_fit(spark: SparkSession, sf: str, qvecs: DataFrame | None = None):
+    """Run the integer Lloyd fit; returns (cents, assigned) — the
+    fitted centroids (cluster, qv) and the final assignment
+    (vec_id, qv, cluster). Shared by q137 (reports the fit), q138
+    (probes the fitted quantizer) and q143 (fits on the BASE slice via
+    the ``qvecs`` override, then assigns increments against the stored
+    centroids)."""
+    if qvecs is None:
+        qvecs = _km_quantized(spark, sf)
     from alt_spark.plans import dfcache as _dfcache
 
     if _dfcache.MATERIALIZE:
@@ -1100,50 +1148,9 @@ def _km_fit(spark: SparkSession, sf: str):
         "qv",
     )
 
-    def dist_to(x):
-        return F.aggregate(
-            F.zip_with(
-                F.col("qv"), x["qv"], lambda a, b: (a - b) * (a - b)
-            ),
-            F.lit(0).cast("long"),
-            lambda s, v: s + v,
-        )
-
-    big = F.lit(2**62).cast("long")
     last_assigned = None
     for _ in range(_KM_ITERS):
-        cent_arr = cents.agg(
-            F.array_sort(
-                F.collect_list(F.struct("cluster", "qv"))
-            ).alias("cents")
-        )
-        # Each centroid distance computed ONCE via transform (HOF
-        # lambdas get no CSE — folding dist_to(x) directly pays the
-        # arithmetic twice per centroid), then an argmin fold over the
-        # (d, cluster) structs; strict < keeps ties at the lowest
-        # cluster, matching the oracle's unrolled argmin.
-        assigned = (
-            qvecs.crossJoin(F.broadcast(cent_arr))
-            .select(
-                "vec_id",
-                "qv",
-                F.aggregate(
-                    F.transform(
-                        F.col("cents"),
-                        lambda x: F.struct(
-                            dist_to(x).alias("d"),
-                            x["cluster"].alias("c"),
-                        ),
-                    ),
-                    F.struct(
-                        big.alias("d"), F.lit(-1).cast("int").alias("c")
-                    ),
-                    lambda acc, x: F.when(
-                        x["d"] < acc["d"], x
-                    ).otherwise(acc),
-                )["c"].alias("cluster"),
-            )
-        )
+        assigned = _km_assign(qvecs, cents)
         if _dfcache.MATERIALIZE:
             assigned = assigned.localCheckpoint(eager=True)
         dims = assigned.select(
@@ -1343,5 +1350,323 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _IVF_TOPK)
         .select("aid", "rank", "cand_id", "d2")
+        .orderBy("aid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q141: streaming mini-batch k-means, driver-hash-checked (VERDICT r11
+# item 2 — the q137 integer doctrine applied on the q131 replay
+# footing to streaming/minibatch_kmeans.py, which until now carried
+# float pytest parity only). The corpus re-lands as residue-keyed
+# micro-batches (vec_id % _MBK_BATCHES, mtime-staggered so batch order
+# == residue order), embeddings quantize to milli-units exactly like
+# q137, seeds are the FIRST batch's k lowest vec_ids, and every
+# micro-batch applies ONE batch-aggregated Sculley step in TRUNCATED
+# integer arithmetic (n_c += n; c += (sum - n*c) div n_c — Spark `div`
+# and DuckDB `//` both truncate toward zero, verified on negative
+# operands), so the oracle can replay the whole trajectory as unrolled
+# per-batch stages and the hash pins seeds, assignment, update
+# arithmetic AND batch ordering at once.
+# Reference: recap-worker/recap-worker/src/util/kmeans.rs:99-160 (the
+# Sculley mini-batch path); the float production form stays
+# streaming/minibatch_kmeans.py:run_streaming_minibatch_kmeans.
+_MBK_K = 8
+_MBK_BATCHES = 4
+
+
+def _mbk_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip(v.qv, c.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    stages = []
+    for b in range(_MBK_BATCHES):
+        stages.append(
+            f"""a{b} AS MATERIALIZED (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT v.vec_id, v.qv, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM qvecs v CROSS JOIN c{b} c WHERE v.batch = {b}
+  ) WHERE rn = 1
+), m{b} AS (
+  SELECT cluster, u['i'] AS i, count(*) AS n, sum(u['x']) AS s
+  FROM (SELECT cluster,
+               unnest(list_transform(qv, (x, i) -> {{'i': i, 'x': x}})) AS u
+        FROM a{b})
+  GROUP BY 1, 2
+), c{b + 1} AS MATERIALIZED (
+  SELECT u.cluster,
+         list(CASE WHEN m.n IS NULL THEN u.x
+                   ELSE u.x + (m.s - m.n * u.x) // (u.cnt + m.n)
+              END ORDER BY u.i) AS qv,
+         u.cnt + coalesce(max(m.n), 0) AS cnt
+  FROM (SELECT cluster, cnt, uu['i'] AS i, uu['x'] AS x
+        FROM (SELECT cluster, cnt,
+                     unnest(list_transform(qv,
+                            (x, i) -> {{'i': i, 'x': x}})) AS uu
+              FROM c{b})) u
+  LEFT JOIN m{b} m ON m.cluster = u.cluster AND m.i = u.i
+  GROUP BY u.cluster, u.cnt
+)"""
+        )
+    chain = ",\n".join(stages)
+    return f"""
+WITH qvecs AS MATERIALIZED (
+  SELECT vec_id, vec_id % {_MBK_BATCHES} AS batch,
+         list_transform(embedding,
+                        x -> CAST(floor(x * {_KM_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+), c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         qv, CAST(0 AS BIGINT) AS cnt
+  FROM (SELECT vec_id, qv FROM qvecs WHERE batch = 0
+        ORDER BY vec_id LIMIT {_MBK_K})
+),
+{chain}
+SELECT cluster, cnt AS n_assigned,
+       CAST(list_sum(list_transform(qv, (x, i) -> i * x)) AS BIGINT)
+         AS centroid_checksum
+FROM c{_MBK_BATCHES}
+ORDER BY cluster
+"""
+
+
+@query("q141_streaming_minibatch_kmeans", oracle=_mbk_oracle())
+def q141(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming mini-batch k-means (Sculley) through a REAL
+    Structured-Streaming foreachBatch fold, driver-hash-checked: the
+    embeddings land as {_MBK_BATCHES} residue-keyed micro-batches of
+    pre-quantized integer vectors, the fold seeds from batch 0's
+    {_MBK_K} lowest vec_ids and applies one truncated-arithmetic
+    Sculley step per batch; output is per-cluster (final assigned
+    count, position-weighted centroid checksum). The oracle unrolls
+    the identical per-batch stages in SQL — seeds, argmin ties,
+    truncated division and batch order are all on trial.
+
+    Scale shape: per batch the corpus work is ONE narrow in-row argmin
+    pass over a k-row broadcast centroid array plus a map-side-
+    combinable (cluster, dim) aggregate — no vector ever shuffles;
+    fold state is k x dim integers on the driver (model-sized, like
+    the LM cache and the IVF centroid table). The landing/re-reading
+    is harness economics (the q49/q131 device) — production points the
+    same fold at the live ingest stream.
+    """
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from alt_spark.streaming.minibatch_kmeans import (
+        run_streaming_minibatch_kmeans_int,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    qvecs = emb.select(
+        "vec_id",
+        (F.col("vec_id") % _MBK_BATCHES).alias("batch"),
+        F.transform(
+            "embedding", lambda x: F.floor(x * _KM_Q).cast("long")
+        ).alias("qv"),
+    ).localCheckpoint()
+
+    root = tempfile.mkdtemp(prefix="q141_mbk_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    try:
+        import time
+
+        now = time.time()
+        for b in range(_MBK_BATCHES):
+            stage = os.path.join(root, f"stage_{b}")
+            qvecs.filter(F.col("batch") == b).select(
+                "vec_id", "qv"
+            ).coalesce(1).write.mode("overwrite").parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            path = os.path.join(landing, f"chunk_{b:03d}.parquet")
+            os.rename(part, path)
+            os.utime(path, (now + b, now + b))
+        cents, counts, n_batches = run_streaming_minibatch_kmeans_int(
+            spark, landing, _MBK_K, root
+        )
+        if n_batches != _MBK_BATCHES:
+            raise RuntimeError(
+                f"expected {_MBK_BATCHES} micro-batches, saw {n_batches}"
+            )
+        rows = [
+            (
+                c,
+                int(counts[c]),
+                sum((i + 1) * x for i, x in enumerate(cents[c])),
+            )
+            for c in range(_MBK_K)
+        ]
+        return spark.createDataFrame(
+            rows, "cluster int, n_assigned long, centroid_checksum long"
+        ).orderBy("cluster")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q143: incremental IVF index update, driver-hash-checked (VERDICT r11
+# item 4 — the incremental-index family's ANN member, the q121
+# rebuild-in-query doctrine applied to the q137/q138 quantizer). The
+# quantizer fits on the BASE slice only (vec_id % 4 != 3 — yesterday's
+# corpus); the increment (vec_id % 4 == 3 — today's batch) assigns
+# IN-ROW against the STORED centroids with the same argmin rule, the
+# inverted lists grow by append only, and the anchors (drawn from the
+# increment) probe nprobe cells of the UPDATED lists — base and
+# increment members compete in one ranking, which is exactly what an
+# incremental index must produce. `cand_is_new` marks increment
+# members in the results so the hash pins list growth, not just
+# ranking. Float production form: operators/ann.py ivf_assign_rows
+# (+ MLlib-parity and stamped-merge rerun-safety pytest).
+# Reference: rag-orchestrator hybrid_search_repo.go:72-76 (the
+# serving path) + search-indexer's incremental index contract.
+
+
+def _ivf_inc_oracle() -> str:
+    adist = (
+        "list_sum(list_transform(list_zip(a.aqv, c.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    idist = (
+        "list_sum(list_transform(list_zip(v.qv, c.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    cdist = (
+        "list_sum(list_transform(list_zip(p.aqv, v.qv),"
+        " z -> (z[1] - z[2]) * (z[1] - z[2])))"
+    )
+    return f"""
+WITH base_emb AS MATERIALIZED (
+  SELECT * FROM embeddings WHERE vec_id % 4 <> 3
+),
+{_km_chain_ctes(src="base_emb")},
+inc AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * {_KM_Q}) AS BIGINT)) AS qv
+  FROM embeddings WHERE vec_id % 4 = 3
+), inc_assign AS MATERIALIZED (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT v.vec_id, v.qv, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {idist}, c.cluster) AS rn
+    FROM inc v CROSS JOIN c{_KM_ITERS} c
+  ) WHERE rn = 1
+), lists AS (
+  SELECT vec_id, qv, cluster FROM a{_KM_ITERS}
+  UNION ALL
+  SELECT vec_id, qv, cluster FROM inc_assign
+), anchors AS (
+  SELECT vec_id AS aid, qv AS aqv FROM inc_assign WHERE vec_id % 20 = 3
+), probe AS MATERIALIZED (
+  SELECT aid, aqv, cluster FROM (
+    SELECT a.aid, a.aqv, c.cluster,
+           row_number() OVER (PARTITION BY a.aid
+                              ORDER BY {adist}, c.cluster) AS rn
+    FROM anchors a CROSS JOIN c{_KM_ITERS} c
+  ) WHERE rn <= {_IVF_NPROBE}
+), cand AS (
+  SELECT p.aid, v.vec_id AS cand_id, CAST({cdist} AS BIGINT) AS d2,
+         v.vec_id % 4 = 3 AS cand_is_new
+  FROM probe p JOIN lists v ON v.cluster = p.cluster
+  WHERE v.vec_id <> p.aid
+)
+SELECT aid, rank, cand_id, d2, cand_is_new FROM (
+  SELECT aid, cand_id, d2, cand_is_new,
+         row_number() OVER (PARTITION BY aid ORDER BY d2, cand_id) AS rank
+  FROM cand
+) WHERE rank <= {_IVF_TOPK}
+ORDER BY aid, rank
+"""
+
+
+@query("q143_ivf_incremental_update", oracle=_ivf_inc_oracle())
+def q143(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental IVF update + search: fit the integer quantizer on
+    the base slice, assign today's batch against the stored centroids
+    (one shared argmin rule — `_km_assign`), append to the inverted
+    lists, then rank each increment anchor's top-{_IVF_TOPK} within
+    its {_IVF_NPROBE} probed cells of the UPDATED lists.
+
+    Plan (100 TB shape): the increment pays ONE narrow in-row argmin
+    pass over the k-row broadcast centroid table — the base corpus is
+    never rescanned or reshuffled; the list table grows by append
+    (partition by cluster and the append touches only assigned cells);
+    the search stays an equi-join on cell id exactly like q138. That
+    is the daily-batch economics the incremental-index family
+    (exact-hash, LSH bands, span-grams, winnowing, embedding bands,
+    syndication) already pins — this closes the ANN member.
+    """
+    from pyspark.sql.window import Window
+
+    qvecs = _km_quantized(spark, sf)
+    base = qvecs.filter(F.col("vec_id") % 4 != 3)
+    inc = qvecs.filter(F.col("vec_id") % 4 == 3)
+    cents, base_assigned = _km_fit(spark, sf, qvecs=base)
+    inc_assigned = _km_assign(inc, cents)
+    lists = base_assigned.select("vec_id", "qv", "cluster").unionByName(
+        inc_assigned.select("vec_id", "qv", "cluster")
+    )
+    anchors = inc_assigned.filter(F.col("vec_id") % 20 == 3).select(
+        F.col("vec_id").alias("aid"), F.col("qv").alias("aqv")
+    )
+    cent_arr = cents.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "qv"))).alias(
+            "cents"
+        )
+    )
+
+    def adist(x):
+        return F.aggregate(
+            F.zip_with(
+                F.col("aqv"), x["qv"], lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    probes = F.slice(
+        F.array_sort(
+            F.transform(
+                F.col("cents"),
+                lambda x: F.struct(
+                    adist(x).alias("d"), x["cluster"].alias("c")
+                ),
+            )
+        ),
+        1,
+        _IVF_NPROBE,
+    )
+    probe = (
+        anchors.crossJoin(F.broadcast(cent_arr))
+        .select("aid", "aqv", F.explode(probes).alias("p"))
+        .select("aid", "aqv", F.col("p.c").alias("cluster"))
+    )
+    cand = (
+        probe.join(lists, "cluster")
+        .filter(F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            F.col("vec_id").alias("cand_id"),
+            F.aggregate(
+                F.zip_with(
+                    "aqv", "qv", lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda s, v: s + v,
+            ).alias("d2"),
+            (F.col("vec_id") % 4 == 3).alias("cand_is_new"),
+        )
+    )
+    w = Window.partitionBy("aid").orderBy("d2", "cand_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select("aid", "rank", "cand_id", "d2", "cand_is_new")
         .orderBy("aid", "rank")
     )

@@ -229,6 +229,37 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
         ).alias("jf"),
     )
 
+    # Layer 2.5: the structured-JSON dialect decided ONCE per line as
+    # its own named column (r12, VERDICT r11 item 6: the probes
+    # previously sat inline in is_tracing/is_structlog, re-evaluated by
+    # BOTH the level and the message when-chains — four probe sets per
+    # JSON line worst-case; dialect is referenced >1 time downstream,
+    # so CollapseProject keeps this layer and the probes run once).
+    # Content heuristics and priority order unchanged: rust-tracing 65
+    # > python-structlog 63 > go slog 60 (rust_tracing.rs:45-61,
+    # python_structlog.rs:45-64, go.rs:130-145) — tracing nests message
+    # under "fields", structlog's message key is "event", go slog uses
+    # "msg"/"message"; from_json keeps nested objects as raw JSON text,
+    # so jf stays non-null for all three. The '"msg"' probe runs FIRST:
+    # its absence gates both specific dialects, so a slog line (the
+    # common producer) pays exactly one contains(); the when-chain
+    # short-circuits, so the worst case is three probes + "timestamp".
+    staged = staged.select(
+        "*",
+        F.when(
+            log.startswith("{") & F.col("jf").isNotNull(),
+            F.when(log.contains('"msg"'), F.lit(3))
+            .when(
+                log.contains('"fields":{'),
+                F.when(log.contains('"timestamp"'), F.lit(1)).otherwise(
+                    F.lit(3)
+                ),
+            )
+            .when(log.contains('"event"'), F.lit(2))
+            .otherwise(F.lit(3)),
+        ).alias("dialect"),
+    )
+
     # Layer 3: cheap conditional assembly over attributes only.
     service, parts = F.col("service"), F.col("parts")
     jf, pg, clean = F.col("jf"), F.col("pg"), F.col("clean")
@@ -245,28 +276,8 @@ def parse_logs(lines: DataFrame, line_col: str = "value") -> DataFrame:
     is_pg_match = is_pg & (F.size(pg) == 2)
     is_meili = service == "meilisearch"
     pg_word = pg.getItem(0)
-    # Structured-JSON dialect detection, content-based with the
-    # reference's own contains() heuristics and priority order
-    # (rust-tracing 65 > python-structlog 63 > go slog 60 —
-    # rust_tracing.rs:45-61, python_structlog.rs:45-64, go.rs:130-145):
-    # tracing nests message under "fields", structlog's message key is
-    # "event", go slog uses "msg"/"message". from_json keeps nested
-    # objects as their raw JSON text in the map, so jf stays non-null
-    # for all three.
-    is_tracing = (
-        is_json_payload
-        & jf.isNotNull()
-        & log.contains('"fields":{')
-        & log.contains('"timestamp"')
-        & ~log.contains('"msg"')
-    )
-    is_structlog = (
-        is_json_payload
-        & jf.isNotNull()
-        & log.contains('"event"')
-        & ~log.contains('"msg"')
-        & ~log.contains('"fields":{')
-    )
+    is_tracing = F.col("dialect") == 1
+    is_structlog = F.col("dialect") == 2
 
     def _json_level(word: Column, *, critical: bool, panic: bool) -> Column:
         """The shared structured-JSON level vocabulary (exact isin sets

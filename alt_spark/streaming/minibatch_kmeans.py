@@ -36,8 +36,12 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "assign_and_summarize",
+    "assign_and_summarize_int",
     "minibatch_update",
+    "minibatch_update_int",
     "run_streaming_minibatch_kmeans",
+    "run_streaming_minibatch_kmeans_int",
+    "tdiv",
 ]
 
 
@@ -126,6 +130,155 @@ def minibatch_update(
             cv + (sv - n_new * cv) / counts[c]
             for cv, sv in zip(cents[c], sums)
         ]
+
+
+def tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward ZERO — the semantics Spark
+    `div` and DuckDB `//` share (both verified on negative operands;
+    Python's `//` floors instead, so the driver-side fold must not use
+    it directly)."""
+    q = a // b
+    if q < 0 and q * b != a:
+        q += 1
+    return q
+
+
+def assign_and_summarize_int(
+    batch: DataFrame, cents: list[list[int]]
+) -> dict[int, tuple[int, list[int]]]:
+    """Integer twin of `assign_and_summarize` for the driver-hashable
+    q141 fold: the batch carries pre-quantized `qv array<long>` rows,
+    distances are exact integer squared L2, ties go to the lowest
+    cluster via strict <, and the returned per-cluster sums are exact
+    longs — every number both engines touch is an integer, so the
+    DuckDB unrolled replay agrees bit-for-bit. Same single-evaluation
+    argmin and same scale shape as the float form: centroids ride a
+    literal broadcast array, only the k x dim summary returns."""
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("c"),
+                F.array(
+                    *[F.lit(int(v)).cast("long") for v in vec]
+                ).alias("cv"),
+            )
+            for i, vec in enumerate(cents)
+        ]
+    )
+
+    def dist_to(x):
+        return F.aggregate(
+            F.zip_with(
+                F.col("v"), x["cv"], lambda a, b: (a - b) * (a - b)
+            ),
+            F.lit(0).cast("long"),
+            lambda s, d: s + d,
+        )
+
+    big = F.lit(2**62).cast("long")
+    dists = F.transform(
+        cent_arr,
+        lambda x: F.struct(dist_to(x).alias("d"), x["c"].alias("c")),
+    )
+    assigned = batch.select(F.col("qv").alias("v")).select(
+        "v",
+        F.aggregate(
+            dists,
+            F.struct(big.alias("d"), F.lit(-1).alias("c")),
+            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+        )["c"].alias("cluster"),
+    )
+    stats = (
+        assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+        .groupBy("cluster", "i")
+        .agg(F.count("*").alias("n"), F.sum("x").alias("s"))
+        .collect()
+    )
+    out: dict[int, tuple[int, list[int]]] = {}
+    dim = len(cents[0])
+    for r in stats:
+        n, sums = out.get(r["cluster"], (0, [0] * dim))
+        sums[r["i"]] = int(r["s"])
+        out[r["cluster"]] = (int(r["n"]), sums)
+    return out
+
+
+def minibatch_update_int(
+    cents: list[list[int]],
+    counts: list[int],
+    stats: dict[int, tuple[int, list[int]]],
+) -> None:
+    """One batch-aggregated Sculley step in TRUNCATED integer
+    arithmetic, in place: n_c += n_new; c += (sum_x - n_new*c) div n_c
+    per dimension, `div` toward zero (tdiv — the Spark/DuckDB shared
+    rule, so the oracle's unrolled stages replay it exactly)."""
+    for c, (n_new, sums) in stats.items():
+        if c < 0 or c >= len(cents):
+            raise ValueError(
+                f"invalid cluster id {c} in batch stats — a malformed "
+                "row folds to -1; refusing to corrupt centroid state"
+            )
+        if n_new == 0:
+            continue
+        counts[c] += n_new
+        cents[c] = [
+            cv + tdiv(sv - n_new * cv, counts[c])
+            for cv, sv in zip(cents[c], sums)
+        ]
+
+
+def run_streaming_minibatch_kmeans_int(
+    spark: SparkSession,
+    landing: str,
+    k: int,
+    checkpoint: str,
+    schema: str = "vec_id long, qv array<long>",
+    max_files_per_trigger: int = 1,
+    timeout_s: int = 300,
+) -> tuple[list[list[int]], list[int], int]:
+    """Integer twin of `run_streaming_minibatch_kmeans`: same seed
+    policy (first batch's k lowest vec_ids), one truncated-arithmetic
+    Sculley step per micro-batch. Returns (centroids, counts,
+    n_batches) — all exact integers, hashable cross-engine."""
+    state: dict = {"cents": None, "counts": None, "batches": 0}
+
+    def step(bdf: DataFrame, _bid: int) -> None:
+        if bdf.isEmpty():
+            return
+        bdf = bdf.localCheckpoint(eager=True)
+        if state["cents"] is None:
+            seeds = (
+                bdf.orderBy("vec_id").limit(k).select("qv").collect()
+            )
+            if len(seeds) < k:
+                raise ValueError(
+                    f"first batch holds {len(seeds)} < k={k} vectors"
+                )
+            state["cents"] = [[int(v) for v in r["qv"]] for r in seeds]
+            state["counts"] = [0] * k
+        stats = assign_and_summarize_int(bdf, state["cents"])
+        minibatch_update_int(state["cents"], state["counts"], stats)
+        state["batches"] += 1
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(landing)
+        .writeStream.foreachBatch(step)
+        .option("checkpointLocation", os.path.join(checkpoint, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise RuntimeError("mini-batch k-means stream timed out")
+    finally:
+        if q.isActive:
+            q.stop()
+    if state["cents"] is None:
+        raise ValueError("stream delivered no rows")
+    return state["cents"], state["counts"], state["batches"]
 
 
 def run_streaming_minibatch_kmeans(

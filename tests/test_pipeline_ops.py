@@ -1476,3 +1476,69 @@ def test_q135_reconciles_with_q73_clusters(spark):
         assert r["yield_pm"] == (10000 * r["n_removable"]) // n_corpus
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
         assert r["n_removable"] == (r["cluster_size"] - 1) * r["n_clusters"]
+
+
+def test_ivf_assign_rows_matches_mllib_and_increment_equals_full(spark):
+    """The incremental IVF path (ivf_assign_rows): (1) in-row argmin
+    against the stored centroid table assigns every vector to the SAME
+    list as MLlib model.transform did at fit time; (2) searching
+    stored-base-lists ∪ increment-assignment equals searching a full
+    re-assignment of the union — the lsh_incremental_pairs
+    increment==full contract for J8."""
+    emb = load_table(spark, SF, "embeddings").cache()
+    assigned, centroids = ann.ivf_index(emb, nlist=8)
+
+    # (1) Assignment parity, row for row.
+    mine = ann.ivf_assign_rows(emb, centroids).select("vec_id", "list_id")
+    theirs = assigned.select("vec_id", "list_id")
+    assert mine.exceptAll(theirs).count() == 0
+    assert theirs.exceptAll(mine).count() == 0
+
+    # (2) increment == full: base is vec_id % 4 != 3, increment the rest.
+    base = emb.filter(F.col("vec_id") % 4 != 3)
+    inc = emb.filter(F.col("vec_id") % 4 == 3)
+    base_lists = ann.ivf_assign_rows(base, centroids)
+    inc_lists = ann.ivf_assign_rows(inc, centroids)
+    merged = base_lists.unionByName(inc_lists)
+    full = ann.ivf_assign_rows(emb, centroids)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    got = ann.ivf_topk(emb, qvec, k=10, nprobe=4, index=(merged, centroids)).collect()
+    want = ann.ivf_topk(emb, qvec, k=10, nprobe=4, index=(full, centroids)).collect()
+    assert [(r.id, r.cos_sim) for r in got] == [(r.id, r.cos_sim) for r in want]
+    # The increment genuinely reaches results: at least one top row is new.
+    inc_ids = {r.vec_id for r in inc.select("vec_id").collect()}
+    assert any(r.id in inc_ids for r in got)
+
+
+def test_ivf_list_table_rerun_safe_via_stamped_merge(spark):
+    """Retrying a partially-failed increment folds to the same list
+    table: the (id, list_id) rows ride the stamped-index family, so a
+    re-submitted batch replaces its own rows instead of accreting —
+    the merge_stamped_rows rerun-safety rule applied to the IVF lists."""
+    from alt_spark.operators.index_maintenance import (
+        merge_stamped_rows,
+        stamp_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    _, centroids = ann.ivf_index(emb, nlist=4)
+    base = ann.ivf_assign_rows(
+        emb.filter(F.col("vec_id") < 100), centroids
+    ).select("vec_id", "list_id")
+    batch = ann.ivf_assign_rows(
+        emb.filter((F.col("vec_id") >= 100) & (F.col("vec_id") < 150)),
+        centroids,
+    ).select("vec_id", "list_id")
+    idx = stamp_index(base, 1)
+    once = merge_stamped_rows(idx, batch, 2, id_col="vec_id")
+    twice = merge_stamped_rows(once, batch, 2, id_col="vec_id")
+    assert twice.count() == once.count()
+    got = {
+        (r.vec_id, r.list_id)
+        for r in twice.select("vec_id", "list_id").collect()
+    }
+    want = {
+        (r.vec_id, r.list_id)
+        for r in base.unionByName(batch).collect()
+    }
+    assert got == want

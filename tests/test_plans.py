@@ -77,6 +77,11 @@ _NESTED_LOOP_OK = {
     # integers), the BM25 stats-row device at model-state size.
     "q137_kmeans_integer",
     "q138_ivf_ann_integer",
+    # q143 reuses the q137/q138 device twice: the Lloyd fit's 1-row
+    # broadcast centroid array on the base slice, and the increment /
+    # anchor assignment against the same stored-centroid broadcast —
+    # all bounded by construction (k x dim integers).
+    "q143_ivf_incremental_update",
     "q13_keyset_pagination",
     "q14_paged_window_count",
     "q18_tfidf_doc0",
@@ -233,6 +238,13 @@ _SINGLE_PARTITION_OK = {
     # TOP-10 retrieved documents only (bounded by the q26 limit behind
     # a broadcast semi-join) — dim-sized by design, like q26's ranks.
     "q112_rag_context_assembly",
+    # q142's rerank cap (ORDER BY score LIMIT max_candidates feeding
+    # the scorer) plans as LocalLimit → SinglePartition → GlobalLimit:
+    # every upstream task emits at most max_candidates rows into the
+    # exchange (LocalLimit runs per partition), so the funnel carries
+    # <= 64 x partitions rows by construction — the rerank service cap
+    # (rerank.go:22-96), not a raw-data collapse.
+    "q142_rerank_integer",
 }
 
 

@@ -2101,3 +2101,101 @@ def test_streaming_minibatch_kmeans_matches_sequential_replay(spark):
         assert math.dist(c, centers[j]) < 0.5, (c, centers[j])
         matched.add(j)
     assert matched == {0, 1, 2}
+
+
+def test_streaming_minibatch_kmeans_int_matches_pencil_replay(spark):
+    """q141's footing: the INTEGER streaming fold must equal a pure-
+    Python pencil replay EXACTLY (every number is an integer — no
+    tolerance), including the toward-zero truncated division on
+    negative update numerators (Spark div / DuckDB // semantics)."""
+    import time as _time
+
+    from alt_spark.streaming.minibatch_kmeans import (
+        run_streaming_minibatch_kmeans_int,
+        tdiv,
+    )
+
+    # tdiv is toward-zero on every sign combination (Python // floors).
+    assert [tdiv(-7, 2), tdiv(7, -2), tdiv(-7, -2), tdiv(7, 2)] == [
+        -3,
+        -3,
+        3,
+        3,
+    ]
+
+    root = _fresh("mbk_stream_int")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing, exist_ok=True)
+
+    # Planted integer vectors with negative coordinates so the
+    # truncated division's sign behavior is actually on trial.
+    rng = __import__("numpy").random.default_rng(11)
+    vecs = [
+        [int(x) for x in rng.integers(-500, 500, 4)] for _ in range(160)
+    ]
+    chunks = []
+    now = _time.time()
+    for b in range(4):
+        sl = slice(b * 40, (b + 1) * 40)
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(list(range(b * 40, (b + 1) * 40)), pa.int64()),
+                "qv": pa.array(vecs[sl], pa.list_(pa.int64())),
+            }
+        )
+        p = os.path.join(landing, f"chunk_{b:03d}.parquet")
+        pq.write_table(tbl, p)
+        os.utime(p, (now + 10 * b, now + 10 * b))
+        chunks.append((list(range(b * 40, (b + 1) * 40)), vecs[sl]))
+
+    k = 3
+    cents, counts, n_batches = run_streaming_minibatch_kmeans_int(
+        spark, landing, k=k, checkpoint=root
+    )
+    assert n_batches == 4
+
+    c0, cnts = None, [0] * k
+    for vid, emb in chunks:
+        if c0 is None:
+            order = sorted(range(len(vid)), key=lambda i: vid[i])[:k]
+            c0 = [list(emb[i]) for i in order]
+        stats = {}
+        for v in emb:
+            best = min(
+                range(k),
+                key=lambda j: (
+                    sum((a - b_) ** 2 for a, b_ in zip(v, c0[j])),
+                    j,
+                ),
+            )
+            n, s = stats.get(best, (0, [0] * 4))
+            stats[best] = (n + 1, [a + b_ for a, b_ in zip(s, v)])
+        for j, (n_new, s) in stats.items():
+            cnts[j] += n_new
+            c0[j] = [
+                cv + tdiv(sv - n_new * cv, cnts[j])
+                for cv, sv in zip(c0[j], s)
+            ]
+    assert counts == cnts
+    assert cents == c0  # exact — integers end to end
+
+
+def test_minibatch_update_rejects_negative_cluster():
+    """A row whose distances were all NaN folds to cluster -1; the
+    update must fail loudly instead of corrupting the last centroid
+    via Python negative indexing (ADVICE r11)."""
+    import pytest as _pytest
+
+    from alt_spark.streaming.minibatch_kmeans import (
+        minibatch_update,
+        minibatch_update_int,
+    )
+
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    counts = [0, 0]
+    with _pytest.raises(ValueError, match="invalid cluster id"):
+        minibatch_update(cents, counts, {-1: (1, [2.0, 2.0])})
+    with _pytest.raises(ValueError, match="invalid cluster id"):
+        minibatch_update_int([[0, 0]], [0], {-1: (1, [2, 2])})
+    # State untouched by the failed update.
+    assert cents == [[0.0, 0.0], [1.0, 1.0]] and counts == [0, 0]
