@@ -441,6 +441,10 @@ _REPORT_TAIL = (
     "q142_rerank_integer",
     "q143_ivf_incremental_update",
     "q144_export_manifest_audit",
+    "q145_projector_dlq_replay",
+    "q146_pq_adc_integer",
+    "q147_index_sink_audit",
+    "q148_producer_consumer_groups",
 )
 
 

@@ -1424,3 +1424,468 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q145: checkpointed projector replay with a DLQ, driver-hash-checked
+# (K1/K2/K5/D12 as ONE query — the projector chain and the DLQ carried
+# pytest-only evidence; q20 pinned the batch fold shape but rotated out
+# in r8 and never exercised the streaming merge or the poison path).
+# The q131 replay footing: events re-land as 3 residue-keyed
+# mtime-staggered micro-batches, every 11th-residue-7 event ALSO ships
+# a poison twin (new id, value = -1 — fails the projector's validation
+# predicate) in its base row's batch, and the REAL run_projector fold
+# runs: per micro-batch, poison rows append to the DLQ side table with
+# the batch id (K5 — never silently skipped), valid rows fold into
+# per-user partial state (commutative monoid ops) and merge into the
+# versioned projection (D12 greatest/sum/last-by-seq; K1 versioned
+# state write). Output = the final projection (one row per user) plus
+# one DLQ summary row per batch under reserved negative user ids; the
+# oracle replays the fold as a plain GROUP BY (stream-fold ≡ batch
+# groupBy — the monoid property the streaming tests pin) and the DLQ
+# accounting from the planting formulas. Cross-batch dedupe (K3) stays
+# q131's trial — this replay runs dedupe=False so no watermark
+# eviction nondeterminism can touch the hash.
+# Reference: knowledge_home_projector/projector.go:138-192 (replay
+# loop), :199-230 (dispatch), :446-509 (fold ops); sql_fragments.go:
+# 13-20 (merge-op vocabulary).
+_PRJ_BATCHES = 3
+_PRJ_POISON_MOD = 11
+_PRJ_POISON_RES = 7
+_PRJ_POISON_BASE = 3_000_000_000
+
+
+def _q145_oracle() -> str:
+    return f"""
+WITH raw AS (
+  SELECT event_id % {_PRJ_BATCHES} AS batch, event_id, ts, user_id,
+         event_type, value
+  FROM events
+  UNION ALL
+  SELECT event_id % {_PRJ_BATCHES}, {_PRJ_POISON_BASE} + event_id, ts,
+         user_id, event_type, -1.0
+  FROM events
+  WHERE event_id % {_PRJ_POISON_MOD} = {_PRJ_POISON_RES}
+), proj AS (
+  SELECT user_id,
+         max(event_id) AS last_event_id,
+         epoch_us(arg_max(ts, event_id)) AS last_ts_us,
+         max(value) AS max_value,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+           AS clicks,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+           AS views,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+           AS errors,
+         count(*) AS n_events
+  FROM raw WHERE value >= 0 GROUP BY user_id
+), dlq AS (
+  SELECT -(batch + 1) AS user_id,
+         CAST(sum(event_id) AS BIGINT) AS last_event_id,
+         CAST(0 AS BIGINT) AS last_ts_us,
+         -1.0 AS max_value,
+         CAST(0 AS BIGINT) AS clicks, CAST(0 AS BIGINT) AS views,
+         CAST(0 AS BIGINT) AS errors,
+         count(*) AS n_events
+  FROM raw WHERE value < 0 GROUP BY batch
+)
+SELECT * FROM proj
+UNION ALL
+SELECT * FROM dlq
+ORDER BY user_id
+"""
+
+
+@query("q145_projector_dlq_replay", oracle=_q145_oracle())
+def q145(spark: SparkSession, sf: str) -> DataFrame:
+    """Checkpointed event-fold projector with poison-row DLQ through a
+    REAL Structured-Streaming replay: final per-user projection state
+    (last event by seq, max value, per-type counters) plus per-batch
+    DLQ accounting under reserved negative user ids (see the header
+    comment for what the hash pins).
+
+    Scale shape: per micro-batch the fold is one map-side-combinable
+    groupBy(user) over the batch only; the merge joins the batch delta
+    against user-cardinality state (the D12 MERGE INTO analog); DLQ
+    writes are append-only provenance. The re-landing is harness
+    economics (the q49/q131 device) — production points run_projector
+    at the live event log.
+    """
+    import glob
+    import time
+
+    from alt_spark.streaming.projector import (
+        read_projection,
+        run_projector,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    raw = ev.select(
+        (F.col("event_id") % _PRJ_BATCHES).alias("batch"),
+        "event_id",
+        "ts",
+        "user_id",
+        "event_type",
+        "value",
+    ).unionByName(
+        ev.filter(
+            F.col("event_id") % _PRJ_POISON_MOD == _PRJ_POISON_RES
+        ).select(
+            (F.col("event_id") % _PRJ_BATCHES).alias("batch"),
+            (F.lit(_PRJ_POISON_BASE) + F.col("event_id")).alias(
+                "event_id"
+            ),
+            "ts",
+            "user_id",
+            "event_type",
+            F.lit(-1.0).alias("value"),
+        )
+    )
+
+    root = tempfile.mkdtemp(prefix="q145_prj_")
+    landing = os.path.join(root, "landing")
+    state_dir = os.path.join(root, "state")
+    os.makedirs(landing)
+    try:
+        now = time.time()
+        # One write job lands every chunk (the q141 device): repartition
+        # by batch => one file per partition dir, then mtime-staggered
+        # renames fix the micro-batch order.
+        stage = os.path.join(root, "stage")
+        raw.repartition(_PRJ_BATCHES, "batch").write.partitionBy(
+            "batch"
+        ).parquet(stage)
+        for b in range(_PRJ_BATCHES):
+            (part,) = glob.glob(
+                os.path.join(stage, f"batch={b}", "part-*.parquet")
+            )
+            path = os.path.join(landing, f"chunk_{b:03d}.parquet")
+            os.rename(part, path)
+            os.utime(path, (now + b, now + b))
+        src = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long,"
+                " event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = run_projector(
+            spark,
+            src,
+            state_dir,
+            os.path.join(root, "ckpt"),
+            dedupe=False,
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        proj = read_projection(spark, state_dir)
+        out = proj.select(
+            "user_id",
+            "last_event_id",
+            F.unix_micros("last_ts").alias("last_ts_us"),
+            "max_value",
+            "clicks",
+            "views",
+            "errors",
+            "n_events",
+        )
+        dlq = spark.read.parquet(os.path.join(state_dir, "dlq"))
+        dlq_sum = dlq.groupBy("batch_id").agg(
+            F.sum("event_id").alias("last_event_id"),
+            F.count("*").alias("n_events"),
+        ).select(
+            (-(F.col("batch_id") + 1)).cast("long").alias("user_id"),
+            "last_event_id",
+            F.lit(0).cast("long").alias("last_ts_us"),
+            F.lit(-1.0).alias("max_value"),
+            F.lit(0).cast("long").alias("clicks"),
+            F.lit(0).cast("long").alias("views"),
+            F.lit(0).cast("long").alias("errors"),
+            "n_events",
+        )
+        res = out.unionByName(dlq_sum).orderBy("user_id")
+        # Materialize before the temp dirs disappear.
+        return spark.createDataFrame(res.collect(), res.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q147: search-index sink audit, driver-hash-checked (A8/K4 — the
+# two-phase `format("searchindex")` batch writer carried pytest-only
+# evidence; the q144 audit doctrine applied to the other versioned
+# sink). TWO real write jobs run in-query: batch 1 upserts every
+# document under 40 colliding keys (last-writer-wins by op_seq inside
+# the commit), batch 2 — all op_seqs strictly higher — merges
+# corrections over the published v0 snapshot (every 5th doc, every
+# 10th a DELETE of its key). The query then reads the committed v1
+# snapshot back through the reader path and returns it; the oracle
+# replays the op stream's arg-max-by-seq semantics straight from the
+# generating formulas, so staging→commit→LWW-merge→delete→atomic
+# republish are all on the hash (batch-2 seqs dominate batch-1 seqs,
+# which makes apply-over-snapshot equal the union replay — the device
+# that keeps the oracle one GROUP BY).
+# Reference: search-indexer app/usecase/index_articles.go:69-94 (the
+# two-phase publish contract; delete+upsert vocabulary).
+_SIX_KEYS = 40
+_SIX_CORR_MOD = 5
+_SIX_DEL_MOD = 10
+_SIX_SEQ_BASE = 100_000
+
+
+def _q147_oracle() -> str:
+    return f"""
+WITH ops AS (
+  SELECT doc_id AS op_seq,
+         'd' || CAST(doc_id % {_SIX_KEYS} AS VARCHAR) AS doc_key,
+         't' || CAST(doc_id AS VARCHAR) AS title,
+         false AS is_delete
+  FROM documents
+  UNION ALL
+  SELECT {_SIX_SEQ_BASE} + doc_id,
+         'd' || CAST(doc_id % {_SIX_KEYS} AS VARCHAR),
+         'u' || CAST(doc_id AS VARCHAR),
+         doc_id % {_SIX_DEL_MOD} = 0
+  FROM documents WHERE doc_id % {_SIX_CORR_MOD} = 0
+), last AS (
+  SELECT doc_key,
+         arg_max(title, op_seq) AS title,
+         arg_max(is_delete, op_seq) AS is_delete
+  FROM ops GROUP BY doc_key
+)
+SELECT doc_key, title FROM last WHERE NOT is_delete ORDER BY doc_key
+"""
+
+
+@query("q147_index_sink_audit", oracle=_q147_oracle())
+def q147(spark: SparkSession, sf: str) -> DataFrame:
+    """Two-phase search-index sink, audited end to end: two real write
+    jobs (initial load, then a correction batch with deletes merged
+    over the committed snapshot), snapshot read back through the
+    reader path (see the header comment for what the hash pins).
+
+    Scale shape: executors stage their partitions durably before any
+    acknowledgment (K4), the driver-side LWW merge is index-cardinality
+    (the Meilisearch-client analog — the distributed merge for huge
+    indexes is the foreachBatch sink, `streaming/index_sink.py`), and
+    the atomic version rename keeps concurrent readers consistent.
+    """
+    from alt_spark.sources.index_writer import (
+        SearchIndexDataSource,
+        read_index_snapshot,
+    )
+
+    spark.dataSource.register(SearchIndexDataSource)
+    docs = load_table(spark, sf, "documents")
+    key = F.concat(
+        F.lit("d"), (F.col("doc_id") % _SIX_KEYS).cast("string")
+    )
+    batch1 = docs.select(
+        F.col("doc_id").alias("op_seq"),
+        key.alias("doc_key"),
+        F.concat(F.lit("t"), F.col("doc_id").cast("string")).alias(
+            "title"
+        ),
+        F.lit(False).alias("is_delete"),
+    )
+    batch2 = docs.filter(F.col("doc_id") % _SIX_CORR_MOD == 0).select(
+        (F.lit(_SIX_SEQ_BASE) + F.col("doc_id")).alias("op_seq"),
+        key.alias("doc_key"),
+        F.concat(F.lit("u"), F.col("doc_id").cast("string")).alias(
+            "title"
+        ),
+        (F.col("doc_id") % _SIX_DEL_MOD == 0).alias("is_delete"),
+    )
+    root = tempfile.mkdtemp(prefix="q147_index_")
+    idx = os.path.join(root, "index")
+    try:
+        batch1.write.format("searchindex").option("path", idx).mode(
+            "append"
+        ).save()
+        batch2.write.format("searchindex").option("path", idx).mode(
+            "append"
+        ).save()
+        snap = read_index_snapshot(idx)
+        rows = (
+            list(
+                zip(
+                    snap["doc_key"].to_pylist(),
+                    snap["title"].to_pylist(),
+                )
+            )
+            if snap is not None
+            else []
+        )
+        return spark.createDataFrame(
+            rows, "doc_key string, title string"
+        ).orderBy("doc_key")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q148: producer → consumer-group replay, driver-hash-checked (A6/A7 —
+# the topic producer and consumer-group semantics carried pytest-only
+# evidence). The full delivery chain runs in-query: events re-land as
+# 3 residue-keyed chunks; the producer STREAM-publishes chunks 0-1 to
+# the topic (file-sink manifest = exactly-once flushes), stops, then
+# RESUMES from its own checkpoint after chunk 2 lands — only the new
+# chunk publishes (producer offsets). Consumer group B tails the topic
+# across the same boundary with ITS checkpoint: run 1 sees phases 0-1,
+# the resumed run 2 sees ONLY the new publishes (consumer offsets);
+# consumer group A attaches fresh at the end and replays everything
+# (independent groups). Output = per (group, phase, event_type) counts
+# + milli-quantized value sums; the oracle states them from the
+# residue formulas — a duplicated flush, a lost offset, or cross-group
+# state leakage all break the hash.
+# Reference: rask-log-forwarder / mq-hub batch-publish contract
+# (docs/services/rask-logging-architecture.md:173-175) + per-group
+# consumer offsets.
+_TPC_BATCHES = 3
+_TPC_PHASE1 = 2  # chunks published before the producer restart
+
+
+def _q148_oracle() -> str:
+    return f"""
+WITH src AS (
+  SELECT event_id % {_TPC_BATCHES} AS r, event_type,
+         CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events
+)
+SELECT 'A' AS grp, 'all' AS phase, event_type,
+       count(*) AS n, CAST(sum(vm) AS BIGINT) AS value_milli
+FROM src GROUP BY event_type
+UNION ALL
+SELECT 'B', 'phase1', event_type, count(*), CAST(sum(vm) AS BIGINT)
+FROM src WHERE r < {_TPC_PHASE1} GROUP BY event_type
+UNION ALL
+SELECT 'B', 'phase2', event_type, count(*), CAST(sum(vm) AS BIGINT)
+FROM src WHERE r >= {_TPC_PHASE1} GROUP BY event_type
+ORDER BY grp, phase, event_type
+"""
+
+
+@query("q148_producer_consumer_groups", oracle=_q148_oracle())
+def q148(spark: SparkSession, sf: str) -> DataFrame:
+    """Topic publish/subscribe with two consumer groups across a
+    producer restart — exactly-once flushes, producer offset resume,
+    per-group consumer offsets (see the header comment).
+
+    Scale shape: the topic is the append-only event store (date/hour
+    partitioning at volume); every fold here is one map-side-combinable
+    groupBy(event_type) per micro-batch, and group state is the
+    checkpoint directory — nothing corpus-sized lives on the driver.
+    """
+    import glob
+    import time
+    from collections import defaultdict
+
+    from alt_spark.streaming.producer import publish_stream, subscribe
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", "event_type", "value"
+    )
+    raw = ev.select(
+        (F.col("event_id") % _TPC_BATCHES).alias("r"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+
+    root = tempfile.mkdtemp(prefix="q148_topic_")
+    landing = os.path.join(root, "landing")
+    topic = os.path.join(root, "topic")
+    ck_pub = os.path.join(root, "ck_pub")
+    ck_b = os.path.join(root, "ck_b")
+    os.makedirs(landing)
+    schema = "event_id long, event_type string, value double"
+
+    # One write job stages every chunk upfront (the q141 device); the
+    # phase boundary is WHEN a chunk moves into the landing dir, so the
+    # producer-restart semantics are untouched.
+    stage = os.path.join(root, "stage")
+    raw.repartition(_TPC_BATCHES, "r").write.partitionBy("r").parquet(
+        stage
+    )
+
+    def land(b: int, at: float) -> None:
+        (part,) = glob.glob(
+            os.path.join(stage, f"r={b}", "part-*.parquet")
+        )
+        path = os.path.join(landing, f"chunk_{b:03d}.parquet")
+        os.rename(part, path)
+        os.utime(path, (at, at))
+
+    def run_publish() -> None:
+        src = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = publish_stream(src, topic, ck_pub)
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    acc: dict[tuple[str, str, str], list[int]] = defaultdict(
+        lambda: [0, 0]
+    )
+
+    def drain(group: str, phase: str, checkpoint: str) -> None:
+        def step(bdf: DataFrame, _bid: int) -> None:
+            rows = (
+                bdf.groupBy("event_type")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.sum(F.floor(F.col("value") * 1000).cast("long"))
+                    .alias("vm"),
+                )
+                .collect()
+            )
+            for r in rows:
+                cell = acc[(group, phase, r["event_type"])]
+                cell[0] += int(r["n"])
+                cell[1] += int(r["vm"])
+
+        q = (
+            subscribe(spark, topic, schema)
+            .writeStream.foreachBatch(step)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            if not q.awaitTermination(300):
+                q.stop()
+                raise RuntimeError("q148 consumer drain timed out")
+        finally:
+            if q.isActive:
+                q.stop()
+
+    try:
+        now = time.time()
+        for b in range(_TPC_PHASE1):
+            land(b, now + b)
+        run_publish()  # phase-1 flushes (manifest exactly-once)
+        drain("B", "phase1", ck_b)
+        for b in range(_TPC_PHASE1, _TPC_BATCHES):
+            land(b, now + 10 + b)
+        run_publish()  # resumed producer: only the new chunk publishes
+        drain("B", "phase2", ck_b)  # resumed group B: only new flushes
+        drain("A", "all", os.path.join(root, "ck_a"))  # fresh group
+        rows = [
+            (g, p, t, c[0], c[1]) for (g, p, t), c in sorted(acc.items())
+        ]
+        return spark.createDataFrame(
+            rows,
+            "grp string, phase string, event_type string,"
+            " n long, value_milli long",
+        ).orderBy("grp", "phase", "event_type")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1125,13 +1125,19 @@ def _km_quantized(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _km_fit(spark: SparkSession, sf: str, qvecs: DataFrame | None = None):
+def _km_fit(
+    spark: SparkSession,
+    sf: str,
+    qvecs: DataFrame | None = None,
+    k: int = _KM_K,
+    iters: int = _KM_ITERS,
+):
     """Run the integer Lloyd fit; returns (cents, assigned) — the
     fitted centroids (cluster, qv) and the final assignment
     (vec_id, qv, cluster). Shared by q137 (reports the fit), q138
-    (probes the fitted quantizer) and q143 (fits on the BASE slice via
+    (probes the fitted quantizer), q143 (fits on the BASE slice via
     the ``qvecs`` override, then assigns increments against the stored
-    centroids)."""
+    centroids) and q146 (per-subspace PQ codebooks via k/iters)."""
     if qvecs is None:
         qvecs = _km_quantized(spark, sf)
     from alt_spark.plans import dfcache as _dfcache
@@ -1140,7 +1146,7 @@ def _km_fit(spark: SparkSession, sf: str, qvecs: DataFrame | None = None):
         qvecs = qvecs.localCheckpoint(eager=False)
     from pyspark.sql.window import Window
 
-    seeds = qvecs.orderBy("vec_id").limit(_KM_K)
+    seeds = qvecs.orderBy("vec_id").limit(k)
     cents = seeds.select(
         (
             F.row_number().over(Window.orderBy("vec_id")) - 1
@@ -1149,7 +1155,7 @@ def _km_fit(spark: SparkSession, sf: str, qvecs: DataFrame | None = None):
     )
 
     last_assigned = None
-    for _ in range(_KM_ITERS):
+    for _ in range(iters):
         assigned = _km_assign(qvecs, cents)
         if _dfcache.MATERIALIZE:
             assigned = assigned.localCheckpoint(eager=True)
@@ -1469,7 +1475,7 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
         F.transform(
             "embedding", lambda x: F.floor(x * _KM_Q).cast("long")
         ).alias("qv"),
-    ).localCheckpoint()
+    )
 
     root = tempfile.mkdtemp(prefix="q141_mbk_")
     landing = os.path.join(root, "landing")
@@ -1478,12 +1484,19 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
         import time
 
         now = time.time()
+        # ONE write job lands every chunk (repartition by batch => one
+        # file per partition dir), then mtime-staggered renames set the
+        # micro-batch order — 4x fewer actions than per-batch
+        # coalesce(1) writes (this was the priciest query in the
+        # sf0.01 bench detail, and the landing was half its wall).
+        stage = os.path.join(root, "stage")
+        qvecs.repartition(_MBK_BATCHES, "batch").write.partitionBy(
+            "batch"
+        ).parquet(stage)
         for b in range(_MBK_BATCHES):
-            stage = os.path.join(root, f"stage_{b}")
-            qvecs.filter(F.col("batch") == b).select(
-                "vec_id", "qv"
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            (part,) = glob.glob(
+                os.path.join(stage, f"batch={b}", "part-*.parquet")
+            )
             path = os.path.join(landing, f"chunk_{b:03d}.parquet")
             os.rename(part, path)
             os.utime(path, (now + b, now + b))
@@ -1668,5 +1681,201 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _IVF_TOPK)
         .select("aid", "rank", "cand_id", "d2", "cand_is_new")
+        .orderBy("aid", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q146: product-quantization ADC search, driver-hash-checked (J8's
+# memory-bound scale path — `operators/ann.py` pq_train/pq_encode/
+# pq_adc_topk carried recall-pytest evidence only; this is the integer
+# twin in the q137/q138 doctrine). Two 32-dim subspaces, each with its
+# own k=4 integer Lloyd codebook (2 fixed iterations via the shared
+# `_km_fit` chain), every vector encodes to (code1, code2) — 2 small
+# ints instead of 64 floats, the PQ compression promise — and each
+# anchor ranks ALL codes by the ADC approximation: per-subspace
+# distance tables to the codebook centroids computed ONCE per anchor
+# in-row, approximate d2 = t1[code1] + t2[code2] (two array lookups
+# per candidate, never a vector op). The oracle replays both codebook
+# fits, the encoding and the lookup arithmetic verbatim.
+_PQ_SUBS = ((1, 32), (33, 32))  # (1-based offset, length) per subspace
+_PQ_K = 4
+_PQ_ITERS = 2
+_PQ_ANCHOR_MOD = 50
+_PQ_TOPK = 5
+
+
+def _pq_chain(prefix: str, lo: int, ln: int) -> str:
+    """Per-subspace integer Lloyd WITH-chain for the PQ oracle —
+    `_km_chain_ctes` with a name prefix, a qv slice, and (k, iters) =
+    ({_PQ_K}, {_PQ_ITERS}); reads the shared milli-quantized `qfull`."""
+    p = prefix
+    dist = (
+        "list_sum(list_transform(list_zip(v.qv, c.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    stages = []
+    for t in range(1, _PQ_ITERS + 1):
+        stages.append(
+            f"""{p}a{t} AS MATERIALIZED (
+  SELECT vec_id, qv, cluster FROM (
+    SELECT v.vec_id, v.qv, c.cluster,
+           row_number() OVER (PARTITION BY v.vec_id
+                              ORDER BY {dist}, c.cluster) AS rn
+    FROM {p}qvecs v CROSS JOIN {p}c{t - 1} c
+  ) WHERE rn = 1
+), {p}m{t} AS (
+  SELECT cluster, u['i'] AS i, sum(u['x']) // count(*) AS val
+  FROM (SELECT cluster,
+               unnest(list_transform(qv, (x, i) -> {{'i': i, 'x': x}})) AS u
+        FROM {p}a{t})
+  GROUP BY 1, 2
+), {p}c{t} AS MATERIALIZED (
+  SELECT cluster, list(val ORDER BY i) AS qv FROM {p}m{t} GROUP BY 1
+  UNION ALL
+  SELECT p.cluster, p.qv FROM {p}c{t - 1} p
+  WHERE p.cluster NOT IN (SELECT cluster FROM {p}m{t})
+)"""
+        )
+    chain = ",\n".join(stages)
+    return f"""{p}qvecs AS MATERIALIZED (
+  SELECT vec_id, list_slice(qv, {lo}, {lo + ln - 1}) AS qv FROM qfull
+), {p}c0 AS MATERIALIZED (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
+         qv
+  FROM (SELECT vec_id, qv FROM {p}qvecs ORDER BY vec_id LIMIT {_PQ_K})
+),
+{chain}"""
+
+
+def _pq_oracle() -> str:
+    (lo1, ln1), (lo2, ln2) = _PQ_SUBS
+    d1 = (
+        "list_sum(list_transform(list_zip(a.aqv1, c1.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    d2 = (
+        "list_sum(list_transform(list_zip(a.aqv2, c2.qv),"
+        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    )
+    return f"""
+WITH qfull AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+                        x -> CAST(floor(x * {_KM_Q}) AS BIGINT)) AS qv
+  FROM embeddings
+),
+{_pq_chain("s1", lo1, ln1)},
+{_pq_chain("s2", lo2, ln2)},
+codes AS MATERIALIZED (
+  SELECT a1.vec_id, a1.cluster AS code1, a2.cluster AS code2
+  FROM s1a{_PQ_ITERS} a1 JOIN s2a{_PQ_ITERS} a2 ON a2.vec_id = a1.vec_id
+), anchors AS (
+  SELECT vec_id AS aid,
+         list_slice(qv, {lo1}, {lo1 + ln1 - 1}) AS aqv1,
+         list_slice(qv, {lo2}, {lo2 + ln2 - 1}) AS aqv2
+  FROM qfull WHERE vec_id % {_PQ_ANCHOR_MOD} = 0
+), cand AS (
+  SELECT a.aid, v.vec_id AS cand_id,
+         CAST({d1} + {d2} AS BIGINT) AS adc_d2
+  FROM anchors a
+  JOIN codes v ON v.vec_id <> a.aid
+  JOIN s1c{_PQ_ITERS} c1 ON c1.cluster = v.code1
+  JOIN s2c{_PQ_ITERS} c2 ON c2.cluster = v.code2
+)
+SELECT aid, rank, cand_id, adc_d2 FROM (
+  SELECT aid, cand_id, adc_d2,
+         row_number() OVER (PARTITION BY aid ORDER BY adc_d2, cand_id) AS rank
+  FROM cand
+) WHERE rank <= {_PQ_TOPK}
+ORDER BY aid, rank
+"""
+
+
+@query("q146_pq_adc_integer", oracle=_pq_oracle())
+def q146(spark: SparkSession, sf: str) -> DataFrame:
+    """PQ/ADC approximate nearest neighbor: per-subspace integer
+    codebooks, 2-int codes, and anchor-side distance tables — each
+    anchor ranks every candidate by two table LOOKUPS (see the header
+    comment for what the hash pins).
+
+    Plan (100 TB shape): this is PQ's memory economics made literal —
+    the corpus-scale operand is the CODES table (2 small ints per
+    vector, ~30x smaller than the embedding column; scanned once,
+    never exchanged), the anchor side broadcasts (anchors x 2 tables
+    of k longs — query-set-sized, the q102 broadcast-bench device),
+    and per candidate the work is 2 array lookups + 1 add. The float
+    production forms stay `operators/ann.py` pq_train/pq_encode/
+    pq_adc_topk (recall-tested); q25/q138/q143 pin the exact and IVF
+    baselines this trades accuracy against.
+    """
+    from pyspark.sql.window import Window
+
+    qfull = _km_quantized(spark, sf)
+    from alt_spark.plans import dfcache as _dfcache
+
+    if _dfcache.MATERIALIZE:
+        qfull = qfull.localCheckpoint(eager=False)
+    (lo1, ln1), (lo2, ln2) = _PQ_SUBS
+    subs = []
+    for lo, ln in _PQ_SUBS:
+        sub = qfull.select("vec_id", F.slice("qv", lo, ln).alias("qv"))
+        subs.append(_km_fit(spark, sf, qvecs=sub, k=_PQ_K, iters=_PQ_ITERS))
+    (c1, a1), (c2, a2) = subs
+    codes = a1.select("vec_id", F.col("cluster").alias("code1")).join(
+        a2.select("vec_id", F.col("cluster").alias("code2")), "vec_id"
+    )
+
+    def dist(av, x):
+        return F.aggregate(
+            F.zip_with(av, x, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda s, v: s + v,
+        )
+
+    # Anchor-side ADC tables: centroid arrays sorted by cluster id, so
+    # array position i+1 IS code i (all k rows always present — empty
+    # clusters carry their previous centroid in _km_fit).
+    cent1 = c1.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "qv"))).alias("cs1")
+    )
+    cent2 = c2.agg(
+        F.array_sort(F.collect_list(F.struct("cluster", "qv"))).alias("cs2")
+    )
+    anchors = (
+        qfull.filter(F.col("vec_id") % _PQ_ANCHOR_MOD == 0)
+        .select(
+            F.col("vec_id").alias("aid"),
+            F.slice("qv", lo1, ln1).alias("aqv1"),
+            F.slice("qv", lo2, ln2).alias("aqv2"),
+        )
+        .crossJoin(F.broadcast(cent1))
+        .crossJoin(F.broadcast(cent2))
+        .select(
+            "aid",
+            F.transform(
+                "cs1", lambda x: dist(F.col("aqv1"), x["qv"])
+            ).alias("t1"),
+            F.transform(
+                "cs2", lambda x: dist(F.col("aqv2"), x["qv"])
+            ).alias("t2"),
+        )
+    )
+    cand = (
+        codes.join(F.broadcast(anchors), F.col("vec_id") != F.col("aid"))
+        .select(
+            "aid",
+            F.col("vec_id").alias("cand_id"),
+            (
+                F.element_at("t1", F.col("code1") + 1)
+                + F.element_at("t2", F.col("code2") + 1)
+            ).alias("adc_d2"),
+        )
+    )
+    w = Window.partitionBy("aid").orderBy("adc_d2", "cand_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select("aid", "rank", "cand_id", "adc_d2")
         .orderBy("aid", "rank")
     )

@@ -245,8 +245,11 @@ def run_streaming_minibatch_kmeans_int(
     def step(bdf: DataFrame, _bid: int) -> None:
         if bdf.isEmpty():
             return
-        bdf = bdf.localCheckpoint(eager=True)
         if state["cents"] is None:
+            # Seed batch feeds TWO actions (seed collect + the summary)
+            # — checkpoint so it computes once; later batches run one
+            # action and need no materialization.
+            bdf = bdf.localCheckpoint(eager=True)
             seeds = (
                 bdf.orderBy("vec_id").limit(k).select("qv").collect()
             )
@@ -300,8 +303,10 @@ def run_streaming_minibatch_kmeans(
     def step(bdf: DataFrame, _bid: int) -> None:
         if bdf.isEmpty():
             return
-        bdf = bdf.localCheckpoint(eager=True)
         if state["cents"] is None:
+            # Seed batch feeds two actions — checkpoint it; later
+            # batches run a single summary action.
+            bdf = bdf.localCheckpoint(eager=True)
             seeds = (
                 bdf.orderBy("vec_id")
                 .limit(k)

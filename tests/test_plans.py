@@ -82,6 +82,12 @@ _NESTED_LOOP_OK = {
     # anchor assignment against the same stored-centroid broadcast —
     # all bounded by construction (k x dim integers).
     "q143_ivf_incremental_update",
+    # q146's per-subspace Lloyd fits ride the same 1-row centroid
+    # broadcasts, and the ADC stage joins the corpus-scale CODES scan
+    # against a broadcast of the anchor side (anchors x two k-long
+    # distance tables — query-set-sized, the q102 broadcast-bench
+    # device); the != predicate makes it cross-shaped by name only.
+    "q146_pq_adc_integer",
     "q13_keyset_pagination",
     "q14_paged_window_count",
     "q18_tfidf_doc0",

@@ -1569,3 +1569,67 @@ def test_integer_kmeans_assignment_at_100k_vectors(spark):
     assert {r["cluster"] for r in rows} <= set(range(8))
     assert -1 not in {r["cluster"] for r in rows}
     assert len(rows) >= 2  # hash-spread vectors can't all collapse
+
+
+def test_ivf_assign_rows_scan_local_at_100k(spark):
+    """q143's increment path at 100k vectors: assigning a daily batch
+    against STORED centroids is a pure projection — the vector side
+    must flow scan -> project with NO exchange (the base corpus is
+    never touched), and every row lands in exactly one list."""
+    from alt_spark.operators import ann
+    from alt_spark.plans import audit
+
+    dim = 16
+    vecs = spark.range(100_000).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {dim}),"
+        " j -> CAST(pmod(xxhash64(id, j), 2000) - 1000 AS DOUBLE)"
+        " / 1000.0) AS embedding",
+    )
+    centroids = [
+        [((i * 37 + j * 11) % 19 - 9) / 10.0 for j in range(dim)]
+        for i in range(16)
+    ]
+    assigned = ann.ivf_assign_rows(vecs, centroids)
+    assert audit.shuffle_count(assigned) == 0, audit.physical_plan(assigned)
+    hist = assigned.groupBy("list_id").count().collect()
+    assert sum(r["count"] for r in hist) == 100_000
+    assert {r["list_id"] for r in hist} <= set(range(16))
+    assert -1 not in {r["list_id"] for r in hist}
+
+
+def test_pq_adc_codes_scan_at_100k(spark):
+    """q146's ADC stage at 100k codes: the corpus-scale operand is the
+    2-int CODES table joined against a BROADCAST of the anchor side
+    (anchors x two k-long tables); the candidate scoring must add no
+    shuffle beyond the final per-anchor top-k aggregation, and every
+    ADC distance must equal the two-table-lookup arithmetic."""
+    from alt_spark.plans import audit
+
+    k = 4
+    codes = spark.range(100_000).selectExpr(
+        "id AS vec_id",
+        f"CAST(pmod(xxhash64(id, 1), {k}) AS INT) AS code1",
+        f"CAST(pmod(xxhash64(id, 2), {k}) AS INT) AS code2",
+    )
+    anchors = spark.createDataFrame(
+        [(a, [10 * a + j for j in range(k)], [100 * a + j for j in range(k)])
+         for a in range(10)],
+        "aid long, t1 array<long>, t2 array<long>",
+    )
+    cand = codes.join(
+        F.broadcast(anchors), F.col("vec_id") % 7 != F.col("aid")
+    ).select(
+        "aid",
+        "vec_id",
+        (
+            F.element_at("t1", F.col("code1") + 1)
+            + F.element_at("t2", F.col("code2") + 1)
+        ).alias("adc_d2"),
+    )
+    assert audit.shuffle_count(cand) == 0, audit.physical_plan(cand)
+    row = cand.filter((F.col("aid") == 3) & (F.col("vec_id") == 12345)).first()
+    c = codes.filter(F.col("vec_id") == 12345).first()
+    assert row["adc_d2"] == (10 * 3 + c["code1"]) + (100 * 3 + c["code2"])
+    n = cand.count()
+    assert n > 0
