@@ -481,7 +481,23 @@ def ivf_assign_rows(
         F.struct(F.lit(float("inf")).alias("d"), F.lit(-1).alias("i")),
         lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
     )["i"]
-    return df.withColumn("list_id", best)
+    # A NaN coordinate (Spark orders NaN above every numeric, so no
+    # distance beats inf) or a wrong-length vector (zip_with null-pads
+    # into null distances) folds to -1. Fail LOUDLY instead of
+    # appending a bogus inverted list no probe ever selects — the same
+    # malformed-vector rule as minibatch_update (ADVICE r11).
+    guarded = F.when(best >= 0, best).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "ivf_assign_rows: no centroid is nearest (NaN or "
+                    "wrong-dimension embedding) for id "
+                ),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("int")
+    )
+    return df.withColumn("list_id", guarded)
 
 
 def ivf_topk(

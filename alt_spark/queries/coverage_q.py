@@ -1379,12 +1379,24 @@ def q144(spark: SparkSession, sf: str) -> DataFrame:
         "n_chars",
         (F.col("doc_id") % _EXA_SHARDS).alias("shard"),
     )
-    content_cols = ["doc_id", "text", "lang", "source", "n_chars"]
     root = tempfile.mkdtemp(prefix="q144_export_")
     try:
         manifest = export_packed_corpus(
             docs, root, shard_col="shard", token_col="n_chars"
         )
+        # Content columns come from the manifest's OWN certified schema
+        # (what _shard_stats hashed at export time), not a hand-kept
+        # list — a future change to the export's column set or order
+        # cannot silently flip hash_match (review finding, r12). The
+        # aggregation below stays an independent re-derivation.
+        from pyspark.sql.types import StructType
+
+        mschema = StructType.fromJson(manifest["schema"])
+        content_cols = [
+            f.name
+            for f in mschema.fields
+            if f.name != manifest["shard_col"]
+        ]
         mdf = spark.createDataFrame(
             [
                 (
@@ -1511,9 +1523,9 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     economics (the q49/q131 device) — production points run_projector
     at the live event log.
     """
-    import glob
     import time
 
+    from alt_spark.streaming.landing import land_residue_chunks
     from alt_spark.streaming.projector import (
         read_projection,
         run_projector,
@@ -1549,21 +1561,15 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     state_dir = os.path.join(root, "state")
     os.makedirs(landing)
     try:
-        now = time.time()
-        # One write job lands every chunk (the q141 device): repartition
-        # by batch => one file per partition dir, then mtime-staggered
-        # renames fix the micro-batch order.
-        stage = os.path.join(root, "stage")
-        raw.repartition(_PRJ_BATCHES, "batch").write.partitionBy(
-            "batch"
-        ).parquet(stage)
-        for b in range(_PRJ_BATCHES):
-            (part,) = glob.glob(
-                os.path.join(stage, f"batch={b}", "part-*.parquet")
-            )
-            path = os.path.join(landing, f"chunk_{b:03d}.parquet")
-            os.rename(part, path)
-            os.utime(path, (now + b, now + b))
+        # The shared single-write-job landing device.
+        land_residue_chunks(
+            raw,
+            "batch",
+            _PRJ_BATCHES,
+            landing,
+            os.path.join(root, "stage"),
+            time.time(),
+        )
         src = (
             spark.readStream.schema(
                 "event_id long, ts timestamp, user_id long,"
@@ -1701,6 +1707,20 @@ def q147(spark: SparkSession, sf: str) -> DataFrame:
         ),
         (F.col("doc_id") % _SIX_DEL_MOD == 0).alias("is_delete"),
     )
+    # The oracle replays arg-max-by-seq over the UNION of both batches;
+    # the sink applies batch 2 over the v0 snapshot unconditionally
+    # (the snapshot stores no seq). The two agree ONLY because every
+    # batch-2 seq exceeds every batch-1 seq — guard it so a fixture
+    # scale-up past _SIX_SEQ_BASE fails loudly instead of as an opaque
+    # driver-hash diff (the q141 expected-batches doctrine).
+    max_id = docs.agg(F.max("doc_id")).first()[0]
+    if max_id is not None and max_id >= _SIX_SEQ_BASE:
+        raise RuntimeError(
+            f"q147 precondition broken: max doc_id {max_id} >= "
+            f"_SIX_SEQ_BASE {_SIX_SEQ_BASE}; batch-2 seqs no longer "
+            "dominate batch-1 and the union-LWW oracle diverges from "
+            "apply-over-snapshot"
+        )
     root = tempfile.mkdtemp(prefix="q147_index_")
     idx = os.path.join(root, "index")
     try:
@@ -1781,10 +1801,13 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
     groupBy(event_type) per micro-batch, and group state is the
     checkpoint directory — nothing corpus-sized lives on the driver.
     """
-    import glob
     import time
     from collections import defaultdict
 
+    from alt_spark.streaming.landing import (
+        move_staged_chunk,
+        stage_residue_chunks,
+    )
     from alt_spark.streaming.producer import publish_stream, subscribe
 
     ev = load_table(spark, sf, "events").select(
@@ -1805,21 +1828,14 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
     os.makedirs(landing)
     schema = "event_id long, event_type string, value double"
 
-    # One write job stages every chunk upfront (the q141 device); the
-    # phase boundary is WHEN a chunk moves into the landing dir, so the
-    # producer-restart semantics are untouched.
+    # One write job stages every chunk upfront (the shared landing
+    # device); the phase boundary is WHEN a chunk moves into the
+    # landing dir, so the producer-restart semantics are untouched.
     stage = os.path.join(root, "stage")
-    raw.repartition(_TPC_BATCHES, "r").write.partitionBy("r").parquet(
-        stage
-    )
+    stage_residue_chunks(raw, "r", _TPC_BATCHES, stage)
 
     def land(b: int, at: float) -> None:
-        (part,) = glob.glob(
-            os.path.join(stage, f"r={b}", "part-*.parquet")
-        )
-        path = os.path.join(landing, f"chunk_{b:03d}.parquet")
-        os.rename(part, path)
-        os.utime(path, (at, at))
+        move_staged_chunk(stage, "r", b, landing, at)
 
     def run_publish() -> None:
         src = (

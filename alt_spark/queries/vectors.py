@@ -1075,18 +1075,32 @@ ORDER BY c.cluster
 """
 
 
-def _km_assign(qvecs: DataFrame, cents: DataFrame) -> DataFrame:
+def _km_cent_arr(cents: DataFrame) -> DataFrame:
+    """The 1-row broadcastable centroid array (sorted by cluster id —
+    struct order IS the tie rule and array position i+1 IS cluster i).
+    Build it ONCE per consumer chain and pass it down; q143's probe
+    stage and its `_km_assign` call share a single aggregation."""
+    return cents.agg(
+        F.array_sort(
+            F.collect_list(F.struct("cluster", "qv"))
+        ).alias("cents")
+    )
+
+
+def _km_assign(
+    qvecs: DataFrame,
+    cents: DataFrame,
+    cent_arr: DataFrame | None = None,
+) -> DataFrame:
     """Assign (vec_id, qv) rows to their nearest centroid in the
     (cluster, qv) table: in-row integer-squared-L2 argmin over a 1-row
     broadcast centroid array, distances transform-precomputed once,
     ties to the lowest cluster. Shared by the Lloyd loop (q137/q138)
     and the q143 increment path — stored lists and daily batches use
-    ONE assignment rule."""
-    cent_arr = cents.agg(
-        F.array_sort(
-            F.collect_list(F.struct("cluster", "qv"))
-        ).alias("cents")
-    )
+    ONE assignment rule. Pass a prebuilt ``cent_arr`` to reuse the
+    aggregation across stages."""
+    if cent_arr is None:
+        cent_arr = _km_cent_arr(cents)
 
     def dist_to(x):
         return F.aggregate(
@@ -1299,11 +1313,7 @@ def q138(spark: SparkSession, sf: str) -> DataFrame:
     cents, assigned = _km_fit(spark, sf)
     from pyspark.sql.window import Window
 
-    cent_arr = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cluster", "qv"))).alias(
-            "cents"
-        )
-    )
+    cent_arr = _km_cent_arr(cents)
     anchors = assigned.filter(
         F.col("vec_id") % _IVF_ANCHOR_MOD == 0
     ).select(F.col("vec_id").alias("aid"), F.col("qv").alias("aqv"))
@@ -1459,11 +1469,11 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     is harness economics (the q49/q131 device) — production points the
     same fold at the live ingest stream.
     """
-    import glob
     import os
     import shutil
     import tempfile
 
+    from alt_spark.streaming.landing import land_residue_chunks
     from alt_spark.streaming.minibatch_kmeans import (
         run_streaming_minibatch_kmeans_int,
     )
@@ -1483,23 +1493,17 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     try:
         import time
 
-        now = time.time()
-        # ONE write job lands every chunk (repartition by batch => one
-        # file per partition dir), then mtime-staggered renames set the
-        # micro-batch order — 4x fewer actions than per-batch
-        # coalesce(1) writes (this was the priciest query in the
-        # sf0.01 bench detail, and the landing was half its wall).
-        stage = os.path.join(root, "stage")
-        qvecs.repartition(_MBK_BATCHES, "batch").write.partitionBy(
-            "batch"
-        ).parquet(stage)
-        for b in range(_MBK_BATCHES):
-            (part,) = glob.glob(
-                os.path.join(stage, f"batch={b}", "part-*.parquet")
-            )
-            path = os.path.join(landing, f"chunk_{b:03d}.parquet")
-            os.rename(part, path)
-            os.utime(path, (now + b, now + b))
+        # The shared single-write-job landing device (this was the
+        # priciest query in the sf0.01 bench detail before it; the
+        # landing was half its wall).
+        land_residue_chunks(
+            qvecs,
+            "batch",
+            _MBK_BATCHES,
+            landing,
+            os.path.join(root, "stage"),
+            time.time(),
+        )
         cents, counts, n_batches = run_streaming_minibatch_kmeans_int(
             spark, landing, _MBK_K, root
         )
@@ -1621,17 +1625,13 @@ def q143(spark: SparkSession, sf: str) -> DataFrame:
     base = qvecs.filter(F.col("vec_id") % 4 != 3)
     inc = qvecs.filter(F.col("vec_id") % 4 == 3)
     cents, base_assigned = _km_fit(spark, sf, qvecs=base)
-    inc_assigned = _km_assign(inc, cents)
+    cent_arr = _km_cent_arr(cents)
+    inc_assigned = _km_assign(inc, cents, cent_arr=cent_arr)
     lists = base_assigned.select("vec_id", "qv", "cluster").unionByName(
         inc_assigned.select("vec_id", "qv", "cluster")
     )
     anchors = inc_assigned.filter(F.col("vec_id") % 20 == 3).select(
         F.col("vec_id").alias("aid"), F.col("qv").alias("aqv")
-    )
-    cent_arr = cents.agg(
-        F.array_sort(F.collect_list(F.struct("cluster", "qv"))).alias(
-            "cents"
-        )
     )
 
     def adist(x):
@@ -1836,12 +1836,8 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
     # Anchor-side ADC tables: centroid arrays sorted by cluster id, so
     # array position i+1 IS code i (all k rows always present — empty
     # clusters carry their previous centroid in _km_fit).
-    cent1 = c1.agg(
-        F.array_sort(F.collect_list(F.struct("cluster", "qv"))).alias("cs1")
-    )
-    cent2 = c2.agg(
-        F.array_sort(F.collect_list(F.struct("cluster", "qv"))).alias("cs2")
-    )
+    cent1 = _km_cent_arr(c1).withColumnRenamed("cents", "cs1")
+    cent2 = _km_cent_arr(c2).withColumnRenamed("cents", "cs2")
     anchors = (
         qfull.filter(F.col("vec_id") % _PQ_ANCHOR_MOD == 0)
         .select(

@@ -1542,3 +1542,22 @@ def test_ivf_list_table_rerun_safe_via_stamped_merge(spark):
         for r in base.unionByName(batch).collect()
     }
     assert got == want
+
+
+def test_ivf_assign_rows_rejects_malformed_vectors(spark):
+    """A NaN coordinate or wrong-dimension embedding must fail loudly
+    (the minibatch_update malformed-vector rule), never append a
+    list_id -1 row no probe selects."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    cents = [[0.0, 0.0], [1.0, 1.0]]
+    ok = spark.createDataFrame(
+        [(1, [0.1, 0.2])], "vec_id long, embedding array<double>"
+    )
+    assert ann.ivf_assign_rows(ok, cents).first()["list_id"] == 0
+    for bad_vec in ([float("nan"), 0.0], [0.5]):
+        bad = spark.createDataFrame(
+            [(2, bad_vec)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(SparkRuntimeException, match="no centroid"):
+            ann.ivf_assign_rows(bad, cents).collect()

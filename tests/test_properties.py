@@ -426,3 +426,46 @@ def test_signature_est_jaccard_matches_direct_count(spark, texts):
     for (a, b), est in got.items():
         want = sum(x == y for x, y in zip(raw[a], raw[b])) / len(raw[a])
         assert est == want, (a, b)
+
+
+def test_tdiv_matches_spark_div_and_duckdb_floordiv():
+    """Property: tdiv == Spark `div` == DuckDB `//` on every sign
+    combination — the cross-engine arithmetic q141's fold rests on."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from alt_spark.streaming.minibatch_kmeans import tdiv
+
+    con = duckdb.connect()
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.integers(min_value=-10**12, max_value=10**12),
+        st.integers(min_value=-10**6, max_value=10**6).filter(lambda b: b != 0),
+    )
+    def check(a, b):
+        (got,) = con.execute(f"SELECT CAST({a} AS BIGINT) // CAST({b} AS BIGINT)").fetchone()
+        assert tdiv(a, b) == got, (a, b, tdiv(a, b), got)
+        q = abs(a) // abs(b)
+        want = q if (a >= 0) == (b > 0) else -q
+        assert tdiv(a, b) == want
+
+    check()
+
+
+def test_tdiv_matches_spark_div_vectorized(spark):
+    """The Spark leg of the three-engine division agreement: one job
+    over an adversarial sign/magnitude grid."""
+    from alt_spark.streaming.minibatch_kmeans import tdiv
+
+    pairs = [
+        (a, b)
+        for a in (-10**12 - 7, -101, -7, -1, 0, 1, 7, 101, 10**12 + 7)
+        for b in (-10**6 - 3, -64, -3, -1, 1, 3, 64, 10**6 + 3)
+    ]
+    df = spark.createDataFrame(pairs, "a long, b long").selectExpr(
+        "a", "b", "a div b AS q"
+    )
+    for r in df.collect():
+        assert tdiv(r["a"], r["b"]) == r["q"], (r["a"], r["b"])
