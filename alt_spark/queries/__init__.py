@@ -445,6 +445,7 @@ _REPORT_TAIL = (
     "q146_pq_adc_integer",
     "q147_index_sink_audit",
     "q148_producer_consumer_groups",
+    "q149_stream_interval_join",
 )
 
 

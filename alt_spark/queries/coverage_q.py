@@ -1578,17 +1578,23 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(landing)
         )
-        q = run_projector(
-            spark,
-            src,
-            state_dir,
-            os.path.join(root, "ckpt"),
-            dedupe=False,
-        )
+        # Replay-scale shuffle sizing (the q139/q149 discipline).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
         try:
-            q.processAllAvailable()
+            q = run_projector(
+                spark,
+                src,
+                state_dir,
+                os.path.join(root, "ckpt"),
+                dedupe=False,
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
         finally:
-            q.stop()
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         proj = read_projection(spark, state_dir)
         out = proj.select(
             "user_id",
@@ -1886,15 +1892,21 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
 
     try:
         now = time.time()
-        for b in range(_TPC_PHASE1):
-            land(b, now + b)
-        run_publish()  # phase-1 flushes (manifest exactly-once)
-        drain("B", "phase1", ck_b)
-        for b in range(_TPC_PHASE1, _TPC_BATCHES):
-            land(b, now + 10 + b)
-        run_publish()  # resumed producer: only the new chunk publishes
-        drain("B", "phase2", ck_b)  # resumed group B: only new flushes
-        drain("A", "all", os.path.join(root, "ck_a"))  # fresh group
+        # Replay-scale shuffle sizing (the q139/q149 discipline).
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            for b in range(_TPC_PHASE1):
+                land(b, now + b)
+            run_publish()  # phase-1 flushes (manifest exactly-once)
+            drain("B", "phase1", ck_b)
+            for b in range(_TPC_PHASE1, _TPC_BATCHES):
+                land(b, now + 10 + b)
+            run_publish()  # resumed producer: only the new chunk
+            drain("B", "phase2", ck_b)  # resumed B: only new flushes
+            drain("A", "all", os.path.join(root, "ck_a"))  # fresh group
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         rows = [
             (g, p, t, c[0], c[1]) for (g, p, t), c in sorted(acc.items())
         ]
@@ -1905,3 +1917,131 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
         ).orderBy("grp", "phase", "event_type")
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q149: stream-stream interval join, driver-hash-checked (the K-family
+# ⊕ correlation operator — `streaming/joins.py:clicks_near_errors` had
+# stream==batch pytest parity only). The q139 replay footing: events
+# re-land as 4 ts-ORDERED chunks (the tailed append-only log; ordered
+# chunking is what makes the inner interval join exact under state
+# eviction — any pair spanning a chunk boundary is by construction
+# within tolerance of the boundary, where the watermark cannot yet
+# have evicted the earlier side), then the REAL watermarked
+# stream-stream join runs in append mode: per user, each error pairs
+# with same-user clicks within ±_SSJ_TOL_S seconds, join state
+# partitioned by the equi-key and evicted by the two-sided event-time
+# bound. Output = per-user pair counts + lag/id checksums; the oracle
+# is the identical interval join as one batch SQL statement.
+_SSJ_TOL_S = 3600
+_SSJ_CHUNKS = 4
+
+
+def _q149_oracle() -> str:
+    tol_us = f"CAST({_SSJ_TOL_S} AS BIGINT) * 1000000"
+    return f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus
+  FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus
+  FROM events WHERE event_type = 'click'
+), p AS (
+  SELECT e.user_id, e.event_id AS eid, c.event_id AS cid,
+         c.tus - e.tus AS lag_us
+  FROM e JOIN c ON c.user_id = e.user_id
+   AND c.tus BETWEEN e.tus - {tol_us} AND e.tus + {tol_us}
+)
+SELECT user_id, count(*) AS n_pairs,
+       CAST(sum(lag_us) AS BIGINT) AS lag_us_sum,
+       CAST(sum(eid) AS BIGINT) AS err_id_sum,
+       CAST(sum(cid) AS BIGINT) AS click_id_sum
+FROM p GROUP BY user_id ORDER BY user_id
+"""
+
+
+@query("q149_stream_interval_join", oracle=_q149_oracle())
+def q149(spark: SparkSession, sf: str) -> DataFrame:
+    """Errors × same-user clicks within ±{_SSJ_TOL_S} s through a REAL
+    watermarked stream-stream interval join, aggregated per user (see
+    the header comment for the exactness argument).
+
+    Scale shape: both streams' buffered state partitions by the
+    equi-key (user) and the two-sided event-time bound makes it
+    provably evictable — bounded memory at any volume; a
+    1000-executor cluster holds each key's recent window locally and
+    the interval check never leaves the executor. The re-landing is
+    harness economics (q49/q139 device).
+    """
+    import time
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from alt_spark.streaming.joins import clicks_near_errors
+    from alt_spark.streaming.mv import read_events_stream
+
+    root = tempfile.mkdtemp(prefix="q149_ssj_")
+    landing = os.path.join(root, "landing")
+    os.makedirs(landing)
+    name = "q149_ssj_" + uuid.uuid4().hex[:8]
+    try:
+        t = pq.read_table(os.path.join(sf, "events.parquet"))
+        order = pa.compute.sort_indices(
+            t, sort_keys=[("ts", "ascending"), ("event_id", "ascending")]
+        )
+        t = t.take(order)
+        n = t.num_rows
+        now = time.time()
+        for i in range(_SSJ_CHUNKS):
+            lo, hi = i * n // _SSJ_CHUNKS, (i + 1) * n // _SSJ_CHUNKS
+            path = os.path.join(landing, f"chunk_{i:03d}.parquet")
+            pq.write_table(t.slice(lo, hi - lo), path)
+            os.utime(path, (now + i, now + i))
+        src = read_events_stream(spark, landing, max_files_per_trigger=1)
+        joined = clicks_near_errors(src, tolerance_seconds=_SSJ_TOL_S)
+        # Stream-stream join state shuffles BOTH sides per micro-batch;
+        # at replay scale 32 state partitions are pure per-task
+        # overhead (measured 22 s -> ~5 s at sf0.01 with 4) — the q139
+        # save/restore discipline. Production sizes this to the
+        # cluster, not the harness.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            q = (
+                joined.writeStream.outputMode("append")
+                .format("memory")
+                .queryName(name)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            try:
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise RuntimeError("q149 streaming replay timed out")
+            finally:
+                if q.isActive:
+                    q.stop()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        out = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.sum(F.col("lag_us").cast("long")).alias("lag_us_sum"),
+                F.sum("error_id").alias("err_id_sum"),
+                F.sum("click_id").alias("click_id_sum"),
+            )
+            .orderBy("user_id")
+        )
+        # Materialize before the sink/landing dirs go away.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass

@@ -1504,9 +1504,17 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
             os.path.join(root, "stage"),
             time.time(),
         )
-        cents, counts, n_batches = run_streaming_minibatch_kmeans_int(
-            spark, landing, _MBK_K, root
-        )
+        # Replay-scale shuffle sizing (the q139/q149 discipline): the
+        # per-batch (cluster, dim) aggregates are k x dim rows — 32
+        # state partitions are pure task overhead here.
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "4")
+        try:
+            cents, counts, n_batches = run_streaming_minibatch_kmeans_int(
+                spark, landing, _MBK_K, root
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if n_batches != _MBK_BATCHES:
             raise RuntimeError(
                 f"expected {_MBK_BATCHES} micro-batches, saw {n_batches}"
