@@ -446,6 +446,7 @@ _REPORT_TAIL = (
     "q147_index_sink_audit",
     "q148_producer_consumer_groups",
     "q149_stream_interval_join",
+    "q150_retention_lifecycle",
 )
 
 

@@ -2045,3 +2045,95 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
             spark.catalog.dropTempView(name)
         except Exception:
             pass
+
+
+# ---------------------------------------------------------------------------
+# q150: partition-aligned retention lifecycle, driver-hash-checked
+# (K6 + K7 as one query — `streaming/retention.py` carried pytest-only
+# evidence since q101's rotation; this drives BOTH mechanisms on a
+# freshly partitioned table). Events write partitionBy(p_date); the
+# TTL pass drops whole date partitions older than the keep horizon
+# (the ttl_only_drop_parts rule — a filesystem metadata op, never a
+# row rewrite), then the size trim drops oldest-first whole partitions
+# until the retained footer-counted rows fit the budget (the XTRIM
+# MAXLEN ~ analog: node-granularity overshoot, newest partition never
+# trimmed). The query returns the RETAINED per-date counts and id
+# checksums read back from the table — what survived is the whole
+# trial; the oracle replays horizon filter + suffix-sum trim in SQL
+# (retained = partitions whose newest-first running total fits the
+# budget, plus always the newest).
+# Reference: clickhouse/migrations/001_create_logs_table.sql:15-16 +
+# 007_update_ttl_1day.sql:15-22 (partition-aligned TTL);
+# mq-hub redis_driver.go capped stream (approximate MAXLEN).
+_RET_KEEP_DAYS = 20
+_RET_BUDGET_DIV = 3  # max_rows = total_rows div 3
+
+
+def _q150_oracle() -> str:
+    return f"""
+WITH d AS (
+  SELECT CAST(ts AS DATE) AS p_date, event_id FROM events
+), agg AS (
+  SELECT p_date, count(*) AS n, sum(event_id) AS ck FROM d GROUP BY 1
+), mx AS (
+  SELECT max(p_date) AS md, CAST(sum(n) AS BIGINT) AS tot FROM agg
+), kept1 AS (
+  SELECT a.* FROM agg a, mx m
+  WHERE a.p_date >= m.md - INTERVAL {_RET_KEEP_DAYS} DAY
+), sfx AS (
+  SELECT p_date, n, ck,
+         sum(n) OVER (ORDER BY p_date DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS s
+  FROM kept1
+)
+SELECT CAST(sfx.p_date AS VARCHAR) AS p_date,
+       sfx.n AS n_rows,
+       CAST(sfx.ck AS BIGINT) AS id_checksum
+FROM sfx, mx
+WHERE sfx.s <= mx.tot // {_RET_BUDGET_DIV}
+   OR sfx.p_date = (SELECT max(p_date) FROM kept1)
+ORDER BY 1
+"""
+
+
+@query("q150_retention_lifecycle", oracle=_q150_oracle())
+def q150(spark: SparkSession, sf: str) -> DataFrame:
+    """TTL + size-trim retention over a date-partitioned event table,
+    returning what SURVIVED both passes (see the header comment).
+
+    Scale shape: both mechanisms are partition-directory deletes —
+    O(partitions) metadata ops with zero data scan or rewrite (row
+    counts come from parquet footers), the only viable retention shape
+    at 100 TB; the audit read-back is one partition-pruned combinable
+    aggregate.
+    """
+    from alt_spark.streaming.retention import (
+        drop_expired_partitions,
+        trim_to_max_rows,
+    )
+
+    ev = load_table(spark, sf, "events").select(
+        "event_id", F.col("ts").cast("date").alias("p_date")
+    )
+    root = tempfile.mkdtemp(prefix="q150_ret_")
+    tbl = os.path.join(root, "table")
+    try:
+        ev.write.partitionBy("p_date").parquet(tbl)
+        as_of = ev.agg(F.max("p_date")).first()[0]
+        total = ev.count()
+        drop_expired_partitions(tbl, _RET_KEEP_DAYS, as_of=as_of)
+        trim_to_max_rows(tbl, total // _RET_BUDGET_DIV)
+        out = (
+            spark.read.parquet(tbl)
+            .groupBy(F.col("p_date").cast("string").alias("p_date"))
+            .agg(
+                F.count("*").alias("n_rows"),
+                F.sum("event_id").alias("id_checksum"),
+            )
+            .orderBy("p_date")
+        )
+        # Materialize before the table dir disappears.
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
