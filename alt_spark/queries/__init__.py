@@ -447,6 +447,7 @@ _REPORT_TAIL = (
     "q148_producer_consumer_groups",
     "q149_stream_interval_join",
     "q150_retention_lifecycle",
+    "q151_footer_stats_catalog",
 )
 
 

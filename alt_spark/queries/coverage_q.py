@@ -2137,3 +2137,72 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# q151: footer-statistics catalog audit, driver-hash-checked (the §2.A
+# ⊕ metadata-only scan path — `sources/metadata_scan.py` carried
+# plan-pin pytest only). For five tables the query answers
+# COUNT/MIN/MAX from parquet FOOTERS through the scoped DSv2
+# aggregate-pushdown path with require_pushdown=True — if the planner
+# ever fell back to a data scan the query would RAISE, so a green hash
+# row certifies both the values and that they were metadata-cost; the
+# oracle states the same stats via plain SQL over the same files.
+# Reference analog: ClickHouse part-level count/minmax indices
+# (system.parts answering trivial aggregates without scanning marks).
+_FS_TABLES = (
+    ("documents", "doc_id"),
+    ("embeddings", "vec_id"),
+    ("events", "event_id"),
+    ("lineitem", "l_orderkey"),
+    ("orders", "o_orderkey"),
+)
+
+
+def _q151_oracle() -> str:
+    parts = [
+        f"""SELECT '{t}' AS tbl, count(*) AS n_rows,
+       CAST(min({c}) AS BIGINT) AS min_id,
+       CAST(max({c}) AS BIGINT) AS max_id,
+       true AS pushed
+FROM {t}"""
+        for t, c in _FS_TABLES
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY tbl"
+
+
+@query("q151_footer_stats_catalog", oracle=_q151_oracle())
+def q151(spark: SparkSession, sf: str) -> DataFrame:
+    """COUNT/MIN/MAX for five tables answered from parquet footer
+    statistics (PushedAggregation — zero data pages read), hashed
+    against plain SQL over the same files.
+
+    Scale shape: this is the 100 TB "how big is this corpus" query at
+    metadata cost — O(files) footer reads, no scan; require_pushdown
+    makes a silent fallback to a corpus read a loud failure instead of
+    a quiet regression.
+    """
+    from alt_spark.sources.metadata_scan import footer_stats
+
+    rows = []
+    for tbl, idc in _FS_TABLES:
+        st = footer_stats(
+            spark,
+            os.path.join(sf, f"{tbl}.parquet"),
+            minmax_cols=(idc,),
+            require_pushdown=True,
+        )
+        rows.append(
+            (
+                tbl,
+                int(st["n_rows"]),
+                int(st["min"][idc]),
+                int(st["max"][idc]),
+                bool(st["pushed"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "tbl string, n_rows long, min_id long, max_id long,"
+        " pushed boolean",
+    ).orderBy("tbl")
