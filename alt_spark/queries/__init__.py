@@ -57,8 +57,8 @@ _loaded = False
 # (r3 evidence: 55 registered, exactly positions 50-54 of dict order
 # absent from CORRECTNESS_r03; documented in VERDICT.md r4 §Next and
 # COVERAGE.md — the cap-dependence is deliberate and externally visible,
-# not a code-comment secret). With 125 registered queries, 75 must sit
-# past the window; order the registry so the reported 50 are the
+# not a code-comment secret). With 151 registered queries (r12), 101
+# must sit past the window; order the registry so the reported 50 are the
 # strongest evidence: oracle-backed queries in numeric order first,
 # then entries whose correctness is already carried by other green
 # evidence. EVERY oracle-backed query — head or tail — additionally runs

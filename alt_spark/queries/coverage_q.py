@@ -665,9 +665,9 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
         # small count for THIS fresh-checkpoint replay and restore the
         # session conf after start (aggregation results are partition-
         # count-invariant; a production MV sizes this to its key space).
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
+        from alt_spark.streaming.landing import replay_shuffle_partitions
+
+        with replay_shuffle_partitions(spark):
             sq = (
                 mv.writeStream.outputMode("complete")
                 .format("memory")
@@ -686,8 +686,6 @@ def q49(spark: SparkSession, sf: str) -> DataFrame:
             if not sq.awaitTermination(300):
                 sq.stop()
                 raise RuntimeError("q49 streaming replay timed out")
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         # Materialize the folded state before the landing dir disappears.
         out = spark.createDataFrame(
             spark.table(name).collect(), spark.table(name).schema
@@ -1016,9 +1014,9 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
             spark, landing, max_files_per_trigger=1
         ).withWatermark("ts", "0 seconds")
         sessions = user_sessions(src)
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
+        from alt_spark.streaming.landing import replay_shuffle_partitions
+
+        with replay_shuffle_partitions(spark):
             sq = (
                 sessions.writeStream.outputMode("append")
                 .format("memory")
@@ -1030,8 +1028,6 @@ def q139(spark: SparkSession, sf: str) -> DataFrame:
             if not sq.awaitTermination(300):
                 sq.stop()
                 raise RuntimeError("q139 streaming replay timed out")
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         emitted = spark.table(name).filter(F.col("user_id") >= 0)
         out = (
             emitted.groupBy("n_events")
@@ -1525,7 +1521,10 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     """
     import time
 
-    from alt_spark.streaming.landing import land_residue_chunks
+    from alt_spark.streaming.landing import (
+        land_residue_chunks,
+        replay_shuffle_partitions,
+    )
     from alt_spark.streaming.projector import (
         read_projection,
         run_projector,
@@ -1534,6 +1533,23 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
     ev = load_table(spark, sf, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+    # Precondition guard (the q147 doctrine): the projector DLQs any
+    # NULL in the validated columns, but the oracle's value>=0 /
+    # value<0 split drops NULL rows from BOTH legs — a regenerated
+    # fixture with one NULL would surface as an opaque hash diff, so
+    # fail loudly here instead.
+    n_null = ev.filter(
+        F.col("user_id").isNull()
+        | F.col("event_id").isNull()
+        | F.col("event_type").isNull()
+        | F.col("value").isNull()
+    ).count()
+    if n_null:
+        raise RuntimeError(
+            f"q145 precondition broken: {n_null} events rows carry "
+            "NULL in a validated column; the union-split oracle and "
+            "the projector's DLQ predicate diverge on NULLs"
+        )
     raw = ev.select(
         (F.col("event_id") % _PRJ_BATCHES).alias("batch"),
         "event_id",
@@ -1578,10 +1594,8 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
             .option("maxFilesPerTrigger", 1)
             .parquet(landing)
         )
-        # Replay-scale shuffle sizing (the q139/q149 discipline).
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
+        # Replay-scale shuffle sizing (the shared discipline).
+        with replay_shuffle_partitions(spark):
             q = run_projector(
                 spark,
                 src,
@@ -1593,8 +1607,6 @@ def q145(spark: SparkSession, sf: str) -> DataFrame:
                 q.processAllAvailable()
             finally:
                 q.stop()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         proj = read_projection(spark, state_dir)
         out = proj.select(
             "user_id",
@@ -1812,6 +1824,7 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
 
     from alt_spark.streaming.landing import (
         move_staged_chunk,
+        replay_shuffle_partitions,
         stage_residue_chunks,
     )
     from alt_spark.streaming.producer import publish_stream, subscribe
@@ -1892,10 +1905,8 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
 
     try:
         now = time.time()
-        # Replay-scale shuffle sizing (the q139/q149 discipline).
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
+        # Replay-scale shuffle sizing (the shared discipline).
+        with replay_shuffle_partitions(spark):
             for b in range(_TPC_PHASE1):
                 land(b, now + b)
             run_publish()  # phase-1 flushes (manifest exactly-once)
@@ -1905,8 +1916,6 @@ def q148(spark: SparkSession, sf: str) -> DataFrame:
             run_publish()  # resumed producer: only the new chunk
             drain("B", "phase2", ck_b)  # resumed B: only new flushes
             drain("A", "all", os.path.join(root, "ck_a"))  # fresh group
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         rows = [
             (g, p, t, c[0], c[1]) for (g, p, t), c in sorted(acc.items())
         ]
@@ -1980,6 +1989,7 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
     import pyarrow.parquet as pq
 
     from alt_spark.streaming.joins import clicks_near_errors
+    from alt_spark.streaming.landing import replay_shuffle_partitions
     from alt_spark.streaming.mv import read_events_stream
 
     root = tempfile.mkdtemp(prefix="q149_ssj_")
@@ -2003,12 +2013,9 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
         joined = clicks_near_errors(src, tolerance_seconds=_SSJ_TOL_S)
         # Stream-stream join state shuffles BOTH sides per micro-batch;
         # at replay scale 32 state partitions are pure per-task
-        # overhead (measured 22 s -> ~5 s at sf0.01 with 4) — the q139
-        # save/restore discipline. Production sizes this to the
-        # cluster, not the harness.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
+        # overhead (measured 22 s -> ~5 s at sf0.01 with 4) — the
+        # shared replay discipline.
+        with replay_shuffle_partitions(spark):
             q = (
                 joined.writeStream.outputMode("append")
                 .format("memory")
@@ -2024,8 +2031,6 @@ def q149(spark: SparkSession, sf: str) -> DataFrame:
             finally:
                 if q.isActive:
                     q.stop()
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         out = (
             spark.table(name)
             .groupBy("user_id")
@@ -2120,8 +2125,13 @@ def q150(spark: SparkSession, sf: str) -> DataFrame:
     tbl = os.path.join(root, "table")
     try:
         ev.write.partitionBy("p_date").parquet(tbl)
-        as_of = ev.agg(F.max("p_date")).first()[0]
-        total = ev.count()
+        # One combined aggregate for both retention parameters (a
+        # second scan for count alone would be wasted work — review
+        # finding r12).
+        stats = ev.agg(
+            F.max("p_date").alias("mx"), F.count("*").alias("n")
+        ).first()
+        as_of, total = stats["mx"], stats["n"]
         drop_expired_partitions(tbl, _RET_KEEP_DAYS, as_of=as_of)
         trim_to_max_rows(tbl, total // _RET_BUDGET_DIV)
         out = (

@@ -1011,49 +1011,64 @@ _KM_ITERS = 3
 _KM_Q = 1000  # quantization: milli-units
 
 
-def _km_chain_ctes(src: str = "embeddings") -> str:
-    """The shared k-means WITH-chain (qvecs → c0 → a1..c{ITERS}) —
-    q137's oracle reports from it; q138's IVF oracle probes against the
-    same fitted quantizer (the q121 rebuild-the-base-artifacts-in-query
-    doctrine, so each query stands alone for the driver); q143 fits the
-    chain on a BASE slice via ``src``."""
+def _km_chain_ctes(
+    src: str = "embeddings",
+    prefix: str = "",
+    k: int = _KM_K,
+    iters: int = _KM_ITERS,
+    qvecs_sql: str | None = None,
+) -> str:
+    """The shared k-means WITH-chain ({p}qvecs → {p}c0 →
+    {p}a1..{p}c{iters}) — q137's oracle reports from it; q138's IVF
+    oracle probes against the same fitted quantizer (the q121
+    rebuild-the-base-artifacts-in-query doctrine, so each query stands
+    alone for the driver); q143 fits the chain on a BASE slice via
+    ``src``; q146 derives its per-subspace PQ codebook chains via
+    ``prefix``/``k``/``iters``/``qvecs_sql`` (ONE template — a fix to
+    the tie rule, the truncated mean, or the empty-cluster carry-over
+    cannot land in one oracle family and not the other). ``qvecs_sql``
+    overrides the default milli-quantization body of the {p}qvecs CTE
+    (it must yield (vec_id, qv))."""
+    p = prefix
     dist = (
         "list_sum(list_transform(list_zip(v.qv, c.qv),"
         " p -> (p[1] - p[2]) * (p[1] - p[2])))"
     )
     stages = []
-    for t in range(1, _KM_ITERS + 1):
+    for t in range(1, iters + 1):
         stages.append(
-            f"""a{t} AS MATERIALIZED (
+            f"""{p}a{t} AS MATERIALIZED (
   SELECT vec_id, qv, cluster FROM (
     SELECT v.vec_id, v.qv, c.cluster,
            row_number() OVER (PARTITION BY v.vec_id
                               ORDER BY {dist}, c.cluster) AS rn
-    FROM qvecs v CROSS JOIN c{t - 1} c
+    FROM {p}qvecs v CROSS JOIN {p}c{t - 1} c
   ) WHERE rn = 1
-), m{t} AS (
+), {p}m{t} AS (
   SELECT cluster, u['i'] AS i, sum(u['x']) // count(*) AS val
   FROM (SELECT cluster,
                unnest(list_transform(qv, (x, i) -> {{'i': i, 'x': x}})) AS u
-        FROM a{t})
+        FROM {p}a{t})
   GROUP BY 1, 2
-), c{t} AS MATERIALIZED (
-  SELECT cluster, list(val ORDER BY i) AS qv FROM m{t} GROUP BY 1
+), {p}c{t} AS MATERIALIZED (
+  SELECT cluster, list(val ORDER BY i) AS qv FROM {p}m{t} GROUP BY 1
   UNION ALL
-  SELECT p.cluster, p.qv FROM c{t - 1} p
-  WHERE p.cluster NOT IN (SELECT cluster FROM m{t})
+  SELECT p.cluster, p.qv FROM {p}c{t - 1} p
+  WHERE p.cluster NOT IN (SELECT cluster FROM {p}m{t})
 )"""
         )
     chain = ",\n".join(stages)
-    return f"""qvecs AS MATERIALIZED (
-  SELECT vec_id,
+    if qvecs_sql is None:
+        qvecs_sql = f"""SELECT vec_id,
          list_transform(embedding,
                         x -> CAST(floor(x * {_KM_Q}) AS BIGINT)) AS qv
-  FROM {src}
-), c0 AS MATERIALIZED (
+  FROM {src}"""
+    return f"""{p}qvecs AS MATERIALIZED (
+  {qvecs_sql}
+), {p}c0 AS MATERIALIZED (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
          qv
-  FROM (SELECT vec_id, qv FROM qvecs ORDER BY vec_id LIMIT {_KM_K})
+  FROM (SELECT vec_id, qv FROM {p}qvecs ORDER BY vec_id LIMIT {k})
 ),
 {chain}"""
 
@@ -1473,7 +1488,10 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from alt_spark.streaming.landing import land_residue_chunks
+    from alt_spark.streaming.landing import (
+        land_residue_chunks,
+        replay_shuffle_partitions,
+    )
     from alt_spark.streaming.minibatch_kmeans import (
         run_streaming_minibatch_kmeans_int,
     )
@@ -1504,17 +1522,13 @@ def q141(spark: SparkSession, sf: str) -> DataFrame:
             os.path.join(root, "stage"),
             time.time(),
         )
-        # Replay-scale shuffle sizing (the q139/q149 discipline): the
+        # Replay-scale shuffle sizing (the shared discipline): the
         # per-batch (cluster, dim) aggregates are k x dim rows — 32
         # state partitions are pure task overhead here.
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "4")
-        try:
+        with replay_shuffle_partitions(spark):
             cents, counts, n_batches = run_streaming_minibatch_kmeans_int(
                 spark, landing, _MBK_K, root
             )
-        finally:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
         if n_batches != _MBK_BATCHES:
             raise RuntimeError(
                 f"expected {_MBK_BATCHES} micro-batches, saw {n_batches}"
@@ -1714,46 +1728,19 @@ _PQ_TOPK = 5
 
 
 def _pq_chain(prefix: str, lo: int, ln: int) -> str:
-    """Per-subspace integer Lloyd WITH-chain for the PQ oracle —
-    `_km_chain_ctes` with a name prefix, a qv slice, and (k, iters) =
-    ({_PQ_K}, {_PQ_ITERS}); reads the shared milli-quantized `qfull`."""
-    p = prefix
-    dist = (
-        "list_sum(list_transform(list_zip(v.qv, c.qv),"
-        " p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    """Per-subspace integer Lloyd WITH-chain for the PQ oracle — the
+    SHARED `_km_chain_ctes` template with a name prefix, a qv-slice
+    qvecs body, and (k, iters) = (_PQ_K, _PQ_ITERS); reads the shared
+    milli-quantized `qfull`."""
+    return _km_chain_ctes(
+        prefix=prefix,
+        k=_PQ_K,
+        iters=_PQ_ITERS,
+        qvecs_sql=(
+            f"SELECT vec_id, list_slice(qv, {lo}, {lo + ln - 1}) AS qv"
+            " FROM qfull"
+        ),
     )
-    stages = []
-    for t in range(1, _PQ_ITERS + 1):
-        stages.append(
-            f"""{p}a{t} AS MATERIALIZED (
-  SELECT vec_id, qv, cluster FROM (
-    SELECT v.vec_id, v.qv, c.cluster,
-           row_number() OVER (PARTITION BY v.vec_id
-                              ORDER BY {dist}, c.cluster) AS rn
-    FROM {p}qvecs v CROSS JOIN {p}c{t - 1} c
-  ) WHERE rn = 1
-), {p}m{t} AS (
-  SELECT cluster, u['i'] AS i, sum(u['x']) // count(*) AS val
-  FROM (SELECT cluster,
-               unnest(list_transform(qv, (x, i) -> {{'i': i, 'x': x}})) AS u
-        FROM {p}a{t})
-  GROUP BY 1, 2
-), {p}c{t} AS MATERIALIZED (
-  SELECT cluster, list(val ORDER BY i) AS qv FROM {p}m{t} GROUP BY 1
-  UNION ALL
-  SELECT p.cluster, p.qv FROM {p}c{t - 1} p
-  WHERE p.cluster NOT IN (SELECT cluster FROM {p}m{t})
-)"""
-        )
-    chain = ",\n".join(stages)
-    return f"""{p}qvecs AS MATERIALIZED (
-  SELECT vec_id, list_slice(qv, {lo}, {lo + ln - 1}) AS qv FROM qfull
-), {p}c0 AS MATERIALIZED (
-  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cluster,
-         qv
-  FROM (SELECT vec_id, qv FROM {p}qvecs ORDER BY vec_id LIMIT {_PQ_K})
-),
-{chain}"""
 
 
 def _pq_oracle() -> str:

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import glob
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -24,6 +25,7 @@ __all__ = [
     "stage_residue_chunks",
     "move_staged_chunk",
     "land_residue_chunks",
+    "replay_shuffle_partitions",
 ]
 
 
@@ -48,7 +50,14 @@ def move_staged_chunk(
     parts = glob.glob(
         os.path.join(stage_dir, f"{key}={b}", "part-*.parquet")
     )
-    if len(parts) != 1:
+    if not parts:
+        raise RuntimeError(
+            f"residue {key}={b} landed no staged file — the residue "
+            "class is empty in the input (the replay queries key on "
+            "dense residues by construction; a sparse key needs an "
+            "explicit empty-chunk write, not this device)"
+        )
+    if len(parts) > 1:
         raise RuntimeError(
             f"expected exactly one staged part for {key}={b}, "
             f"found {len(parts)} — the one-task-per-residue landing "
@@ -72,3 +81,19 @@ def land_residue_chunks(
     stage_residue_chunks(df, key, n, stage_dir)
     for b in range(n):
         move_staged_chunk(stage_dir, key, b, landing_dir, start_mtime + b)
+
+
+@contextmanager
+def replay_shuffle_partitions(spark, n: int = 4):
+    """Save/set/restore ``spark.sql.shuffle.partitions`` around a
+    bounded streaming replay — the q139/q149 discipline: stateful
+    micro-batch shuffles at harness scale pay pure per-task overhead
+    at the session's 32 partitions (q149 measured 22 s -> ~5 s at
+    sf0.01 with 4). Production sizes this to the cluster, not the
+    harness; the conf is restored even on error."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
