@@ -2216,3 +2216,49 @@ def q151(spark: SparkSession, sf: str) -> DataFrame:
         "tbl string, n_rows long, min_id long, max_id long,"
         " pushed boolean",
     ).orderBy("tbl")
+
+
+# ---------------------------------------------------------------------------
+# q152: the SQL entry point, driver-hash-checked (`catalog.sql` —
+# previously pytest-only: SQL==DataFrame rows + plan-shape pins in
+# test_catalog_canary.py). ONE shared ANSI statement is executed by
+# BOTH engines — Spark runs it through the real facade
+# (register_views memo + staleness probe + spark.sql), DuckDB runs the
+# byte-identical text as the oracle — so the fact that a reference
+# user can point existing SQL at this engine is itself on the hash.
+# Exactness: quantities cast to BIGINT (integer-valued doubles),
+# revenue floor-quantized to cents BEFORE summing (the _KM_Q device —
+# float sums never ride the hash raw).
+_Q152_SQL = """
+SELECT o.o_orderpriority AS priority,
+       l.l_returnflag AS returnflag,
+       count(*) AS n_items,
+       count(DISTINCT l.l_orderkey) AS n_orders,
+       CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_discount > 0.02
+GROUP BY o.o_orderpriority, l.l_returnflag
+HAVING count(*) > 5
+ORDER BY priority, returnflag
+"""
+
+
+@query("q152_sql_facade_pricing", oracle=_Q152_SQL)
+def q152(spark: SparkSession, sf: str) -> DataFrame:
+    """A pricing rollup issued as plain SQL through the engine's SQL
+    facade — join, aggregate, COUNT DISTINCT, HAVING and ORDER BY all
+    planned by Catalyst from the same text DuckDB replays verbatim
+    (see the header comment).
+
+    Scale shape: identical to the DataFrame form — the facade's views
+    go through `load_table` (pinned schemas, ts-layout probe, column
+    pruning), so pushdown/pruning/AQE hold for SQL consumers too; the
+    join shuffles on the order key and the aggregate combines
+    map-side.
+    """
+    from alt_spark.catalog import sql as engine_sql
+
+    return engine_sql(spark, sf, _Q152_SQL)
