@@ -2262,3 +2262,110 @@ def q152(spark: SparkSession, sf: str) -> DataFrame:
     from alt_spark.catalog import sql as engine_sql
 
     return engine_sql(spark, sf, _Q152_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q153: LLM summarize → judge → gate chain, driver-hash-checked (I14 —
+# the external-model UDF surface carried batching-contract pytest
+# only; the q142 integer-twin doctrine applied to the OTHER two model
+# slots). The REAL chain runs end to end — `make_llm_udf` wraps the
+# deterministic summarizer endpoint (first 8 whitespace tokens, the
+# declared fake), `quality_gate` wraps the deterministic judge
+# (min(10, 1 + distinct_tokens // 2) as a string score, cast + the
+# threshold-7 filter from quality_judger.go) — and per-source totals,
+# pass counts, passed score sums and passed-summary char sums go on
+# the hash; the oracle replays both endpoint formulas in SQL. NO model
+# ships (this container has none): what the hash certifies is the
+# Arrow-batched UDF plumbing, the string→int score contract, the gate
+# semantics and the summarizer text math — swap the HTTP endpoints in
+# and no plan changes.
+# Reference: news-creator Ollama summarization; pre-processor
+# quality_judger.go:27,120-166 (1-10 score, accept >= 7).
+_QJ_THRESHOLD = 7
+
+
+def _q153_oracle() -> str:
+    toks = "list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+    summary = (
+        "array_to_string(list_slice("
+        + toks.format(col="text")
+        + ", 1, 8), ' ')"
+    )
+    quality = (
+        "least(10, 1 + len(list_distinct("
+        + toks.format(col="text")
+        + ")) // 2)"
+    )
+    return f"""
+WITH s AS (
+  SELECT doc_id, source,
+         {summary} AS summary,
+         {quality} AS quality
+  FROM documents
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN quality >= {_QJ_THRESHOLD} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_passed,
+       CAST(sum(CASE WHEN quality >= {_QJ_THRESHOLD} THEN quality ELSE 0 END)
+            AS BIGINT) AS score_sum,
+       CAST(sum(CASE WHEN quality >= {_QJ_THRESHOLD} THEN length(summary)
+                ELSE 0 END) AS BIGINT) AS summary_chars
+FROM s GROUP BY source ORDER BY source
+"""
+
+
+@query("q153_llm_judge_gate", oracle=_q153_oracle())
+def q153(spark: SparkSession, sf: str) -> DataFrame:
+    """Summarize + judge + threshold-gate through the real Arrow-
+    batched external-model UDF surface, per-source audit totals on the
+    hash (see the header comment).
+
+    Scale shape: both model slots are batched pandas UDFs — the Arrow
+    batch is the unit of endpoint calls, maxRecordsPerBatch bounds
+    request fan-in (how a 100 TB scan amortizes per-request overhead);
+    the gate is a scan-local filter and the audit one combinable
+    aggregate.
+    """
+    from alt_spark.functions.llm import (
+        fake_judge,
+        fake_summarizer,
+        make_llm_udf,
+        quality_gate,
+    )
+
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id", "source", "text"
+    )
+    with_summary = docs.withColumn(
+        "summary", make_llm_udf(fake_summarizer)(F.col("text"))
+    )
+    passed = quality_gate(
+        with_summary,
+        text_col="text",
+        judge=fake_judge,
+        threshold=_QJ_THRESHOLD,
+    )
+    totals = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    gated = passed.groupBy("source").agg(
+        F.count("*").alias("n_passed"),
+        F.sum("quality").cast("long").alias("score_sum"),
+        F.sum(F.length("summary")).cast("long").alias("summary_chars"),
+    )
+    return (
+        totals.join(gated, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce("n_passed", F.lit(0)).cast("long").alias(
+                "n_passed"
+            ),
+            F.coalesce("score_sum", F.lit(0).cast("long")).alias(
+                "score_sum"
+            ),
+            F.coalesce("summary_chars", F.lit(0).cast("long")).alias(
+                "summary_chars"
+            ),
+        )
+        .orderBy("source")
+    )
