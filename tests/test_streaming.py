@@ -2199,3 +2199,40 @@ def test_minibatch_update_rejects_negative_cluster():
         minibatch_update_int([[0, 0]], [0], {-1: (1, [2, 2])})
     # State untouched by the failed update.
     assert cents == [[0.0, 0.0], [1.0, 1.0]] and counts == [0, 0]
+
+
+def test_landing_device_contract(spark, tmp_path):
+    """The shared residue-chunk landing device: one file per residue,
+    mtime order == residue order, empty residue classes fail with the
+    accurate message (not the broken-contract one)."""
+    import pytest as _pytest
+
+    from alt_spark.streaming.landing import (
+        land_residue_chunks,
+        move_staged_chunk,
+        stage_residue_chunks,
+    )
+
+    df = spark.range(100).selectExpr("id", "id % 4 AS r")
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    land_residue_chunks(df, "r", 4, landing, str(tmp_path / "stage"), 1000.0)
+    files = sorted(os.listdir(landing))
+    assert files == [f"chunk_{b:03d}.parquet" for b in range(4)]
+    mtimes = [os.path.getmtime(os.path.join(landing, f)) for f in files]
+    assert mtimes == sorted(mtimes)
+    total = sum(
+        pq.read_table(os.path.join(landing, f)).num_rows for f in files
+    )
+    assert total == 100
+    # Landed files carry the stream schema (no partition key column).
+    assert pq.read_schema(os.path.join(landing, files[0])).names == ["id"]
+
+    # Empty residue class: residue 5 never exists in id % 4.
+    sparse = spark.range(20).selectExpr("id", "CAST(5 AS BIGINT) AS r")
+    stage2 = str(tmp_path / "stage2")
+    stage_residue_chunks(sparse, "r", 6, stage2)
+    with _pytest.raises(RuntimeError, match="residue class is empty"):
+        move_staged_chunk(stage2, "r", 0, landing, 2000.0)
+    # The populated residue still moves fine.
+    move_staged_chunk(stage2, "r", 5, str(tmp_path), 2000.0)
