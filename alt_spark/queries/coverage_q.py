@@ -2369,3 +2369,137 @@ def q153(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q154: OTLP LOGS ingest, driver-hash-checked (A4's second signal —
+# q140 pinned the traces leg; the reference converts OTLP logs too,
+# converter.rs → 004_create_otel_logs.sql). Every event renders a REAL
+# OTLP/JSON logs export envelope (resourceLogs → scopeLogs →
+# logRecords nesting, 64-bit nano timestamps as JSON strings,
+# service.name as a resource attribute, severityNumber + severityText,
+# Body as stringValue, one record attribute); every 3rd event adds a
+# SECOND aux record in the same envelope (record-level explode on
+# trial); the real `parse_otlp_logs` chain flattens it and per
+# (service, severity, attr-type) counts / µs time bounds / body-id
+# checksums hash against the generating formulas — the three-level
+# explode, the attribute fold, body extraction and the ns→µs
+# truncation are all on trial.
+_OL_AUX_MOD = 3
+
+
+def _q154_log_line() -> Column:
+    eid = F.col("event_id")
+    svc = F.concat(F.lit("svc-"), (F.col("user_id") % 5).cast("string"))
+    tns = F.expr("CAST(unix_micros(ts) * 1000 AS STRING)")
+    sev_num = (
+        F.when(F.col("event_type") == "click", F.lit(9))
+        .when(F.col("event_type") == "view", F.lit(5))
+        .when(F.col("event_type") == "error", F.lit(17))
+        .otherwise(F.lit(13))
+    )
+    sev_txt = (
+        F.when(F.col("event_type") == "click", F.lit("INFO"))
+        .when(F.col("event_type") == "view", F.lit("DEBUG"))
+        .when(F.col("event_type") == "error", F.lit("ERROR"))
+        .otherwise(F.lit("WARN"))
+    )
+
+    def record(num, txt, body_prefix: str, attr_val) -> Column:
+        return F.concat(
+            F.lit('{"timeUnixNano":"'),
+            tns,
+            F.lit('","severityNumber":'),
+            num.cast("string"),
+            F.lit(',"severityText":"'),
+            txt,
+            F.lit('","body":{"stringValue":"'),
+            F.lit(body_prefix),
+            eid.cast("string"),
+            F.lit('"},"attributes":[{"key":"evt.type","value":{"stringValue":"'),
+            attr_val,
+            F.lit('"}}]}'),
+        )
+
+    records = F.concat(
+        record(sev_num, sev_txt, "evt-", F.col("event_type")),
+        F.when(
+            eid % _OL_AUX_MOD == 0,
+            F.concat(
+                F.lit(","),
+                record(F.lit(5), F.lit("DEBUG"), "aux-", F.lit("aux")),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    return F.concat(
+        F.lit(
+            '{"resourceLogs":[{"resource":{"attributes":[{"key":'
+            '"service.name","value":{"stringValue":"'
+        ),
+        svc,
+        F.lit('"}}]},"scopeLogs":[{"scope":{"name":"ingest"},'
+              '"logRecords":['),
+        records,
+        F.lit("]}]}]}"),
+    )
+
+
+def _q154_oracle() -> str:
+    sev = """CASE event_type WHEN 'click' THEN 'INFO'
+              WHEN 'view' THEN 'DEBUG'
+              WHEN 'error' THEN 'ERROR' ELSE 'WARN' END"""
+    return f"""
+WITH base AS (
+  SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR) AS service_name,
+         {sev} AS severity_text,
+         event_type AS attr_type,
+         epoch_us(ts) AS tus, event_id
+  FROM events
+  UNION ALL
+  SELECT 'svc-' || CAST(user_id % 5 AS VARCHAR), 'DEBUG', 'aux',
+         epoch_us(ts), event_id
+  FROM events WHERE event_id % {_OL_AUX_MOD} = 0
+)
+SELECT service_name, severity_text, attr_type,
+       count(*) AS n_records,
+       CAST(min(tus) AS BIGINT) AS min_ts_us,
+       CAST(max(tus) AS BIGINT) AS max_ts_us,
+       CAST(sum(event_id) AS BIGINT) AS body_id_sum
+FROM base
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+@query("q154_otlp_log_stats", oracle=_q154_oracle())
+def q154(spark: SparkSession, sf: str) -> DataFrame:
+    """OTLP/JSON logs envelopes rendered from events, flattened by the
+    real `parse_otlp_logs` chain, audited per (service, severity,
+    attr-type) — see the header comment for what the hash pins.
+
+    Scale shape: one from_json + three pipeline-local lateral explodes
+    inside the scan, then one combinable aggregate — the q140/q48
+    synthesis economics.
+    """
+    from alt_spark.sources.otlp import parse_otlp_logs
+
+    ev = load_table(spark, sf, "events")
+    lines = ev.select(_q154_log_line().alias("value"))
+    recs = parse_otlp_logs(lines)
+    return (
+        recs.select(
+            "service_name",
+            "severity_text",
+            F.element_at("attributes", "evt.type").alias("attr_type"),
+            F.unix_micros("ts").alias("tus"),
+            F.expr("CAST(substring(body, 5) AS BIGINT)").alias("bid"),
+        )
+        .groupBy("service_name", "severity_text", "attr_type")
+        .agg(
+            F.count("*").alias("n_records"),
+            F.min("tus").alias("min_ts_us"),
+            F.max("tus").alias("max_ts_us"),
+            F.sum("bid").alias("body_id_sum"),
+        )
+        .orderBy("service_name", "severity_text", "attr_type")
+    )

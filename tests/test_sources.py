@@ -920,3 +920,76 @@ def test_release_pipeline_to_export_composition(spark, tmp_path):
         for r in back.select("doc_id", "text", "n_tok").collect()
     }
     assert got == want
+
+
+def test_parse_otlp_logs_nesting_and_units(spark):
+    """A4's logs leg: a hand-built OTLP/JSON logs envelope with two
+    resources, two scopes and multi-record lists must flatten to one
+    row per logRecord with the resource service name, scope name,
+    ns→µs timestamp truncation, severity pair, Body string and the
+    attribute map."""
+    import json as _json
+
+    from alt_spark.sources.otlp import parse_otlp_logs
+
+    def rec(ns, num, txt, body, **attrs):
+        return {
+            "timeUnixNano": str(ns),
+            "severityNumber": num,
+            "severityText": txt,
+            "body": {"stringValue": body},
+            "attributes": [
+                {"key": k, "value": {"stringValue": v}}
+                for k, v in attrs.items()
+            ],
+        }
+
+    env = {
+        "resourceLogs": [
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "a"}}
+                    ]
+                },
+                "scopeLogs": [
+                    {
+                        "scope": {"name": "s1"},
+                        "logRecords": [
+                            rec(1_700_000_000_123_456_789, 9, "INFO", "m1", k="v"),
+                            rec(1_700_000_000_000_000_000, 17, "ERROR", "m2"),
+                        ],
+                    },
+                    {"scope": {"name": "s2"}, "logRecords": [rec(2_000, 5, "DEBUG", "m3")]},
+                ],
+            },
+            {
+                "resource": {
+                    "attributes": [
+                        {"key": "service.name", "value": {"stringValue": "b"}}
+                    ]
+                },
+                "scopeLogs": [
+                    {"scope": {"name": "s3"}, "logRecords": [rec(3_000, 13, "WARN", "m4")]}
+                ],
+            },
+        ]
+    }
+    df = spark.createDataFrame([(_json.dumps(env),)], "value string")
+    rows = {r["body"]: r for r in parse_otlp_logs(df).collect()}
+    assert set(rows) == {"m1", "m2", "m3", "m4"}
+    r1 = rows["m1"]
+    assert r1["service_name"] == "a" and r1["scope_name"] == "s1"
+    assert r1["severity_number"] == 9 and r1["severity_text"] == "INFO"
+    # ns truncates to µs (div 1000): ...123_456_789 ns -> ...123456 µs.
+    from pyspark.sql import functions as F
+
+    got_us = (
+        parse_otlp_logs(df)
+        .filter(F.col("body") == "m1")
+        .select(F.unix_micros("ts"))
+        .first()[0]
+    )
+    assert got_us == 1_700_000_000_123_456_789 // 1000
+    assert r1["attributes"] == {"k": "v"}
+    assert rows["m4"]["service_name"] == "b" and rows["m4"]["scope_name"] == "s3"
