@@ -1633,3 +1633,29 @@ def test_pq_adc_codes_scan_at_100k(spark):
     assert row["adc_d2"] == (10 * 3 + c["code1"]) + (100 * 3 + c["code2"])
     n = cand.count()
     assert n > 0
+
+
+def test_otlp_logs_parse_scan_local_at_100k(spark):
+    """q154's ingest shape at 100k envelope lines: from_json + the
+    three-level lateral explode must stay pipeline-local inside the
+    scan — zero exchanges before the per-(service, severity)
+    aggregation's own shuffle — and every record must flatten."""
+    from alt_spark.plans import audit
+    from alt_spark.sources.otlp import parse_otlp_logs
+
+    lines = spark.range(100_000).selectExpr(
+        """concat(
+             '{"resourceLogs":[{"resource":{"attributes":[{"key":"service.name",',
+             '"value":{"stringValue":"svc-', CAST(id % 7 AS STRING), '"}}]},',
+             '"scopeLogs":[{"scope":{"name":"s"},"logRecords":[',
+             '{"timeUnixNano":"', CAST(1700000000000000000 + id AS STRING),
+             '","severityNumber":9,"severityText":"INFO",',
+             '"body":{"stringValue":"b', CAST(id AS STRING), '"},',
+             '"attributes":[{"key":"k","value":{"stringValue":"v"}}]}]}]}]}'
+           ) AS value"""
+    )
+    recs = parse_otlp_logs(lines)
+    assert audit.shuffle_count(recs) == 0, audit.physical_plan(recs)
+    agg = recs.groupBy("service_name").count().collect()
+    assert sum(r["count"] for r in agg) == 100_000
+    assert len(agg) == 7
