@@ -2200,12 +2200,16 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
     device) — a production pipeline writes survivors to the corpus
     store via foreachBatch.
     """
-    import glob
     import os
     import shutil
     import tempfile
     import time
     import uuid
+
+    from alt_spark.streaming.landing import (
+        land_residue_chunks,
+        replay_shuffle_partitions,
+    )
 
     docs = load_table(spark, sf, "documents")
     raw = (
@@ -2239,43 +2243,58 @@ def q131(spark: SparkSession, sf: str) -> DataFrame:
     os.makedirs(landing)
     sink = "q131_out_" + uuid.uuid4().hex[:8]
     try:
-        now = time.time()
-        for b in range(_SDR_BATCHES + 1):
-            stage = os.path.join(root, f"stage_{b}")
-            reps.filter(F.col("batch") == b).select(
-                "id", "h", "batch"
-            ).coalesce(1).write.mode("overwrite").parquet(stage)
-            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
-            path = os.path.join(landing, f"chunk_{b:03d}.parquet")
-            os.rename(part, path)
-            os.utime(path, (now + b, now + b))
+        # The shared single-write-job landing device (q141/q145/q148's
+        # footing): ONE repartition(n, batch) + partitionBy write stages
+        # all four chunks, replacing four filter-the-aggregate +
+        # coalesce(1) jobs that each re-ran the groupBy and funneled
+        # through a single task. The partition key is stripped from the
+        # data files, so the micro-batch id rides a duplicate `b`
+        # column inside the rows (the stream schema below).
+        land_residue_chunks(
+            reps.select("id", "h", F.col("batch").alias("b"), "batch"),
+            "batch",
+            _SDR_BATCHES + 1,
+            landing,
+            os.path.join(root, "stage"),
+            time.time(),
+        )
         src = (
-            spark.readStream.schema("id long, h string, batch long")
+            spark.readStream.schema("id long, h string, b long")
             .option("maxFilesPerTrigger", 1)
             .parquet(landing)
         )
-        q = (
-            src.dropDuplicates(["h"])
-            .writeStream.format("memory")
-            .queryName(sink)
-            .outputMode("append")
-            .option(
-                "checkpointLocation",
-                os.path.join(root, "ckpt" + uuid.uuid4().hex[:8]),
+        # Replay-scale state sizing (the q49/q141 discipline): the
+        # dropDuplicates state is keyed on h — 32 session shuffle
+        # partitions would open/commit 32 state stores per micro-batch
+        # for pure task overhead; first-wins dedup output is partition-
+        # count-invariant. Production sizes this to its key space.
+        with replay_shuffle_partitions(spark):
+            q = (
+                src.dropDuplicates(["h"])
+                .writeStream.format("memory")
+                .queryName(sink)
+                .outputMode("append")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(root, "ckpt" + uuid.uuid4().hex[:8]),
+                )
+                .trigger(availableNow=True)
+                .start()
             )
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("q131 streaming replay timed out")
-        finally:
-            if q.isActive:
-                q.stop()
-        surv = spark.table(sink).groupBy("batch").agg(
-            F.count("*").alias("n_out"),
-            F.sum("id").alias("id_checksum"),
+            try:
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise RuntimeError("q131 streaming replay timed out")
+            finally:
+                if q.isActive:
+                    q.stop()
+        surv = (
+            spark.table(sink)
+            .groupBy(F.col("b").alias("batch"))
+            .agg(
+                F.count("*").alias("n_out"),
+                F.sum("id").alias("id_checksum"),
+            )
         )
         out = (
             n_in.join(surv, "batch", "left")

@@ -382,13 +382,15 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     import uuid
 
     from alt_spark.operators.dedup import tokens_col
+    from alt_spark.streaming.landing import (
+        land_residue_chunks,
+        replay_shuffle_partitions,
+    )
     from alt_spark.streaming.sketch_stream import (
         run_streaming_sketch,
         verified_top_n,
         windowed_sketch_state,
     )
-
-    import glob
 
     docs = load_table(spark, sf, "documents")
     # Four consumers read the exploded token frame (three residue
@@ -407,49 +409,58 @@ def q120(spark: SparkSession, sf: str) -> DataFrame:
     state = os.path.join(root, "state")
     os.makedirs(landing)
     try:
-        now = time.time()
-        for r in range(_WTT_BATCHES):
-            # Executor-side landing: one Spark write per residue (the
-            # exploded token frame is corpus-sized — collecting it to
-            # the driver would OOM exactly where the sketch's bounded
-            # memory matters; review finding, r9). coalesce(1) gives
-            # one part file per residue; the rename + utime stagger
-            # makes the file source's (mtime-ordered) batch id equal
-            # the residue deterministically.
-            stage = os.path.join(root, f"stage_{r}")
-            toks.filter(F.col("residue") == r).select("tok").coalesce(
-                1
-            ).write.mode("overwrite").parquet(stage)
-            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
-            path = os.path.join(landing, f"chunk_{r:03d}.parquet")
-            os.rename(part, path)
-            os.utime(path, (now + r, now + r))
+        # Executor-side landing through the shared single-write-job
+        # device (q141/q145/q148's footing — the exploded token frame
+        # is corpus-sized, so it must never collect to the driver;
+        # review finding, r9): ONE repartition(n, residue) +
+        # partitionBy write stages all three chunks in parallel tasks,
+        # replacing three filter + coalesce(1) jobs that each rescanned
+        # the checkpointed token frame and funneled every row through a
+        # single task. The mtime stagger keeps the file source's
+        # (mtime-ordered) batch id equal to the residue.
+        land_residue_chunks(
+            toks.select("tok", "residue"),
+            "residue",
+            _WTT_BATCHES,
+            landing,
+            os.path.join(root, "stage"),
+            time.time(),
+        )
         src = (
             spark.readStream.schema("tok string")
             .option("maxFilesPerTrigger", 1)
             .parquet(landing)
         )
-        q = run_streaming_sketch(
-            spark,
-            src,
-            state_dir=state,
-            checkpoint_dir=os.path.join(root, "ckpt" + uuid.uuid4().hex[:8]),
-            key_col="tok",
-            k=_WTT_K,
-            keep_per_batch=True,
-            available_now=True,
-        )
-        try:
-            # availableNow terminates after draining, so this timeout
-            # is LIVE — a wedged micro-batch raises instead of hanging
-            # the driver (review finding, r9: stop() before
-            # awaitTermination made the old guard dead code).
-            if not q.awaitTermination(300):
-                q.stop()
-                raise RuntimeError("q120 streaming replay timed out")
-        finally:
-            if q.isActive:
-                q.stop()
+        # Replay-scale shuffle sizing (the q49/q141 discipline): the
+        # per-batch MG merges move metadata-sized summary frames — 32
+        # session shuffle partitions are pure per-task overhead here.
+        # The VERIFIED top-10 is partition-count-invariant by the MG
+        # guarantee + strict guard (candidate SETS may vary; the exact-
+        # verified output cannot — pytest-pinned on the operator).
+        with replay_shuffle_partitions(spark):
+            q = run_streaming_sketch(
+                spark,
+                src,
+                state_dir=state,
+                checkpoint_dir=os.path.join(
+                    root, "ckpt" + uuid.uuid4().hex[:8]
+                ),
+                key_col="tok",
+                k=_WTT_K,
+                keep_per_batch=True,
+                available_now=True,
+            )
+            try:
+                # availableNow terminates after draining, so this
+                # timeout is LIVE — a wedged micro-batch raises instead
+                # of hanging the driver (review finding, r9: stop()
+                # before awaitTermination made the old guard dead code).
+                if not q.awaitTermination(300):
+                    q.stop()
+                    raise RuntimeError("q120 streaming replay timed out")
+            finally:
+                if q.isActive:
+                    q.stop()
         win_state = windowed_sketch_state(spark, state, list(_WTT_WINDOW), _WTT_K)
         window_rows = toks.filter(
             F.col("residue").isin(*_WTT_WINDOW)

