@@ -967,141 +967,80 @@ def q136(spark: SparkSession, sf: str) -> DataFrame:
         .cast("long")
         .alias("y"),
     )
-    # The layout frames are tag-cloud-sized: materialize the graph once
-    # (it feeds every iteration) and keep each iteration's plan flat.
-    if _dfcache.MATERIALIZE:
-        und = und.localCheckpoint(eager=False)
-        pos = pos.localCheckpoint(eager=False)
+    # The layout loop runs as a DRIVER-SIDE integer fold over
+    # model-sized state (the q141/mini-batch-k-means doctrine): the
+    # position table is _FL_TOP rows and the edge list is bounded by
+    # _FL_TOP², independent of corpus size, so each Spark iteration was
+    # ~6 tiny jobs (4 broadcasts + an eager checkpoint) of pure
+    # orchestration — measured ~3 s of the 4.6 s sf0.1 wall for 40
+    # rows. The corpus-scale stages above (tokenize, df count, in-row
+    # edge build, md5 init) stay distributed; the fold below replays
+    # the identical integer schedule (same sign-decomposed truncating
+    # division both engines use — see _fl_idiv), so the oracle replay
+    # is unchanged. At 100 TB the node count is still _FL_TOP: the
+    # collect is model-sized state, like the k-means centroid fold.
     k2, sc, cpa = _FL_K2, _FL_SCALE, _FL_CPA
-    far_d2 = "((x - mx) * (x - mx) + (y - my) * (y - my) + 1)"
-    near_d2 = "((x - ox) * (x - ox) + (y - oy) * (y - oy) + 1)"
+
+    def idiv(num: int, den: int) -> int:
+        # sign(num) * (|num| // den), den > 0 — truncation toward zero,
+        # the shared Spark `div` / DuckDB `//` rule (_fl_idiv's twin).
+        return -((-num) // den) if num < 0 else num // den
+
+    p = {r["t"]: (int(r["x"]), int(r["y"])) for r in pos.collect()}
+    edges_l = [(r["u"], r["v"], int(r["w"])) for r in und.collect()]
     for i in range(_FL_ITERS):
         t_cap = _FL_T[i]
-        bbox = pos.agg(
-            F.min("x").alias("bx0"),
-            F.max("x").alias("bx1"),
-            F.min("y").alias("by0"),
-            F.max("y").alias("by1"),
-        )
-        cell = pos.crossJoin(F.broadcast(bbox)).select(
-            "t",
-            "x",
-            "y",
-            F.expr(
-                f"least((x - bx0) * {cpa} div greatest(bx1 - bx0, 1), {cpa - 1})"
-            ).alias("cx"),
-            F.expr(
-                f"least((y - by0) * {cpa} div greatest(by1 - by0, 1), {cpa - 1})"
-            ).alias("cy"),
-        )
-        sup = cell.groupBy("cx", "cy").agg(
-            F.count("*").alias("m"),
-            F.expr("sum(x) div count(*)").alias("mx"),
-            F.expr("sum(y) div count(*)").alias("my"),
-        )
-        far = (
-            cell.join(
-                F.broadcast(
-                    sup.select(
-                        F.col("cx").alias("ox"),
-                        F.col("cy").alias("oy"),
-                        "m",
-                        "mx",
-                        "my",
-                    )
-                ),
-                (F.abs(F.col("cx") - F.col("ox")) > 1)
-                | (F.abs(F.col("cy") - F.col("oy")) > 1),
+        xs = [x for x, _ in p.values()]
+        ys = [y for _, y in p.values()]
+        bx0, bx1 = min(xs), max(xs)
+        by0, by1 = min(ys), max(ys)
+        gw, gh = max(bx1 - bx0, 1), max(by1 - by0, 1)
+        cell = {
+            t: (
+                min((x - bx0) * cpa // gw, cpa - 1),
+                min((y - by0) * cpa // gh, cpa - 1),
             )
-            .select(
-                "t",
-                F.expr(
-                    f"m * {_fl_idiv(f'{k2} * (x - mx)', far_d2, 'div')}"
-                ).alias("fx"),
-                F.expr(
-                    f"m * {_fl_idiv(f'{k2} * (y - my)', far_d2, 'div')}"
-                ).alias("fy"),
-            )
-        )
-        near = (
-            cell.alias("n1")
-            .join(
-                F.broadcast(
-                    cell.select(
-                        F.col("t").alias("ot"),
-                        F.col("x").alias("ox"),
-                        F.col("y").alias("oy"),
-                        F.col("cx").alias("ocx"),
-                        F.col("cy").alias("ocy"),
-                    )
-                ),
-                (F.col("t") != F.col("ot"))
-                & (F.abs(F.col("cx") - F.col("ocx")) <= 1)
-                & (F.abs(F.col("cy") - F.col("ocy")) <= 1),
-            )
-            .select(
-                "t",
-                F.expr(_fl_idiv(f"{k2} * (x - ox)", near_d2, "div")).alias(
-                    "fx"
-                ),
-                F.expr(_fl_idiv(f"{k2} * (y - oy)", near_d2, "div")).alias(
-                    "fy"
-                ),
-            )
-        )
-        att = (
-            und.join(
-                pos.select(
-                    F.col("t").alias("u"),
-                    F.col("x").alias("ux"),
-                    F.col("y").alias("uy"),
-                ),
-                "u",
-            )
-            .join(
-                F.broadcast(
-                    pos.select(
-                        F.col("t").alias("v"),
-                        F.col("x").alias("vx"),
-                        F.col("y").alias("vy"),
-                    )
-                ),
-                "v",
-            )
-            .select(
-                F.col("u").alias("t"),
-                (-(F.col("ux") - F.col("vx")) * F.col("w")).alias("fx"),
-                (-(F.col("uy") - F.col("vy")) * F.col("w")).alias("fy"),
-            )
-        )
-        frc = (
-            far.unionByName(near)
-            .unionByName(att)
-            .groupBy("t")
-            .agg(
-                F.sum("fx").cast("long").alias("fx"),
-                F.sum("fy").cast("long").alias("fy"),
-            )
-        )
-        pos = (
-            pos.alias("q")
-            .join(F.broadcast(frc.alias("f")), "t", "left")
-            .select(
-                "t",
-                F.expr(
-                    f"x + CAST(coalesce((CASE WHEN fx < 0 THEN -1 ELSE 1 END)"
-                    f" * least(abs(fx) div {sc}, {t_cap}), 0) AS BIGINT)"
-                ).alias("x"),
-                F.expr(
-                    f"y + CAST(coalesce((CASE WHEN fy < 0 THEN -1 ELSE 1 END)"
-                    f" * least(abs(fy) div {sc}, {t_cap}), 0) AS BIGINT)"
-                ).alias("y"),
-            )
-        )
-        if _dfcache.MATERIALIZE:
-            pos = pos.localCheckpoint(eager=True)
-    return pos.select(
-        F.col("t").alias("token"),
-        F.col("x").alias("x_milli"),
-        F.col("y").alias("y_milli"),
+            for t, (x, y) in p.items()
+        }
+        sup: dict[tuple[int, int], list[int]] = {}
+        for t, (x, y) in p.items():
+            s = sup.setdefault(cell[t], [0, 0, 0])
+            s[0] += 1
+            s[1] += x
+            s[2] += y
+        sup_rows = [
+            (cx, cy, m, idiv(sx, m), idiv(sy, m))
+            for (cx, cy), (m, sx, sy) in sup.items()
+        ]
+        frc = {t: [0, 0] for t in p}
+        for t, (x, y) in p.items():
+            tcx, tcy = cell[t]
+            for cx, cy, m, mx, my in sup_rows:
+                if abs(tcx - cx) > 1 or abs(tcy - cy) > 1:
+                    d2 = (x - mx) * (x - mx) + (y - my) * (y - my) + 1
+                    frc[t][0] += m * idiv(k2 * (x - mx), d2)
+                    frc[t][1] += m * idiv(k2 * (y - my), d2)
+        for t, (x, y) in p.items():
+            tcx, tcy = cell[t]
+            for ot, (ox, oy) in p.items():
+                ocx, ocy = cell[ot]
+                if t != ot and abs(tcx - ocx) <= 1 and abs(tcy - ocy) <= 1:
+                    d2 = (x - ox) * (x - ox) + (y - oy) * (y - oy) + 1
+                    frc[t][0] += idiv(k2 * (x - ox), d2)
+                    frc[t][1] += idiv(k2 * (y - oy), d2)
+        for u, v, w in edges_l:
+            ux, uy = p[u]
+            vx, vy = p[v]
+            frc[u][0] += -(ux - vx) * w
+            frc[u][1] += -(uy - vy) * w
+        newp = {}
+        for t, (x, y) in p.items():
+            fx, fy = frc[t]
+            dx = (-1 if fx < 0 else 1) * min(abs(fx) // sc, t_cap)
+            dy = (-1 if fy < 0 else 1) * min(abs(fy) // sc, t_cap)
+            newp[t] = (x + dx, y + dy)
+        p = newp
+    rows = [(t, x, y) for t, (x, y) in sorted(p.items())]
+    return spark.createDataFrame(
+        rows, "token string, x_milli long, y_milli long"
     ).orderBy("token")

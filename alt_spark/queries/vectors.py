@@ -1010,6 +1010,15 @@ _KM_K = 8
 _KM_ITERS = 3
 _KM_Q = 1000  # quantization: milli-units
 
+# Plan-keyed cache for the fitted Lloyd chain (the minhash_pairs
+# doctrine): q137/q138 fit the identical quantizer — one materializes,
+# the sibling reuses. Two entries per fit (cents + assigned), distinct
+# (slice, k, iters) fits key separately; 8 slots cover the suite's
+# fit population (full, base slice, 4 PQ subspaces).
+from alt_spark.plans.dfcache import DataFramePlanCache
+
+_KM_FIT_CACHE = DataFramePlanCache(max_entries=12, name="km_fit")
+
 
 def _km_chain_ctes(
     src: str = "embeddings",
@@ -1166,12 +1175,24 @@ def _km_fit(
     (vec_id, qv, cluster). Shared by q137 (reports the fit), q138
     (probes the fitted quantizer), q143 (fits on the BASE slice via
     the ``qvecs`` override, then assigns increments against the stored
-    centroids) and q146 (per-subspace PQ codebooks via k/iters)."""
+    centroids) and q146 (per-subspace PQ codebooks via k/iters).
+
+    The fit itself is served through a plan-keyed cache (the MinHash
+    pair-frame doctrine, dfcache): q137 and q138 fit the IDENTICAL
+    quantizer over the same qvecs plan — one pays the iteration jobs,
+    the other reads the checkpointed centroids/assignment. Keyed on
+    (qvecs plan, k, iters); distinct slices (q143's base fit) or
+    subspaces (q146) key separately."""
     if qvecs is None:
         qvecs = _km_quantized(spark, sf)
     from alt_spark.plans import dfcache as _dfcache
 
     if _dfcache.MATERIALIZE:
+        key_df = qvecs
+        hit_c = _KM_FIT_CACHE.get(key_df, ("cents", k, iters))
+        hit_a = _KM_FIT_CACHE.get(key_df, ("assigned", k, iters))
+        if hit_c is not None and hit_a is not None:
+            return hit_c, hit_a
         qvecs = qvecs.localCheckpoint(eager=False)
     from pyspark.sql.window import Window
 
@@ -1206,6 +1227,10 @@ def _km_fit(
             cents.join(new_cents.select("cluster"), "cluster", "left_anti")
         )
         last_assigned = assigned
+    if _dfcache.MATERIALIZE:
+        cents = cents.localCheckpoint(eager=False)
+        _KM_FIT_CACHE.put(key_df, cents, ("cents", k, iters))
+        _KM_FIT_CACHE.put(key_df, last_assigned, ("assigned", k, iters))
     return cents, last_assigned
 
 

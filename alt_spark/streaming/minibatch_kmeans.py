@@ -45,22 +45,33 @@ __all__ = [
 ]
 
 
+def _cent_arr_frame(
+    spark: SparkSession, cents: list[list], elem_type: str
+) -> DataFrame:
+    """One-row (cents array<struct<c,cv>>) local relation for the
+    in-row argmin. The centroid VALUES ride as data, not as literals:
+    a literal-embedded centroid array changes the generated code every
+    micro-batch (new constants -> janino recompile + ~500 py4j Column
+    constructions per k x dim), where a broadcast local relation keeps
+    the plan shape — and its cached codegen — identical across batches
+    (measured on q141: ~1.6 s -> ~0.5 s per batch at sf0.1)."""
+    rows = [([(i, list(vec)) for i, vec in enumerate(cents)],)]
+    return spark.createDataFrame(
+        rows, f"cents array<struct<c:int,cv:array<{elem_type}>>>"
+    )
+
+
 def assign_and_summarize(
     batch: DataFrame, cents: list[list[float]]
 ) -> dict[int, tuple[int, list[float]]]:
     """Assign a (vec_id, embedding) batch to its nearest centroid
     (squared L2, ties to the lowest cluster via strict <) and return
     per-cluster (n_new, per-dim sums). One narrow pass: the centroids
-    ride a literal broadcast array; no vector ever shuffles — only the
-    k x dim summary comes back."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("c"),
-                F.array(*[F.lit(float(v)) for v in vec]).alias("cv"),
-            )
-            for i, vec in enumerate(cents)
-        ]
+    ride a 1-row broadcast local relation (see _cent_arr_frame); no
+    vector ever shuffles — only the k x dim summary comes back."""
+    cent_arr = _cent_arr_frame(
+        batch.sparkSession, [[float(v) for v in vec] for vec in cents],
+        "double",
     )
 
     def dist_to(x):
@@ -81,19 +92,24 @@ def assign_and_summarize(
     # all numerics, so NaN < inf is false) — malformed vectors surface
     # as -1 and fail loudly in minibatch_update instead of silently
     # corrupting a centroid.
-    dists = F.transform(
-        cent_arr,
-        lambda x: F.struct(dist_to(x).alias("d"), x["c"].alias("c")),
-    )
-    assigned = batch.select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("v")
-    ).select(
-        "v",
-        F.aggregate(
-            dists,
-            F.struct(big.alias("d"), F.lit(-1).alias("c")),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-        )["c"].alias("cluster"),
+    assigned = (
+        batch.select(
+            F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "v",
+            F.aggregate(
+                F.transform(
+                    F.col("cents"),
+                    lambda x: F.struct(
+                        dist_to(x).alias("d"), x["c"].alias("c")
+                    ),
+                ),
+                F.struct(big.alias("d"), F.lit(-1).alias("c")),
+                lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+            )["c"].alias("cluster"),
+        )
     )
     stats = (
         assigned.select("cluster", F.posexplode("v").alias("i", "x"))
@@ -153,17 +169,11 @@ def assign_and_summarize_int(
     longs — every number both engines touch is an integer, so the
     DuckDB unrolled replay agrees bit-for-bit. Same single-evaluation
     argmin and same scale shape as the float form: centroids ride a
-    literal broadcast array, only the k x dim summary returns."""
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("c"),
-                F.array(
-                    *[F.lit(int(v)).cast("long") for v in vec]
-                ).alias("cv"),
-            )
-            for i, vec in enumerate(cents)
-        ]
+    1-row broadcast local relation (see _cent_arr_frame), only the
+    k x dim summary returns."""
+    cent_arr = _cent_arr_frame(
+        batch.sparkSession, [[int(v) for v in vec] for vec in cents],
+        "bigint",
     )
 
     def dist_to(x):
@@ -176,17 +186,22 @@ def assign_and_summarize_int(
         )
 
     big = F.lit(2**62).cast("long")
-    dists = F.transform(
-        cent_arr,
-        lambda x: F.struct(dist_to(x).alias("d"), x["c"].alias("c")),
-    )
-    assigned = batch.select(F.col("qv").alias("v")).select(
-        "v",
-        F.aggregate(
-            dists,
-            F.struct(big.alias("d"), F.lit(-1).alias("c")),
-            lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
-        )["c"].alias("cluster"),
+    assigned = (
+        batch.select(F.col("qv").alias("v"))
+        .crossJoin(F.broadcast(cent_arr))
+        .select(
+            "v",
+            F.aggregate(
+                F.transform(
+                    F.col("cents"),
+                    lambda x: F.struct(
+                        dist_to(x).alias("d"), x["c"].alias("c")
+                    ),
+                ),
+                F.struct(big.alias("d"), F.lit(-1).alias("c")),
+                lambda acc, x: F.when(x["d"] < acc["d"], x).otherwise(acc),
+            )["c"].alias("cluster"),
+        )
     )
     stats = (
         assigned.select("cluster", F.posexplode("v").alias("i", "x"))
