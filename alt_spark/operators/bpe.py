@@ -147,6 +147,12 @@ def learn_bpe_merges(
             break
         a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
         merges.append((step, a, b, n))
+        # Eager on purpose: the next round's action is a limit(1)
+        # collect, whose partial-evaluation job computes only some
+        # partitions — a LAZY checkpoint here only half-materializes
+        # and every later round recomputes the missing partitions
+        # through the whole chain (measured 2.8 s -> 11-17 s at sf0.1
+        # when this was tried lazy in r12).
         types = types.select(
             _merge_fold(F.col("syms"), F.lit(a), F.lit(b)).alias("syms"),
             "cnt",
