@@ -307,14 +307,16 @@ def winnowing_fingerprints(
     k: int = 5,
     window: int = 4,
     portable: bool = False,
+    portable_hex: bool = False,
 ):
     """Winnowing document fingerprints (Schleimer et al. 2003): hash all
     k-gram character shingles, keep the min hash of every sliding window.
 
     Guarantees any shared substring of length >= k+window-1 yields at
     least one shared fingerprint — the rolling-hash dedup/provenance
-    primitive. Returns (id, fingerprints array<long> sorted distinct);
-    rows too short for one full window get an empty set.
+    primitive. Returns (id, fingerprints sorted distinct — array<long>,
+    or array<string> of fixed-width hex under ``portable_hex``, see
+    below); rows too short for one full window get an empty set.
 
     Fully in-row: the gram-hash array and the sliding minima are one
     narrow projection — no explode, no shuffle, no window exec. The
@@ -335,10 +337,33 @@ def winnowing_fingerprints(
     conv form, since the sliding min only needs a consistent total
     order and the second hex parse was most of the portable-path cost);
     the winnowing guarantee is hash-agnostic.
-    """
-    from alt_spark.functions.hashing import portable_hash60
 
-    hash_fn = portable_hash60 if portable else F.xxhash64
+    ``portable_hex=True`` (portable mode only) additionally skips the
+    ``conv`` base-16 parse and keeps the fingerprint as the RAW
+    15-hex-char md5 prefix: lexicographic order on fixed-width
+    lowercase hex IS the numeric order of the 60-bit value (a
+    bijection, so sliding-min, distinct-count and equality all agree
+    with the long form — verified by a zero-mismatch per-doc
+    distinct-count cross-check at sf0.1). Measured ~12% off the whole
+    fingerprint pass (2.61 -> 2.29 s best-of-3 at sf0.1). Use it ONLY
+    when the fingerprints stay in-row (q33's size() counting): a
+    consumer that explodes and SHUFFLES them (q132's containment join)
+    measured slightly WORSE with 15-byte string keys than 8-byte
+    longs, so it keeps the numeric form.
+    """
+    if portable and portable_hex:
+        def hash_fn(c):
+            return F.substring(F.md5(c), 1, 15)
+
+        empty_t = "array<string>"
+    elif portable:
+        from alt_spark.functions.hashing import portable_hash60
+
+        hash_fn = portable_hash60
+        empty_t = "array<bigint>"
+    else:
+        hash_fn = F.xxhash64
+        empty_t = "array<bigint>"
     text = F.col(text_col)
     n = F.length(text)
     grams = F.when(
@@ -347,7 +372,7 @@ def winnowing_fingerprints(
             F.sequence(F.lit(1), n - (k - 1)),
             lambda i: hash_fn(text.substr(i.cast("int"), F.lit(k))),
         ),
-    ).otherwise(F.array().cast("array<bigint>"))
+    ).otherwise(F.array().cast(empty_t))
 
     def _wmins(g: Column) -> Column:
         return F.when(
@@ -365,7 +390,7 @@ def winnowing_fingerprints(
                     )
                 )
             ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        ).otherwise(F.array().cast(empty_t))
 
     fingerprints = F.element_at(F.transform(F.array(grams), _wmins), 1)
     return df.select(

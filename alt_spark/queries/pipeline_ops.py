@@ -508,7 +508,11 @@ def q33(spark: SparkSession, sf: str) -> DataFrame:
     # oracle's LEFT JOIN + coalesce(0) contract. An inner join here would
     # silently drop short docs (and whole sources of short docs) the
     # moment the data contains any.
-    fp = ta.winnowing_fingerprints(docs, portable=True)
+    # portable_hex: q33 only COUNTS fingerprints (size of the in-row
+    # distinct array), so the 15-hex-char representation — numeric-
+    # order-equivalent by fixed-width bijection — skips the conv parse
+    # (~12% of the pass, see winnowing_fingerprints docstring).
+    fp = ta.winnowing_fingerprints(docs, portable=True, portable_hex=True)
     joined = docs.select(F.col("doc_id").alias("id"), "source").join(fp, "id", "left")
     return (
         joined.groupBy("source")

@@ -107,3 +107,25 @@ def test_winnowing_empty_set_parity_across_hash_families(spark):
         r.doc_id for r in docs.filter(F.length("text") >= 5 + 4 - 1).collect()
     }
     assert not (empty_production & long_docs)
+
+
+def test_winnowing_portable_hex_is_order_isomorphic_to_long(spark):
+    """The portable_hex representation (r12 optimization: the raw
+    15-hex-char md5 prefix instead of the conv-parsed long) must be a
+    strict order-isomorphism of the numeric form: fixed-width lowercase
+    hex sorts exactly like the 60-bit value it encodes, so the sliding
+    minima pick the SAME grams and the per-doc distinct fingerprint
+    SETS correspond 1:1 — pinned by re-parsing the hex values to longs
+    and comparing whole sets per doc, not just counts."""
+    docs = _docs(spark)
+    long_fp = {
+        r.id: sorted(r.fingerprints)
+        for r in ta.winnowing_fingerprints(docs, portable=True).collect()
+    }
+    hex_fp = {
+        r.id: sorted(int(h, 16) for h in r.fingerprints)
+        for r in ta.winnowing_fingerprints(
+            docs, portable=True, portable_hex=True
+        ).collect()
+    }
+    assert long_fp == hex_fp
