@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import hashlib
 import os
+import threading
 from collections import OrderedDict
 from collections.abc import Iterator
 
@@ -203,6 +204,12 @@ class DataFramePlanCache:
         self._d: OrderedDict[
             tuple, tuple[SparkSession, DataFrame, DataFrame, str]
         ] = OrderedDict()
+        # Concurrent-job callers (guide §2.6 thread pools — q146's
+        # overlapped PQ fits) get/put from driver threads; the LRU's
+        # compound mutations (sweep + drop + move_to_end) are not
+        # atomic under the GIL, so serialize them. Uncontended cost is
+        # nanoseconds against py4j-milliseconds work per call.
+        self._lock = threading.RLock()
         self._max = max_entries
         self._unpersist = unpersist_on_evict
         self._fingerprint = fingerprint_inputs
@@ -252,6 +259,10 @@ class DataFramePlanCache:
         """``extra``: hashable non-plan key components (operator
         parameters) — two calls over the same input plan with different
         parameters must not share an entry."""
+        with self._lock:
+            return self._get_locked(key_df, extra)
+
+    def _get_locked(self, key_df: DataFrame, extra: tuple) -> DataFrame | None:
         self._sweep_dead()
         k = self._key(key_df, extra)
         ent = self._d.get(k)
@@ -316,18 +327,19 @@ class DataFramePlanCache:
         return vdf
 
     def put(self, key_df: DataFrame, value_df: DataFrame, extra: tuple = ()) -> None:
-        self._sweep_dead()
-        fp = self._fp(key_df)
-        if fp is None:
-            return
-        k = self._key(key_df, extra)
-        if k in self._d:
-            self._drop(k)
-        self._d[k] = (key_df.sparkSession, key_df, value_df, fp)
-        self.stats["puts"] += 1
-        while len(self._d) > self._max:
-            self._drop(next(iter(self._d)))
-            self.stats["evictions"] += 1
+        with self._lock:
+            self._sweep_dead()
+            fp = self._fp(key_df)
+            if fp is None:
+                return
+            k = self._key(key_df, extra)
+            if k in self._d:
+                self._drop(k)
+            self._d[k] = (key_df.sparkSession, key_df, value_df, fp)
+            self.stats["puts"] += 1
+            while len(self._d) > self._max:
+                self._drop(next(iter(self._d)))
+                self.stats["evictions"] += 1
 
     def get_or_materialize(
         self,
@@ -376,5 +388,6 @@ class DataFramePlanCache:
         return [vdf for (_, _, vdf, _) in self._d.values()]
 
     def clear(self) -> None:
-        for k in list(self._d):
-            self._drop(k)
+        with self._lock:
+            for k in list(self._d):
+                self._drop(k)

@@ -1837,10 +1837,27 @@ def q146(spark: SparkSession, sf: str) -> DataFrame:
     if _dfcache.MATERIALIZE:
         qfull = qfull.localCheckpoint(eager=False)
     (lo1, ln1), (lo2, ln2) = _PQ_SUBS
-    subs = []
-    for lo, ln in _PQ_SUBS:
+    # The per-subspace codebook fits are INDEPENDENT job chains over
+    # the same checkpointed qvecs — overlap them from a 2-thread pool
+    # (guide §2.6: actions are only sequential because the driver
+    # calls them sequentially; the second fit's tiny jobs back-fill
+    # executors the first leaves idle between its iteration barriers).
+    # The fit cache is lock-protected (dfcache) and the fits write
+    # DISTINCT keys; inheritable_thread_target propagates the job
+    # group/description thread-locals per the PySpark docs.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _fit_sub(lo_ln):
+        lo, ln = lo_ln
         sub = qfull.select("vec_id", F.slice("qv", lo, ln).alias("qv"))
-        subs.append(_km_fit(spark, sf, qvecs=sub, k=_PQ_K, iters=_PQ_ITERS))
+        return _km_fit(spark, sf, qvecs=sub, k=_PQ_K, iters=_PQ_ITERS)
+
+    with ThreadPoolExecutor(max_workers=len(_PQ_SUBS)) as pool:
+        subs = list(
+            pool.map(inheritable_thread_target(spark)(_fit_sub), _PQ_SUBS)
+        )
     (c1, a1), (c2, a2) = subs
     codes = a1.select("vec_id", F.col("cluster").alias("code1")).join(
         a2.select("vec_id", F.col("cluster").alias("code2")), "vec_id"
