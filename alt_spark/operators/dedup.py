@@ -38,6 +38,15 @@ from alt_spark.plans.dfcache import DataFramePlanCache
 _PAIR_CACHE = DataFramePlanCache(max_entries=4, name="minhash_pairs")
 _SIMHASH_PAIR_CACHE = DataFramePlanCache(max_entries=4, name="simhash_pairs")
 
+# Signature tables keyed by (input plan, parameters): see
+# minhash_signatures_cached. Operationally the WRITTEN per-corpus
+# signature table (band_rows' docstring: write once per snapshot);
+# sharing it lets a consumer that needs a row-subset of the corpus's
+# signatures (q121's persisted base artifacts) filter the one
+# materialization instead of re-shingling — MinHash signatures are
+# per-document, so sign-then-filter == filter-then-sign exactly.
+_SIG_CACHE = DataFramePlanCache(max_entries=4, name="minhash_sigs")
+
 # Duplicated-span gram keys keyed by (input plan, parameters): see
 # _dup_gram_keys. Bounded: each entry pins one localCheckpoint of the
 # DUPLICATED gram keys only (the aggregate, not the positional rows) —
@@ -77,6 +86,7 @@ __all__ = [
     "exact_dedup",
     "exact_dedup_incremental",
     "minhash_signatures",
+    "minhash_signatures_cached",
     "band_rows",
     "lsh_candidate_pairs",
     "lsh_incremental_pairs",
@@ -224,6 +234,43 @@ def minhash_signatures(
         .agg(*mins)
         .select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("signature"))
     )
+
+
+def minhash_signatures_cached(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 128,
+    shingle_k: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """``minhash_signatures`` served through the shared-materialization
+    policy (``_SIG_CACHE``): the first request for a (corpus plan,
+    parameters) shape pays the shingle/hash/groupBy chain once behind a
+    lazy localCheckpoint; every later request — another near-dup call
+    over the same corpus, or a consumer that needs a row-subset of the
+    same corpus's signatures (q121 filters the base/increment split out
+    of the full table) — returns the SAME frame and reads the blocks.
+    At 100 TB this IS the written signature table of ``band_rows``'s
+    docstring, computed once per corpus snapshot.
+
+    Subset derivations are exact, not approximate: a signature is a
+    per-document min-fold over that document's own shingles, so
+    ``sign(corpus).filter(pred(id))`` row-equals ``sign(corpus.filter(
+    pred(id)))`` for any id-level predicate (pytest-pinned).
+
+    With the hermetic ``dfcache.MATERIALIZE`` switch off, returns the
+    raw plan untouched (no cache, no barrier) — plan audits see full
+    lineage, exactly like every other plan-keyed cache here.
+    """
+    params = (
+        "minhash_signatures", text_col, id_col, num_perm, shingle_k,
+        bool(portable),
+    )
+    raw = minhash_signatures(
+        df, text_col, id_col, num_perm, shingle_k, portable=portable
+    )
+    return _SIG_CACHE.get_or_materialize(df, raw, extra=params)
 
 
 def band_rows(
@@ -394,19 +441,17 @@ def minhash_near_dup(
     if hit is not None:
         return hit
     # The signature table feeds three plan branches (banding + both sides
-    # of the verify join); checkpoint it (LAZY since r8 — construction
-    # stays plan-only per ADVICE r7; the first action computes each
-    # partition once under block-level locking and all three branches
-    # read the blocks) so shingling/hashing runs once, with blocks
-    # auto-released on GC rather than leaking a persist() for the
-    # session lifetime. At 100 TB this materialization is a written
-    # signature table, computed once per corpus snapshot and reused
-    # across dedup runs.
-    sigs = minhash_signatures(
+    # of the verify join); it is served through the shared _SIG_CACHE
+    # (lazy localCheckpoint inside — construction stays plan-only per
+    # ADVICE r7; the first action computes each partition once under
+    # block-level locking and all three branches read the blocks) so
+    # shingling/hashing runs once AND the same materialization serves
+    # any other signature consumer of this corpus (q121's persisted
+    # base artifacts). At 100 TB this is a written signature table,
+    # computed once per corpus snapshot and reused across dedup runs.
+    sigs = minhash_signatures_cached(
         df, text_col, id_col, num_perm, shingle_k, portable=portable
     )
-    if dfcache.MATERIALIZE:
-        sigs = sigs.localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(sigs, bands, rows_per_band, portable=portable)
     pairs = (
         signature_est_jaccard(cand, sigs)

@@ -269,21 +269,22 @@ def main() -> int:
             from alt_spark.queries.pipeline_ops import _ICU_MOD
 
             def _base_only() -> float:
+                # Mirrors q121's r12 internals: base artifacts derived
+                # from the corpus-level shared materializations (the
+                # signature cache + the q118/q30 pair frame), not
+                # re-signed from raw text.
                 _dfc121.clear_all()
                 t0 = time.perf_counter()
-                docs = load_table(spark, sf_dir, "documents").select(
-                    "doc_id", "text"
-                )
-                base = docs.filter(F.col("doc_id") % _ICU_MOD != 0)
-                sigs = _dedup.minhash_signatures(base, portable=True)
-                if _dfc121.MATERIALIZE:
-                    sigs = sigs.localCheckpoint(eager=False)
-                bands = _dedup.band_rows(sigs, portable=True)
+                docs = load_table(spark, sf_dir, "documents")
+                sigs = _dedup.minhash_signatures_cached(docs, portable=True)
+                base_sigs = sigs.filter(F.col("id") % _ICU_MOD != 0)
+                bands = _dedup.band_rows(base_sigs, portable=True)
                 pairs = (
-                    _dedup.signature_est_jaccard(
-                        _dedup.lsh_candidate_pairs(sigs, portable=True), sigs
+                    _dedup.minhash_near_dup(docs, threshold=0.7, portable=True)
+                    .filter(
+                        (F.col("id1") % _ICU_MOD != 0)
+                        & (F.col("id2") % _ICU_MOD != 0)
                     )
-                    .filter(F.col("est_jaccard") >= 0.7)
                     .select("id1", "id2")
                 )
                 labels = connected_components(pairs)

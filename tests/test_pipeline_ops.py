@@ -1164,6 +1164,51 @@ def test_signature_est_jaccard_raises_on_missing_endpoint(spark):
     assert ok[0]["est_jaccard"] == 1.0
 
 
+def test_minhash_subset_derivations_exact(spark):
+    """Pins the two equalities q121's r12 shared-artifact derivation
+    rests on (optimization round 1):
+
+    1. Signatures are per-document, so ``sign(corpus).filter(pred(id))``
+       row-equals ``sign(corpus.filter(pred(id)))`` for an id predicate.
+    2. Candidate equality and the agreement estimate are pairwise, so
+       the both-ends-in-subset restriction of the corpus near-dup pair
+       frame equals running the whole chain on the subset alone.
+    """
+    base_words = "alpha beta gamma delta epsilon zeta eta theta".split()
+    rows = []
+    for i in range(16):
+        # Groups of near-identical docs spanning the %4 split so both
+        # base-base and base-increment pairs exist.
+        words = list(base_words)
+        words[i % 3] = f"tok{i // 6}"
+        rows.append((i, " ".join(words * 3)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    subset = docs.filter(F.col("doc_id") % 4 != 0)
+
+    sig_all_then_filter = (
+        dedup.minhash_signatures(docs, portable=True)
+        .filter(F.col("id") % 4 != 0)
+    )
+    sig_filter_then_all = dedup.minhash_signatures(subset, portable=True)
+    a = {r["id"]: list(r["signature"]) for r in sig_all_then_filter.collect()}
+    b = {r["id"]: list(r["signature"]) for r in sig_filter_then_all.collect()}
+    assert a == b and a
+
+    pairs_restricted = sorted(
+        (r["id1"], r["id2"], r["est_jaccard"])
+        for r in dedup.minhash_near_dup(docs, threshold=0.5, portable=True)
+        .filter((F.col("id1") % 4 != 0) & (F.col("id2") % 4 != 0))
+        .collect()
+    )
+    pairs_direct = sorted(
+        (r["id1"], r["id2"], r["est_jaccard"])
+        for r in dedup.minhash_near_dup(
+            subset, threshold=0.5, portable=True
+        ).collect()
+    )
+    assert pairs_restricted == pairs_direct and pairs_restricted
+
+
 def test_image_ahash_perceptual_dedup(spark):
     """Perceptual image dedup over the REAL BMP kernel: a uniformly
     brightness-shifted copy keeps the identical aHash (every block and
