@@ -458,9 +458,13 @@ def minhash_near_dup(
         .select("id1", "id2", "est_jaccard")
         .filter(F.col("est_jaccard") >= threshold)
     )
-    if dfcache.MATERIALIZE:
-        _PAIR_CACHE.put(df, pairs, extra=params)
-    return pairs
+    # The pair frame itself is lazily checkpointed (r12 optimization):
+    # it is pair-set-sized (tiny next to the corpus) but its lineage
+    # replays the band self-join + verify, and multi-consumer queries
+    # re-evaluate it per action (q118 touches the mh pairs three times:
+    # the union into CC plus the attribution join; q121 filters it for
+    # the base pair set). One small block write buys every replay.
+    return _PAIR_CACHE.get_or_materialize(df, pairs, extra=params)
 
 
 def signature_est_jaccard(
@@ -597,9 +601,10 @@ def simhash_near_dup(
     pairs = hamming_blocked_pairs(
         sh, "simhash", "id", max_hamming=max_hamming, bands=bands
     )
-    if dfcache.MATERIALIZE:
-        _SIMHASH_PAIR_CACHE.put(df, pairs, extra=params)
-    return pairs
+    # Lazily checkpointed like the MinHash pair frame (r12): the block
+    # join + popcount verify replays per consumer action otherwise
+    # (q118 evaluates the sh pairs twice per action).
+    return _SIMHASH_PAIR_CACHE.get_or_materialize(df, pairs, extra=params)
 
 
 def hamming_blocked_pairs(
