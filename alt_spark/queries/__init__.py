@@ -303,10 +303,75 @@ _loaded = False
 #         each; quantiles keep q04 (exact) in-window with the q71
 #         error-bound pytest, graph keeps q114 (PageRank) + q133
 #         (triangles) + q118's CC closure in-window.
+#   r13 rotation (VERDICT r12 item 3): the paths that CHANGED in the
+#         r12 optimization round but were rotated out of the window in
+#         the same round — q120 (landing-device restructure; its only
+#         r12 driver read was a bench number the builder's A/B
+#         contradicts) and q33 (hex-fingerprint winnowing) — plus
+#         q53/q54/q55 (the production near-dup twins now riding the
+#         new shared signature-cache path; rows-only by design, the
+#         driver row is the row-count check) and ALL fourteen r12
+#         build-round additions q141-q154 (never driver-checked; 13
+#         oracle-backed, q141's fold is oracle-backed too) moved INTO
+#         the window. Nineteen entries rotated out in exchange, each
+#         with fresh r12 greens and surviving in-window family rows:
+#   q01/q04/q07/q10/q11/q15 — the r10 recency picks; 3 fresh greens
+#         each (r10-r12) on top of 6 earlier greens; the C-join/D-agg
+#         families keep q03/q05/q06/q08/q09 plus recency picks
+#         q12-q14/q16/q18/q21 in-window;
+#   q49 — streaming MV replay; 4 greens (r9-r12); stream==batch parity
+#         stays pytest-pinned against the q02 shape, and the streaming
+#         family keeps q131/q139 plus the rotating-in q141/q145/
+#         q148-q151 in-window;
+#   q66/q72 — corpus-prep / quality-gate pipelines; 5 greens each
+#         (r8-r12); the quality family keeps q122 (decontamination
+#         gate) and gains q153 (LLM judge gate) in-window, and both
+#         keep their DuckDB parity in pytest;
+#   q73/q91/q95/q99 — CC clusters / embedding LSH / span coverage /
+#         threshold histogram; 5 greens each; the dedup family keeps
+#         q118/q121/q126/q131/q132/q134/q135 in-window plus the
+#         rotating-in q53/q54/q55;
+#   q82/q100 — datasheet ROLLUP / release capstone; 5 greens each;
+#         release governance keeps q127 (KS drift) in-window plus the
+#         rotating-in q144 (export manifest audit) and q147/q151
+#         (index/footer audits);
+#   q94 — exact-k holdout; 5 greens; the mixing/selection family keeps
+#         q103 (target mixture rebalance, deliberately retained) and
+#         q128 (curriculum schedule) in-window;
+#   q102 — semantic decontamination; 4 greens (r9-r12);
+#         decontamination keeps q122 in-window; cosine thresholding
+#         evidence rides the rotating-in q142/q146 vector family;
+#   q105 — unigram Viterbi segmentation; 4 greens; the tokenizer
+#         family keeps q88 (BPE segmentation) in-window and q115's
+#         full-chain replay stays pytest-pinned;
+#   q114 — integer PageRank; 4 greens; the graph family keeps q133
+#         (triangles) and the q118/q121 CC closures in-window.
 # The rotation ledger in COVERAGE.md tracks per-query driver-row
 # history across rounds.
 _REPORT_TAIL = (
-    # r12 rotated-out set (rationale above).
+    # r13 rotated-out set (rationale above).
+    "q01_endpoint_stats",
+    "q04_latency_quantiles",
+    "q07_orders_item_counts",
+    "q10_rrf_suppliers",
+    "q11_latest_order_per_customer",
+    "q15_brand_order_counts",
+    "q49_streaming_mv_replay",
+    "q66_corpus_prep_pipeline",
+    "q72_quality_gate_pipeline",
+    "q73_neardup_clusters",
+    "q82_dataset_card",
+    "q91_embedding_neardup_lsh",
+    "q94_exact_k_holdout",
+    "q95_dup_span_coverage",
+    "q99_neardup_threshold_histogram",
+    "q100_release_pipeline",
+    "q102_semantic_decontamination",
+    "q105_unigram_segmentation",
+    "q114_pagerank_integer",
+    # r12 rotated-out set (rationale above). q120 rotated back INTO
+    # the window in r13 (its implementation changed in r12 with no
+    # driver-side confirmation — VERDICT r12 item 3).
     "q02_sli_error_rate",
     "q109_sli_anomaly_flags",
     "q111_weighted_priority_sample",
@@ -314,7 +379,6 @@ _REPORT_TAIL = (
     "q116_release_doc_diff",
     "q117_contrastive_pairs",
     "q119_retrieval_quality_metrics",
-    "q120_windowed_trending_tags",
     "q123_exact_price_quantiles",
     "q124_hits_user_event",
     "q125_bootstrap_quality_ci",
@@ -377,7 +441,9 @@ _REPORT_TAIL = (
     "q30_minhash_neardup",
     "q31_simhash_neardup",
     "q32_embedding_neardup",
-    "q33_winnowing_fingerprints",
+    # q33 rotated back INTO the window in r13: its fingerprint
+    # representation changed in r12 (hex, e20d6d1) with no driver-side
+    # hash row on the new path (VERDICT r12 item 3).
     "q34_collect_explode_flags",
     "q36_per_group_topk",
     "q38_map_guarded_extraction",
@@ -390,9 +456,11 @@ _REPORT_TAIL = (
     # DuckDB oracle since r7 (stream==batch parity in CI throughout)
     # but never earned a driver hash row on that footing.
     "q37_approx_distinct_users",
-    "q53_minhash_production",
-    "q54_simhash_production",
-    "q55_winnowing_production",
+    # q53/q54/q55 rotated INTO the window in r13: they ride the shared
+    # signature-cache path introduced in r12 (cfa1999) and have never
+    # had a driver row (rows-only by design — the xxhash64 production
+    # variants; pair-set equality with the oracle-checked portable
+    # twins stays pytest-enforced).
     # q12/q13/q14 rotated back INTO the window in r12 (recency picks:
     # no driver rows since r4; they anchor E5/E6/E2).
     "q23_bm25",
@@ -434,23 +502,9 @@ _REPORT_TAIL = (
     # and q126-q135 (new r10) in r11 — see the r11 rotation note.
     # q136-q140 (new r11, all oracle-backed) rotated INTO the window in
     # r12 per the pre-staged COVERAGE.md plan — see the r12 rotation
-    # note above. q141+ — new r12 additions, oracle-backed (in-pytest
-    # parity every CI pass), parked in the tail as the newest entries;
-    # r13 rotation candidates per the pre-staged COVERAGE.md plan.
-    "q141_streaming_minibatch_kmeans",
-    "q142_rerank_integer",
-    "q143_ivf_incremental_update",
-    "q144_export_manifest_audit",
-    "q145_projector_dlq_replay",
-    "q146_pq_adc_integer",
-    "q147_index_sink_audit",
-    "q148_producer_consumer_groups",
-    "q149_stream_interval_join",
-    "q150_retention_lifecycle",
-    "q151_footer_stats_catalog",
-    "q152_sql_facade_pricing",
-    "q153_llm_judge_gate",
-    "q154_otlp_log_stats",
+    # note above. q141-q154 (new r12) rotated INTO the window in r13
+    # for their FIRST driver rows (VERDICT r12 item 3) — see the r13
+    # rotation note above.
 )
 
 

@@ -1013,11 +1013,15 @@ _KM_Q = 1000  # quantization: milli-units
 # Plan-keyed cache for the fitted Lloyd chain (the minhash_pairs
 # doctrine): q137/q138 fit the identical quantizer — one materializes,
 # the sibling reuses. Two entries per fit (cents + assigned), distinct
-# (slice, k, iters) fits key separately; 8 slots cover the suite's
-# fit population (full, base slice, 4 PQ subspaces).
+# (slice, k, iters) fits key separately. Sized to the POPULATION:
+# the suite runs 8 distinct fits (full corpus ×2 scales via the warm
+# pass, base slice, batch slice, 4 PQ subspaces) × 2 entries = 16 —
+# r12 ran with 12 slots and recorded 16 puts / 4 evictions (an evicted
+# fit re-pays its Lloyd iterations on the next touch); 20 slots hold
+# the population with headroom and cost only DataFrame handles.
 from alt_spark.plans.dfcache import DataFramePlanCache
 
-_KM_FIT_CACHE = DataFramePlanCache(max_entries=12, name="km_fit")
+_KM_FIT_CACHE = DataFramePlanCache(max_entries=20, name="km_fit")
 
 
 def _km_chain_ctes(

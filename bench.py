@@ -207,6 +207,49 @@ def main() -> int:
     except Exception:
         caches = {}
 
+    # Burst-proof per-query steady reads (r13, VERDICT r12 item 1): the
+    # suite loop times each query ONCE in suite order, so an external
+    # host-load burst lands unmitigated in that query's number (r12: six
+    # runs of identical code spanned 236-339 s, each burst striking a
+    # different contiguous query block; the driver's 32-core run read
+    # untouched sub-second queries at 3-6x and q149 at 49.6 s vs its own
+    # 6.9 s minutes later). Generalize the ingestion-block device: after
+    # the suite pass, re-time every query whose suite read is >= 1 s,
+    # best-of-2 freshly-built plans (the suite run itself was the warm
+    # run), and report BOTH numbers in BENCH_DETAIL. Additions-only:
+    # `value`/`queries` in the printed line keep the suite-order
+    # methodology unchanged; steady_s is the burst-robust second read.
+    # Within-session named plan caches persist across the re-runs (the
+    # documented bench policy above), so a first-touch payer's steady_s
+    # reads warm-cache — suite_s stays the first-touch number.
+    steady: dict[str, dict[str, float]] = {}
+    for name, suite_s in sorted(timings.items()):
+        if suite_s < 1.0:
+            continue
+        if name in ingestion:
+            # Same best-of-2 methodology already ran above.
+            steady[name] = {
+                "suite_s": suite_s,
+                "steady_s": ingestion[name]["steady_s"],
+            }
+            continue
+        try:
+            runs = []
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, sf_dir).write.mode(
+                    "overwrite"
+                ).format("noop").save()
+                runs.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            steady[name] = {
+                "suite_s": suite_s,
+                "steady_s": round(min(runs), 3),
+            }
+        except Exception as exc:
+            failed[f"{name}:steady"] = f"{type(exc).__name__}: {exc}"[:200]
+            spark.catalog.clearCache()
+
     # q72 A/B two-configuration recording (VERDICT r8 item 2): three
     # driver rounds read q72 at 3.36/4.36/5.24 s under an UNCHANGED
     # pinned plan (fused single scan, <=2 parquet reads — pytest-pinned).
@@ -385,6 +428,7 @@ def main() -> int:
         "queries": timings,
         "sf": _sf_from_dir(sf_dir),
         "ingestion": ingestion,
+        "steady": steady,
         "caches": caches,
         "ab_q72": ab,
         "ab_q121": ab121,
